@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table access (TESTDATA.md layout: `<dir>/<name>.parquet`).
+  *
+  * The reference addresses tables as `schema.table` against two live TiDB
+  * sources (`/root/reference/syncdiff_config2/my_database_users.toml:14-32`);
+  * here a "source" is a directory of immutable parquet snapshots, which is
+  * the natural snapshot-pinned analogue of the reference's `snapshot = "auto"`
+  * (`my_database_users.toml:20,29`): an immutable file version IS a pinned
+  * snapshot, so both sides of every comparison are consistent by construction.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Primary-key columns per fixture table (FIXTURES.md). */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Clustered-vs-nonclustered PK classification for the discovery stage —
+    * the fixture analogue of `information_schema.tables.TIDB_PK_TYPE`
+    * (`/root/reference/syncdiff_config2/config.toml:16`). Tables whose PK is
+    * composite or "large" are declared NONCLUSTERED so the discovery filter
+    * has both classes to discriminate.
+    */
+  val pkKind: Map[String, String] = Map(
+    "region" -> "CLUSTERED", "nation" -> "CLUSTERED",
+    "customer" -> "CLUSTERED", "supplier" -> "CLUSTERED",
+    "part" -> "CLUSTERED", "documents" -> "CLUSTERED",
+    "embeddings" -> "CLUSTERED",
+    "orders" -> "NONCLUSTERED", "lineitem" -> "NONCLUSTERED",
+    "events" -> "NONCLUSTERED")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events fixture carries TIMESTAMP(NANOS) parquet columns, which
+    // Spark's reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos
+    // as long and convert to the engine's microsecond TimestampType with
+    // integer division (epoch nanos exceed 2^53, so double math would lose
+    // precision).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Core comparison-engine queries (SURVEY.md §2.1-2.9) with DuckDB oracles.
+  *
+  * Every query name appears in both [[queries]] and (where SQL-expressible)
+  * [[oracle]]; the driver hash-compares the two result sets.
+  *
+  * PK-keyed comparison runs on `orders` (o_orderkey is dense-unique);
+  * `lineitem` — whose fixture (l_orderkey, l_linenumber) is NOT unique —
+  * exercises the chunk-checksum and keyless multiset paths.
+  */
+object CoreQueries {
+  import Oracle._
+
+  val ordSpec: TableDiff.DiffSpec = TableDiff.DiffSpec(
+    pkCols = Seq("o_orderkey"), chunkBy = "o_orderkey", chunkWidth = 500)
+  val liSpec: TableDiff.DiffSpec = TableDiff.DiffSpec(
+    pkCols = Seq("l_orderkey", "l_linenumber"),
+    chunkBy = "l_orderkey", chunkWidth = 500)
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  private def rowDiffDf(s: SparkSession, dir: String): DataFrame =
+    TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)), ordSpec)
+
+  private def compareReport(s: SparkSession, dir: String): DataFrame = {
+    val orders = ord(s, dir)
+    val lineitem = li(s, dir)
+    def verdict(hasDiff: Boolean) = if (hasDiff) "diff" else "ok"
+    val ordersRep = Report.TableReport("orders", "ok",
+      verdict(!TableDiff.rowDiff(orders, Perturb.ordersDownstream(orders), ordSpec).isEmpty),
+      orders.count(), Perturb.ordersDownstream(orders).count())
+    val liDown = Perturb.lineitemDownstream(lineitem)
+    val liRep = Report.TableReport("lineitem", "ok",
+      verdict(!HashDiff.diff(lineitem, liDown).isEmpty),
+      lineitem.count(), liDown.count())
+    Report.withTotal(Report.toDF(s, Seq(liRep, ordersRep)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "discover_tables" -> ((s, dir) =>
+      Discover.discover(s, dir, Discover.defaultCheckSql(5000)).orderBy("table_name")),
+
+    "config_render" -> ((s, dir) =>
+      Discover.discover(s, dir, Discover.defaultCheckSql(5000))
+        .withColumn("config_text", format_string(
+          "[data-sources.master]\nsnapshot = \"auto\"\n[task]\ntarget-check-tables = [\"%s.%s\"]\nchunk-size = 500\noutput-dir = \"./output/%s_run1\"",
+          col("schema_name"), col("table_name"), col("table_name")))
+        .orderBy("table_name")),
+
+    "chunk_checksum" -> ((s, dir) =>
+      TableDiff.chunkChecksums(li(s, dir), liSpec).orderBy("chunk_id")),
+
+    "diff_chunks" -> ((s, dir) =>
+      TableDiff.badChunks(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)), ordSpec)
+        .orderBy("chunk_id")),
+
+    "row_diff" -> ((s, dir) => rowDiffDf(s, dir).orderBy("o_orderkey")),
+
+    "fix_sql" -> ((s, dir) =>
+      FixSql.fromRowDiff(rowDiffDf(s, dir), "orders", ordSpec.pkCols)
+        .orderBy("o_orderkey")),
+
+    "hashdiff_lineitem" -> ((s, dir) =>
+      HashDiff.diff(li(s, dir), Perturb.lineitemDownstream(li(s, dir)))
+        .orderBy("row_fp")),
+
+    "q1_pricing_summary" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("count_order"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("decimal(30,4)")).cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "compare_report" -> ((s, dir) => compareReport(s, dir)),
+
+    "struct_diff" -> ((s, dir) => {
+      val a = li(s, dir).schema
+      val b = StructType(
+        a.fields.filterNot(_.name == "l_tax")
+          .map(f => if (f.name == "l_quantity") f.copy(dataType = StringType) else f)
+          :+ StructField("l_comment", StringType, nullable = true))
+      StructDiff.toDF(s, StructDiff.diff(a, b)).orderBy("field")
+    }))
+
+  // ---------------------------------------------------------------- oracle
+
+  /** orders columns in parquet order with canonical kinds. */
+  private val ordersCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "i", "o_custkey" -> "i", "o_orderstatus" -> "s",
+    "o_totalprice" -> "m", "o_orderdate" -> "t", "o_orderpriority" -> "s")
+
+  private val liFp = fpSql(serialSql(lineitemCols))
+  private val liCsv = serialSql(lineitemCols, sep = ",")
+  private val oFp = fpSql(serialSql(ordersCols))
+  private val oCsv = serialSql(ordersCols, sep = ",")
+
+  private val liDownCte = s"lidown AS (${Perturb.lineitemDownstreamSql})"
+  private val oDownCte = s"odown AS (${Perturb.ordersDownstreamSql})"
+
+  private val rowDiffCte =
+    s"""$oDownCte,
+       |u AS (SELECT o_orderkey, $oFp AS up_fp, $oCsv AS up_vals FROM orders),
+       |dd AS (SELECT o_orderkey, $oFp AS down_fp FROM odown),
+       |rd AS (
+       |  SELECT COALESCE(u.o_orderkey, dd.o_orderkey) AS o_orderkey,
+       |         CASE WHEN dd.down_fp IS NULL THEN 'missing_on_down'
+       |              WHEN u.up_fp IS NULL THEN 'extra_on_down'
+       |              WHEN u.up_fp <> dd.down_fp THEN 'value_mismatch' END AS diff_kind,
+       |         u.up_fp, dd.down_fp, u.up_vals
+       |  FROM u FULL OUTER JOIN dd ON u.o_orderkey = dd.o_orderkey
+       |  WHERE dd.down_fp IS NULL OR u.up_fp IS NULL OR u.up_fp <> dd.down_fp)""".stripMargin
+
+  private val manifestCte: String = {
+    val rows = Tables.all.map(t =>
+      s"SELECT 'main' AS schema_name, '$t' AS table_name, (SELECT count(*) FROM $t) AS table_rows, '${Tables.pkKind(t)}' AS pk_kind")
+    s"manifest AS (${rows.mkString("\n  UNION ALL ")})"
+  }
+
+  private val discoverSelect =
+    "SELECT schema_name, table_name FROM manifest WHERE table_rows > 5000 AND pk_kind = 'NONCLUSTERED'"
+
+  val oracle: Map[String, String] = Map(
+    "discover_tables" ->
+      s"WITH $manifestCte\n$discoverSelect ORDER BY table_name",
+
+    "config_render" ->
+      s"""WITH $manifestCte,
+         |disc AS ($discoverSelect)
+         |SELECT schema_name, table_name,
+         |  printf(e'[data-sources.master]\\nsnapshot = "auto"\\n[task]\\ntarget-check-tables = ["%s.%s"]\\nchunk-size = 500\\noutput-dir = "./output/%s_run1"',
+         |         schema_name, table_name, table_name) AS config_text
+         |FROM disc ORDER BY table_name""".stripMargin,
+
+    "chunk_checksum" ->
+      s"""SELECT l_orderkey // 500 AS chunk_id, count(*) AS cnt,
+         |       CAST(SUM($liFp) AS BIGINT) AS checksum
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "diff_chunks" ->
+      s"""WITH $oDownCte,
+         |uc AS (SELECT o_orderkey // 500 AS chunk_id, count(*) AS up_cnt,
+         |              CAST(SUM($oFp) AS BIGINT) AS up_checksum FROM orders GROUP BY 1),
+         |dc AS (SELECT o_orderkey // 500 AS chunk_id, count(*) AS down_cnt,
+         |              CAST(SUM($oFp) AS BIGINT) AS down_checksum FROM odown GROUP BY 1)
+         |SELECT COALESCE(uc.chunk_id, dc.chunk_id) AS chunk_id,
+         |       up_cnt, up_checksum, down_cnt, down_checksum
+         |FROM uc FULL OUTER JOIN dc ON uc.chunk_id = dc.chunk_id
+         |WHERE up_cnt IS NULL OR down_cnt IS NULL
+         |   OR up_cnt <> down_cnt OR up_checksum <> down_checksum
+         |ORDER BY chunk_id""".stripMargin,
+
+    "row_diff" ->
+      s"""WITH $rowDiffCte
+         |SELECT * FROM rd ORDER BY o_orderkey""".stripMargin,
+
+    "fix_sql" ->
+      s"""WITH $rowDiffCte
+         |SELECT o_orderkey,
+         |  CASE WHEN diff_kind = 'extra_on_down'
+         |       THEN 'DELETE FROM orders WHERE o_orderkey = ' || CAST(o_orderkey AS VARCHAR) || ';'
+         |       ELSE 'REPLACE INTO orders VALUES (' || up_vals || ');' END AS fix_sql
+         |FROM rd ORDER BY o_orderkey""".stripMargin,
+
+    "hashdiff_lineitem" ->
+      s"""WITH $liDownCte,
+         |u AS (SELECT $liFp AS row_fp, $liCsv AS vals FROM lineitem),
+         |dd AS (SELECT $liFp AS row_fp, $liCsv AS vals FROM lidown),
+         |uc AS (SELECT row_fp, count(*) AS up_cnt, min(vals) AS up_vals FROM u GROUP BY 1),
+         |dc AS (SELECT row_fp, count(*) AS down_cnt, min(vals) AS down_vals FROM dd GROUP BY 1)
+         |SELECT COALESCE(uc.row_fp, dc.row_fp) AS row_fp,
+         |       CASE WHEN COALESCE(up_cnt, 0) > COALESCE(down_cnt, 0)
+         |            THEN 'missing_on_down' ELSE 'extra_on_down' END AS diff_kind,
+         |       COALESCE(up_cnt, 0) AS up_cnt, COALESCE(down_cnt, 0) AS down_cnt,
+         |       COALESCE(up_vals, down_vals) AS vals
+         |FROM uc FULL OUTER JOIN dc ON uc.row_fp = dc.row_fp
+         |WHERE COALESCE(up_cnt, 0) <> COALESCE(down_cnt, 0)
+         |ORDER BY row_fp""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "compare_report" ->
+      s"""WITH $rowDiffCte,
+         |$liDownCte,
+         |lu AS (SELECT $liFp AS row_fp FROM lineitem),
+         |ld AS (SELECT $liFp AS row_fp FROM lidown),
+         |luc AS (SELECT row_fp, count(*) AS c FROM lu GROUP BY 1),
+         |ldc AS (SELECT row_fp, count(*) AS c FROM ld GROUP BY 1),
+         |lidiff AS (
+         |  SELECT 1 FROM luc FULL OUTER JOIN ldc ON luc.row_fp = ldc.row_fp
+         |  WHERE COALESCE(luc.c, 0) <> COALESCE(ldc.c, 0)),
+         |rep AS (
+         |  SELECT 'lineitem' AS table_name, 'ok' AS structure,
+         |         CASE WHEN EXISTS (SELECT 1 FROM lidiff) THEN 'diff' ELSE 'ok' END AS data_result,
+         |         (SELECT count(*) FROM lineitem) AS upcount,
+         |         (SELECT count(*) FROM lidown) AS downcount
+         |  UNION ALL
+         |  SELECT 'orders', 'ok',
+         |         CASE WHEN EXISTS (SELECT 1 FROM rd) THEN 'diff' ELSE 'ok' END,
+         |         (SELECT count(*) FROM orders), (SELECT count(*) FROM odown))
+         |SELECT * FROM (
+         |  SELECT * FROM rep
+         |  UNION ALL
+         |  SELECT 'TOTAL',
+         |         CAST(SUM(CASE WHEN structure = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
+         |         CAST(SUM(CASE WHEN data_result = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
+         |         CAST(SUM(upcount) AS BIGINT), CAST(SUM(downcount) AS BIGINT) FROM rep)
+         |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin)
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev-only oracle checker mimicking the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Registers each fixture parquet as a DuckDB view named after the table, runs
+every oracle SQL from <verifyOutDir>/oracle_sql.json, reads the Spark result
+parquet from <verifyOutDir>/<name>/, and compares: column names (sorted),
+row count, and cell values (rows sorted). NOT shipped library code.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        wcols, gcols = sorted(want.columns), sorted(got.columns)
+        if [c.lower() for c in wcols] != [c.lower() for c in gcols]:
+            print(f"FAIL {name}: columns {gcols} != oracle {wcols}")
+            n_fail += 1
+            continue
+        w = want[wcols].values.tolist()
+        g = got[gcols].values.tolist()
+        w = sorted([tuple(norm(x) for x in r) for r in w], key=repr)
+        g = sorted([tuple(norm(x) for x in r) for r in g], key=repr)
+        if len(w) != len(g):
+            print(f"FAIL {name}: rows {len(g)} != oracle {len(w)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(w)} cells differ; first: got={bad[0][0]} want={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"ok   {name} ({len(w)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
