@@ -45,14 +45,32 @@ object Tables {
     "orders" -> "NONCLUSTERED", "lineitem" -> "NONCLUSTERED",
     "events" -> "NONCLUSTERED")
 
+  /** Session settings every entry point (Bench/Verify/tests/driver) must
+    * apply ONCE at construction — not per read, which would mutate shared
+    * session state mid-flight and race under concurrent query execution
+    * (ADVICE r01). The events fixture carries TIMESTAMP(NANOS) parquet
+    * columns, which Spark's reader rejects by default
+    * (PARQUET_TYPE_ILLEGAL); the legacy flag reads nanos as long.
+    */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** Idempotent safety net for sessions built outside our entry points
+    * (e.g. the driver's own SparkSession): set the nanos flag only if it
+    * is not already in effect, once per session.
+    */
+  private def ensureConf(spark: SparkSession): Unit =
+    sessionConf.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events fixture carries TIMESTAMP(NANOS) parquet columns, which
-    // Spark's reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos
-    // as long and convert to the engine's microsecond TimestampType with
+    ensureConf(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Convert nanos-as-long to the engine's microsecond TimestampType with
     // integer division (epoch nanos exceed 2^53, so double math would lose
     // precision).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

@@ -14,13 +14,23 @@ import org.apache.spark.sql.types._
   * *portable* construction reproducible in any engine with `md5`:
   *
   *   serial(row)  = concat_ws('|', canonical(col1), ..., canonical(colN))
-  *   fp(row)      = bigint(first 12 hex chars of md5(serial))   -- 48 bits
-  *   checksum(S)  = sum(fp(row) for row in S)                   -- commutative
+  *   fp(row)      = md5(serial)                    -- full 128 bits (equality)
+  *   fp48(row)    = bigint(first 12 hex of fp)     -- 48 bits (checksum lane)
+  *   checksum(S)  = sum(fp48(row) for row in S)    -- commutative
   *
-  * 48-bit fingerprints summed over <= 2^14-row chunks stay far below 2^63,
-  * and the sum is order-independent, so partial aggregation (map-side
-  * combine) applies — Catalyst plans this as a two-phase HashAggregate with
-  * no extra shuffle beyond the groupBy(chunk).
+  * Collision discipline (SURVEY.md §7.4): ROW EQUALITY is always decided on
+  * the full 128-bit md5 — at 100 TB (~10^11 rows) the birthday bound for a
+  * truncated 48-bit lane (~N²/2^49) would silently mask real differences,
+  * while 128 bits keep it below 2^-35. The 48-bit truncation exists ONLY
+  * inside the per-chunk commutative checksum, where the SUM needs overflow
+  * headroom: 48-bit fingerprints summed over <= 2^14-row chunks stay far
+  * below 2^63, the sum is order-independent, and partial aggregation
+  * (map-side combine) applies — Catalyst plans this as a two-phase
+  * HashAggregate with no extra shuffle beyond the groupBy(chunk). A chunk
+  * checksum collision is caught downstream by the row pass (full md5), so
+  * only a *simultaneous* 48-bit sum collision AND equal row counts could
+  * mask a chunk — and that chunk's rows are still compared whenever any
+  * other chunk flags.
   *
   * Canonicalization rules (must match the oracle SQL in
   * [[graft.SparkEntry.oracleSql]] exactly):
@@ -72,11 +82,52 @@ object Canonical {
   /** Pipe-joined canonical serialization of the given columns. */
   def serial(cols: Seq[(Column, DataType)]): Column = serialize(cols, "|")
 
-  /** Comma-joined form — used as a VALUES payload by the fix-SQL sink. */
+  /** Comma-joined form — sample payload for diff inspection. */
   def serialCsv(cols: Seq[(Column, DataType)]): Column = serialize(cols, ",")
 
-  /** Portable 48-bit row fingerprint (oracle-reproducible). */
+  /** Executable SQL literal form of one column — the repair-statement
+    * payload (reference `export-fix-sql`, `my_database_users.toml:8`,
+    * emits properly quoted literal values; sync_diff_inspector's published
+    * behavior). Distinct from the fingerprint serialization on purpose:
+    *   - strings: single-quoted, embedded quotes doubled
+    *   - money doubles: original 2dp scale (not the x100 canonical form)
+    *   - timestamps: 'yyyy-MM-dd HH:mm:ss.SSSSSS' literals
+    *   - NULL: the keyword NULL
+    */
+  def sqlLiteral(c: Column, dt: DataType): Column = {
+    def quoted(s: Column): Column =
+      concat(lit("'"), regexp_replace(s, "'", "''"), lit("'"))
+    val v = dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
+      case BooleanType => c.cast(IntegerType).cast(StringType)
+      case FloatType | DoubleType =>
+        c.cast(DecimalType(18, 2)).cast(StringType)
+      case _: DecimalType => c.cast(StringType)
+      case TimestampType => quoted(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case TimestampNTZType =>
+        quoted(date_format(c.cast(TimestampType), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case DateType => quoted(c.cast(StringType))
+      case StringType => quoted(c)
+      case BinaryType => concat(lit("x'"), hex(c), lit("'"))
+      case _ => quoted(to_json(struct(c.as("v"))))
+    }
+    coalesce(v, lit("NULL"))
+  }
+
+  /** Comma-joined executable VALUES payload over the given columns. */
+  def sqlValues(cols: Seq[(Column, DataType)]): Column =
+    concat_ws(", ", cols.map { case (c, dt) => sqlLiteral(c, dt) }: _*)
+
+  /** Portable full-128-bit row fingerprint (lowercase md5 hex,
+    * oracle-reproducible). The ONLY basis for row-equality decisions.
+    */
   def fingerprint(cols: Seq[(Column, DataType)]): Column =
+    md5(serial(cols))
+
+  /** 48-bit fingerprint for the commutative chunk-checksum lane only —
+    * never used alone for row equality (see collision discipline above).
+    */
+  def fingerprint48(cols: Seq[(Column, DataType)]): Column =
     hex48(md5(serial(cols)))
 
   /** First 12 hex chars of a hex string, as a bigint (48 bits). */

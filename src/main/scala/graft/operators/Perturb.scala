@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
 object Perturb {
 
   /** orders drift: delete (%997=1), mutate o_totalprice (+1 where %991=2),
-    * insert (keys %983=3 duplicated at key+100000).
+    * insert (keys %983=3 duplicated at key + max(o_orderkey)+1).
+    *
+    * The insert offset is DERIVED FROM THE DATA (max key + 1, broadcast as
+    * a 1-row join side) so shifted keys can never collide with existing
+    * dense keys at any scale factor — a fixed +100000 offset collided with
+    * real PKs at sf0.1 (150k orders), handing the downstream side duplicate
+    * PKs and fanning out the full-outer row join (ADVICE r01).
     */
   def ordersDownstream(up: DataFrame): DataFrame = {
     val mutated = up
@@ -29,9 +35,12 @@ object Perturb {
         "o_totalprice",
         when(col("o_orderkey") % 991 === 2, col("o_totalprice") + 1)
           .otherwise(col("o_totalprice")))
+    val off = up.agg((coalesce(max(col("o_orderkey")), lit(0L)) + 1L).as("__off"))
     val extra = up
       .filter(col("o_orderkey") % 983 === 3)
-      .withColumn("o_orderkey", col("o_orderkey") + 100000L)
+      .crossJoin(broadcast(off))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__off"))
+      .drop("__off")
     mutated.unionByName(extra)
   }
 
@@ -45,7 +54,8 @@ object Perturb {
       case c => c
     }.mkString(", ")
     val extra = cols.map {
-      case "o_orderkey" => "o_orderkey + 100000 AS o_orderkey"
+      case "o_orderkey" =>
+        "o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey"
       case c => c
     }.mkString(", ")
     s"""SELECT $mutated FROM orders WHERE o_orderkey % 997 <> 1

@@ -41,16 +41,20 @@ object TableDiff {
       chunkBy: String,
       chunkWidth: Long,
       range: String = "1 = 1",
-      maxPushdownChunks: Int = 256)
+      maxPushdownChunks: Int = 256,
+      maxBroadcastChunks: Int = 100000)
 
   private def fpCols(df: DataFrame): Seq[(Column, org.apache.spark.sql.types.DataType)] =
     df.schema.fields.toSeq.map(f => (col(f.name), f.dataType))
 
-  /** Phase-1 input: side with chunk_id + portable row fingerprint. */
+  /** Phase-1 input: side with chunk_id + 48-bit checksum-lane fingerprint
+    * (row EQUALITY elsewhere uses the full 128-bit lane — see
+    * [[graft.functions.Canonical]] collision discipline).
+    */
   def withFingerprint(df: DataFrame, spec: DiffSpec): DataFrame =
     df.filter(expr(spec.range))
       .withColumn("chunk_id", Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth))
-      .withColumn("row_fp", Canonical.fingerprint(fpCols(df)))
+      .withColumn("row_fp", Canonical.fingerprint48(fpCols(df)))
 
   /** Per-chunk (row count, commutative checksum). One shuffle; partial agg
     * happens map-side (HashAggregateExec partial/final).
@@ -60,20 +64,39 @@ object TableDiff {
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("cnt"), sum(col("row_fp")).as("checksum"))
 
-  /** Chunk-level full-outer diff: chunks present on one side only, or with
-    * differing count/checksum. Output is small (bad chunks only).
+  /** Joined per-chunk relation of both sides with a badness flag — shared
+    * by [[badChunks]] (filter) and [[summary]] (aggregate) so the report
+    * path runs ONE chunk-level pass instead of re-running the full diff
+    * pipeline per verdict/count.
     */
-  def badChunks(up: DataFrame, down: DataFrame, spec: DiffSpec): DataFrame = {
+  private def chunkJoin(up: DataFrame, down: DataFrame, spec: DiffSpec): DataFrame = {
     val u = chunkChecksums(up, spec)
       .withColumnsRenamed(Map("cnt" -> "up_cnt", "checksum" -> "up_checksum"))
     val d = chunkChecksums(down, spec)
       .withColumnsRenamed(Map("cnt" -> "down_cnt", "checksum" -> "down_checksum"))
     u.join(d, Seq("chunk_id"), "full_outer")
-      .filter(
+      .withColumn("is_bad",
         col("up_cnt").isNull || col("down_cnt").isNull ||
           col("up_cnt") =!= col("down_cnt") ||
           col("up_checksum") =!= col("down_checksum"))
   }
+
+  /** One-pass per-table comparison summary: both row counts plus the
+    * bad-chunk tally, from a single chunk-level aggregation (one shuffle
+    * per side + one tiny global agg). The report stage uses this instead
+    * of recomputing the whole diff pipeline per verdict/count.
+    */
+  def summary(up: DataFrame, down: DataFrame, spec: DiffSpec): DataFrame =
+    chunkJoin(up, down, spec).agg(
+      sum(coalesce(col("up_cnt"), lit(0L))).as("upcount"),
+      sum(coalesce(col("down_cnt"), lit(0L))).as("downcount"),
+      sum(when(col("is_bad"), 1L).otherwise(0L)).as("bad_chunks"))
+
+  /** Chunk-level full-outer diff: chunks present on one side only, or with
+    * differing count/checksum. Output is small (bad chunks only).
+    */
+  def badChunks(up: DataFrame, down: DataFrame, spec: DiffSpec): DataFrame =
+    chunkJoin(up, down, spec).filter(col("is_bad")).drop("is_bad")
 
   /** Pushed-down PK range predicate covering the given chunk ids: adjacent
     * chunks merge into one `BETWEEN`, so the parquet scan skips clean row
@@ -100,42 +123,58 @@ object TableDiff {
     */
   def rowDiff(up: DataFrame, down: DataFrame, spec: DiffSpec,
               twoPhase: Boolean = true): DataFrame = {
-    val (upIn, downIn) =
-      if (twoPhase) {
-        val bad = badChunks(up, down, spec)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ids = bad.select("chunk_id").limit(spec.maxPushdownChunks + 1)
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.length <= spec.maxPushdownChunks) {
-          bad.unpersist(blocking = false)
-          val pred = chunkRangePredicate(ids, spec)
-          (up.filter(pred), down.filter(pred))
-        } else {
-          // Too many bad chunks for predicate pushdown: broadcast semi-join.
-          def semi(df: DataFrame): DataFrame =
-            df.join(broadcast(bad.select("chunk_id")),
-              Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth) === bad("chunk_id"),
-              "left_semi")
-          (semi(up), semi(down))
-        }
-      } else (up, down)
 
-    val u = upIn.filter(expr(spec.range)).select(
-      spec.pkCols.map(col) ++ Seq(
-        Canonical.fingerprint(fpCols(up)).as("up_fp"),
-        Canonical.serialCsv(fpCols(up)).as("up_vals")): _*)
-    val d = downIn.filter(expr(spec.range)).select(
-      spec.pkCols.map(col) :+
-        Canonical.fingerprint(fpCols(down)).as("down_fp"): _*)
+    // Row-level join: equality on the FULL 128-bit md5 lane; repair payload
+    // is the executable SQL-literal form (not the fingerprint serial).
+    def join(upIn: DataFrame, downIn: DataFrame): DataFrame = {
+      val u = upIn.filter(expr(spec.range)).select(
+        spec.pkCols.map(col) ++ Seq(
+          Canonical.fingerprint(fpCols(up)).as("up_fp"),
+          Canonical.sqlValues(fpCols(up)).as("up_vals")): _*)
+      val d = downIn.filter(expr(spec.range)).select(
+        spec.pkCols.map(col) :+
+          Canonical.fingerprint(fpCols(down)).as("down_fp"): _*)
+      u.join(d, spec.pkCols, "full_outer")
+        .withColumn(
+          "diff_kind",
+          when(col("down_fp").isNull, lit("missing_on_down"))
+            .when(col("up_fp").isNull, lit("extra_on_down"))
+            .when(col("up_fp") =!= col("down_fp"), lit("value_mismatch")))
+        .filter(col("diff_kind").isNotNull)
+        .select((spec.pkCols.map(col) ++
+          Seq(col("diff_kind"), col("up_fp"), col("down_fp"), col("up_vals"))): _*)
+    }
 
-    u.join(d, spec.pkCols, "full_outer")
-      .withColumn(
-        "diff_kind",
-        when(col("down_fp").isNull, lit("missing_on_down"))
-          .when(col("up_fp").isNull, lit("extra_on_down"))
-          .when(col("up_fp") =!= col("down_fp"), lit("value_mismatch")))
-      .filter(col("diff_kind").isNotNull)
-      .select((spec.pkCols.map(col) ++
-        Seq(col("diff_kind"), col("up_fp"), col("down_fp"), col("up_vals"))): _*)
+    if (!twoPhase) return join(up, down)
+
+    // One phase-1 pass collects bad chunk ids (driver memory bounded by
+    // maxBroadcastChunks ≈ 800 KB). Nothing is cached — the previous
+    // persist-based variant leaked MEMORY_AND_DISK cache across calls
+    // (ADVICE r01).
+    val ids = badChunks(up, down, spec).select("chunk_id")
+      .limit(spec.maxBroadcastChunks + 1)
+      .collect().map(_.getLong(0)).toSeq
+
+    if (ids.length <= spec.maxPushdownChunks) {
+      // Few bad chunks: pushed-down PK range predicate; the parquet scan
+      // prunes clean row groups via min/max stats.
+      val pred = chunkRangePredicate(ids, spec)
+      join(up.filter(pred), down.filter(pred))
+    } else if (ids.length <= spec.maxBroadcastChunks) {
+      // Moderate drift: broadcast the id list (local relation — no
+      // recompute of phase 1) and semi-join both sides on chunk_id.
+      val spark = up.sparkSession
+      import spark.implicits._
+      val idDf = ids.toDF("__bad_chunk_id")
+      def semi(df: DataFrame): DataFrame =
+        df.join(broadcast(idDf),
+          Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth) === col("__bad_chunk_id"),
+          "left_semi")
+      join(semi(up), semi(down))
+    } else {
+      // Pervasive drift: pruning would keep ~everything; the flat
+      // full-table row join is cheaper than a giant broadcast.
+      join(up, down)
+    }
   }
 }

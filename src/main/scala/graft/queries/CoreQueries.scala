@@ -32,18 +32,24 @@ object CoreQueries {
   private def rowDiffDf(s: SparkSession, dir: String): DataFrame =
     TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)), ordSpec)
 
+  /** One-pass per table: counts + diff verdict come from a single
+    * chunk/fingerprint-level aggregation ([[TableDiff.summary]] /
+    * [[HashDiff.summary]]) instead of re-running the full diff pipeline
+    * per verdict/count (90s → seconds at sf0.1, ADVICE r01).
+    */
   private def compareReport(s: SparkSession, dir: String): DataFrame = {
     val orders = ord(s, dir)
     val lineitem = li(s, dir)
-    def verdict(hasDiff: Boolean) = if (hasDiff) "diff" else "ok"
-    val ordersRep = Report.TableReport("orders", "ok",
-      verdict(!TableDiff.rowDiff(orders, Perturb.ordersDownstream(orders), ordSpec).isEmpty),
-      orders.count(), Perturb.ordersDownstream(orders).count())
-    val liDown = Perturb.lineitemDownstream(lineitem)
-    val liRep = Report.TableReport("lineitem", "ok",
-      verdict(!HashDiff.diff(lineitem, liDown).isEmpty),
-      lineitem.count(), liDown.count())
-    Report.withTotal(Report.toDF(s, Seq(liRep, ordersRep)))
+    def verdict(bad: Long) = if (bad > 0) "diff" else "ok"
+    val o = TableDiff.summary(orders, Perturb.ordersDownstream(orders), ordSpec)
+      .collect()(0)
+    val l = HashDiff.summary(lineitem, Perturb.lineitemDownstream(lineitem))
+      .collect()(0)
+    Report.withTotal(Report.toDF(s, Seq(
+      Report.TableReport("lineitem", "ok", verdict(l.getLong(2)),
+        l.getLong(0), l.getLong(1)),
+      Report.TableReport("orders", "ok", verdict(o.getLong(2)),
+        o.getLong(0), o.getLong(1)))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,16 +109,18 @@ object CoreQueries {
     "o_totalprice" -> "m", "o_orderdate" -> "t", "o_orderpriority" -> "s")
 
   private val liFp = fpSql(serialSql(lineitemCols))
+  private val liFp48 = fp48Sql(serialSql(lineitemCols))
   private val liCsv = serialSql(lineitemCols, sep = ",")
   private val oFp = fpSql(serialSql(ordersCols))
-  private val oCsv = serialSql(ordersCols, sep = ",")
+  private val oFp48 = fp48Sql(serialSql(ordersCols))
+  private val oSqlVals = sqlValuesSql(ordersCols)
 
   private val liDownCte = s"lidown AS (${Perturb.lineitemDownstreamSql})"
   private val oDownCte = s"odown AS (${Perturb.ordersDownstreamSql})"
 
   private val rowDiffCte =
     s"""$oDownCte,
-       |u AS (SELECT o_orderkey, $oFp AS up_fp, $oCsv AS up_vals FROM orders),
+       |u AS (SELECT o_orderkey, $oFp AS up_fp, $oSqlVals AS up_vals FROM orders),
        |dd AS (SELECT o_orderkey, $oFp AS down_fp FROM odown),
        |rd AS (
        |  SELECT COALESCE(u.o_orderkey, dd.o_orderkey) AS o_orderkey,
@@ -146,15 +154,15 @@ object CoreQueries {
 
     "chunk_checksum" ->
       s"""SELECT l_orderkey // 500 AS chunk_id, count(*) AS cnt,
-         |       CAST(SUM($liFp) AS BIGINT) AS checksum
+         |       CAST(SUM($liFp48) AS BIGINT) AS checksum
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "diff_chunks" ->
       s"""WITH $oDownCte,
          |uc AS (SELECT o_orderkey // 500 AS chunk_id, count(*) AS up_cnt,
-         |              CAST(SUM($oFp) AS BIGINT) AS up_checksum FROM orders GROUP BY 1),
+         |              CAST(SUM($oFp48) AS BIGINT) AS up_checksum FROM orders GROUP BY 1),
          |dc AS (SELECT o_orderkey // 500 AS chunk_id, count(*) AS down_cnt,
-         |              CAST(SUM($oFp) AS BIGINT) AS down_checksum FROM odown GROUP BY 1)
+         |              CAST(SUM($oFp48) AS BIGINT) AS down_checksum FROM odown GROUP BY 1)
          |SELECT COALESCE(uc.chunk_id, dc.chunk_id) AS chunk_id,
          |       up_cnt, up_checksum, down_cnt, down_checksum
          |FROM uc FULL OUTER JOIN dc ON uc.chunk_id = dc.chunk_id

@@ -20,11 +20,36 @@ object Oracle {
     cols.map { case (c, k) => s"COALESCE(${canonSql(prefix + c, k)},'@NULL@')" }
       .mkString(s"concat_ws('$sep', ", ", ", ")")
 
-  /** 48-bit portable fingerprint of a serial expression (mirror of
-    * [[graft.functions.Canonical.hex48]]).
+  /** Full-128-bit portable row fingerprint (mirror of
+    * [[graft.functions.Canonical.fingerprint]] — row-equality lane).
     */
-  def fpSql(serial: String): String =
+  def fpSql(serial: String): String = s"md5($serial)"
+
+  /** 48-bit checksum-lane fingerprint (mirror of
+    * [[graft.functions.Canonical.fingerprint48]] / hex48).
+    */
+  def fp48Sql(serial: String): String =
     s"CAST(('0x' || substr(md5($serial),1,12)) AS BIGINT)"
+
+  /** Executable SQL-literal form of one column (mirror of
+    * [[graft.functions.Canonical.sqlLiteral]] — repair-statement payload).
+    */
+  def sqlLitSql(c: String, kind: String): String = {
+    val v = kind match {
+      case "i" => s"CAST($c AS VARCHAR)"
+      case "m" => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+      case "s" => s"'''' || replace($c, '''', '''''') || ''''"
+      case "t" => s"'''' || strftime($c, '%Y-%m-%d %H:%M:%S.%f') || ''''"
+    }
+    s"COALESCE($v, 'NULL')"
+  }
+
+  /** Comma-joined executable VALUES payload (mirror of
+    * [[graft.functions.Canonical.sqlValues]]).
+    */
+  def sqlValuesSql(cols: Seq[(String, String)], prefix: String = ""): String =
+    cols.map { case (c, k) => sqlLitSql(prefix + c, k) }
+      .mkString("concat_ws(', ', ", ", ", ")")
 
   /** lineitem columns in parquet order with canonical kinds. */
   val lineitemCols: Seq[(String, String)] = Seq(
