@@ -15,12 +15,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("compare_report")(spark, "/root/testdata/sf0.001")
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2 + the north-star
+    * pipeline extensions (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++ graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle
+    graft.queries.CoreQueries.oracle ++ graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for the training-data pipeline (north-star
+  * extension): exact, MinHash+LSH near-dup, SimHash, and exact n-gram
+  * Jaccard via a shingle inverted index.
+  *
+  * Scale posture (100 TB):
+  *  - signatures (minhash/simhash/shingles) are NARROW per-row transforms —
+  *    the shingle arrays never leave their row; no explode-shuffle for
+  *    signature computation.
+  *  - candidate generation shuffles only small keys: (band_id, band_key)
+  *    for LSH, shingle hash for the inverted index — never full documents.
+  *  - verification joins carry doc_id + shingle array only for CANDIDATE
+  *    pairs (drift/dup-bounded, not corpus-bounded).
+  *
+  * All hashing is md5-derived (engine-portable) so the DuckDB oracle
+  * reproduces candidate sets and scores bit-for-bit.
+  */
+object Dedup {
+
+  /** 48-bit md5-derived hash of a string expression (portable). */
+  private def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  /** Word w-shingles (default 3-grams), distinct, underscore-joined.
+    * Documents shorter than w words yield an empty set.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    when(n >= w,
+      array_distinct(transform(sequence(lit(1), n - (w - 1)),
+        i => concat_ws("_", (0 until w).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id + distinct shingle set. */
+  def withShingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact duplicate groups over md5(text): canonical (min) doc_id per
+    * duplicated text + multiplicity. One groupBy shuffle on the 128-bit
+    * hash — at 100 TB this is the standard first dedup pass.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  // ----------------------------------------------------------- minhash
+
+  /** k-lane MinHash signature over the distinct shingle set: lane i is
+    * min over shingles of h48(i || ":" || shingle). NULL-free: empty
+    * shingle sets get sentinel -1 per lane. Narrow per-row compute.
+    */
+  def minhashSignature(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      coalesce(array_min(transform(sh, s => h48(concat(lit(s"$i:"), s)))), lit(-1L)))
+
+  /** LSH banding: (doc_id, band_id, band_key) rows, band_key = md5 of the
+    * comma-joined lanes of that band. bands*rowsPerBand lanes total.
+    */
+  def lshBands(docs: DataFrame, bands: Int, rowsPerBand: Int, w: Int = 3): DataFrame = {
+    val sig = minhashSignature(col("sh"), bands * rowsPerBand)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",",
+          sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*))
+          .as("band_key"))
+    }
+    withShingles(docs, w)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-Jaccard-verified.
+    *
+    * candidates: self-join of the band relation on (band_id, band_key),
+    * id< to orient, distinct to collapse multi-band hits — the shuffle key
+    * is the small band key, never the document. verify: join candidate
+    * pairs back to shingle sets, exact Jaccard, threshold filter.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+                      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBands(docs, bands, rowsPerBand)
+    val cand = b.as("a")
+      .join(b.as("b"), Seq("band_id", "band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val sh = withShingles(docs)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 16-bit SimHash over the token multiset: bit b is set iff more than
+    * half the token hashes have bit b set. Narrow per-row compute; near
+    * duplicates are then doc pairs within small Hamming distance (the
+    * 64/16-bit variant of Charikar's scheme).
+    */
+  def simhash16(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => h48(t))
+    val n = size(hashes)
+    (0 until 16).map { b =>
+      when(size(filter(hashes, hv => pmod(shiftright(hv, b), lit(2)) === 1)) * 2 > n,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** (doc_id, simhash) signature relation. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash16(col("text")).as("simhash"))
+
+  // ------------------------------------------- exact n-gram Jaccard join
+
+  /** Exact all-pairs n-gram Jaccard >= threshold via a shingle-hash
+    * inverted index (SSJoin-style): explode shingle hashes, self-join per
+    * shingle to count co-occurrences (= |A n B|), then Jaccard from
+    * |A|+|B|-common. Only doc_id + one 48-bit hash per posting shuffles;
+    * document text never moves.
+    */
+  def jaccardNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = withShingles(docs)
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("sh_n"),
+        explode(transform(col("sh"), s => h48(s))).as("sh_h"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh_n").as("n_a"), col("b.sh_n").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): image/audio/video
+  * payloads travel as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs batch-wise inside `mapPartitions` over a typed
+  * Dataset (the Scala analogue of a batched decode UDF: each partition
+  * iterates buffered mini-batches, the shape a vectorized decoder wants).
+  *
+  * The actual media decode is a STUB — no image/audio codec ships in this
+  * environment. [[decodeStub]] derives deterministic fake "decoded"
+  * metadata (dimensions, luminance) from the payload's md5, so the
+  * Spark-side plumbing — binary schema, batching, partitioning, typed
+  * output — is real and oracle-checkable while the codec call is an
+  * isolated, clearly-marked seam to swap for a real decoder.
+  */
+object Multimodal {
+
+  /** One media record: id + opaque payload. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded-media metadata (what a real image decode would yield). */
+  case class MediaMeta(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      luminance: Double)
+
+  /** Rows per decode mini-batch — a real vectorized decoder amortizes
+    * setup per batch; the stub preserves the batch shape.
+    */
+  val DecodeBatchSize = 64
+
+  /** ======== STUB DECODE ========
+    * Stands in for an image decode (e.g. JPEG -> dims + mean luminance).
+    * Deterministic from the payload bytes ONLY (md5-derived), so the SQL
+    * oracle reproduces it. Swap this function for a real codec.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val hex = md.map("%02x".format(_)).mkString
+    val fp48 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val width = 16 + (fp48 % 240).toInt
+    val height = 16 + ((fp48 / 240) % 240).toInt
+    val luminance = (fp48 % 1000).toDouble / 1000.0
+    (width, height, 3, luminance)
+  }
+
+  /** documents -> (doc_id, payload): the fixture's text bytes standing in
+    * for an opaque media blob (UTF-8 encode — at ingest this column would
+    * come from the media store as-is).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode over the binary column: typed Dataset in, typed
+    * Dataset out, `mapPartitions` with explicit mini-batching (grouped
+    * iterator — streaming, never materializes a partition). Narrow — no
+    * shuffle; at 100 TB each task decodes its own file split.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          // real decoder: one vectorized call per batch happens here
+          batch.map { r =>
+            val (w, h, ch, lum) = decodeStub(r.payload)
+            MediaMeta(r.doc_id, r.payload.length.toLong, w, h, ch, lum)
+          }
+        }
+      }
+  }
+
+  /** Full column-level pipeline as a DataFrame op (what a query planner
+    * sees): payload attach -> batched decode -> typed metadata.
+    */
+  def features(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(spark, withPayload(docs)).toDF()
+
+  /** Frame-sampling plumbing for a (fake) video payload: split the blob
+    * into fixed-size "frames" and keep every `stride`-th — the partition/
+    * batch shape of real frame extraction, with the codec stubbed to byte
+    * slicing. Output: one row per sampled frame with its md5.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .flatMap { r =>
+        val n = r.payload.length / frameBytes
+        (0 until n by stride).map { i =>
+          val frame = java.util.Arrays.copyOfRange(
+            r.payload, i * frameBytes, (i + 1) * frameBytes)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(frame)
+          (r.doc_id, i, md.map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_md5")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * (north-star extension; SURVEY.md §7.1 module 11). All operators here are
+  * NARROW per-row column transforms — no shuffle, no UDFs, whole-stage
+  * codegen'd — so they stream over a 100 TB corpus at scan speed and
+  * compose freely with the dedup/diff operators.
+  *
+  * Every derived value is engine-portable (plain string/arithmetic ops +
+  * md5) so the DuckDB oracle reproduces it bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a single-space-normalized text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Small per-language stopword inventories for the language-ID
+    * heuristic. N-gram-frequency language ID degenerates to stopword
+    * hit-rate scoring at this vocabulary size; lists are deliberately tiny
+    * and deterministic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "un"),
+    "es" -> Seq("el", "la", "los", "y", "un"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-document shape/quality statistics: token count, char count,
+    * average token length, stopword ratio, alphabetic-token ratio, and a
+    * bounded composite quality score. One narrow projection.
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast(LongType)
+    val stopHits = hitCount(toks, stopwords("en")).cast(LongType)
+    val alphaToks = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast(LongType)
+    val tokLenSum = aggregate(
+      transform(toks, t => length(t).cast(LongType)), lit(0L), (acc, v) => acc + v)
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      length(col("text")).cast(LongType).as("text_chars"),
+      round(tokLenSum.cast("double") / n, 6).as("avg_token_len"),
+      round(stopHits.cast("double") / n, 6).as("stopword_ratio"),
+      round(alphaToks.cast("double") / n, 6).as("alpha_ratio"),
+      // Composite score: length saturation x (base + stopword evidence),
+      // bounded to [0, 1]; mirrors the published length/stopword-ratio
+      // quality-filter heuristics used by LLM data pipelines.
+      round(
+        least(n.cast("double") / 100d, lit(1d)) *
+          (lit(0.5) + lit(0.5) * (stopHits.cast("double") / n)), 6)
+        .as("quality"))
+  }
+
+  /** Stopword-hit language ID: score each candidate language by stopword
+    * hits; guess = argmax, 'und' when nothing hits. Ties resolve to the
+    * alphabetically first language code (explicit CASE chain — trivially
+    * portable to the SQL oracle).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val codes = stopwords.keys.toSeq.sorted
+    val hits = codes.map(c => c -> hitCount(toks, stopwords(c)).cast(LongType)).toMap
+    val maxHits = greatest(codes.map(hits): _*)
+    val guess = codes.foldRight(lit("und")) { (c, els) =>
+      when(maxHits > 0 && hits(c) === maxHits, lit(c)).otherwise(els)
+    }
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_declared"),
+      guess.as("lang_guess"),
+      maxHits.as("hits"))
+  }
+
+  /** Document fingerprints: the full-text md5 plus a winnowing-style
+    * content fingerprint — the minimum 48-bit hash over all character
+    * 8-grams (a rolling window of hashes reduced by min; robust to small
+    * edits anywhere outside the minimizing window). Narrow per-row
+    * compute; the 8-gram array never leaves the row.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      expr(
+        """array_min(transform(
+          |  sequence(1, greatest(length(text) - 7, 1)),
+          |  i -> cast(conv(substr(md5(substring(text, i, 8)), 1, 12), 16, 10) as bigint)
+          |))""".stripMargin).as("winnow_fp"))
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis /
+  * multimodal — north-star extension, SURVEY.md §7.1 module 11), each with
+  * a DuckDB oracle reproducing the exact same md5-derived hashing and
+  * double-promoted float math.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Corpus with planted exact duplicates (fixtures ship none): every
+    * doc_id % 7 == 0 document re-ingested under a shifted id — the
+    * "same page fetched twice" case exact dedup exists for.
+    */
+  private def dupCorpus(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir)).orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(dupCorpus(docs(s, dir))).orderBy("text_md5")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
+
+    "knn_cosine" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
+        .orderBy("query_id", "rank")),
+
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.signLshTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), 0.4).orderBy("id_a", "id_b")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, docs(s, dir)).orderBy("doc_id")),
+
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.withPayload(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx")))
+
+  // ---------------------------------------------------------------- oracle
+
+  /** 48-bit md5-derived hash of a SQL string expression (mirror of
+    * Dedup.h48 / Canonical.hex48).
+    */
+  private def h48(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
+
+  private val enStop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  private def stopList(code: String): String =
+    TextAnalysis.stopwords(code).map(w => s"'$w'").mkString(", ")
+
+  /** (doc_id, toks) CTE body. */
+  private val toksCte =
+    "tk AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)"
+
+  /** (doc_id, s) distinct word-3-gram shingle sets (mirror of
+    * Dedup.shingles).
+    */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+      |      range(1, len(toks) - 2 + 1),
+      |      i -> toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)] || '_' || toks[CAST(i + 2 AS INTEGER)]))
+      |    ELSE [] END AS s
+      |  FROM tk)""".stripMargin
+
+  /** 16 minhash lanes (mirror of Dedup.minhashSignature). */
+  private val sigExprs: Seq[String] = (0 until 16).map { i =>
+    s"COALESCE(list_min(list_transform(s, x -> ${h48(s"'$i:' || x")})), -1) AS m$i"
+  }
+
+  /** 4 bands of 4 lanes (mirror of Dedup.lshBands). */
+  private val bandSelects: Seq[String] = (0 until 4).map { b =>
+    val lanes = (b * 4 until (b + 1) * 4).map(i => s"CAST(m$i AS VARCHAR)")
+    s"SELECT doc_id, $b AS band_id, md5(${lanes.mkString(" || ',' || ")}) AS band_key FROM sig"
+  }
+
+  /** Double-promoted cosine between e-CTE rows q and c (mirror of
+    * Similarity.cosine: left-fold double sums).
+    */
+  private val cosSql =
+    """list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[CAST(i AS INTEGER)] * c.v[CAST(i AS INTEGER)]))
+      | / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[CAST(i AS INTEGER)] * q.v[CAST(i AS INTEGER)])))
+      |    * sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> c.v[CAST(i AS INTEGER)] * c.v[CAST(i AS INTEGER)]))))""".stripMargin
+
+  private val embCte =
+    "e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** 6-bit sign bucket (mirror of Similarity.signBucket). */
+  private val bucketSql = (0 until 6)
+    .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** 16-bit simhash (mirror of Dedup.simhash16). */
+  private val simhashSql = (0 until 16)
+    .map(b => s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val dupCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS text_chars,
+         |  round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks), 6) AS avg_token_len,
+         |  round(len(list_filter(toks, t -> t IN ($enStop))) * 1.0 / len(toks), 6) AS stopword_ratio,
+         |  round(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$'))) * 1.0 / len(toks), 6) AS alpha_ratio,
+         |  round(least(len(toks) / 100.0, 1.0)
+         |        * (0.5 + 0.5 * (len(list_filter(toks, t -> t IN ($enStop))) * 1.0 / len(toks))), 6) AS quality
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, x -> x IN (${stopList("de")}))) AS BIGINT) AS h_de,
+         |  CAST(len(list_filter(toks, x -> x IN (${stopList("en")}))) AS BIGINT) AS h_en,
+         |  CAST(len(list_filter(toks, x -> x IN (${stopList("es")}))) AS BIGINT) AS h_es,
+         |  CAST(len(list_filter(toks, x -> x IN (${stopList("fr")}))) AS BIGINT) AS h_fr
+         |  FROM tk)
+         |SELECT doc_id, lang AS lang_declared,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_guess,
+         |  greatest(h_de, h_en, h_es, h_fr) AS hits
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS text_md5,
+         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |    i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")})) AS winnow_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $dupCorpusCte
+         |SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
+         |       count(*) AS dup_count
+         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM sh),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+         |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), x -> ${h48("x")}) AS hs FROM documents)
+         |SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |post AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sh_n,
+         |         unnest(list_transform(s, x -> ${h48("x")})) AS sh_h FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh_n AS n_a, b.sh_n AS n_b,
+         |         count(*) AS common
+         |  FROM post a JOIN post b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |       round(common * 1.0 / (n_a + n_b - common), 6) AS jaccard
+         |FROM common WHERE common * 1.0 / (n_a + n_b - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "knn_cosine" ->
+      s"""WITH $embCte,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
+         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH eb AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
+         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "embed_neardup" ->
+      s"""WITH $embCte,
+         |s AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($cosSql, 6) AS score
+         |  FROM e q, e c WHERE q.vec_id < c.vec_id)
+         |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_features" ->
+      s"""WITH f AS (SELECT doc_id, text, ${h48("text")} AS fp FROM documents)
+         |SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  CAST(16 + (fp % 240) AS INTEGER) AS width,
+         |  CAST(16 + ((fp // 240) % 240) AS INTEGER) AS height,
+         |  CAST(3 AS INTEGER) AS channels,
+         |  (fp % 1000) / 1000.0 AS luminance
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "frame_sample" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  unnest(range(0, octet_length(encode(text)) // 32)) AS i FROM documents)
+         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         |  md5(substring(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+         |FROM t WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)
+}
