@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  private lazy val corpus = Seq(
+    doc(1, "the quick brown fox jumps over the lazy dog"),
+    doc(2, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    doc(3, "completely different words appear here today friends"),
+    doc(4, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    doc(5, "hi")) // shorter than one shingle
+    .toDF("doc_id", "text")
+
+  test("shingles: short docs yield empty sets, no nulls") {
+    val sh = Dedup.withShingles(corpus).filter(col("doc_id") === 5)
+      .select(size(col("sh"))).as[Int].head()
+    assert(sh == 0)
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val groups = Dedup.exact(corpus).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("canonical_doc_id") == 1L)
+    assert(groups(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash LSH surfaces high-jaccard pairs, verified exactly") {
+    val pairs = Dedup.minhashNearDups(corpus, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical: jaccard 1.0, all bands match
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact jaccard join finds the same planted pairs as minhash on fixtures") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val mh = Dedup.minhashNearDups(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val ex = Dedup.jaccardNearDups(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(ex)) // LSH can only miss, never invent
+    assert(ex.nonEmpty)
+  }
+
+  test("simhash is identical for identical texts, near for near-dups") {
+    val sig = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L))
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    assert(hamming <= 4, s"near-dup hamming was $hamming")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 1),
+    (3L, Array(-1f, 0f, 0f, 0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val out = vecs.as("a").join(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(out((0L, 0L)) == 1.0)
+    assert(out((0L, 2L)) == 0.0)
+    assert(out((0L, 3L)) == -1.0)
+  }
+
+  test("brute-force top-k ranks nearest first with id tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(top.head == ((1L, 1))) // 0.9-aligned vector is nearest
+    assert(top.map(_._2) == Seq(1, 2, 3))
+  }
+
+  test("sign-LSH candidates stay within the query's bucket") {
+    val more = vecs.unionByName(
+      Seq((4L, Array(2f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.signLshTopK(more, col("vec_id") === 0, 5, bits = 4)
+      .select("cand_id").as[Long].collect().toSet
+    // v0's bucket is sign pattern (+,0,0,0) = 1; only v4 shares it —
+    // v1 (0.9, 0.1, ...) sets bit 2 as well, v2/v3 have no positive dim 1
+    assert(out == Set(4L))
+  }
+
+  test("near-dup pairs are id-oriented and thresholded") {
+    val pairs = Similarity.nearDupPairs(vecs, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat and the dog", "en"),
+    (2L, "zz9 xx8 yy7", "xx"))
+    .toDF("doc_id", "text", "lang")
+
+  test("stats compute token counts and ratios") {
+    val r = TextAnalysis.stats(docs).filter(col("doc_id") === 1).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("text_chars") == 19L)
+    assert(r.getAs[Double]("stopword_ratio") == 0.6) // the, and, the
+    assert(r.getAs[Double]("alpha_ratio") == 1.0)
+  }
+
+  test("langId guesses en on stopword evidence, und without") {
+    val out = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "und")
+  }
+
+  test("fingerprints: identical text identical fp; small edit keeps winnow fp") {
+    val d = Seq((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(d)
+      .select("text_md5", "winnow_fp").collect()
+    assert(fps(0) == fps(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("decode stub is deterministic and bounded") {
+    val (w1, h1, c1, l1) = Multimodal.decodeStub("payload".getBytes)
+    val (w2, _, _, _) = Multimodal.decodeStub("payload".getBytes)
+    assert(w1 == w2)
+    assert(w1 >= 16 && w1 < 256 && h1 >= 16 && h1 < 256)
+    assert(c1 == 3 && l1 >= 0.0 && l1 < 1.0)
+  }
+
+  test("features preserve row count and schema through batched decode") {
+    val f = Multimodal.features(spark, docs)
+    assert(f.count() == docs.count())
+    assert(f.columns.toSeq ==
+      Seq("doc_id", "byte_len", "width", "height", "channels", "luminance"))
+  }
+
+  test("frame sampling emits every stride-th full frame") {
+    val media = Multimodal.withPayload(docs)
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 4)
+    val perDoc = frames.groupBy("doc_id").count()
+    val expect = docs.select(col("doc_id"),
+      ceil((floor(length(col("text")) / 32)).cast("double") / 4).cast("long").as("e"))
+    val bad = perDoc.join(expect, Seq("doc_id"))
+      .filter(col("count") =!= col("e"))
+    assert(bad.isEmpty)
+  }
+}

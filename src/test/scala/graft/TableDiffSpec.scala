@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{HashDiff, Perturb, TableDiff}
+import org.apache.spark.sql.functions._
+
+class TableDiffSpec extends SparkSpec {
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+  private val spec = TableDiff.DiffSpec(
+    pkCols = Seq("o_orderkey"), chunkBy = "o_orderkey", chunkWidth = 500)
+
+  test("diff of a table with itself is empty") {
+    assert(TableDiff.rowDiff(orders, orders, spec).isEmpty)
+    assert(TableDiff.badChunks(orders, orders, spec).isEmpty)
+    assert(HashDiff.diff(orders, orders).isEmpty)
+  }
+
+  test("perturbed downstream has unique PKs at every scale (ADVICE r01)") {
+    val down = Perturb.ordersDownstream(orders)
+    val dupPks = down.groupBy("o_orderkey").count().filter(col("count") > 1)
+    assert(dupPks.isEmpty, "insert offset must not collide with dense keys")
+  }
+
+  test("rowDiff classifies exactly the planted perturbations") {
+    val down = Perturb.ordersDownstream(orders)
+    val byKind = TableDiff.rowDiff(orders, down, spec)
+      .groupBy("diff_kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = orders.count()
+    val expectDeleted = orders.filter(col("o_orderkey") % 997 === 1).count()
+    val expectMutated = orders.filter(
+      col("o_orderkey") % 991 === 2 && !(col("o_orderkey") % 997 === 1)).count()
+    val expectExtra = orders.filter(col("o_orderkey") % 983 === 3).count()
+    assert(byKind.getOrElse("missing_on_down", 0L) == expectDeleted)
+    assert(byKind.getOrElse("value_mismatch", 0L) == expectMutated)
+    assert(byKind.getOrElse("extra_on_down", 0L) == expectExtra)
+    assert(n > 0 && expectDeleted + expectMutated + expectExtra > 0)
+  }
+
+  test("summary agrees with the drill-down and needs no second pass") {
+    val down = Perturb.ordersDownstream(orders)
+    val s = TableDiff.summary(orders, down, spec).collect()(0)
+    assert(s.getLong(0) == orders.count())
+    assert(s.getLong(1) == down.count())
+    assert(s.getLong(2) == TableDiff.badChunks(orders, down, spec).count())
+  }
+
+  test("chunkRangePredicate merges adjacent chunks into one range") {
+    val pred = TableDiff.chunkRangePredicate(Seq(0L, 1L, 3L), spec)
+    // keys 0..999 (chunks 0-1 merged) and 1500..1999 (chunk 3) pass
+    val hits = spark.range(0, 2500).toDF("o_orderkey").filter(pred).count()
+    assert(hits == 1000 + 500)
+  }
+
+  test("two-phase and flat row diff agree") {
+    val down = Perturb.ordersDownstream(orders)
+    val two = TableDiff.rowDiff(orders, down, spec, twoPhase = true)
+      .orderBy("o_orderkey").collect().toSeq
+    val flat = TableDiff.rowDiff(orders, down, spec, twoPhase = false)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(two == flat)
+  }
+
+  test("range predicate restricts both sides") {
+    val down = Perturb.ordersDownstream(orders)
+    val half = spec.copy(range = "o_orderkey % 2 = 0")
+    val diff = TableDiff.rowDiff(orders, down, half)
+    assert(diff.filter(col("o_orderkey") % 2 === 1).isEmpty)
+  }
+}
