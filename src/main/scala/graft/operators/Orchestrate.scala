@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pipeline orchestration (SURVEY.md §3.1 `run_all.sh` lifecycle):
+  * discover -> per-table structure check -> one-pass data summary ->
+  * merged report with totals -> exit-code semantics. The subprocess/file
+  * boundaries of the reference (TSV handoff, TOML per table, nohup) all
+  * collapse into in-process Spark plans; the per-table loop mirrors
+  * `step3_run_syncdiff.sh:106-123` (serial by default, parallelism via
+  * `tableParallelism` — the reference runs chunk-parallel inside one
+  * table, table-serial outside).
+  */
+object Orchestrate {
+
+  /** Compare every discovered table against its downstream derivation.
+    *
+    * @param downstream   derives the replica side for a table (in prod: a
+    *                     second source reader; in verify: a perturbation)
+    * @param keyedSpecs   diff spec per table with a usable unique PK;
+    *                     tables absent here fall back to the keyless
+    *                     multiset diff ([[HashDiff]])
+    */
+  def runAll(
+      spark: SparkSession,
+      dir: String,
+      checkSql: String,
+      downstream: (String, DataFrame) => DataFrame,
+      keyedSpecs: Map[String, TableDiff.DiffSpec],
+      tableParallelism: Int = 1): DataFrame = {
+
+    val tables = Discover.discover(spark, dir, checkSql)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    def reportFor(schema: String, table: String): Report.TableReport = {
+      val up = Tables.load(spark, dir, table)
+      val down = downstream(table, up)
+      val structOk = StructDiff.equivalent(up.schema, down.schema)
+      val (upN, downN, bad) = keyedSpecs.get(table) match {
+        case Some(spec) =>
+          val r = TableDiff.summary(up, down, spec).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        case None =>
+          val r = HashDiff.summary(up, down).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      Report.TableReport(table,
+        if (structOk) "ok" else "diff",
+        if (bad > 0) "diff" else "ok",
+        upN, downN)
+    }
+
+    val reports =
+      if (tableParallelism <= 1) tables.map { case (s, t) => reportFor(s, t) }
+      else {
+        // Spark actions are thread-safe on one session; a bounded pool
+        // gives reference-style table-level concurrency (config.toml:20).
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(tableParallelism)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = tables.map { case (s, t) =>
+            scala.concurrent.Future(reportFor(s, t))
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fs),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+
+    Report.withTotal(Report.toDF(spark, reports))
+  }
+}

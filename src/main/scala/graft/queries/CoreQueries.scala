@@ -131,7 +131,9 @@ object CoreQueries {
        |  FROM u FULL OUTER JOIN dd ON u.o_orderkey = dd.o_orderkey
        |  WHERE dd.down_fp IS NULL OR u.up_fp IS NULL OR u.up_fp <> dd.down_fp)""".stripMargin
 
-  private val manifestCte: String = {
+  private[queries] lazy val manifestCteSql: String = manifestCte
+
+  private lazy val manifestCte: String = {
     val rows = Tables.all.map(t =>
       s"SELECT 'main' AS schema_name, '$t' AS table_name, (SELECT count(*) FROM $t) AS table_rows, '${Tables.pkKind(t)}' AS pk_kind")
     s"manifest AS (${rows.mkString("\n  UNION ALL ")})"

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Discover
+import graft.streaming.StreamingDiff
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Events-stream, orchestration-parity, and join-shaped queries:
+  * windowed chunk checksums (the batch answer the streaming diff
+  * converges to), JSON property extraction, latest-per-key (P8/W1),
+  * stale-config anti-join (J3/P7/U2), and a broadcast-joined revenue
+  * rollup exercising Catalyst's join planning.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batch face of the streaming windowed chunk checksum (§2.10): a
+    // finished stream window equals this exact relation.
+    "events_hourly_checksum" -> ((s, dir) =>
+      StreamingDiff.windowedChecksums(ev(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "events_json" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")),
+
+    "latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("user_id")
+    }),
+
+    // J3/P7: configs-on-disk \ currently-discovered tables -> stale list.
+    // "On disk" = one config per fixture table (what a previous, broader
+    // run would have generated).
+    "stale_configs" -> ((s, dir) => {
+      import s.implicits._
+      val onDisk = Tables.all.map(t => ("main", t, s"main_$t.toml"))
+        .toDF("schema_name", "table_name", "config_file")
+      val current = Discover.discover(s, dir, Discover.defaultCheckSql(5000))
+      onDisk.join(current, Seq("schema_name", "table_name"), "left_anti")
+        .orderBy("table_name")
+    }),
+
+    // Broadcast-join revenue rollup (small dims broadcast; exact decimal
+    // revenue for deterministic top-k).
+    "q3_segment_revenue" -> ((s, dir) => {
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(30,4)")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(revenue).as("rev_dec"),
+          first(unix_millis(col("o_orderdate").cast("timestamp")))
+            .as("o_orderdate_ms"))
+        // rank on the exact decimal, then cast for display — a double tie
+        // at the top-10 boundary could otherwise disagree with the oracle
+        .orderBy(col("rev_dec").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("rev_dec").cast("double").as("revenue"),
+          col("o_orderdate_ms"))
+    }))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val evFp48 = Oracle.fp48Sql(Oracle.serialSql(Oracle.eventsCols))
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly_checksum" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |       count(*) AS cnt, CAST(SUM($evFp48) AS BIGINT) AS checksum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, ts_ms
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "stale_configs" -> {
+      val onDisk = Tables.all
+        .map(t => s"SELECT 'main' AS schema_name, '$t' AS table_name, 'main_$t.toml' AS config_file")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${CoreQueries.manifestCteSql},
+         |disc AS (SELECT schema_name, table_name FROM manifest
+         |         WHERE table_rows > 5000 AND pk_kind = 'NONCLUSTERED'),
+         |ondisk AS ($onDisk)
+         |SELECT o.schema_name, o.table_name, o.config_file FROM ondisk o
+         |WHERE NOT EXISTS (SELECT 1 FROM disc d
+         |  WHERE d.schema_name = o.schema_name AND d.table_name = o.table_name)
+         |ORDER BY o.table_name""".stripMargin
+    },
+
+    "q3_segment_revenue" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  any_value(epoch_ms(o_orderdate)) AS o_orderdate_ms
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       AS DECIMAL(30,4))) DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+}

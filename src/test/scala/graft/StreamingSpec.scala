@@ -1,0 +1,154 @@
+package graft
+
+import graft.streaming.StreamingDiff
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+
+  private val batch = Seq(
+    Ev(1, ts(0), 10, "click", 1.5),
+    Ev(2, ts(10), 11, "click", 2.5),
+    Ev(3, ts(70), 10, "error", 3.5),
+    Ev(4, ts(80), 12, "click", 4.5))
+
+  test("streaming windowed checksums converge to the batch answer") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stream = StreamingDiff.windowedChecksums(
+      mem.toDF(), "1 hour", watermark = Some("10 minutes"))
+    val q = stream.writeStream
+      .format("memory").queryName("win_chk").outputMode("complete").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_chk")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val want = StreamingDiff.windowedChecksums(batch.toDF(), "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(got == want)
+      assert(want.size == 3) // (h0 click), (h1 click), (h1 error)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingDiff.dedupStream(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch ++ Seq(batch(0), batch(1)): _*) // re-deliver 2 events
+      q.processAllAvailable()
+      assert(spark.table("dedup_ev").count() == batch.size)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState tracker accumulates count and checksum") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingDiff.trackChunks(mem.toDS())
+      .writeStream.format("memory").queryName("chunk_track")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 5L), ("a", 7L), ("b", 11L))
+      q.processAllAvailable()
+      mem.addData(("a", 13L))
+      q.processAllAvailable()
+      val last = spark.table("chunk_track")
+        .groupBy("event_type")
+        .agg(max(struct(col("cnt"), col("checksum"))).as("m"))
+        .select(col("event_type"), col("m.cnt"), col("m.checksum"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(last("a") == ((3L, 25L)))
+      assert(last("b") == ((1L, 11L)))
+    } finally q.stop()
+  }
+}
+
+class EngineConfSpec extends SparkSpec {
+  import graft.conf.EngineConf
+
+  private val toml =
+    """# engine config
+      |[connection]
+      |master_ip = "10.0.0.1"
+      |master_port = "4000"
+      |master_user = "root"
+      |master_password = "cGFzc3dvcmQ="
+      |slave_ip = "10.0.0.2"
+      |slave_port = "4000"
+      |slave_user = "ro"
+      |slave_password = "plain!pw"
+      |check_sql = "SELECT schema_name, table_name FROM graft_manifest"
+      |thread_count = "8"
+      |chunk_size = "5000"
+      |output_dir = "/tmp/out"
+      |""".stripMargin
+
+  test("parse decodes base64 passwords and falls back to plaintext") {
+    val c = EngineConf.parse(toml)
+    assert(c.master.password == "password") // decoded
+    assert(c.slave.password == "plain!pw") // fallback verbatim
+    assert(c.threadCount == 8 && c.chunkSize == 5000L)
+  }
+
+  test("missing required keys are reported") {
+    val e = intercept[IllegalArgumentException] {
+      EngineConf.parse("master_ip = \"x\"")
+    }
+    assert(e.getMessage.contains("check_sql"))
+  }
+
+  test("masked form never leaks the password") {
+    val c = EngineConf.parse(toml)
+    assert(!c.master.masked.contains("password"))
+    assert(c.master.masked.contains("****"))
+  }
+
+  test("task TOML renders per-table with run id") {
+    val t = EngineConf.renderTaskToml(EngineConf.parse(toml), "main", "orders", "r1")
+    assert(t.contains("target-check-tables = [\"main.orders\"]"))
+    assert(t.contains("output-dir = \"/tmp/out/main_orders_r1\""))
+    assert(!t.contains("password")) // credentials never serialized to task files
+  }
+}
+
+class OrchestrateSpec extends SparkSpec {
+  import graft.operators._
+
+  test("runAll produces per-table verdicts, totals, and exit code") {
+    val specs = Map(
+      "orders" -> TableDiff.DiffSpec(Seq("o_orderkey"), "o_orderkey", 500),
+      "events" -> TableDiff.DiffSpec(Seq("event_id"), "event_id", 500))
+    def down(table: String, up: org.apache.spark.sql.DataFrame) =
+      if (table == "orders") Perturb.ordersDownstream(up) else up
+    val rep = Orchestrate.runAll(spark, sfDir,
+      Discover.defaultCheckSql(500), down, specs)
+    val rows = rep.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rows("orders") == "diff")
+    assert(rows("events") == "ok")
+    assert(rows("lineitem") == "ok") // keyless path, identity downstream
+    assert(rows.contains("TOTAL"))
+    assert(Report.exitCode(rep) == 1)
+  }
+
+  test("parallel table execution matches serial") {
+    val specs = Map(
+      "orders" -> TableDiff.DiffSpec(Seq("o_orderkey"), "o_orderkey", 500))
+    def down(table: String, up: org.apache.spark.sql.DataFrame) = up
+    val serial = Orchestrate.runAll(spark, sfDir,
+      Discover.defaultCheckSql(500), down, specs).collect().toSeq
+    val par = Orchestrate.runAll(spark, sfDir,
+      Discover.defaultCheckSql(500), down, specs, tableParallelism = 3)
+      .collect().toSeq
+    assert(serial == par)
+  }
+}
