@@ -65,6 +65,17 @@ object Tables {
       if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
     }
 
+  /** Spread a narrow input across the cluster before compute-heavy
+    * per-row work (signatures, pair joins). Tiny single-file fixture
+    * scans arrive as ONE partition, serializing everything downstream; a
+    * 100 TB table already has >= parallelism splits, so this is a no-op
+    * there — the guard keeps it from ever adding a shuffle at scale.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureConf(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")

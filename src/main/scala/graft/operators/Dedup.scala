@@ -38,9 +38,63 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Kernel twin of [[shingles]] + per-shingle 48-bit md5 base hash, one
+    * typed pass per partition: (doc_id, sh: array<string>, hb: array<long>).
+    *
+    * Why a kernel: Catalyst evaluates higher-order-function lambdas
+    * interpreted, and a digest per element through that path measures
+    * ~2 ms/doc (10+ s at sf0.1) vs ~10 us/doc in a plain JVM loop. The
+    * relational structure (explode, band join, verify join, aggregates)
+    * stays declarative; only the per-row scalar loop is fused —
+    * SURVEY.md §7.3's sanctioned last resort. Semantics are exactly
+    * [[shingles]]: Spark's split regex with limit -1, w-gram underscore
+    * join, first-occurrence distinct; hb(i) = first 6 md5 bytes of
+    * sh(i), the same value as Canonical.hex48(md5(s)).
+    */
+  def shingleKernel(docs: DataFrame, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = graft.Tables.spread(docs)
+      .select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val pat = java.util.regex.Pattern.compile(" ")
+        it.map { row =>
+          val toks = pat.split(row.getString(1), -1)
+          val seen = new java.util.LinkedHashSet[String]()
+          if (toks.length >= w) {
+            var i = 0
+            while (i <= toks.length - w) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var k = 1
+              while (k < w) { sb.append('_').append(toks(i + k)); k += 1 }
+              seen.add(sb.toString)
+              i += 1
+            }
+          }
+          val sh = seen.toArray(new Array[String](0))
+          val hb: Array[Long] = sh.map { s =>
+            md.reset()
+            val d = md.digest(s.getBytes("UTF-8"))
+            ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+              ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+              ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+          }
+          org.apache.spark.sql.Row(row.getLong(0), sh.toSeq, hb.toSeq)
+        }
+      }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sh",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("hb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)))))
+  }
+
   /** doc_id + distinct shingle set. */
   def withShingles(docs: DataFrame, w: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
+    shingleKernel(docs, w).select(col("doc_id"), col("sh"))
 
   // ------------------------------------------------------------- exact
 
@@ -55,26 +109,38 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** k-lane MinHash signature over the distinct shingle set: lane i is
-    * min over shingles of h48(i || ":" || shingle). NULL-free: empty
+  /** 48-bit mask for the affine per-lane permutations. */
+  val Mask48: Long = (1L << 48) - 1
+
+  /** Lane-i affine permutation over Z_2^48: odd multiplier makes it a
+    * bijection, so min over permuted base hashes is a proper minhash.
+    * One md5 per SHINGLE (the base hash) instead of one per shingle PER
+    * LANE — 16x less digest work in the signature stage; the per-lane
+    * mixing is two integer ops, exactly mirrorable in SQL.
+    */
+  def laneMix(h: Column, i: Int): Column =
+    ((h * lit(2L * i + 3)) + lit((i + 1) * 1099511628211L)).bitwiseAND(lit(Mask48))
+
+  /** k-lane MinHash signature from a base-hash array column (h48 per
+    * shingle): lane i = min over laneMix(base, i). NULL-free: empty
     * shingle sets get sentinel -1 per lane. Narrow per-row compute.
     */
-  def minhashSignature(sh: Column, k: Int): Seq[Column] =
+  def minhashSignature(baseHashes: Column, k: Int): Seq[Column] =
     (0 until k).map(i =>
-      coalesce(array_min(transform(sh, s => h48(concat(lit(s"$i:"), s)))), lit(-1L)))
+      coalesce(array_min(transform(baseHashes, h => laneMix(h, i))), lit(-1L)))
 
   /** LSH banding: (doc_id, band_id, band_key) rows, band_key = md5 of the
     * comma-joined lanes of that band. bands*rowsPerBand lanes total.
     */
   def lshBands(docs: DataFrame, bands: Int, rowsPerBand: Int, w: Int = 3): DataFrame = {
-    val sig = minhashSignature(col("sh"), bands * rowsPerBand)
+    val sig = minhashSignature(col("hb"), bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws(",",
           sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*))
           .as("band_key"))
     }
-    withShingles(docs, w)
+    shingleKernel(docs, w)
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
@@ -123,20 +189,27 @@ object Dedup {
 
   /** (doc_id, simhash) signature relation. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash16(col("text")).as("simhash"))
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), simhash16(col("text")).as("simhash"))
 
   // ------------------------------------------- exact n-gram Jaccard join
 
-  /** Exact all-pairs n-gram Jaccard >= threshold via a shingle-hash
-    * inverted index (SSJoin-style): explode shingle hashes, self-join per
-    * shingle to count co-occurrences (= |A n B|), then Jaccard from
-    * |A|+|B|-common. Only doc_id + one 48-bit hash per posting shuffles;
-    * document text never moves.
+  /** Exact all-pairs n-gram Jaccard >= threshold via a shingle inverted
+    * index (SSJoin-style): explode shingles, self-join per shingle to
+    * count co-occurrences (= |A n B|), then Jaccard from |A|+|B|-common.
+    * Only doc_id + one shingle per posting shuffles; document text never
+    * moves. At Zipfian 100 TB scale the hot-shingle buckets dominate —
+    * cap them with a stop-shingle frequency cutoff (drop postings whose
+    * bucket exceeds a bound; pairs lost there are re-checked by the
+    * minhash path) before the self-join.
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    // postings carry the raw shingle string: at this shingle length the
+    // string is barely wider than a hash, and skipping the per-posting
+    // digest keeps the explode stage cheap (the join result is identical)
     val sh = withShingles(docs)
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("sh_n"),
-        explode(transform(col("sh"), s => h48(s))).as("sh_h"))
+        explode(col("sh")).as("sh_h"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

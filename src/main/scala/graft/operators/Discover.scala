@@ -22,14 +22,20 @@ object Discover {
     * job per table — no data scan), matching the reference's reliance on
     * stats (`information_schema.tables.TABLE_ROWS`).
     */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long, String)]]()
+
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.all
-      .map { t =>
-        val rows = Tables.load(spark, dir, t).count()
-        ("main", t, rows, Tables.pkKind(t))
-      }
-      .toDF("schema_name", "table_name", "table_rows", "pk_kind")
+    // Row counts are parquet-footer metadata; memoize per fixture dir so
+    // the discovery/config/cleanup queries don't re-issue 10 count jobs
+    // each — the reference likewise reads stats, not data (TABLE_ROWS,
+    // config.toml:16). Snapshot dirs are immutable, so the cache is safe.
+    val rows = manifestCache.computeIfAbsent(dir, _ =>
+      Tables.all.map { t =>
+        ("main", t, Tables.load(spark, dir, t).count(), Tables.pkKind(t))
+      })
+    rows.toDF("schema_name", "table_name", "table_rows", "pk_kind")
   }
 
   /** Reference default check_sql translated to the manifest relation, with

@@ -7,45 +7,144 @@ import org.apache.spark.sql.functions._
   * training-data-pipeline ANN surface (north-star extension).
   *
   * Two paths:
-  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
-  *    Query side broadcast (small), candidate side streamed; the scored
-  *    relation is |Q| x N rows of (ids, score) only — embeddings never
-  *    shuffle.
+  *  - [[bruteForceTopK]] / [[nearDupPairs]]: exact cosine — the
+  *    correctness baseline.
   *  - [[signLshTopK]]: sign-LSH bucketed ANN — the 100 TB path. Bucket =
   *    sign bits of the leading dimensions (a deterministic degenerate
   *    random-hyperplane LSH: hyperplanes = coordinate axes). Candidates
   *    co-bucket only, so per-query work drops from N to the bucket size;
-  *    at scale, buckets shard the corpus and the broadcast join keys on
-  *    the bucket id.
+  *    at scale, buckets shard the corpus and pairing keys on bucket id.
   *
-  * All float math is promoted to double BEFORE any arithmetic and folded
-  * left-to-right (both `aggregate` here and the oracle's `list_sum` are
-  * sequential left folds) so scores are bit-identical across engines;
-  * ranking uses round(score, 6) with id tie-break for determinism.
+  * Physical strategy: Spark's BroadcastNestedLoopJoin — the planner's
+  * only option for a non-equi pair predicate — does NOT participate in
+  * whole-stage codegen, so an expression-based pair loop runs fully
+  * interpreted (measured ~8x slower even after unrolling). The pair
+  * stage here is therefore a hand-fused kernel: candidate vectors are
+  * broadcast once as primitive double arrays and each partition scores
+  * its rows in a tight JVM loop (`mapPartitions`) — the same
+  * broadcast-hash-side shape the BNLJ would build, minus interpretation
+  * overhead. This is the documented last-resort case (SURVEY.md §7.3):
+  * the operator's semantics are not expressible as an equi-join.
+  *
+  * Determinism/oracle contract: floats are promoted to double BEFORE any
+  * arithmetic, sums fold left-to-right, and rounding replicates Spark's
+  * `round(_, 6)` (BigDecimal HALF_UP over Double.toString) — so scores
+  * are bit-identical to the declarative [[cosine]] expression and to the
+  * DuckDB oracle's `list_sum` fold. Ranking ties break on candidate id.
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float-array columns. */
+  /** Left-fold double dot product of two float-array columns (dynamic
+    * length — higher-order functions, interpreted per element).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Static-dimension dot product: an unrolled left-associated sum of
+    * `dim` products — a flat codegen'd expression (no array lambdas in
+    * the hot pair loop; ~10x over the HOF form). Same left-to-right
+    * addition order as [[dot]], so scores stay bit-identical.
+    */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  def normN(a: Column, dim: Int): Column = sqrt(dotN(a, a, dim))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding dimensionality probed from the data (schemas don't carry
+    * array lengths); one metadata-cheap first-row action.
+    */
+  def dimOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head().getInt(0)
+
+  // ------------------------------------------------ fused kernel internals
+
+  /** Exact replica of Spark's round(double, 6): BigDecimal.valueOf
+    * (canonical Double.toString) + HALF_UP.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Left-to-right double dot — the JVM twin of [[dotN]]. */
+  private def dotJ(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0d; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private case class Vec(id: Long, v: Array[Double], norm: Double, bucket: Long)
+
+  /** Collect candidates once into a broadcastable primitive form (the
+    * same driver-side build a broadcast join performs). `bits` > 0 also
+    * derives the sign bucket from the ORIGINAL float values.
+    */
+  private def collectVecs(embeddings: DataFrame, bits: Int): Array[Vec] = {
+    import org.apache.spark.sql.Row
+    embeddings.select(col("vec_id"), col("embedding")).collect().map {
+      case Row(id: Long, e: scala.collection.Seq[_]) =>
+        val f = e.asInstanceOf[scala.collection.Seq[Float]].toArray
+        val d = f.map(_.toDouble)
+        var n2 = 0d; var i = 0
+        while (i < d.length) { n2 += d(i) * d(i); i += 1 }
+        var bucket = 0L
+        var b = 0
+        while (b < bits) { if (f(b) > 0f) bucket |= (1L << b); b += 1 }
+        Vec(id, d, math.sqrt(n2), bucket)
+    }.sortBy(_.id)
+  }
+
+  private val scoredSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("left_id", org.apache.spark.sql.types.LongType, false),
+    org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType, false),
+    org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, false)))
+
+  /** Score stream rows against the broadcast candidates in partition-local
+    * kernel loops. `pairOriented` keeps only left < cand (near-dup pairs);
+    * otherwise all non-self candidates (top-k input), bucket-gated when
+    * bits > 0.
+    */
+  private def kernelScores(stream: DataFrame, embeddings: DataFrame,
+                           bits: Int, pairOriented: Boolean): DataFrame = {
+    val spark = embeddings.sparkSession
+    val bc = spark.sparkContext.broadcast(collectVecs(embeddings, bits))
+    val out = stream.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
+      val cands = bc.value
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val f = row.getSeq[Float](1).toArray
+        val d = f.map(_.toDouble)
+        var n2 = 0d; var i = 0
+        while (i < d.length) { n2 += d(i) * d(i); i += 1 }
+        val n = math.sqrt(n2)
+        var bucket = 0L
+        var b = 0
+        while (b < bits) { if (f(b) > 0f) bucket |= (1L << b); b += 1 }
+        cands.iterator
+          .filter(c =>
+            (if (pairOriented) id < c.id else id != c.id) &&
+              (bits == 0 || c.bucket == bucket))
+          .map(c => org.apache.spark.sql.Row(
+            id, c.id, round6(dotJ(d, c.v) / (n * c.norm))))
+      }
+    }
+    spark.createDataFrame(out, scoredSchema)
+  }
 
   /** Exact cosine top-k: for each query vector (query predicate selects a
     * small set), the k nearest other vectors. Rank on (rounded score desc,
     * candidate id asc).
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = embeddings.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = embeddings
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qe"), col("ce")), 6).as("score"))
+    val q = graft.Tables.spread(embeddings).filter(queryPred)
+    val scored = kernelScores(q, embeddings, bits = 0, pairOriented = false)
+      .withColumnRenamed("left_id", "query_id")
     topK(scored, k)
   }
 
@@ -58,15 +157,9 @@ object Similarity {
   /** Bucketed ANN top-k: candidates share the query's sign bucket. */
   def signLshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                   bits: Int = 6): DataFrame = {
-    val withB = embeddings.withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = withB.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val c = withB
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
-    val scored = q.join(broadcast(c), Seq("bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qe"), col("ce")), 6).as("score"))
+    val q = graft.Tables.spread(embeddings).filter(queryPred)
+    val scored = kernelScores(q, embeddings, bits = bits, pairOriented = false)
+      .withColumnRenamed("left_id", "query_id")
     topK(scored, k)
   }
 
@@ -75,14 +168,12 @@ object Similarity {
     * here; the scale path buckets first ([[signBucket]]) and verifies
     * within buckets.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("score"))
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
+    kernelScores(graft.Tables.spread(embeddings), embeddings,
+      bits = 0, pairOriented = true)
+      .withColumnRenamed("left_id", "id_a")
+      .withColumnRenamed("cand_id", "id_b")
       .filter(col("score") >= threshold)
-  }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -92,9 +92,13 @@ object PipelineQueries {
       |    ELSE [] END AS s
       |  FROM tk)""".stripMargin
 
-  /** 16 minhash lanes (mirror of Dedup.minhashSignature). */
+  /** 16 minhash lanes from the base-hash list (mirror of
+    * Dedup.minhashSignature / laneMix: affine permutation mod 2^48).
+    */
   private val sigExprs: Seq[String] = (0 until 16).map { i =>
-    s"COALESCE(list_min(list_transform(s, x -> ${h48(s"'$i:' || x")})), -1) AS m$i"
+    val a = 2L * i + 3
+    val b = (i + 1) * 1099511628211L
+    s"COALESCE(list_min(list_transform(hb, h -> (h * $a + $b) & ${Dedup.Mask48})), -1) AS m$i"
   }
 
   /** 4 bands of 4 lanes (mirror of Dedup.lshBands). */
@@ -175,7 +179,8 @@ object PipelineQueries {
     "dedup_minhash" ->
       s"""WITH $toksCte,
          |$shinglesCte,
-         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM sh),
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
          |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -200,7 +205,7 @@ object PipelineQueries {
       s"""WITH $toksCte,
          |$shinglesCte,
          |post AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sh_n,
-         |         unnest(list_transform(s, x -> ${h48("x")})) AS sh_h FROM sh),
+         |         unnest(s) AS sh_h FROM sh),
          |common AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh_n AS n_a, b.sh_n AS n_b,
          |         count(*) AS common
