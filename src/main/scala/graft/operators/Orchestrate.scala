@@ -28,10 +28,19 @@ object Orchestrate {
       checkSql: String,
       downstream: (String, DataFrame) => DataFrame,
       keyedSpecs: Map[String, TableDiff.DiffSpec],
-      tableParallelism: Int = 1): DataFrame = {
+      tableParallelism: Int = 1,
+      onProgress: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
 
     val tables = Discover.discover(spark, dir, checkSql)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    // W4 running progress — the reference's current/total percent lines
+    // (`step3_run_syncdiff.sh:43-57`, integer percent F11)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    def tick(): Unit = {
+      val d = done.incrementAndGet()
+      onProgress(d, tables.size, d * 100 / math.max(tables.size, 1))
+    }
 
     def reportFor(schema: String, table: String): Report.TableReport = {
       val up = Tables.load(spark, dir, table)
@@ -45,10 +54,12 @@ object Orchestrate {
           val r = HashDiff.summary(up, down).collect()(0)
           (r.getLong(0), r.getLong(1), r.getLong(2))
       }
-      Report.TableReport(table,
+      val rep = Report.TableReport(table,
         if (structOk) "ok" else "diff",
         if (bad > 0) "diff" else "ok",
         upN, downN)
+      tick()
+      rep
     }
 
     val reports =

@@ -50,7 +50,13 @@ object Report {
     val body = rows.map { r =>
       f"| ${r.getString(0)}%-24s | ${r.getString(1)}%-9s | ${r.getString(2)}%-7s | ${r.getLong(3)}%10d | ${r.getLong(4)}%10d |"
     }
-    (Seq(border, header, border) ++ body :+ border).mkString("\n")
+    // A7 unit-scaled totals footer — the reference's `UPCOUNT/1000000`M
+    // display (`step3_run_syncdiff.sh:241`, integer division)
+    val footer = rows.find(_.getString(0) == "TOTAL").map { t =>
+      s"Total rows compared: upstream ${t.getLong(3) / 1000000}M, " +
+        s"downstream ${t.getLong(4) / 1000000}M"
+    }
+    ((Seq(border, header, border) ++ body :+ border) ++ footer).mkString("\n")
   }
 
   /** Reference exit-code semantics (`step3_run_syncdiff.sh:247-249`):

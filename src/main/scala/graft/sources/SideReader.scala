@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Comparison-side readers (SURVEY.md S5/S6): every diff operator is
+  * binary over two homologous relations; this is the abstraction that
+  * produces one side.
+  *
+  *  - [[ParquetDir]]: the primary (tested) source — a directory of
+  *    immutable parquet snapshots. Immutability IS the snapshot pin: both
+  *    sides of a comparison read consistent versions by construction,
+  *    matching the reference's `snapshot = "auto"`
+  *    (`my_database_users.toml:20,29`).
+  *  - [[Jdbc]]: the live-database parity path. Chunked scans map to
+  *    Spark's partitioned JDBC read (partitionColumn/bounds/numPartitions
+  *    — the reference's chunk-size and thread-count,
+  *    `my_database_users.toml:5,45`); an optional snapshot timestamp wraps
+  *    the table in a TiDB `AS OF TIMESTAMP` subquery (published TiDB
+  *    stale-read syntax), the dialect-specific analogue of `snapshot`.
+  *    Option construction is pure and unit-tested; execution requires a
+  *    live endpoint.
+  */
+object SideReader {
+
+  sealed trait Side
+
+  /** Immutable snapshot directory: `<dir>/<table>.parquet`. */
+  case class ParquetDir(dir: String) extends Side
+
+  /** Partitioned JDBC scan of `schema.table`. */
+  case class Jdbc(
+      url: String,
+      schema: String,
+      table: String,
+      user: String,
+      password: String,
+      pkColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      chunkSize: Long,
+      snapshotTs: Option[String] = None) extends Side
+
+  /** Spark JDBC reader options for a [[Jdbc]] side: chunk-size rows per
+    * partition (C1), `dbtable` wrapped in an AS OF subquery when a
+    * snapshot is pinned (S6).
+    */
+  def jdbcOptions(j: Jdbc): Map[String, String] = {
+    val span = math.max(j.upperBound - j.lowerBound + 1, 1L)
+    val numPartitions = math.max(1L, (span + j.chunkSize - 1) / j.chunkSize)
+    val target = j.snapshotTs match {
+      case Some(ts) =>
+        s"(SELECT * FROM ${j.schema}.${j.table} AS OF TIMESTAMP '$ts') AS t"
+      case None => s"${j.schema}.${j.table}"
+    }
+    Map(
+      "url" -> j.url,
+      "dbtable" -> target,
+      "user" -> j.user,
+      "password" -> j.password,
+      "partitionColumn" -> j.pkColumn,
+      "lowerBound" -> j.lowerBound.toString,
+      "upperBound" -> j.upperBound.toString,
+      "numPartitions" -> numPartitions.toString)
+  }
+
+  def read(spark: SparkSession, side: Side, table: String): DataFrame =
+    side match {
+      case ParquetDir(dir) => graft.Tables.load(spark, dir, table)
+      case j: Jdbc =>
+        spark.read.format("jdbc").options(jdbcOptions(j)).load()
+    }
+}

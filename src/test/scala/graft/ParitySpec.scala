@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators._
+import graft.functions.Salt
+import graft.sources.SideReader
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ReportIngestSpec extends SparkSpec {
+
+  private val reports = Seq(
+    Report.TableReport("orders", "ok", "ok", 1500, 1500),
+    Report.TableReport("lineitem", "ok", "diff", 6000, 5997))
+
+  test("summary artifacts round-trip through the file boundary") {
+    val base = Files.createTempDirectory("graft_sum").toString
+    ReportIngest.writeSummaries(reports, base, "20240101_000000")
+    // a later run supersedes the first for orders (P8 latest-run)
+    ReportIngest.writeSummaries(
+      Seq(Report.TableReport("orders", "ok", "diff", 1500, 1400)),
+      base, "20240102_000000")
+    val got = ReportIngest.ingestSummaries(spark, base)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("lineitem") == (("ok", "diff", 6000L, 5997L)))
+    assert(got("orders") == (("ok", "diff", 1500L, 1400L))) // latest run wins
+  }
+
+  test("table list TSV round-trips and drops warning lines") {
+    val dir = Files.createTempDirectory("graft_tsv").toString + "/list"
+    import spark.implicits._
+    val tables = Seq(("main", "orders"), ("mysql: warning", "x"))
+      .toDF("schema_name", "table_name")
+    ReportIngest.writeTableList(tables, dir)
+    val back = ReportIngest.readTableList(spark, dir).collect()
+    assert(back.map(_.getString(1)).toSet == Set("orders"))
+  }
+}
+
+class EventLogSpec extends SparkSpec {
+
+  test("log events render reference-format lines and round-trip") {
+    val log = new EventLog
+    log.log("INFO", "step 1 start", 1704067200000L)
+    log.log("ERROR", "table orders: diff found", 1704067260000L)
+    val lines = log.renderLines
+    assert(lines.head == "[2024-01-01 00:00:00] [INFO] step 1 start")
+    val f = Files.createTempFile("graft_log", ".log")
+    log.writeTo(f)
+    val back = EventLog.read(spark, f.toString).orderBy("ts").collect()
+    assert(back.length == 2)
+    assert(back(1).getString(1) == "ERROR")
+    assert(back(1).getString(2) == "table orders: diff found")
+  }
+}
+
+class SaltSpec extends SparkSpec {
+
+  // skewed: one hot key with 5000 rows, others tiny
+  private lazy val skewed = spark.range(0, 5000).toDF("i")
+    .select(when(col("i") < 4500, lit(1L)).otherwise(col("i")).as("k"),
+      col("i").as("v"))
+
+  test("salted count equals plain count") {
+    val plain = skewed.groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedCount(skewed, "k", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted sum equals plain sum (commutative checksum shape)") {
+    val plain = skewed.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedSum(skewed, "k", "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val dim = Seq((1L, "hot"), (4600L, "cold")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedJoin(skewed, dim, "k", 8).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain("hot") == 4500L)
+  }
+}
+
+class SideReaderSpec extends SparkSpec {
+
+  test("parquet side reads fixture snapshots") {
+    val df = SideReader.read(spark, SideReader.ParquetDir(sfDir), "orders")
+    assert(df.count() == 1500)
+  }
+
+  test("jdbc options derive chunk partitioning from chunk size") {
+    val opts = SideReader.jdbcOptions(SideReader.Jdbc(
+      url = "jdbc:mysql://db:4000", schema = "main", table = "orders",
+      user = "u", password = "p", pkColumn = "o_orderkey",
+      lowerBound = 0, upperBound = 999999, chunkSize = 5000))
+    assert(opts("numPartitions") == "200")
+    assert(opts("dbtable") == "main.orders")
+    assert(opts("partitionColumn") == "o_orderkey")
+  }
+
+  test("snapshot pin wraps the table in AS OF TIMESTAMP") {
+    val opts = SideReader.jdbcOptions(SideReader.Jdbc(
+      "jdbc:mysql://db:4000", "main", "orders", "u", "p",
+      "o_orderkey", 0, 99, 50, snapshotTs = Some("2024-01-01 00:00:00")))
+    assert(opts("dbtable") ==
+      "(SELECT * FROM main.orders AS OF TIMESTAMP '2024-01-01 00:00:00') AS t")
+    assert(opts("numPartitions") == "2")
+  }
+}
+
+class CliSpec extends SparkSpec {
+
+  private lazy val confPath = {
+    val f = Files.createTempFile("graft_conf", ".toml")
+    Files.writeString(f,
+      s"""master_ip = "a"
+         |master_port = "4000"
+         |master_user = "u"
+         |master_password = "p"
+         |slave_ip = "b"
+         |slave_port = "4000"
+         |slave_user = "u"
+         |slave_password = "p"
+         |check_sql = "SELECT schema_name, table_name FROM graft_manifest WHERE table_rows > 500 AND pk_kind = 'NONCLUSTERED' ORDER BY table_name"
+         |thread_count = "2"
+         |chunk_size = "500"
+         |output_dir = "${Files.createTempDirectory("graft_cfgs")}"
+         |""".stripMargin)
+    f.toString
+  }
+
+  test("doctor passes on a sane config + fixture dir") {
+    assert(Cli.run(Array("doctor", confPath, sfDir), spark) == 0)
+  }
+
+  test("run-all over identity downstream exits 0") {
+    assert(Cli.run(Array("run-all", confPath, sfDir), spark) == 0)
+  }
+
+  test("generate writes one task config per discovered table") {
+    assert(Cli.run(Array("generate", confPath, sfDir, "r1"), spark) == 0)
+    val c = graft.conf.EngineConf.parse(Files.readString(
+      java.nio.file.Paths.get(confPath)))
+    val files = new java.io.File(c.outputDir).list().toSet
+    assert(files == Set("main_orders.toml", "main_lineitem.toml", "main_events.toml"))
+  }
+
+  test("unknown subcommand exits 2") {
+    assert(Cli.run(Array("bogus"), spark) == 2)
+  }
+}
