@@ -199,6 +199,16 @@ object CoreQueries {
          |WHERE COALESCE(up_cnt, 0) <> COALESCE(down_cnt, 0)
          |ORDER BY row_fp""".stripMargin,
 
+    // struct_diff compares static schema metadata, so its oracle is the
+    // expected golden relation (schema isn't data DuckDB could derive)
+    "struct_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('l_comment',  CAST(NULL AS VARCHAR), 'string', 'extra_on_down'),
+        |  ('l_quantity', 'double', 'string', 'type_mismatch'),
+        |  ('l_tax',      'double', CAST(NULL AS VARCHAR), 'missing_on_down'))
+        |  AS t(field, up_type, down_type, status)
+        |ORDER BY field""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

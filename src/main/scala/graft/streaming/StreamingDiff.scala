@@ -44,6 +44,33 @@ object StreamingDiff {
         col("cnt"), col("checksum"))
   }
 
+  /** Continuous dual-stream diff: tag each side, union, and aggregate
+    * per (window, event_type) with CONDITIONAL per-side count/checksum
+    * sums — one stateful aggregation instead of a stream-stream join, so
+    * state stays one row per open window x key and is evicted by the
+    * watermark. Rows where the sides disagree are the streaming
+    * equivalent of [[graft.operators.TableDiff.badChunks]]; on batch
+    * inputs it yields the final bad-window relation directly.
+    */
+  def windowedDiff(up: DataFrame, down: DataFrame, windowDur: String,
+                   watermark: Option[String] = None): DataFrame = {
+    def tagged(df: DataFrame, side: Int): DataFrame = {
+      val in = watermark.fold(df)(w => df.withWatermark("ts", w))
+      in.withColumn("row_fp", eventFp(df)).withColumn("side", lit(side))
+    }
+    tagged(up, 0).unionByName(tagged(down, 1))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("up_cnt"),
+        sum(when(col("side") === 0, col("row_fp")).otherwise(0L)).as("up_checksum"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("down_cnt"),
+        sum(when(col("side") === 1, col("row_fp")).otherwise(0L)).as("down_checksum"))
+      .filter(col("up_cnt") =!= col("down_cnt") ||
+        col("up_checksum") =!= col("down_checksum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("up_cnt"), col("up_checksum"), col("down_cnt"), col("down_checksum"))
+  }
+
   /** Streaming exactly-once dedup on the event key within the watermark
     * horizon — the streaming face of [[graft.operators.Dedup.exact]].
     */
