@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.2): for arbitrary generated perturbations
+  * p in {delete k, mutate k, insert k}, diff(A, p(A)) reports EXACTLY p,
+  * and repairing with that diff restores equality. Generators sample from
+  * fixed seeds (deterministic CI; no scalatestplus bridge in the offline
+  * dependency cache, so sampling is driven directly).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = TableDiff.DiffSpec(
+    pkCols = Seq("id"), chunkBy = "id", chunkWidth = 16)
+
+  private def table(n: Int) = spark.range(0, n).toDF("id")
+    .withColumn("payload", concat(lit("row-"), col("id")))
+    .withColumn("amount", (col("id") % 97).cast("double") / 4)
+
+  private case class Drift(deletes: Set[Long], mutates: Set[Long], inserts: Set[Long])
+
+  private val drifts: Gen[(Int, Drift)] = for {
+    n <- Gen.choose(20, 200)
+    del <- Gen.someOf(0L until n.toLong)
+    mut <- Gen.someOf(0L until n.toLong)
+    ins <- Gen.someOf(0L until 20L)
+  } yield (n, Drift(del.toSet, mut.toSet -- del.toSet, ins.toSet))
+
+  private def samples[A](g: Gen[A], count: Int): Seq[A] =
+    (1 to count).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong * 7919)))
+
+  test("diff(A, p(A)) reports exactly the generated perturbation, and repair undoes it") {
+    samples(drifts, 8).foreach { case (n, d) =>
+      val up = table(n)
+      val down = up
+        .filter(!col("id").isin(d.deletes.toSeq: _*))
+        .withColumn("amount",
+          when(col("id").isin(d.mutates.toSeq: _*), col("amount") + 1)
+            .otherwise(col("amount")))
+        .unionByName(
+          table(n + 20).filter(col("id").isin(d.inserts.map(_ + n).toSeq: _*)))
+
+      val rd = TableDiff.rowDiff(up, down, spec).collect()
+      val byKind = rd.groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getLong(0)).toSet).toMap
+      assert(byKind.getOrElse("missing_on_down", Set.empty) == d.deletes,
+        s"n=$n drift=$d")
+      assert(byKind.getOrElse("value_mismatch", Set.empty) == d.mutates)
+      assert(byKind.getOrElse("extra_on_down", Set.empty) == d.inserts.map(_ + n))
+
+      val repaired = Repair.repair(down, up,
+        TableDiff.rowDiff(up, down, spec), spec.pkCols)
+      assert(HashDiff.diff(up, repaired).isEmpty)
+    }
+  }
+
+  test("diff(A, A) is empty for arbitrary sizes") {
+    samples(Gen.choose(0, 300), 5).foreach { n =>
+      val t = table(n)
+      assert(TableDiff.rowDiff(t, t, spec).isEmpty)
+      assert(HashDiff.diff(t, t).isEmpty)
+    }
+  }
+
+  test("chunk checksums are insensitive to row order (commutative combine)") {
+    samples(Gen.choose(10, 200), 5).foreach { n =>
+      val t = table(n)
+      val shuffled = t.orderBy(rand(seed = 7))
+      val a = TableDiff.chunkChecksums(t, spec).orderBy("chunk_id").collect().toSeq
+      val b = TableDiff.chunkChecksums(shuffled, spec).orderBy("chunk_id").collect().toSeq
+      assert(a == b)
+    }
+  }
+}
