@@ -203,13 +203,31 @@ object Dedup {
     * bucket exceeds a bound; pairs lost there are re-checked by the
     * minhash path) before the self-join.
     */
-  def jaccardNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardNearDups(docs, threshold, maxBucket = None)
+
+  /** @param maxBucket stop-shingle frequency cap: postings whose shingle
+    *   occurs in more than this many documents are dropped BEFORE the
+    *   self-join. On Zipfian corpora the hot-shingle buckets dominate the
+    *   quadratic join (sum of bucket^2); capping bounds it at the cost of
+    *   undercounting |A n B| for pairs whose overlap rides on hot
+    *   shingles (recall loss only — the minhash path re-covers them).
+    *   None = exact.
+    */
+  def jaccardNearDups(docs: DataFrame, threshold: Double,
+                      maxBucket: Option[Int]): DataFrame = {
     // postings carry the raw shingle string: at this shingle length the
     // string is barely wider than a hash, and skipping the per-posting
     // digest keeps the explode stage cheap (the join result is identical)
-    val sh = withShingles(docs)
+    val allPostings = withShingles(docs)
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("sh_n"),
         explode(col("sh")).as("sh_h"))
+    val sh = maxBucket.fold(allPostings) { cap =>
+      val keep = allPostings.groupBy("sh_h")
+        .agg(count(lit(1)).as("__f")).filter(col("__f") <= cap)
+        .select("sh_h")
+      allPostings.join(keep, Seq("sh_h"), "left_semi")
+    }
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -163,6 +163,61 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
+    * path next to [[signLshTopK]]: a deterministic centroid set (the
+    * `nCentroids` lowest vec_ids — a seeded k-means would slot in here;
+    * determinism is the engine contract, SURVEY.md §4), every vector
+    * assigned to its nearest centroid (the inverted lists), and each
+    * query probing only the `nProbe` nearest lists. Per-query work drops
+    * from N to nProbe x listSize.
+    *
+    * Assignment/probe ordering uses UNROUNDED cosine with centroid-id
+    * tie-break; only emitted scores are rounded — the oracle mirrors both
+    * orderings exactly. At 100 TB, assignment is one narrow distributed
+    * pass against broadcast centroids and the lists are a bucketed table;
+    * here the collected candidate array doubles as the lists.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val all = collectVecs(embeddings, bits = 0)
+    val cents = all.filter(_.id < nCentroids)
+    def nearestCids(v: Array[Double], n: Double, take: Int): Seq[Long] =
+      cents.map(c => (dotJ(v, c.v) / (n * c.norm), c.id))
+        .sortBy { case (s, cid) => (-s, cid) }.take(take).map(_._2).toSeq
+    val assigned: Map[Long, Array[Vec]] =
+      all.groupBy(v => nearestCids(v.v, v.norm, 1).head)
+    val bc = spark.sparkContext.broadcast((cents, assigned))
+    val out = graft.Tables.spread(embeddings).filter(queryPred)
+      .select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
+        val (cs, lists) = bc.value
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val d = row.getSeq[Float](1).toArray.map(_.toDouble)
+          var n2 = 0d; var i = 0
+          while (i < d.length) { n2 += d(i) * d(i); i += 1 }
+          val n = math.sqrt(n2)
+          val probes = cs.map(c => (dotJ(d, c.v) / (n * c.norm), c.id))
+            .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
+          probes.iterator
+            .flatMap(cid => lists.getOrElse(cid, Array.empty[Vec]).iterator)
+            .filter(_.id != id)
+            .map(c => (c.id, round6(dotJ(d, c.v) / (n * c.norm))))
+            .toSeq
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((cid, s), r) =>
+              org.apache.spark.sql.Row(id, cid, s, r + 1)
+            }
+        }
+      }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      scoredSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.IntegerType, nullable = false)))
+      .withColumnRenamed("left_id", "query_id")
+  }
+
   /** Exact cosine near-duplicate pairs (id-oriented, thresholded) — the
     * embedding-space analogue of [[Dedup.jaccardNearDups]]. Brute force
     * here; the scale path buckets first ([[signBucket]]) and verifies

@@ -53,6 +53,14 @@ object PipelineQueries {
       Similarity.signLshTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.jaccardNearDups(docs(s, dir), 0.5, maxBucket = Some(5))
+        .orderBy("doc_a", "doc_b")),
+
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 0.4).orderBy("id_a", "id_b")),
 
@@ -107,13 +115,15 @@ object PipelineQueries {
     s"SELECT doc_id, $b AS band_id, md5(${lanes.mkString(" || ',' || ")}) AS band_key FROM sig"
   }
 
-  /** Double-promoted cosine between e-CTE rows q and c (mirror of
+  /** Double-promoted cosine between two aliased vector columns (mirror of
     * Similarity.cosine: left-fold double sums).
     */
-  private val cosSql =
-    """list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[CAST(i AS INTEGER)] * c.v[CAST(i AS INTEGER)]))
-      | / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[CAST(i AS INTEGER)] * q.v[CAST(i AS INTEGER)])))
-      |    * sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> c.v[CAST(i AS INTEGER)] * c.v[CAST(i AS INTEGER)]))))""".stripMargin
+  private def cosOf(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))
+       | / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INTEGER)] * $a[CAST(i AS INTEGER)])))
+       |    * sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $b[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))))""".stripMargin
+
+  private val cosSql = cosOf("q.v", "c.v")
 
   private val embCte =
     "e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -236,6 +246,50 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
          |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |sim AS (
+         |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim WHERE vec_id < 50) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id, round($cosSql, 6) AS score
+         |  FROM probe p
+         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e c ON c.vec_id = a.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM scored)
+         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_jaccard_capped" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |allpost AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sh_n,
+         |            unnest(s) AS sh_h FROM sh),
+         |keep AS (SELECT sh_h FROM allpost GROUP BY 1 HAVING count(*) <= 5),
+         |post AS (SELECT p.* FROM allpost p
+         |         WHERE EXISTS (SELECT 1 FROM keep k WHERE k.sh_h = p.sh_h)),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh_n AS n_a, b.sh_n AS n_b,
+         |         count(*) AS common
+         |  FROM post a JOIN post b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |       round(common * 1.0 / (n_a + n_b - common), 6) AS jaccard
+         |FROM common WHERE common * 1.0 / (n_a + n_b - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "embed_neardup" ->
       s"""WITH $embCte,

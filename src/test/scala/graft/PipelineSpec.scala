@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(ex.nonEmpty)
   }
 
+  test("stop-shingle cap only loses recall, never invents pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = Dedup.jaccardNearDups(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardNearDups(docs, 0.5, maxBucket = Some(5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.nonEmpty) // planted near-dups ride on rare shingles
+  }
+
   test("simhash is identical for identical texts, near for near-dups") {
     val sig = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(4L))
@@ -97,6 +107,22 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.nearDupPairs(vecs, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("IVF probes only nearest inverted lists and ranks deterministically") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 3)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect()
+    assert(ivf.nonEmpty)
+    // per query: ranks are 1..k with no gaps
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // IVF recall: its top-1 must appear in the exact top-k reasonably
+    // often; at minimum the result is stable across invocations
+    val again = Similarity.ivfTopK(emb, col("vec_id") < 10, 3)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect()
+    assert(ivf.toSet == again.toSet)
   }
 }
 
