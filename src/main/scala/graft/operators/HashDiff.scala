@@ -27,18 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object HashDiff {
 
-  private def counted(df: DataFrame, cnt: String, vals: String): DataFrame = {
+  private def counted(df: DataFrame, cnt: String, vals: Option[String]): DataFrame = {
     val cols = df.schema.fields.toSeq.map(f => (col(f.name), f.dataType))
-    df.select(
-        Canonical.fingerprint(cols).as("row_fp"),
-        Canonical.serialCsv(cols).as("vals"))
-      .groupBy("row_fp")
-      .agg(count(lit(1)).as(cnt), min(col("vals")).as(vals))
+    val keyed = df.select(
+      Canonical.fingerprint(cols).as("row_fp") +:
+        vals.map(_ => Canonical.serialCsv(cols).as("vals")).toSeq: _*)
+    vals match {
+      case Some(v) => keyed.groupBy("row_fp")
+        .agg(count(lit(1)).as(cnt), min(col("vals")).as(v))
+      case None => keyed.groupBy("row_fp").agg(count(lit(1)).as(cnt))
+    }
   }
 
-  private def joined(up: DataFrame, down: DataFrame): DataFrame =
-    counted(up, "up_cnt", "up_vals")
-      .join(counted(down, "down_cnt", "down_vals"), Seq("row_fp"), "full_outer")
+  /** @param withVals carry a sample serialized payload per fingerprint —
+    *   needed by the drill-down diff, pure overhead (a second full
+    *   serialization + wide shuffle) for the count-only summary
+    */
+  private def joined(up: DataFrame, down: DataFrame, withVals: Boolean): DataFrame =
+    counted(up, "up_cnt", if (withVals) Some("up_vals") else None)
+      .join(counted(down, "down_cnt", if (withVals) Some("down_vals") else None),
+        Seq("row_fp"), "full_outer")
       .withColumn("up_cnt", coalesce(col("up_cnt"), lit(0L)))
       .withColumn("down_cnt", coalesce(col("down_cnt"), lit(0L)))
 
@@ -47,7 +55,7 @@ object HashDiff {
     * absent), sample serial payload from whichever side has the row.
     */
   def diff(up: DataFrame, down: DataFrame): DataFrame =
-    joined(up, down)
+    joined(up, down, withVals = true)
       .filter(col("up_cnt") =!= col("down_cnt"))
       .withColumn("diff_kind",
         when(col("up_cnt") > col("down_cnt"), lit("missing_on_down"))
@@ -59,7 +67,7 @@ object HashDiff {
     * the report stage — avoids re-running the diff per verdict/count.
     */
   def summary(up: DataFrame, down: DataFrame): DataFrame =
-    joined(up, down).agg(
+    joined(up, down, withVals = false).agg(
       sum(col("up_cnt")).as("upcount"),
       sum(col("down_cnt")).as("downcount"),
       sum(when(col("up_cnt") =!= col("down_cnt"), 1L).otherwise(0L))
