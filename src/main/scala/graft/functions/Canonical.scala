@@ -147,4 +147,13 @@ object Canonical {
     */
   def chunkId(pk: Column, width: Long): Column =
     floor(pk / lit(width)).cast(LongType)
+
+  /** Hash-bucket chunk id over arbitrary (composite / non-numeric) PK
+    * columns — the fallback when no numeric leading PK supports range
+    * chunks (SURVEY.md §7.4). Buckets lose the range-pushdown row pass
+    * (no contiguous predicate exists), so the row drill-down uses the
+    * semi-join/flat tiers instead. md5-derived for oracle portability.
+    */
+  def chunkIdHash(pkCols: Seq[(Column, DataType)], buckets: Int): Column =
+    pmod(hex48(md5(serial(pkCols))), lit(buckets.toLong))
 }

@@ -35,6 +35,11 @@ object TableDiff {
     *                   analogue, `config.toml:21`)
     * @param range      free-form SQL row restriction, both sides
     *                   (`my_database_users.toml:46`, default "1 = 1")
+    * @param hashBuckets when set, chunk by md5-hash bucket of the FULL PK
+    *                   instead of leading-column ranges — the composite /
+    *                   non-numeric PK fallback (SURVEY.md §7.4). Hash
+    *                   chunks have no contiguous range predicate, so the
+    *                   row pass always uses the semi-join / flat tiers.
     */
   case class DiffSpec(
       pkCols: Seq[String],
@@ -42,7 +47,16 @@ object TableDiff {
       chunkWidth: Long,
       range: String = "1 = 1",
       maxPushdownChunks: Int = 256,
-      maxBroadcastChunks: Int = 100000)
+      maxBroadcastChunks: Int = 100000,
+      hashBuckets: Option[Int] = None)
+
+  /** Chunk-id expression for a side under the spec's chunking mode. */
+  private def chunkCol(df: DataFrame, spec: DiffSpec): Column =
+    spec.hashBuckets match {
+      case Some(b) => Canonical.chunkIdHash(
+        spec.pkCols.map(c => (col(c), df.schema(c).dataType)), b)
+      case None => Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth)
+    }
 
   private def fpCols(df: DataFrame): Seq[(Column, org.apache.spark.sql.types.DataType)] =
     df.schema.fields.toSeq.map(f => (col(f.name), f.dataType))
@@ -53,7 +67,7 @@ object TableDiff {
     */
   def withFingerprint(df: DataFrame, spec: DiffSpec): DataFrame =
     df.filter(expr(spec.range))
-      .withColumn("chunk_id", Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth))
+      .withColumn("chunk_id", chunkCol(df, spec))
       .withColumn("row_fp", Canonical.fingerprint48(fpCols(df)))
 
   /** Per-chunk (row count, commutative checksum). One shuffle; partial agg
@@ -155,9 +169,10 @@ object TableDiff {
       .limit(spec.maxBroadcastChunks + 1)
       .collect().map(_.getLong(0)).toSeq
 
-    if (ids.length <= spec.maxPushdownChunks) {
+    if (ids.length <= spec.maxPushdownChunks && spec.hashBuckets.isEmpty) {
       // Few bad chunks: pushed-down PK range predicate; the parquet scan
-      // prunes clean row groups via min/max stats.
+      // prunes clean row groups via min/max stats. (Hash buckets have no
+      // contiguous ranges — they fall through to the semi-join tier.)
       val pred = chunkRangePredicate(ids, spec)
       join(up.filter(pred), down.filter(pred))
     } else if (ids.length <= spec.maxBroadcastChunks) {
@@ -168,8 +183,7 @@ object TableDiff {
       val idDf = ids.toDF("__bad_chunk_id")
       def semi(df: DataFrame): DataFrame =
         df.join(broadcast(idDf),
-          Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth) === col("__bad_chunk_id"),
-          "left_semi")
+          chunkCol(df, spec) === col("__bad_chunk_id"), "left_semi")
       join(semi(up), semi(down))
     } else {
       // Pervasive drift: pruning would keep ~everything; the flat

@@ -72,6 +72,13 @@ object CoreQueries {
 
     "row_diff" -> ((s, dir) => rowDiffDf(s, dir).orderBy("o_orderkey")),
 
+    // Same comparison under hash-bucket chunking (composite/non-numeric
+    // PK fallback, SURVEY.md §7.4) — the diff must be chunking-invariant,
+    // so the oracle is row_diff's.
+    "row_diff_hashchunk" -> ((s, dir) =>
+      TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)),
+        ordSpec.copy(hashBuckets = Some(64))).orderBy("o_orderkey")),
+
     "fix_sql" -> ((s, dir) =>
       FixSql.fromRowDiff(rowDiffDf(s, dir), "orders", ordSpec.pkCols)
         .orderBy("o_orderkey")),
@@ -173,6 +180,10 @@ object CoreQueries {
          |ORDER BY chunk_id""".stripMargin,
 
     "row_diff" ->
+      s"""WITH $rowDiffCte
+         |SELECT * FROM rd ORDER BY o_orderkey""".stripMargin,
+
+    "row_diff_hashchunk" ->
       s"""WITH $rowDiffCte
          |SELECT * FROM rd ORDER BY o_orderkey""".stripMargin,
 

@@ -61,6 +61,17 @@ class TableDiffSpec extends SparkSpec {
     assert(two == flat)
   }
 
+  test("hash-bucket chunking yields the identical diff (chunking invariance)") {
+    val down = Perturb.ordersDownstream(orders)
+    val ranged = TableDiff.rowDiff(orders, down, spec)
+      .orderBy("o_orderkey").collect().toSeq
+    val hashed = TableDiff.rowDiff(orders, down, spec.copy(hashBuckets = Some(16)))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(hashed == ranged)
+    // bad-chunk detection works in bucket space too
+    assert(!TableDiff.badChunks(orders, down, spec.copy(hashBuckets = Some(16))).isEmpty)
+  }
+
   test("range predicate restricts both sides") {
     val down = Perturb.ordersDownstream(orders)
     val half = spec.copy(range = "o_orderkey % 2 = 0")
