@@ -6,31 +6,37 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`) — the
   * training-data-pipeline ANN surface (north-star extension).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]] / [[nearDupPairs]]: exact cosine — the
-  *    correctness baseline.
-  *  - [[signLshTopK]]: sign-LSH bucketed ANN — the 100 TB path. Bucket =
-  *    sign bits of the leading dimensions (a deterministic degenerate
-  *    random-hyperplane LSH: hyperplanes = coordinate axes). Candidates
-  *    co-bucket only, so per-query work drops from N to the bucket size;
-  *    at scale, buckets shard the corpus and pairing keys on bucket id.
+  *    correctness baseline. These alone broadcast the candidate corpus
+  *    (it IS the brute-force contract), behind an explicit driver-memory
+  *    guard ([[MaxBroadcastVecs]]); everything else is distributed.
+  *  - [[signLshTopK]] / [[nearDupPairsBucketed]]: sign-LSH bucketed ANN —
+  *    the 100 TB path. Bucket = sign bits of the leading dimensions (a
+  *    deterministic degenerate random-hyperplane LSH: hyperplanes =
+  *    coordinate axes). Bucket equality is a plain equi-join key, so
+  *    candidate generation is Catalyst join planning — a broadcast-hash
+  *    join when one side is small (top-k queries), a bucket-shuffled join
+  *    when both sides are the corpus (pair mining). No driver state.
+  *  - [[ivfTopK]]: IVF coarse quantization — only the centroid array
+  *    (small by construction) is broadcast; list assignment is one narrow
+  *    distributed pass and probe×list pairing is an equi-join on the
+  *    centroid id.
   *
-  * Physical strategy: Spark's BroadcastNestedLoopJoin — the planner's
-  * only option for a non-equi pair predicate — does NOT participate in
-  * whole-stage codegen, so an expression-based pair loop runs fully
-  * interpreted (measured ~8x slower even after unrolling). The pair
-  * stage here is therefore a hand-fused kernel: candidate vectors are
-  * broadcast once as primitive double arrays and each partition scores
-  * its rows in a tight JVM loop (`mapPartitions`) — the same
-  * broadcast-hash-side shape the BNLJ would build, minus interpretation
-  * overhead. This is the documented last-resort case (SURVEY.md §7.3):
-  * the operator's semantics are not expressible as an equi-join.
+  * Scoring stays inside whole-stage codegen: [[dotN]] unrolls the dot
+  * product to a flat expression over the statically-probed dimension, so
+  * the per-pair work after the join is codegen'd arithmetic — no
+  * interpreted array lambdas ([[dot]]) in the hot path, and no
+  * BroadcastNestedLoopJoin (the planner's non-codegen fallback for
+  * non-equi pair predicates) anywhere: every pairing above is an
+  * equi-join.
   *
   * Determinism/oracle contract: floats are promoted to double BEFORE any
-  * arithmetic, sums fold left-to-right, and rounding replicates Spark's
-  * `round(_, 6)` (BigDecimal HALF_UP over Double.toString) — so scores
-  * are bit-identical to the declarative [[cosine]] expression and to the
-  * DuckDB oracle's `list_sum` fold. Ranking ties break on candidate id.
+  * arithmetic, sums fold left-to-right, and emitted scores round via
+  * Spark's `round(_, 6)` (BigDecimal HALF_UP over Double.toString) — the
+  * JVM kernel's [[round6]] replicates it exactly, so the kernel and
+  * declarative paths are bit-identical to each other and to the DuckDB
+  * oracle's `list_sum` fold. Ranking ties break on candidate id.
   */
 object Similarity {
 
@@ -63,7 +69,31 @@ object Similarity {
   def dimOf(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).head().getInt(0)
 
+  /** Sign-LSH bucket id: `bits` sign bits of the leading dimensions. */
+  def signBucket(e: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (vec_id, embedding, nrm) side relation: the norm is computed ONCE
+    * per row (narrow, codegen'd) so the per-pair work after a join is a
+    * single dot product.
+    */
+  private def withNorm(embeddings: DataFrame, dim: Int): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      normN(col("embedding"), dim).as("nrm"))
+
+  /** Rounded pair score between aliased sides (`q`/`c` prefix columns). */
+  private def pairScore(dim: Int): Column =
+    round(dotN(col("q_emb"), col("c_emb"), dim) / (col("q_nrm") * col("c_nrm")), 6)
+
   // ------------------------------------------------ fused kernel internals
+
+  /** Driver-memory guard for the brute-force broadcast (~(dim*8+32) bytes
+    * per vector ⇒ ~half a GB at the default). The bucketed/IVF paths have
+    * no such bound — use them past this size.
+    */
+  val MaxBroadcastVecs: Int = 1000000
 
   /** Exact replica of Spark's round(double, 6): BigDecimal.valueOf
     * (canonical Double.toString) + HALF_UP.
@@ -79,25 +109,27 @@ object Similarity {
     s
   }
 
-  private case class Vec(id: Long, v: Array[Double], norm: Double, bucket: Long)
+  private case class Vec(id: Long, v: Array[Double], norm: Double)
 
-  /** Collect candidates once into a broadcastable primitive form (the
-    * same driver-side build a broadcast join performs). `bits` > 0 also
-    * derives the sign bucket from the ORIGINAL float values.
+  private def toVec(row: org.apache.spark.sql.Row): Vec = {
+    val d = row.getSeq[Float](1).toArray.map(_.toDouble)
+    var n2 = 0d; var i = 0
+    while (i < d.length) { n2 += d(i) * d(i); i += 1 }
+    Vec(row.getLong(0), d, math.sqrt(n2))
+  }
+
+  /** Collect a BOUNDED candidate set into broadcastable primitive form
+    * (the same driver-side build a broadcast hash join performs). The cap
+    * is a hard error, not a truncation: silently dropping candidates
+    * would corrupt top-k results.
     */
-  private def collectVecs(embeddings: DataFrame, bits: Int): Array[Vec] = {
-    import org.apache.spark.sql.Row
-    embeddings.select(col("vec_id"), col("embedding")).collect().map {
-      case Row(id: Long, e: scala.collection.Seq[_]) =>
-        val f = e.asInstanceOf[scala.collection.Seq[Float]].toArray
-        val d = f.map(_.toDouble)
-        var n2 = 0d; var i = 0
-        while (i < d.length) { n2 += d(i) * d(i); i += 1 }
-        var bucket = 0L
-        var b = 0
-        while (b < bits) { if (f(b) > 0f) bucket |= (1L << b); b += 1 }
-        Vec(id, d, math.sqrt(n2), bucket)
-    }.sortBy(_.id)
+  private def collectVecs(embeddings: DataFrame, cap: Int): Array[Vec] = {
+    val rows = embeddings.select(col("vec_id"), col("embedding"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"brute-force corpus exceeds $cap vectors; use signLshTopK/ivfTopK " +
+        "(distributed candidate generation) at this scale")
+    rows.map(toVec).sortBy(_.id)
   }
 
   private val scoredSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -106,32 +138,23 @@ object Similarity {
     org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, false)))
 
   /** Score stream rows against the broadcast candidates in partition-local
-    * kernel loops. `pairOriented` keeps only left < cand (near-dup pairs);
-    * otherwise all non-self candidates (top-k input), bucket-gated when
-    * bits > 0.
+    * kernel loops (brute-force only — every candidate is a candidate, so
+    * there is no join key for Catalyst to exploit and a BNLJ would run
+    * interpreted). `pairOriented` keeps only left < cand (near-dup
+    * pairs); otherwise all non-self candidates (top-k input).
     */
   private def kernelScores(stream: DataFrame, embeddings: DataFrame,
-                           bits: Int, pairOriented: Boolean): DataFrame = {
+                           pairOriented: Boolean): DataFrame = {
     val spark = embeddings.sparkSession
-    val bc = spark.sparkContext.broadcast(collectVecs(embeddings, bits))
+    val bc = spark.sparkContext.broadcast(collectVecs(embeddings, MaxBroadcastVecs))
     val out = stream.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
       val cands = bc.value
       it.flatMap { row =>
-        val id = row.getLong(0)
-        val f = row.getSeq[Float](1).toArray
-        val d = f.map(_.toDouble)
-        var n2 = 0d; var i = 0
-        while (i < d.length) { n2 += d(i) * d(i); i += 1 }
-        val n = math.sqrt(n2)
-        var bucket = 0L
-        var b = 0
-        while (b < bits) { if (f(b) > 0f) bucket |= (1L << b); b += 1 }
+        val q = toVec(row)
         cands.iterator
-          .filter(c =>
-            (if (pairOriented) id < c.id else id != c.id) &&
-              (bits == 0 || c.bucket == bucket))
+          .filter(c => if (pairOriented) q.id < c.id else q.id != c.id)
           .map(c => org.apache.spark.sql.Row(
-            id, c.id, round6(dotJ(d, c.v) / (n * c.norm))))
+            q.id, c.id, round6(dotJ(q.v, c.v) / (q.norm * c.norm))))
       }
     }
     spark.createDataFrame(out, scoredSchema)
@@ -143,24 +166,56 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = graft.Tables.spread(embeddings).filter(queryPred)
-    val scored = kernelScores(q, embeddings, bits = 0, pairOriented = false)
+    val scored = kernelScores(q, embeddings, pairOriented = false)
       .withColumnRenamed("left_id", "query_id")
     topK(scored, k)
   }
 
-  /** Sign-LSH bucket id: `bits` sign bits of the leading dimensions. */
-  def signBucket(e: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** Bucketed ANN top-k: candidates share the query's sign bucket. */
+  /** Bucketed ANN top-k: candidates share the query's sign bucket.
+    *
+    * Fully distributed: bucket ids are computed on BOTH sides as narrow
+    * projections and pairing is a bucket equi-join. The query side (small
+    * by the queryPred contract) is broadcast, so the corpus side streams
+    * through a BroadcastHashJoin — no shuffle of the corpus, no driver
+    * collect, and the scoring projection is whole-stage codegen'd.
+    */
   def signLshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                   bits: Int = 6): DataFrame = {
-    val q = graft.Tables.spread(embeddings).filter(queryPred)
-    val scored = kernelScores(q, embeddings, bits = bits, pairOriented = false)
-      .withColumnRenamed("left_id", "query_id")
+    val dim = dimOf(embeddings)
+    def side(df: DataFrame, p: String): DataFrame =
+      withNorm(df, dim).select(
+        col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), bits).as(s"${p}_bucket"))
+    val q = side(embeddings.filter(queryPred), "q")
+    val c = side(embeddings, "c")
+    val scored = c.join(broadcast(q),
+        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
+        pairScore(dim).as("score"))
     topK(scored, k)
+  }
+
+  /** Sign-LSH near-duplicate pair mining — the 100 TB analogue of
+    * [[nearDupPairs]] and the embedding twin of
+    * [[Dedup.minhashNearDups]]: candidate pairs come from a co-bucket
+    * self equi-join (both sides shuffle-partition on the bucket id; no
+    * broadcast — both sides are the corpus), then the exact rounded
+    * cosine verifies candidates only. Recall loss is pairs whose sign
+    * patterns differ (mirrors the LSH trade the minhash path makes);
+    * precision is exact.
+    */
+  def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
+                           bits: Int = 6): DataFrame = {
+    val dim = dimOf(embeddings)
+    def side(p: String): DataFrame =
+      withNorm(embeddings, dim).select(
+        col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), bits).as(s"${p}_bucket"))
+    side("q").join(side("c"),
+        col("q_bucket") === col("c_bucket") && col("q_id") < col("c_id"))
+      .select(col("q_id").as("id_a"), col("c_id").as("id_b"),
+        pairScore(dim).as("score"))
+      .filter(col("score") >= threshold)
   }
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
@@ -171,61 +226,69 @@ object Similarity {
     * query probing only the `nProbe` nearest lists. Per-query work drops
     * from N to nProbe x listSize.
     *
+    * Distribution: ONLY the centroid array is collected/broadcast (its
+    * size is nCentroids by construction — the coarse quantizer is small
+    * or it isn't coarse). Assignment and probe selection are one narrow
+    * kernel pass each against the broadcast centroids; probe×list
+    * pairing is an equi-join on the centroid id with the (small) probe
+    * side broadcast, so the corpus-sized list relation streams. At
+    * 100 TB the assigned relation would persist as a table bucketed by
+    * `cid` so repeated queries skip the assignment pass.
+    *
     * Assignment/probe ordering uses UNROUNDED cosine with centroid-id
     * tie-break; only emitted scores are rounded — the oracle mirrors both
-    * orderings exactly. At 100 TB, assignment is one narrow distributed
-    * pass against broadcast centroids and the lists are a bucketed table;
-    * here the collected candidate array doubles as the lists.
+    * orderings exactly.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    val all = collectVecs(embeddings, bits = 0)
-    val cents = all.filter(_.id < nCentroids)
-    def nearestCids(v: Array[Double], n: Double, take: Int): Seq[Long] =
-      cents.map(c => (dotJ(v, c.v) / (n * c.norm), c.id))
-        .sortBy { case (s, cid) => (-s, cid) }.take(take).map(_._2).toSeq
-    val assigned: Map[Long, Array[Vec]] =
-      all.groupBy(v => nearestCids(v.v, v.norm, 1).head)
-    val bc = spark.sparkContext.broadcast((cents, assigned))
-    val out = graft.Tables.spread(embeddings).filter(queryPred)
-      .select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
-        val (cs, lists) = bc.value
+    val dim = dimOf(embeddings)
+    val cents = collectVecs(embeddings.filter(col("vec_id") < nCentroids), nCentroids)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    // One narrow distributed pass: each row -> its `take` nearest
+    // centroid ids (unrounded cosine, centroid-id tie-break), norm
+    // computed en route so the pair join needs only a dot product.
+    def assign(df: DataFrame, take: Int, p: String): DataFrame = {
+      val rows = df.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
+        val cs = bc.value
         it.flatMap { row =>
-          val id = row.getLong(0)
-          val d = row.getSeq[Float](1).toArray.map(_.toDouble)
-          var n2 = 0d; var i = 0
-          while (i < d.length) { n2 += d(i) * d(i); i += 1 }
-          val n = math.sqrt(n2)
-          val probes = cs.map(c => (dotJ(d, c.v) / (n * c.norm), c.id))
-            .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
-          probes.iterator
-            .flatMap(cid => lists.getOrElse(cid, Array.empty[Vec]).iterator)
-            .filter(_.id != id)
-            .map(c => (c.id, round6(dotJ(d, c.v) / (n * c.norm))))
-            .toSeq
-            .sortBy { case (cid, s) => (-s, cid) }
-            .take(k)
-            .zipWithIndex
-            .map { case ((cid, s), r) =>
-              org.apache.spark.sql.Row(id, cid, s, r + 1)
+          val v = toVec(row)
+          cs.map(c => (dotJ(v.v, c.v) / (v.norm * c.norm), c.id))
+            .sortBy { case (s, cid) => (-s, cid) }.take(take)
+            .map { case (_, cid) =>
+              org.apache.spark.sql.Row(v.id, row.getSeq[Float](1), v.norm, cid)
             }
         }
       }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
-      scoredSchema.fields :+ org.apache.spark.sql.types.StructField(
-        "rank", org.apache.spark.sql.types.IntegerType, nullable = false)))
-      .withColumnRenamed("left_id", "query_id")
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(s"${p}_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(s"${p}_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)),
+        org.apache.spark.sql.types.StructField(s"${p}_nrm",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
+    val lists = assign(embeddings, 1, "c")
+    val probes = assign(
+      graft.Tables.spread(embeddings).filter(queryPred), nProbe, "q")
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
+        pairScore(dim).as("score"))
+    topK(scored, k)
   }
 
   /** Exact cosine near-duplicate pairs (id-oriented, thresholded) — the
     * embedding-space analogue of [[Dedup.jaccardNearDups]]. Brute force
-    * here; the scale path buckets first ([[signBucket]]) and verifies
-    * within buckets.
+    * (guarded broadcast); [[nearDupPairsBucketed]] is the scale path.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
-    kernelScores(graft.Tables.spread(embeddings), embeddings,
-      bits = 0, pairOriented = true)
+    kernelScores(graft.Tables.spread(embeddings), embeddings, pairOriented = true)
       .withColumnRenamed("left_id", "id_a")
       .withColumnRenamed("cand_id", "id_b")
       .filter(col("score") >= threshold)

@@ -95,7 +95,7 @@ object EventQueries {
 
     "events_json" ->
       """SELECT event_type, count(*) AS cnt,
-        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

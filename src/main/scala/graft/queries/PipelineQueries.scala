@@ -64,6 +64,11 @@ object PipelineQueries {
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 0.4).orderBy("id_a", "id_b")),
 
+    // Scale path: co-bucket equi-join candidates, exact verify — the
+    // embedding analogue of dedup_jaccard_capped's capped/exact split.
+    "embed_neardup_bucketed" -> ((s, dir) =>
+      Similarity.nearDupPairsBucketed(emb(s, dir), 0.4).orderBy("id_a", "id_b")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir)).orderBy("doc_id")),
 
@@ -296,6 +301,15 @@ object PipelineQueries {
          |s AS (
          |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($cosSql, 6) AS score
          |  FROM e q, e c WHERE q.vec_id < c.vec_id)
+         |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_neardup_bucketed" ->
+      s"""WITH eb AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($cosSql, 6) AS score
+         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
          |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "multimodal_features" ->

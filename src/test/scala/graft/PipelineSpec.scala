@@ -109,6 +109,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("bucketed near-dup pairs: subset of exact with identical scores") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    val bucketed = Similarity.nearDupPairsBucketed(emb, 0.4)
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (pair, s) =>
+      assert(exact.get(pair).contains(s), s"pair $pair not in exact or score drifted")
+    }
+  }
+
+  test("sign-LSH top-k matches brute force restricted to the query bucket") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val lsh = Similarity.signLshTopK(emb, col("vec_id") < 20, 3)
+      .select("query_id", "cand_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 1000)
+      .select("query_id", "cand_id", "score").as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, c, s) =>
+      assert(exact.get((q, c)).contains(s), s"($q,$c) score drifted from exact")
+    }
+  }
+
   test("IVF probes only nearest inverted lists and ranks deterministically") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 3)
