@@ -35,11 +35,16 @@ object TableDiff {
     *                   analogue, `config.toml:21`)
     * @param range      free-form SQL row restriction, both sides
     *                   (`my_database_users.toml:46`, default "1 = 1")
-    * @param hashBuckets when set, chunk by md5-hash bucket of the FULL PK
-    *                   instead of leading-column ranges — the composite /
-    *                   non-numeric PK fallback (SURVEY.md §7.4). Hash
-    *                   chunks have no contiguous range predicate, so the
-    *                   row pass always uses the semi-join / flat tiers.
+    * @param hashBuckets when set, chunk by md5-hash bucket of the row
+    *                   fingerprint instead of leading-column ranges — the
+    *                   composite / non-numeric PK fallback (SURVEY.md
+    *                   §7.4). Hash chunks have no contiguous range
+    *                   predicate, so the row pass always uses the
+    *                   semi-join / flat tiers. Size the bucket count WELL
+    *                   ABOVE the expected number of drifted rows (so most
+    *                   buckets stay clean and the semi-join actually
+    *                   prunes — VERDICT r03 #2): at 100 TB with
+    *                   replication-lag-sized drift, 2^16..2^20 buckets.
     */
   case class DiffSpec(
       pkCols: Seq[String],
@@ -53,8 +58,8 @@ object TableDiff {
   /** Chunk-id expression for a side under the spec's chunking mode. */
   private def chunkCol(df: DataFrame, spec: DiffSpec): Column =
     spec.hashBuckets match {
-      case Some(b) => Canonical.chunkIdHash(
-        spec.pkCols.map(c => (col(c), df.schema(c).dataType)), b)
+      case Some(b) =>
+        Canonical.chunkIdFromFp(Canonical.fingerprint48(fpCols(df)), b)
       case None => Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth)
     }
 
@@ -65,10 +70,20 @@ object TableDiff {
     * (row EQUALITY elsewhere uses the full 128-bit lane — see
     * [[graft.functions.Canonical]] collision discipline).
     */
-  def withFingerprint(df: DataFrame, spec: DiffSpec): DataFrame =
-    df.filter(expr(spec.range))
-      .withColumn("chunk_id", chunkCol(df, spec))
+  def withFingerprint(df: DataFrame, spec: DiffSpec): DataFrame = {
+    val base = df.filter(expr(spec.range))
       .withColumn("row_fp", Canonical.fingerprint48(fpCols(df)))
+    spec.hashBuckets match {
+      // hash mode: ONE md5 per row serves both the checksum lane and the
+      // chunk id (VERDICT r03 #2 — the chunk id derives from row_fp, not
+      // from a second digest of the PK serial)
+      case Some(b) =>
+        base.withColumn("chunk_id", Canonical.chunkIdFromFp(col("row_fp"), b))
+      case None =>
+        base.withColumn("chunk_id",
+          Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth))
+    }
+  }
 
   /** Per-chunk (row count, commutative checksum). One shuffle; partial agg
     * happens map-side (HashAggregateExec partial/final).
@@ -129,6 +144,19 @@ object TableDiff {
       .map { case (lo, hi) => col(spec.chunkBy).between(lo, hi) }
       .reduce(_ || _)
 
+  /** Semi-join one side down to the given (bad) chunk ids — the phase-2
+    * prune tier for chunkings with no contiguous range predicate. Public
+    * so the prune's effectiveness is assertable in specs: with buckets ≫
+    * drift, this scans FEWER rows than the flat join would.
+    */
+  def pruneToChunks(df: DataFrame, ids: Seq[Long], spec: DiffSpec): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idDf = ids.toDF("__bad_chunk_id")
+    df.join(broadcast(idDf),
+      chunkCol(df, spec) === col("__bad_chunk_id"), "left_semi")
+  }
+
   /** Phase-2 row-level full-outer diff restricted to bad chunks.
     *
     * Output: PK columns (coalesced), diff_kind in
@@ -178,13 +206,7 @@ object TableDiff {
     } else if (ids.length <= spec.maxBroadcastChunks) {
       // Moderate drift: broadcast the id list (local relation — no
       // recompute of phase 1) and semi-join both sides on chunk_id.
-      val spark = up.sparkSession
-      import spark.implicits._
-      val idDf = ids.toDF("__bad_chunk_id")
-      def semi(df: DataFrame): DataFrame =
-        df.join(broadcast(idDf),
-          chunkCol(df, spec) === col("__bad_chunk_id"), "left_semi")
-      join(semi(up), semi(down))
+      join(pruneToChunks(up, ids, spec), pruneToChunks(down, ids, spec))
     } else {
       // Pervasive drift: pruning would keep ~everything; the flat
       // full-table row join is cheaper than a giant broadcast.

@@ -74,10 +74,13 @@ object CoreQueries {
 
     // Same comparison under hash-bucket chunking (composite/non-numeric
     // PK fallback, SURVEY.md §7.4) — the diff must be chunking-invariant,
-    // so the oracle is row_diff's.
+    // so the oracle is row_diff's. Buckets ≫ drifted rows (~200 at
+    // sf0.1), so most buckets stay clean and the phase-2 semi-join
+    // actually prunes (VERDICT r03 #2 — 64 buckets degenerated to a
+    // flat join with pure phase-1 overhead).
     "row_diff_hashchunk" -> ((s, dir) =>
       TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)),
-        ordSpec.copy(hashBuckets = Some(64))).orderBy("o_orderkey")),
+        ordSpec.copy(hashBuckets = Some(4096))).orderBy("o_orderkey")),
 
     "fix_sql" -> ((s, dir) =>
       FixSql.fromRowDiff(rowDiffDf(s, dir), "orders", ordSpec.pkCols)

@@ -72,6 +72,24 @@ class TableDiffSpec extends SparkSpec {
     assert(!TableDiff.badChunks(orders, down, spec.copy(hashBuckets = Some(16))).isEmpty)
   }
 
+  test("hash-bucket pruning skips clean buckets (buckets >> drift)") {
+    val down = Perturb.ordersDownstream(orders)
+    val hSpec = spec.copy(hashBuckets = Some(4096))
+    val bad = TableDiff.badChunks(orders, down, hSpec)
+      .select("chunk_id").collect().map(_.getLong(0)).toSeq
+    val diffRows = TableDiff.rowDiff(orders, down, hSpec).count()
+    // each drifted row dirties at most 2 buckets (its up/down versions
+    // can land in different fp-derived buckets)
+    assert(bad.nonEmpty && bad.length <= 2 * diffRows)
+    // the phase-2 semi-join tier scans strictly fewer rows than the flat
+    // join would (VERDICT r03 #2: with buckets ~ drift this degenerated)
+    val scanned = TableDiff.pruneToChunks(orders, bad, hSpec).count()
+    assert(scanned < orders.count() / 5,
+      s"prune kept $scanned of ${orders.count()} rows — not pruning")
+    // ...while still keeping every drifted upstream row
+    assert(scanned >= diffRows / 2)
+  }
+
   test("range predicate restricts both sides") {
     val down = Perturb.ordersDownstream(orders)
     val half = spec.copy(range = "o_orderkey % 2 = 0")
