@@ -192,6 +192,43 @@ object Dedup {
     graft.Tables.spread(docs)
       .select(col("doc_id"), simhash16(col("text")).as("simhash"))
 
+  /** SimHash near-duplicate pairs — the phase-2 pairing the signature
+    * exists for (VERDICT r03 #3): candidate pairs agree exactly on at
+    * least one of `bands` contiguous `bandBits`-bit slices of the
+    * signature (an equi-join on (band_id, band_key) — the shuffle key is
+    * a few bits, never the document), then popcount of the XOR verifies
+    * Hamming distance <= maxHamming.
+    *
+    * By pigeonhole the banding is LOSSLESS for maxHamming < bands (a
+    * pair differing in fewer bits than there are bands leaves some band
+    * untouched), so with the defaults the result EQUALS the exact
+    * all-pairs answer — same shape as [[minhashNearDups]]'s band->verify
+    * split. The 16-bit/4-band configuration matches [[simhash16]]'s
+    * fixture-sized signature; a 100 TB corpus uses a 64-bit signature
+    * with 8 bands of 8 bits (identical plan shape).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4, bandBits: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is lossless only for maxHamming < bands ($maxHamming >= $bands)")
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id"), col("band.band_key"))
+    banded.as("a").join(banded.as("b"), Seq("band_id", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ------------------------------------------- exact n-gram Jaccard join
 
   /** Exact all-pairs n-gram Jaccard >= threshold via a shingle inverted

@@ -21,6 +21,11 @@ object Orchestrate {
     * @param keyedSpecs   diff spec per table with a usable unique PK;
     *                     tables absent here fall back to the keyless
     *                     multiset diff ([[HashDiff]])
+    * @param structOnly   the reference's `check-struct-only` mode
+    *                     (`my_database_users.toml:11`): compare schemas
+    *                     only and SKIP the data stage entirely — no data
+    *                     summary job runs; data_result reads "skipped"
+    *                     and counts are 0 (never computed)
     */
   def runAll(
       spark: SparkSession,
@@ -29,6 +34,7 @@ object Orchestrate {
       downstream: (String, DataFrame) => DataFrame,
       keyedSpecs: Map[String, TableDiff.DiffSpec],
       tableParallelism: Int = 1,
+      structOnly: Boolean = false,
       onProgress: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
 
     val tables = Discover.discover(spark, dir, checkSql)
@@ -46,18 +52,20 @@ object Orchestrate {
       val up = Tables.load(spark, dir, table)
       val down = downstream(table, up)
       val structOk = StructDiff.equivalent(up.schema, down.schema)
-      val (upN, downN, bad) = keyedSpecs.get(table) match {
-        case Some(spec) =>
-          val r = TableDiff.summary(up, down, spec).collect()(0)
-          (r.getLong(0), r.getLong(1), r.getLong(2))
-        case None =>
-          val r = HashDiff.summary(up, down).collect()(0)
-          (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+      // struct-only short-circuits BEFORE any data action: schema
+      // comparison is metadata-only, so no Spark job touches table data
+      val (upN, downN, dataRes) =
+        if (structOnly) (0L, 0L, "skipped")
+        else {
+          val r = (keyedSpecs.get(table) match {
+            case Some(spec) => TableDiff.summary(up, down, spec)
+            case None => HashDiff.summary(up, down)
+          }).collect()(0)
+          (r.getLong(0), r.getLong(1),
+            if (r.getLong(2) > 0) "diff" else "ok")
+        }
       val rep = Report.TableReport(table,
-        if (structOk) "ok" else "diff",
-        if (bad > 0) "diff" else "ok",
-        upN, downN)
+        if (structOk) "ok" else "diff", dataRes, upN, downN)
       tick()
       rep
     }

@@ -41,10 +41,19 @@ object CoreQueries {
     val orders = ord(s, dir)
     val lineitem = li(s, dir)
     def verdict(bad: Long) = if (bad > 0) "diff" else "ok"
-    val o = TableDiff.summary(orders, Perturb.ordersDownstream(orders), ordSpec)
-      .collect()(0)
-    val l = HashDiff.summary(lineitem, Perturb.lineitemDownstream(lineitem))
-      .collect()(0)
+    // The two per-table summaries are independent single-row actions —
+    // run them concurrently (Spark actions are thread-safe on one
+    // session) instead of serially (VERDICT r03 #9).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val of = Future(
+      TableDiff.summary(orders, Perturb.ordersDownstream(orders), ordSpec)
+        .collect()(0))
+    val lf = Future(
+      HashDiff.summary(lineitem, Perturb.lineitemDownstream(lineitem))
+        .collect()(0))
+    val (o, l) = Await.result(of.zip(lf),
+      scala.concurrent.duration.Duration.Inf)
     Report.withTotal(Report.toDF(s, Seq(
       Report.TableReport("lineitem", "ok", verdict(l.getLong(2)),
         l.getLong(0), l.getLong(1)),
@@ -81,6 +90,30 @@ object CoreQueries {
     "row_diff_hashchunk" -> ((s, dir) =>
       TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)),
         ordSpec.copy(hashBuckets = Some(4096))).orderBy("o_orderkey")),
+
+    // P6 `range` — the reference's user-facing row restriction applied to
+    // BOTH sides before chunking/diffing (`my_database_users.toml:46`).
+    "row_diff_range" -> ((s, dir) =>
+      TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)),
+        ordSpec.copy(range = "o_orderkey % 2 = 0")).orderBy("o_orderkey")),
+
+    // S3/S7/F12 round-trip: write reference-shaped summary.txt artifacts
+    // (two runs per table, timestamp-style run ids), then ingest them
+    // back — latest-run selection + verdict/row parse must reproduce the
+    // newest run exactly (`step3_run_syncdiff.sh:157-218`).
+    "summary_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_summaries_").toString
+      ReportIngest.writeSummaries(Seq(
+        Report.TableReport("users", "ok", "ok", 900L, 900L),
+        Report.TableReport("audit_log", "ok", "diff", 400L, 395L)),
+        base, "20240101_120000")
+      ReportIngest.writeSummaries(Seq(
+        Report.TableReport("users", "ok", "diff", 1000L, 998L),
+        Report.TableReport("audit_log", "diff", "ok", 420L, 420L)),
+        base, "20240105_093000")
+      ReportIngest.ingestSummaries(s, base).orderBy("table_name")
+    }),
 
     "fix_sql" -> ((s, dir) =>
       FixSql.fromRowDiff(rowDiffDf(s, dir), "orders", ordSpec.pkCols)
@@ -128,10 +161,13 @@ object CoreQueries {
   private val liDownCte = s"lidown AS (${Perturb.lineitemDownstreamSql})"
   private val oDownCte = s"odown AS (${Perturb.ordersDownstreamSql})"
 
-  private val rowDiffCte =
+  /** Row-diff CTE with the P6 `range` predicate applied to BOTH sides —
+    * mirror of `DiffSpec.range` (`my_database_users.toml:46`).
+    */
+  private def rowDiffCteWhere(range: String) =
     s"""$oDownCte,
-       |u AS (SELECT o_orderkey, $oFp AS up_fp, $oSqlVals AS up_vals FROM orders),
-       |dd AS (SELECT o_orderkey, $oFp AS down_fp FROM odown),
+       |u AS (SELECT o_orderkey, $oFp AS up_fp, $oSqlVals AS up_vals FROM orders WHERE $range),
+       |dd AS (SELECT o_orderkey, $oFp AS down_fp FROM odown WHERE $range),
        |rd AS (
        |  SELECT COALESCE(u.o_orderkey, dd.o_orderkey) AS o_orderkey,
        |         CASE WHEN dd.down_fp IS NULL THEN 'missing_on_down'
@@ -140,6 +176,8 @@ object CoreQueries {
        |         u.up_fp, dd.down_fp, u.up_vals
        |  FROM u FULL OUTER JOIN dd ON u.o_orderkey = dd.o_orderkey
        |  WHERE dd.down_fp IS NULL OR u.up_fp IS NULL OR u.up_fp <> dd.down_fp)""".stripMargin
+
+  private val rowDiffCte = rowDiffCteWhere("1 = 1")
 
   private[queries] lazy val manifestCteSql: String = manifestCte
 
@@ -189,6 +227,21 @@ object CoreQueries {
     "row_diff_hashchunk" ->
       s"""WITH $rowDiffCte
          |SELECT * FROM rd ORDER BY o_orderkey""".stripMargin,
+
+    "row_diff_range" ->
+      s"""WITH ${rowDiffCteWhere("o_orderkey % 2 = 0")}
+         |SELECT * FROM rd ORDER BY o_orderkey""".stripMargin,
+
+    // The round-trip's expected relation is the NEWEST run's reports as
+    // the lossy summary.txt artifact preserves them: the verdict phrase
+    // encodes only overall equivalence, so a structure-diff run reads
+    // back data_result='diff' (faithful to step3's parse).
+    "summary_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('audit_log', 'diff', 'diff', CAST(420 AS BIGINT), CAST(420 AS BIGINT)),
+        |  ('users', 'ok', 'diff', CAST(1000 AS BIGINT), CAST(998 AS BIGINT)))
+        |  AS t(table_name, structure, data_result, upcount, downcount)
+        |ORDER BY table_name""".stripMargin,
 
     "fix_sql" ->
       s"""WITH $rowDiffCte

@@ -42,6 +42,13 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
+    // Banded candidates + popcount verify; lossless for d=1 < 4 bands,
+    // so the oracle is the exact all-pairs Hamming join. d=1: the 16-bit
+    // fixture signature saturates (25% of ALL pairs sit within d=3 at
+    // sf0.01), so only the tightest radius is a meaningful near-dup set.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), 1).orderBy("doc_a", "doc_b")),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
 
@@ -215,6 +222,16 @@ object PipelineQueries {
          |  list_transform(string_split(text, ' '), x -> ${h48("x")}) AS hs FROM documents)
          |SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), x -> ${h48("x")}) AS hs FROM documents),
+         |s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $toksCte,

@@ -75,6 +75,19 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1f, 0f, 0f, 0f), 1))
     .toDF("vec_id", "embedding", "label")
 
+  test("simhash banded pairing equals exact all-pairs Hamming (lossless for d < bands)") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+    val banded = Dedup.simhashPairs(docs, 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect()
+    val exact = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == exact)
+    assert(exact.nonEmpty, "fixture should contain close simhash pairs")
+  }
+
   test("cosine: identity 1, orthogonal 0, opposite -1") {
     val out = vecs.as("a").join(vecs.as("b"))
       .select(col("a.vec_id"), col("b.vec_id"),

@@ -140,6 +140,29 @@ class OrchestrateSpec extends SparkSpec {
     assert(Report.exitCode(rep) == 1)
   }
 
+  test("check-struct-only skips the data stage entirely") {
+    // downstream whose DATA is poisoned (any row-level action throws) but
+    // whose schema is intact: struct-only must succeed — proof no data
+    // job ran — while the full run fails on the first data action
+    def poisoned(table: String, up: org.apache.spark.sql.DataFrame) = {
+      val boom = org.apache.spark.sql.functions.udf { (_: Long) =>
+        throw new IllegalStateException("data stage ran"); 0L
+      }
+      val pk = up.columns.head
+      up.withColumn(pk, boom(org.apache.spark.sql.functions.col(pk)))
+        .select(up.columns.map(org.apache.spark.sql.functions.col): _*)
+    }
+    val rep = Orchestrate.runAll(spark, sfDir,
+      Discover.defaultCheckSql(500), poisoned, Map.empty, structOnly = true)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(rep.nonEmpty)
+    assert(rep.filter(_._1 != "TOTAL").forall(r => r._2 == "skipped" && r._3 == 0L))
+    intercept[Exception] {
+      Orchestrate.runAll(spark, sfDir,
+        Discover.defaultCheckSql(500), poisoned, Map.empty).collect()
+    }
+  }
+
   test("parallel table execution matches serial") {
     val specs = Map(
       "orders" -> TableDiff.DiffSpec(Seq("o_orderkey"), "o_orderkey", 500))
