@@ -69,6 +69,31 @@ object Similarity {
   def dimOf(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).head().getInt(0)
 
+  /** Scale-derived sign-LSH bit count: the bit length of
+    * (corpusCount - 1) / targetBucket, clamped to [1, 16] — i.e. the
+    * smallest b whose 2^b buckets keep the expected bucket near
+    * `targetBucket` rows, so co-bucket join work stays ~N*targetBucket
+    * instead of growing (N/2^fixedBits)^2 (VERDICT r03 #7: a fixed 6
+    * bits = 64 buckets goes quadratic past ~10^7 vectors). Integer-only
+    * bit-length arithmetic on purpose: the DuckDB oracle mirrors it as
+    * LENGTH(BIN((n-1) // target)) with no float-log parity risk. The
+    * 16-bit clamp bounds the unrolled [[signBucket]] expression; past
+    * 2^16 * targetBucket vectors, add independent hyperplane bands (as
+    * [[Dedup.minhashNearDups]] does) rather than more bits.
+    */
+  def deriveBits(corpusCount: Long, targetBucket: Long = 1000L): Int = {
+    val k = math.max(corpusCount - 1, 0L) / targetBucket
+    math.min(16, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(k)))
+  }
+
+  /** True iff `df` has at most `cap` rows, decided by a bounded count
+    * (limit cap+1 — never a full count of an unbounded relation). Guards
+    * every query/probe-side broadcast: a broad queryPred must degrade to
+    * a shuffled join, not a driver OOM (ADVICE r03).
+    */
+  private def fitsBroadcast(df: DataFrame, cap: Int): Boolean =
+    df.limit(cap + 1).count() <= cap
+
   /** Sign-LSH bucket id: `bits` sign bits of the leading dimensions. */
   def signBucket(e: Column, bits: Int): Column =
     (0 until bits).map { i =>
@@ -180,15 +205,21 @@ object Similarity {
     * collect, and the scoring projection is whole-stage codegen'd.
     */
   def signLshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-                  bits: Int = 6): DataFrame = {
+                  bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
+    val b = bits.getOrElse(deriveBits(embeddings.count()))
     def side(df: DataFrame, p: String): DataFrame =
       withNorm(df, dim).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
-        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), bits).as(s"${p}_bucket"))
-    val q = side(embeddings.filter(queryPred), "q")
+        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), b).as(s"${p}_bucket"))
+    val qBase = embeddings.filter(queryPred)
+    val q = side(qBase, "q")
     val c = side(embeddings, "c")
-    val scored = c.join(broadcast(q),
+    // queryPred is small by contract, but the contract is guarded: a
+    // broad predicate drops the hint and Catalyst plans a shuffled
+    // bucket join instead of broadcasting the corpus (ADVICE r03)
+    val qRel = if (fitsBroadcast(qBase, MaxBroadcastVecs)) broadcast(q) else q
+    val scored = c.join(qRel,
         col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
         pairScore(dim).as("score"))
@@ -205,12 +236,13 @@ object Similarity {
     * precision is exact.
     */
   def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
-                           bits: Int = 6): DataFrame = {
+                           bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
+    val b = bits.getOrElse(deriveBits(embeddings.count()))
     def side(p: String): DataFrame =
       withNorm(embeddings, dim).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
-        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), bits).as(s"${p}_bucket"))
+        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), b).as(s"${p}_bucket"))
     side("q").join(side("c"),
         col("q_bucket") === col("c_bucket") && col("q_id") < col("c_id"))
       .select(col("q_id").as("id_a"), col("c_id").as("id_b"),
@@ -274,9 +306,14 @@ object Similarity {
     }
 
     val lists = assign(embeddings, 1, "c")
-    val probes = assign(
-      graft.Tables.spread(embeddings).filter(queryPred), nProbe, "q")
-    val scored = lists.join(broadcast(probes), Seq("cid"))
+    val probeBase = graft.Tables.spread(embeddings).filter(queryPred)
+    val probes = assign(probeBase, nProbe, "q")
+    // same guard as signLshTopK: a broad queryPred must not broadcast
+    // the corpus-with-embeddings to every executor (ADVICE r03)
+    val probeRel =
+      if (fitsBroadcast(probeBase, MaxBroadcastVecs)) broadcast(probes)
+      else probes
+    val scored = lists.join(probeRel, Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
         pairScore(dim).as("score"))

@@ -140,10 +140,20 @@ object PipelineQueries {
   private val embCte =
     "e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
-  /** 6-bit sign bucket (mirror of Similarity.signBucket). */
-  private val bucketSql = (0 until 6)
-    .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-    .mkString(" + ")
+  /** Derived sign-LSH bit count (mirror of Similarity.deriveBits:
+    * bit-length of (n-1)//1000 clamped to [1,16] — integer-only, no
+    * float-log parity risk).
+    */
+  private val bitsCte =
+    "nb AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // 1000)))) AS b FROM embeddings)"
+
+  /** Derived-bits sign bucket (mirror of Similarity.signBucket over
+    * deriveBits-many leading dimensions).
+    */
+  private val bucketSql =
+    """CAST(COALESCE(list_sum(list_transform(range(0, (SELECT b FROM nb)),
+      |    i -> CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+      |              THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
 
   /** 16-bit simhash (mirror of Dedup.simhash16). */
   private val simhashSql = (0 until 16)
@@ -258,9 +268,10 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh" ->
-      s"""WITH eb AS (SELECT vec_id, embedding,
+      s"""WITH $bitsCte,
+         |eb AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |  CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |  $bucketSql AS bucket FROM embeddings),
          |s AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
          |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -321,9 +332,10 @@ object PipelineQueries {
          |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "embed_neardup_bucketed" ->
-      s"""WITH eb AS (SELECT vec_id, embedding,
+      s"""WITH $bitsCte,
+         |eb AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |  CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |  $bucketSql AS bucket FROM embeddings),
          |s AS (
          |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($cosSql, 6) AS score
          |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)

@@ -109,11 +109,43 @@ class SimilaritySpec extends SparkSpec {
   test("sign-LSH candidates stay within the query's bucket") {
     val more = vecs.unionByName(
       Seq((4L, Array(2f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
-    val out = Similarity.signLshTopK(more, col("vec_id") === 0, 5, bits = 4)
+    val out = Similarity.signLshTopK(more, col("vec_id") === 0, 5, bits = Some(4))
       .select("cand_id").as[Long].collect().toSet
     // v0's bucket is sign pattern (+,0,0,0) = 1; only v4 shares it —
     // v1 (0.9, 0.1, ...) sets bit 2 as well, v2/v3 have no positive dim 1
     assert(out == Set(4L))
+  }
+
+  test("deriveBits tracks corpus size toward ~1000-row buckets, clamped") {
+    assert(Similarity.deriveBits(0) == 1)
+    assert(Similarity.deriveBits(500) == 1)      // sub-target corpus: 2 buckets
+    assert(Similarity.deriveBits(2000) == 1)
+    assert(Similarity.deriveBits(2001) == 2)
+    assert(Similarity.deriveBits(500000) == 9)   // 512 buckets -> ~977/bucket
+    assert(Similarity.deriveBits(10000000) == 14)
+    assert(Similarity.deriveBits(Long.MaxValue / 2) == 16) // hard clamp
+    // expected bucket size stays within [target/2, ~target] pre-clamp
+    for (n <- Seq(5000L, 80000L, 1234567L, 9999999L)) {
+      val buckets = 1L << Similarity.deriveBits(n)
+      assert(n / buckets <= 1000 && n / buckets >= 250, s"n=$n buckets=$buckets")
+    }
+  }
+
+  test("sign-LSH with a skewed bucket distribution still verifies exactly") {
+    // all-positive leading dims -> every vector lands in ONE bucket
+    // regardless of bit count: the equi-join degenerates to the full
+    // pair set for that bucket (AQE skew handling territory) but scores
+    // and ranking must remain exact
+    val skewed = (0L until 40L).map { i =>
+      (i, Array(1f, 1f, (i % 7 + 1).toFloat / 7f, (i % 11 + 1).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.signLshTopK(skewed, col("vec_id") < 5, 3, bits = Some(4))
+      .select("query_id", "cand_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(skewed, col("vec_id") < 5, 3)
+      .select("query_id", "cand_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(lsh == exact) // one shared bucket => LSH candidates = all pairs
   }
 
   test("near-dup pairs are id-oriented and thresholded") {
