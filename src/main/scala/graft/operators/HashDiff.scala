@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
   * Scale posture: one groupBy(fingerprint) shuffle per side with map-side
   * partial counts, then an equi-join on the fingerprint — both shuffles
   * hash-partition on the same key, so AQE coalesces and no re-shuffle
-  * happens for the join. Output is bounded by the drift size.
+  * happens for the join. The shuffled key is the 16-byte BINARY md5, not
+  * its 32-char hex rendering (2.5x narrower per row at 100 TB — VERDICT
+  * r03 #8); hex is restored only on the drift-bounded output. Sample
+  * payloads never ride the full-table shuffle: the count pass groups bare
+  * fingerprints, and payloads are re-derived in a second pass that is
+  * semi-join-filtered down to the (drift-bounded) differing fingerprints
+  * first — the same bounded-broadcast posture as TableDiff's bad-chunk
+  * list.
   *
   * Multiset membership is decided on the FULL 128-bit md5 fingerprint
   * (collision discipline, [[graft.functions.Canonical]]) — this keyless
@@ -27,47 +34,53 @@ import org.apache.spark.sql.functions._
   */
 object HashDiff {
 
-  private def counted(df: DataFrame, cnt: String, vals: Option[String]): DataFrame = {
-    val cols = df.schema.fields.toSeq.map(f => (col(f.name), f.dataType))
-    val keyed = df.select(
-      Canonical.fingerprint(cols).as("row_fp") +:
-        vals.map(_ => Canonical.serialCsv(cols).as("vals")).toSeq: _*)
-    vals match {
-      case Some(v) => keyed.groupBy("row_fp")
-        .agg(count(lit(1)).as(cnt), min(col("vals")).as(v))
-      case None => keyed.groupBy("row_fp").agg(count(lit(1)).as(cnt))
-    }
-  }
+  private def fpCols(df: DataFrame) =
+    df.schema.fields.toSeq.map(f => (col(f.name), f.dataType))
 
-  /** @param withVals carry a sample serialized payload per fingerprint —
-    *   needed by the drill-down diff, pure overhead (a second full
-    *   serialization + wide shuffle) for the count-only summary
-    */
-  private def joined(up: DataFrame, down: DataFrame, withVals: Boolean): DataFrame =
-    counted(up, "up_cnt", if (withVals) Some("up_vals") else None)
-      .join(counted(down, "down_cnt", if (withVals) Some("down_vals") else None),
-        Seq("row_fp"), "full_outer")
+  /** (fp BINARY(16), count) for one side — the narrow count pass. */
+  private def counted(df: DataFrame, cnt: String): DataFrame =
+    df.select(unhex(Canonical.fingerprint(fpCols(df))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as(cnt))
+
+  private def joined(up: DataFrame, down: DataFrame): DataFrame =
+    counted(up, "up_cnt")
+      .join(counted(down, "down_cnt"), Seq("fp"), "full_outer")
       .withColumn("up_cnt", coalesce(col("up_cnt"), lit(0L)))
       .withColumn("down_cnt", coalesce(col("down_cnt"), lit(0L)))
 
   /** Multiset diff of two homologous tables: rows whose fingerprint
-    * multiplicity differs. Output: row_fp, up_cnt, down_cnt (0 when
-    * absent), sample serial payload from whichever side has the row.
+    * multiplicity differs. Output: row_fp (lowercase hex), diff_kind,
+    * up_cnt, down_cnt (0 when absent), sample serial payload from
+    * whichever side has the row.
     */
-  def diff(up: DataFrame, down: DataFrame): DataFrame =
-    joined(up, down, withVals = true)
-      .filter(col("up_cnt") =!= col("down_cnt"))
+  def diff(up: DataFrame, down: DataFrame): DataFrame = {
+    val diffs = joined(up, down).filter(col("up_cnt") =!= col("down_cnt"))
+
+    // Payload pass: re-derive the serialized row ONLY for fingerprints
+    // already known to differ. The broadcast is bounded by the drift
+    // size — rows with equal fingerprints serialize identically, so one
+    // min() sample per fp equals the per-side min/coalesce the oracle
+    // computes.
+    def sideVals(df: DataFrame): DataFrame =
+      df.select(unhex(Canonical.fingerprint(fpCols(df))).as("fp"),
+        Canonical.serialCsv(fpCols(df)).as("vals"))
+    val samples = sideVals(up).unionByName(sideVals(down))
+      .join(broadcast(diffs.select("fp")), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min(col("vals")).as("vals"))
+
+    diffs.join(samples, Seq("fp"), "left")
       .withColumn("diff_kind",
         when(col("up_cnt") > col("down_cnt"), lit("missing_on_down"))
           .otherwise(lit("extra_on_down")))
-      .withColumn("vals", coalesce(col("up_vals"), col("down_vals")))
-      .select("row_fp", "diff_kind", "up_cnt", "down_cnt", "vals")
+      .select(lower(hex(col("fp"))).as("row_fp"),
+        col("diff_kind"), col("up_cnt"), col("down_cnt"), col("vals"))
+  }
 
   /** One-pass summary (both row counts + differing-fingerprint tally) for
     * the report stage — avoids re-running the diff per verdict/count.
     */
   def summary(up: DataFrame, down: DataFrame): DataFrame =
-    joined(up, down, withVals = false).agg(
+    joined(up, down).agg(
       sum(col("up_cnt")).as("upcount"),
       sum(col("down_cnt")).as("downcount"),
       sum(when(col("up_cnt") =!= col("down_cnt"), 1L).otherwise(0L))
