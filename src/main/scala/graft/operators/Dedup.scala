@@ -132,7 +132,11 @@ object Dedup {
   /** LSH banding: (doc_id, band_id, band_key) rows, band_key = md5 of the
     * comma-joined lanes of that band. bands*rowsPerBand lanes total.
     */
-  def lshBands(docs: DataFrame, bands: Int, rowsPerBand: Int, w: Int = 3): DataFrame = {
+  def lshBands(docs: DataFrame, bands: Int, rowsPerBand: Int, w: Int = 3): DataFrame =
+    lshBandsFrom(shingleKernel(docs, w), bands, rowsPerBand)
+
+  /** [[lshBands]] over an existing [[shingleKernel]] relation. */
+  def lshBandsFrom(sk: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignature(col("hb"), bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -140,8 +144,7 @@ object Dedup {
           sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*))
           .as("band_key"))
     }
-    shingleKernel(docs, w)
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    sk.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
 
@@ -153,14 +156,25 @@ object Dedup {
     * pairs back to shingle sets, exact Jaccard, threshold filter.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
-                      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val b = lshBands(docs, bands, rowsPerBand)
+                      bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashNearDupsFrom(shingleKernel(docs), threshold, bands, rowsPerBand)
+
+  /** [[minhashNearDups]] over an existing [[shingleKernel]] relation —
+    * the signature-reuse surface (VERDICT r03 #10): the shingle kernel is
+    * the dominant narrow cost shared by the minhash and jaccard paths, so
+    * a composed pipeline run materializes it ONCE (caller-owned
+    * persist/checkpoint — the engine never hides a persist, ADVICE r01)
+    * and feeds both `*From` variants.
+    */
+  def minhashNearDupsFrom(sk: DataFrame, threshold: Double,
+                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBandsFrom(sk, bands, rowsPerBand)
     val cand = b.as("a")
       .join(b.as("b"), Seq("band_id", "band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val sh = withShingles(docs)
+    val sh = sk.select(col("doc_id"), col("sh"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -252,11 +266,18 @@ object Dedup {
     *   None = exact.
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double,
-                      maxBucket: Option[Int]): DataFrame = {
+                      maxBucket: Option[Int]): DataFrame =
+    jaccardNearDupsFrom(shingleKernel(docs), threshold, maxBucket)
+
+  /** [[jaccardNearDups]] over an existing [[shingleKernel]] relation —
+    * see [[minhashNearDupsFrom]] for the signature-reuse contract.
+    */
+  def jaccardNearDupsFrom(sk: DataFrame, threshold: Double,
+                          maxBucket: Option[Int]): DataFrame = {
     // postings carry the raw shingle string: at this shingle length the
     // string is barely wider than a hash, and skipping the per-posting
     // digest keeps the explode stage cheap (the join result is identical)
-    val allPostings = withShingles(docs)
+    val allPostings = sk
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("sh_n"),
         explode(col("sh")).as("sh_h"))
     val sh = maxBucket.fold(allPostings) { cap =>

@@ -75,6 +75,23 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1f, 0f, 0f, 0f), 1))
     .toDF("vec_id", "embedding", "label")
 
+  test("composed dedup runs share one materialized signature relation") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(150)
+    val sk = Dedup.shingleKernel(docs).persist() // caller-owned, as per contract
+    try {
+      val mhFrom = Dedup.minhashNearDupsFrom(sk, 0.5)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val mhDirect = Dedup.minhashNearDups(docs, 0.5)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(mhFrom == mhDirect)
+      val jcFrom = Dedup.jaccardNearDupsFrom(sk, 0.5, None)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val jcDirect = Dedup.jaccardNearDups(docs, 0.5)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(jcFrom == jcDirect)
+    } finally sk.unpersist()
+  }
+
   test("simhash banded pairing equals exact all-pairs Hamming (lossless for d < bands)") {
     val docs = Tables.load(spark, sfDir, "documents").limit(120)
     val banded = Dedup.simhashPairs(docs, 3)
