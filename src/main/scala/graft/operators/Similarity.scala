@@ -108,9 +108,40 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding"),
       normN(col("embedding"), dim).as("nrm"))
 
-  /** Rounded pair score between aliased sides (`q`/`c` prefix columns). */
-  private def pairScore(dim: Int): Column =
-    round(dotN(col("q_emb"), col("c_emb"), dim) / (col("q_nrm") * col("c_nrm")), 6)
+  /** Score candidate-pair rows in a partition-local kernel loop.
+    *
+    * Input columns (by position): q_id, q_emb, q_nrm, c_id, c_emb,
+    * c_nrm — the equi-join output. Output: (left_id, cand_id, score)
+    * with score = round6(dot/(|q||c|)), optionally pre-filtered.
+    *
+    * Why a kernel and not a `round(dotN(...)/...)` projection: a 64-dim
+    * unrolled dot is a ~500-node expression; placed after (or worse,
+    * pushed INTO the condition of) the pair join it overflows
+    * whole-stage codegen and Catalyst silently evaluates it
+    * interpreted, at ~40 us/pair instead of ~0.1 us (ADVICE r03 —
+    * ann_lsh's r3 regression, reproduced on embed_neardup_bucketed in
+    * r4 plan audits: the threshold filter pushes the full dot tree into
+    * the BroadcastHashJoin condition). Candidate GENERATION stays a
+    * declarative equi-join; only the per-pair arithmetic is fused —
+    * SURVEY.md §7.3's sanctioned last resort, same determinism contract
+    * as [[kernelScores]] (left-to-right double fold + round6).
+    */
+  private def scorePairs(cand: DataFrame, minScore: Option[Double]): DataFrame = {
+    val spark = cand.sparkSession
+    val rows = cand.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val q = r.getSeq[Float](1); val c = r.getSeq[Float](4)
+        var s = 0d; var i = 0
+        val n = q.length
+        while (i < n) { s += q(i).toDouble * c(i).toDouble; i += 1 }
+        val score = round6(s / (r.getDouble(2) * r.getDouble(5)))
+        if (minScore.forall(score >= _))
+          Some(org.apache.spark.sql.Row(r.getLong(0), r.getLong(3), score))
+        else None
+      }
+    }
+    spark.createDataFrame(rows, scoredSchema)
+  }
 
   // ------------------------------------------------ fused kernel internals
 
@@ -219,10 +250,11 @@ object Similarity {
     // broad predicate drops the hint and Catalyst plans a shuffled
     // bucket join instead of broadcasting the corpus (ADVICE r03)
     val qRel = if (fitsBroadcast(qBase, MaxBroadcastVecs)) broadcast(q) else q
-    val scored = c.join(qRel,
+    val cand = c.join(qRel,
         col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
-      .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
-        pairScore(dim).as("score"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+    val scored = scorePairs(cand, None).withColumnRenamed("left_id", "query_id")
     topK(scored, k)
   }
 
@@ -235,19 +267,29 @@ object Similarity {
     * patterns differ (mirrors the LSH trade the minhash path makes);
     * precision is exact.
     */
+  /** Pair mining pays ~bucketSize^2 per bucket (BOTH sides are the
+    * corpus), unlike top-k's queries x bucketSize, so its derived
+    * buckets target ~250 rows instead of [[deriveBits]]'s 1000 — total
+    * candidate work ~N*250 with 4x less quadratic headroom per bucket.
+    */
+  val PairMiningTargetBucket: Long = 250L
+
   def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
                            bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
-    val b = bits.getOrElse(deriveBits(embeddings.count()))
+    val b = bits.getOrElse(
+      deriveBits(embeddings.count(), PairMiningTargetBucket))
     def side(p: String): DataFrame =
       withNorm(embeddings, dim).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
         col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), b).as(s"${p}_bucket"))
-    side("q").join(side("c"),
+    val cand = side("q").join(side("c"),
         col("q_bucket") === col("c_bucket") && col("q_id") < col("c_id"))
-      .select(col("q_id").as("id_a"), col("c_id").as("id_b"),
-        pairScore(dim).as("score"))
-      .filter(col("score") >= threshold)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+    scorePairs(cand, Some(threshold))
+      .withColumnRenamed("left_id", "id_a")
+      .withColumnRenamed("cand_id", "id_b")
   }
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
@@ -313,10 +355,11 @@ object Similarity {
     val probeRel =
       if (fitsBroadcast(probeBase, MaxBroadcastVecs)) broadcast(probes)
       else probes
-    val scored = lists.join(probeRel, Seq("cid"))
+    val cand = lists.join(probeRel, Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
-        pairScore(dim).as("score"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+    val scored = scorePairs(cand, None).withColumnRenamed("left_id", "query_id")
     topK(scored, k)
   }
 

@@ -141,11 +141,12 @@ object PipelineQueries {
     "e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
   /** Derived sign-LSH bit count (mirror of Similarity.deriveBits:
-    * bit-length of (n-1)//1000 clamped to [1,16] — integer-only, no
-    * float-log parity risk).
+    * bit-length of (n-1)//target clamped to [1,16] — integer-only, no
+    * float-log parity risk). Target 1000 for top-k probing; 250 for
+    * pair mining (mirror of Similarity.PairMiningTargetBucket).
     */
-  private val bitsCte =
-    "nb AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // 1000)))) AS b FROM embeddings)"
+  private def bitsCte(target: Long) =
+    s"nb AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // $target)))) AS b FROM embeddings)"
 
   /** Derived-bits sign bucket (mirror of Similarity.signBucket over
     * deriveBits-many leading dimensions).
@@ -268,7 +269,7 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh" ->
-      s"""WITH $bitsCte,
+      s"""WITH ${bitsCte(1000)},
          |eb AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |  $bucketSql AS bucket FROM embeddings),
@@ -332,7 +333,7 @@ object PipelineQueries {
          |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "embed_neardup_bucketed" ->
-      s"""WITH $bitsCte,
+      s"""WITH ${bitsCte(Similarity.PairMiningTargetBucket)},
          |eb AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |  $bucketSql AS bucket FROM embeddings),
