@@ -102,14 +102,20 @@ object ReportIngest {
       max(col("run_id")).over(Window.partitionBy("table_name")))
       .filter(col("run_id") === col("max_run"))
 
+    // P9 numeric guard: foreign artifacts can carry junk in the count
+    // fields; guard with an explicit integer shape check -> NULL (a bare
+    // cast throws under ANSI mode, and silently-zero would be worse)
+    def guardedLong(c: org.apache.spark.sql.Column) =
+      when(c.rlike("^-?\\d+$"), c.cast(LongType))
+
     latest.select(
       col("table_name"),
       trim(element_at(split(col("data_row"), "\\|"), 2)).as("structure"),
       when(col("equivalent") === 1, lit("ok")).otherwise(lit("diff"))
         .as("data_result"),
-      trim(element_at(split(col("data_row"), "\\|"), 3)).cast(LongType)
+      guardedLong(trim(element_at(split(col("data_row"), "\\|"), 3)))
         .as("upcount"),
-      trim(element_at(split(col("data_row"), "\\|"), 4)).cast(LongType)
+      guardedLong(trim(element_at(split(col("data_row"), "\\|"), 4)))
         .as("downcount"))
   }
 }

@@ -112,7 +112,45 @@ object CoreQueries {
         Report.TableReport("users", "ok", "diff", 1000L, 998L),
         Report.TableReport("audit_log", "diff", "ok", 420L, 420L)),
         base, "20240105_093000")
+      // P9 numeric guards: a foreign tool's artifact with junk counts
+      // must ingest as NULLs, not crash or mis-parse
+      val corrupt = java.nio.file.Paths.get(base, "corrupt_counts_20240105_093000")
+      java.nio.file.Files.createDirectories(corrupt)
+      java.nio.file.Files.writeString(corrupt.resolve("summary.txt"),
+        "The upstream and downstream tables are different\n" +
+          "`corrupt_counts` | ok | NaN | twelve\n")
       ReportIngest.ingestSummaries(s, base).orderBy("table_name")
+    }),
+
+    // F13/A6/A7: the ASCII report line + unit-scaled totals as a
+    // relation — printf-style formatting must match the oracle's printf
+    // exactly (field widths, alignment, integer-division M scaling).
+    "report_lines" -> ((s, dir) =>
+      compareReport(s, dir)
+        .withColumn("line", format_string(
+          "| %-24s | %-9s | %-7s | %10d | %10d |",
+          col("table_name"), col("structure"), col("data_result"),
+          col("upcount"), col("downcount")))
+        .withColumn("scaled", format_string("up %dM down %dM",
+          expr("upcount div 1000000"), expr("downcount div 1000000")))
+        .select("table_name", "line", "scaled")
+        .orderBy(when(col("table_name") === "TOTAL", 1).otherwise(0),
+          col("table_name"))),
+
+    // F1/F2: base64 password decode with verbatim fallback
+    // (`step1_query_tables.sh:30-48`) — CLUSTERED rows carry valid
+    // base64, the rest a '*'-bearing plaintext no decoder accepts; the
+    // oracle derives the expected plaintext independently.
+    "config_b64" -> ((s, dir) => {
+      val dec = udf(graft.conf.EngineConf.decodePassword _)
+      Discover.manifest(s, dir)
+        .withColumn("raw_password",
+          when(col("pk_kind") === "CLUSTERED",
+            base64(encode(concat(lit("secret_"), col("table_name")), "UTF-8")))
+            .otherwise(concat(lit("plain*"), col("table_name"))))
+        .withColumn("password", dec(col("raw_password")))
+        .select("table_name", "raw_password", "password")
+        .orderBy("table_name")
     }),
 
     "fix_sql" -> ((s, dir) =>
@@ -187,6 +225,37 @@ object CoreQueries {
     s"manifest AS (${rows.mkString("\n  UNION ALL ")})"
   }
 
+  /** Shared CTE chain ending in `finalrep(table_name, structure,
+    * data_result, upcount, downcount)` — the compare_report relation
+    * including the TOTAL row; compare_report and report_lines project it.
+    */
+  private lazy val compareReportBody =
+    s"""WITH $rowDiffCte,
+       |$liDownCte,
+       |lu AS (SELECT $liFp AS row_fp FROM lineitem),
+       |ld AS (SELECT $liFp AS row_fp FROM lidown),
+       |luc AS (SELECT row_fp, count(*) AS c FROM lu GROUP BY 1),
+       |ldc AS (SELECT row_fp, count(*) AS c FROM ld GROUP BY 1),
+       |lidiff AS (
+       |  SELECT 1 FROM luc FULL OUTER JOIN ldc ON luc.row_fp = ldc.row_fp
+       |  WHERE COALESCE(luc.c, 0) <> COALESCE(ldc.c, 0)),
+       |rep AS (
+       |  SELECT 'lineitem' AS table_name, 'ok' AS structure,
+       |         CASE WHEN EXISTS (SELECT 1 FROM lidiff) THEN 'diff' ELSE 'ok' END AS data_result,
+       |         (SELECT count(*) FROM lineitem) AS upcount,
+       |         (SELECT count(*) FROM lidown) AS downcount
+       |  UNION ALL
+       |  SELECT 'orders', 'ok',
+       |         CASE WHEN EXISTS (SELECT 1 FROM rd) THEN 'diff' ELSE 'ok' END,
+       |         (SELECT count(*) FROM orders), (SELECT count(*) FROM odown)),
+       |finalrep AS (
+       |  SELECT * FROM rep
+       |  UNION ALL
+       |  SELECT 'TOTAL',
+       |         CAST(SUM(CASE WHEN structure = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
+       |         CAST(SUM(CASE WHEN data_result = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
+       |         CAST(SUM(upcount) AS BIGINT), CAST(SUM(downcount) AS BIGINT) FROM rep)""".stripMargin
+
   private val discoverSelect =
     "SELECT schema_name, table_name FROM manifest WHERE table_rows > 5000 AND pk_kind = 'NONCLUSTERED'"
 
@@ -235,10 +304,12 @@ object CoreQueries {
     // The round-trip's expected relation is the NEWEST run's reports as
     // the lossy summary.txt artifact preserves them: the verdict phrase
     // encodes only overall equivalence, so a structure-diff run reads
-    // back data_result='diff' (faithful to step3's parse).
+    // back data_result='diff' (faithful to step3's parse), and junk
+    // counts ingest as NULLs (P9 numeric guards).
     "summary_roundtrip" ->
       """SELECT * FROM (VALUES
         |  ('audit_log', 'diff', 'diff', CAST(420 AS BIGINT), CAST(420 AS BIGINT)),
+        |  ('corrupt_counts', 'ok', 'diff', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
         |  ('users', 'ok', 'diff', CAST(1000 AS BIGINT), CAST(998 AS BIGINT)))
         |  AS t(table_name, structure, data_result, upcount, downcount)
         |ORDER BY table_name""".stripMargin,
@@ -286,30 +357,27 @@ object CoreQueries {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "compare_report" ->
-      s"""WITH $rowDiffCte,
-         |$liDownCte,
-         |lu AS (SELECT $liFp AS row_fp FROM lineitem),
-         |ld AS (SELECT $liFp AS row_fp FROM lidown),
-         |luc AS (SELECT row_fp, count(*) AS c FROM lu GROUP BY 1),
-         |ldc AS (SELECT row_fp, count(*) AS c FROM ld GROUP BY 1),
-         |lidiff AS (
-         |  SELECT 1 FROM luc FULL OUTER JOIN ldc ON luc.row_fp = ldc.row_fp
-         |  WHERE COALESCE(luc.c, 0) <> COALESCE(ldc.c, 0)),
-         |rep AS (
-         |  SELECT 'lineitem' AS table_name, 'ok' AS structure,
-         |         CASE WHEN EXISTS (SELECT 1 FROM lidiff) THEN 'diff' ELSE 'ok' END AS data_result,
-         |         (SELECT count(*) FROM lineitem) AS upcount,
-         |         (SELECT count(*) FROM lidown) AS downcount
-         |  UNION ALL
-         |  SELECT 'orders', 'ok',
-         |         CASE WHEN EXISTS (SELECT 1 FROM rd) THEN 'diff' ELSE 'ok' END,
-         |         (SELECT count(*) FROM orders), (SELECT count(*) FROM odown))
-         |SELECT * FROM (
-         |  SELECT * FROM rep
-         |  UNION ALL
-         |  SELECT 'TOTAL',
-         |         CAST(SUM(CASE WHEN structure = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
-         |         CAST(SUM(CASE WHEN data_result = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
-         |         CAST(SUM(upcount) AS BIGINT), CAST(SUM(downcount) AS BIGINT) FROM rep)
-         |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin)
+      s"""$compareReportBody
+         |SELECT * FROM finalrep
+         |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin,
+
+    "report_lines" ->
+      s"""$compareReportBody
+         |SELECT table_name,
+         |  printf('| %-24s | %-9s | %-7s | %10d | %10d |',
+         |         table_name, structure, data_result, upcount, downcount) AS line,
+         |  printf('up %dM down %dM', upcount // 1000000, downcount // 1000000) AS scaled
+         |FROM finalrep
+         |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin,
+
+    "config_b64" ->
+      s"""WITH $manifestCte
+         |SELECT table_name,
+         |  CASE WHEN pk_kind = 'CLUSTERED'
+         |       THEN to_base64(encode('secret_' || table_name))
+         |       ELSE 'plain*' || table_name END AS raw_password,
+         |  CASE WHEN pk_kind = 'CLUSTERED'
+         |       THEN 'secret_' || table_name
+         |       ELSE 'plain*' || table_name END AS password
+         |FROM manifest ORDER BY table_name""".stripMargin)
 }
