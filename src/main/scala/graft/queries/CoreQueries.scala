@@ -122,6 +122,50 @@ object CoreQueries {
       ReportIngest.ingestSummaries(s, base).orderBy("table_name")
     }),
 
+    // S3: the step1->step2 TSV handoff round-trip — write the discovery
+    // result as a TSV artifact, inject a client-warning leakage line (as
+    // real mysql-client output contains), read it back with warning
+    // lines dropped. Oracle = the discovery relation itself.
+    "table_list_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tablelist_").toString
+      ReportIngest.writeTableList(
+        Discover.discover(s, dir, Discover.defaultCheckSql(5000)), base)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "part-warning.csv"),
+        "mysql: [Warning] Using a password on the command line interface can be insecure.\n")
+      ReportIngest.readTableList(s, base).orderBy("table_name")
+    }),
+
+    // S2+F1: typed parse of the reference config surface — flat TOML
+    // subset, base64 password decode, plaintext fallback, defaulted
+    // thread_count. Oracle is the independently-known expected record.
+    "config_parse" -> ((s, dir) => {
+      import s.implicits._
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString("s3cret!".getBytes("UTF-8"))
+      val toml =
+        s"""# engine config
+           |[sources]
+           |master_ip = "10.0.0.1"
+           |master_port = 4000
+           |master_user = "root"
+           |master_password = "$b64"
+           |slave_ip = "10.0.0.2"
+           |slave_port = 3306
+           |slave_user = "reader"
+           |slave_password = "plain*pw"
+           |check_sql = "SELECT schema_name, table_name FROM graft_manifest"
+           |chunk_size = 4096
+           |output_dir = "/tmp/out"
+           |""".stripMargin
+      val c = graft.conf.EngineConf.parse(toml)
+      Seq((c.master.host, c.master.port, c.master.user, c.master.password,
+        c.slave.user, c.slave.password, c.threadCount, c.chunkSize, c.outputDir))
+        .toDF("m_host", "m_port", "m_user", "m_password",
+          "s_user", "s_password", "thread_count", "chunk_size", "output_dir")
+    }),
+
     // F13/A6/A7: the ASCII report line + unit-scaled totals as a
     // relation — printf-style formatting must match the oracle's printf
     // exactly (field widths, alignment, integer-division M scaling).
@@ -369,6 +413,16 @@ object CoreQueries {
          |  printf('up %dM down %dM', upcount // 1000000, downcount // 1000000) AS scaled
          |FROM finalrep
          |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin,
+
+    "table_list_roundtrip" ->
+      s"WITH $manifestCte\n$discoverSelect ORDER BY table_name",
+
+    "config_parse" ->
+      """SELECT * FROM (VALUES
+        |  ('10.0.0.1', 4000, 'root', 's3cret!', 'reader', 'plain*pw',
+        |   8, CAST(4096 AS BIGINT), '/tmp/out'))
+        |  AS t(m_host, m_port, m_user, m_password, s_user, s_password,
+        |       thread_count, chunk_size, output_dir)""".stripMargin,
 
     "config_b64" ->
       s"""WITH $manifestCte
