@@ -79,6 +79,23 @@ object TextAnalysis {
       maxHits.as("hits"))
   }
 
+  /** Token counting for pipeline budgeting (north-star "token counting"):
+    * whitespace tokens, a BPE-ish pre-tokenizer count (letter runs, digit
+    * runs, single punctuation marks — the GPT-2 pre-tokenizer shape
+    * reduced to an engine-portable character-class regex), and the
+    * classic chars/4 estimate (integer arithmetic, so the oracle needs no
+    * float ceil). One narrow codegen'd projection.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast(LongType)
+        .as("bpe_tokens"),
+      expr("(length(text) + 3) div 4").cast(LongType).as("est_tokens"))
+  }
+
   /** Document fingerprints: the full-text md5 plus a winnowing-style
     * content fingerprint — the minimum 48-bit hash over all character
     * 8-grams (a rolling window of hashes reduced by min; robust to small

@@ -34,6 +34,9 @@ object PipelineQueries {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
 
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(docs(s, dir))).orderBy("text_md5")),
 
@@ -202,6 +205,13 @@ object PipelineQueries {
          |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
          |    i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")})) AS winnow_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $dupCorpusCte

@@ -232,6 +232,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha_ratio") == 1.0)
   }
 
+  test("tokenCounts: whitespace vs BPE-ish vs chars/4 estimate") {
+    val one = Seq((1L, "hello world42 x!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(one).collect()(0)
+    assert(r.getLong(1) == 3L) // ws: hello | world42 | x!
+    // bpe-ish: hello, world, 42, x, ! -> 5
+    assert(r.getLong(2) == 5L)
+    assert(r.getLong(3) == (16L + 3) / 4)
+  }
+
   test("langId guesses en on stopword evidence, und without") {
     val out = TextAnalysis.langId(docs)
       .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
