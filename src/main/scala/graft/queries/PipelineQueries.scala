@@ -52,6 +52,13 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 1).orderBy("doc_a", "doc_b")),
 
+    // 48-bit signature, 8 bands of 6 bits (lossless for d=3 < 8): the
+    // scale-width variant — random pairs sit ~24 bits apart, so d<=3
+    // selects genuine near-dups instead of 16-bit birthday collisions.
+    "dedup_simhash48_pairs" -> ((s, dir) =>
+      Dedup.simhashPairsOf(Dedup.simhash48(docs(s, dir)), 3, 8, 6)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
 
@@ -159,10 +166,14 @@ object PipelineQueries {
       |    i -> CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
       |              THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
 
-  /** 16-bit simhash (mirror of Dedup.simhash16). */
-  private val simhashSql = (0 until 16)
+  /** Majority-vote simhash over `hs` (mirror of Dedup.simhash16 /
+    * simhash48 at the given width).
+    */
+  private def simhashSqlBits(bits: Int): String = (0 until bits)
     .map(b => s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)")
     .mkString(" + ")
+
+  private val simhashSql = simhashSqlBits(16)
 
   private val dupCorpusCte =
     """corpus AS (
@@ -252,6 +263,16 @@ object PipelineQueries {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash48_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), x -> ${h48("x")}) AS hs FROM documents),
+         |s AS (SELECT doc_id, CAST(${simhashSqlBits(48)} AS BIGINT) AS simhash FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard" ->

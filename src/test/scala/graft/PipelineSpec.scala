@@ -92,6 +92,25 @@ class SimilaritySpec extends SparkSpec {
     } finally sk.unpersist()
   }
 
+  test("simhash48 kernel matches the declarative majority-vote definition") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    // declarative twin: simhash16's shape widened to 48 bits (interpreted
+    // HOFs — fine at 60 rows, the kernel exists because this is ~100x
+    // slower at corpus scale)
+    def h48c(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val hashes = transform(split(col("text"), " "), t => h48c(t))
+    val n = size(hashes)
+    val declarative = (0 until 48).map { b =>
+      when(size(filter(hashes, hv => pmod(shiftright(hv, b), lit(2)) === 1)) * 2 > n,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val expected = docs.select(col("doc_id"), declarative.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = Dedup.simhash48(docs).as[(Long, Long)].collect().toMap
+    assert(kernel == expected)
+  }
+
   test("simhash banded pairing equals exact all-pairs Hamming (lossless for d < bands)") {
     val docs = Tables.load(spark, sfDir, "documents").limit(120)
     val banded = Dedup.simhashPairs(docs, 3)
