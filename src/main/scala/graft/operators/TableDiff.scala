@@ -51,7 +51,7 @@ object TableDiff {
       chunkBy: String,
       chunkWidth: Long,
       range: String = "1 = 1",
-      maxPushdownChunks: Int = 256,
+      maxPushdownRanges: Int = 32,
       maxBroadcastChunks: Int = 100000,
       hashBuckets: Option[Int] = None)
 
@@ -127,6 +127,16 @@ object TableDiff {
   def badChunks(up: DataFrame, down: DataFrame, spec: DiffSpec): DataFrame =
     chunkJoin(up, down, spec).filter(col("is_bad")).drop("is_bad")
 
+  /** Bad chunk ids merged into maximal contiguous PK ranges. */
+  def mergedRanges(ids: Seq[Long], spec: DiffSpec): List[(Long, Long)] =
+    ids.sorted
+      .foldLeft[List[(Long, Long)]](Nil) { // merge adjacent chunk ranges
+        case ((lo, hi) :: rest, id) if id * spec.chunkWidth == hi + 1 =>
+          (lo, (id + 1) * spec.chunkWidth - 1) :: rest
+        case (acc, id) =>
+          (id * spec.chunkWidth, (id + 1) * spec.chunkWidth - 1) :: acc
+      }
+
   /** Pushed-down PK range predicate covering the given chunk ids: adjacent
     * chunks merge into one `BETWEEN`, so the parquet scan skips clean row
     * groups via min/max stats — the direct analogue of the reference's
@@ -134,13 +144,7 @@ object TableDiff {
     */
   def chunkRangePredicate(ids: Seq[Long], spec: DiffSpec): Column =
     if (ids.isEmpty) lit(false)
-    else ids.sorted
-      .foldLeft[List[(Long, Long)]](Nil) { // merge adjacent chunk ranges
-        case ((lo, hi) :: rest, id) if id * spec.chunkWidth == hi + 1 =>
-          (lo, (id + 1) * spec.chunkWidth - 1) :: rest
-        case (acc, id) =>
-          (id * spec.chunkWidth, (id + 1) * spec.chunkWidth - 1) :: acc
-      }
+    else mergedRanges(ids, spec)
       .map { case (lo, hi) => col(spec.chunkBy).between(lo, hi) }
       .reduce(_ || _)
 
@@ -197,10 +201,14 @@ object TableDiff {
       .limit(spec.maxBroadcastChunks + 1)
       .collect().map(_.getLong(0)).toSeq
 
-    if (ids.length <= spec.maxPushdownChunks && spec.hashBuckets.isEmpty) {
-      // Few bad chunks: pushed-down PK range predicate; the parquet scan
-      // prunes clean row groups via min/max stats. (Hash buckets have no
-      // contiguous ranges — they fall through to the semi-join tier.)
+    // The pushdown tier is gated on the count of MERGED ranges, not raw
+    // chunk ids: a big OR-of-BETWEEN over scattered singleton chunks
+    // costs more per scanned row than a broadcast hash semi-join and
+    // skips no row groups (plan-audited at sf0.1: ~190 scattered ranges
+    // benched slower than the semi tier). Few/contiguous ranges are the
+    // case where min/max stats actually prune IO.
+    lazy val ranges = mergedRanges(ids, spec)
+    if (spec.hashBuckets.isEmpty && ranges.length <= spec.maxPushdownRanges) {
       val pred = chunkRangePredicate(ids, spec)
       join(up.filter(pred), down.filter(pred))
     } else if (ids.length <= spec.maxBroadcastChunks) {
