@@ -108,39 +108,32 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding"),
       normN(col("embedding"), dim).as("nrm"))
 
-  /** Score candidate-pair rows in a partition-local kernel loop.
+  /** Score candidate-pair rows via the native codegen'd
+    * [[graft.functions.CosineScore]] expression.
     *
-    * Input columns (by position): q_id, q_emb, q_nrm, c_id, c_emb,
-    * c_nrm — the equi-join output. Output: (left_id, cand_id, score)
-    * with score = round6(dot/(|q||c|)), optionally pre-filtered.
+    * Input columns: q_id, q_emb, q_nrm, c_id, c_emb, c_nrm — the
+    * equi-join output. Output: (left_id, cand_id, score) with score =
+    * round6(dot/(|q||c|)), optionally threshold-filtered.
     *
-    * Why a kernel and not a `round(dotN(...)/...)` projection: a 64-dim
-    * unrolled dot is a ~500-node expression; placed after (or worse,
-    * pushed INTO the condition of) the pair join it overflows
-    * whole-stage codegen and Catalyst silently evaluates it
-    * interpreted, at ~40 us/pair instead of ~0.1 us (ADVICE r03 —
-    * ann_lsh's r3 regression, reproduced on embed_neardup_bucketed in
-    * r4 plan audits: the threshold filter pushes the full dot tree into
-    * the BroadcastHashJoin condition). Candidate GENERATION stays a
-    * declarative equi-join; only the per-pair arithmetic is fused —
-    * SURVEY.md §7.3's sanctioned last resort, same determinism contract
-    * as [[kernelScores]] (left-to-right double fold + round6).
+    * Why not a `round(dotN(...)/...)` projection: a 64-dim unrolled dot
+    * is a ~500-node expression; placed after (or worse, pushed INTO the
+    * condition of) the pair join it overflows whole-stage codegen and
+    * Catalyst silently evaluates it interpreted, at ~40 us/pair instead
+    * of ~0.1 us (ADVICE r03 — ann_lsh's r3 regression, reproduced on
+    * embed_neardup_bucketed in r4 plan audits). cosine_score is ONE
+    * expression node generating a tight primitive loop, so pair scoring
+    * stays declarative AND inside WholeStageCodegen — SURVEY.md §7.3
+    * ladder step (b), preferred over the mapPartitions kernel this
+    * replaced (which paid an InternalRow->Row conversion per pair).
+    * Same determinism contract as [[kernelScores]]: left-to-right
+    * double fold + HALF_UP round6.
     */
   private def scorePairs(cand: DataFrame, minScore: Option[Double]): DataFrame = {
-    val spark = cand.sparkSession
-    val rows = cand.rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        val q = r.getSeq[Float](1); val c = r.getSeq[Float](4)
-        var s = 0d; var i = 0
-        val n = q.length
-        while (i < n) { s += q(i).toDouble * c(i).toDouble; i += 1 }
-        val score = round6(s / (r.getDouble(2) * r.getDouble(5)))
-        if (minScore.forall(score >= _))
-          Some(org.apache.spark.sql.Row(r.getLong(0), r.getLong(3), score))
-        else None
-      }
-    }
-    spark.createDataFrame(rows, scoredSchema)
+    graft.functions.CosineScore.register(cand.sparkSession)
+    val scored = cand.select(
+      col("q_id").as("left_id"), col("c_id").as("cand_id"),
+      expr("cosine_score(q_emb, c_emb, q_nrm, c_nrm)").as("score"))
+    minScore.fold(scored)(t => scored.filter(col("score") >= t))
   }
 
   // ------------------------------------------------ fused kernel internals

@@ -152,6 +152,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set(4L))
   }
 
+  test("cosine_score expression: codegen value parity, nulls, idempotent registration") {
+    graft.functions.CosineScore.register(spark)
+    graft.functions.CosineScore.register(spark) // second call must no-op
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.6f)))
+      .toDF("a", "b")
+      .withColumn("na", sqrt(Similarity.dot(col("a"), col("a"))))
+      .withColumn("nb", sqrt(Similarity.dot(col("b"), col("b"))))
+    val viaExpr = df.selectExpr("cosine_score(a, b, na, nb)")
+      .as[Double].collect().toSeq
+    // twin: the interpreted HOF fold + Spark round — same contract
+    val viaHof = df.select(
+      round(Similarity.dot(col("a"), col("b")) / (col("na") * col("nb")), 6))
+      .as[Double].collect().toSeq
+    assert(viaExpr == viaHof)
+    // null-intolerant: any null input -> null output, no NPE
+    val withNull = spark.sql(
+      "SELECT cosine_score(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)), 1.0D, 1.0D) AS s")
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
   test("deriveBits tracks corpus size toward ~1000-row buckets, clamped") {
     assert(Similarity.deriveBits(0) == 1)
     assert(Similarity.deriveBits(500) == 1)      // sub-target corpus: 2 buckets
