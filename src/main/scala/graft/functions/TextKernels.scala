@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd per-row text-digest expressions — the declarative
+  * replacement for the engine's earlier `mapPartitions` digest kernels
+  * (SURVEY.md §7.3 ladder step (b), same upgrade as
+  * [[CosineScore]]): one expression node per row generating a static
+  * call with a tight digest loop, so the signature stages stay NARROW
+  * projections inside whole-stage codegen with no RDD boundary and no
+  * InternalRow->Row conversion.
+  *
+  * All hashes are md5-derived, first-6-bytes-as-long (the same value as
+  * `Canonical.hex48(md5(x))`), so every result is reproducible by the
+  * DuckDB oracle. MessageDigest instances are thread-local (generated
+  * code runs one task per thread).
+  */
+object TextKernels {
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 48 bits of md5(utf8 bytes) as a big-endian long. */
+  def h48(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  private val spacePat = java.util.regex.Pattern.compile(" ")
+
+  /** shingle_hashes(text, w): distinct word w-gram shingles +
+    * their 48-bit base hashes — (sh array<string>, hb array<long>).
+    * Semantics identical to the declarative `Dedup.shingles` form:
+    * split-on-space with limit -1, underscore join, first-occurrence
+    * distinct.
+    */
+  def shingleHashes(text: UTF8String, w: Int): InternalRow = {
+    val toks = spacePat.split(text.toString, -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length >= w) {
+      var i = 0
+      while (i <= toks.length - w) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < w) { sb.append('_').append(toks(i + k)); k += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val sh = seen.toArray(new Array[String](0))
+    val hb = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hb(i) = h48(sh(i).getBytes("UTF-8")); i += 1 }
+    new GenericInternalRow(Array[Any](
+      ArrayData.toArrayData(sh.map(UTF8String.fromString)),
+      ArrayData.toArrayData(hb)))
+  }
+
+  /** simhash48(text): majority-vote 48-bit SimHash over the token
+    * multiset (bit b set iff more than half the token h48 hashes have
+    * bit b set).
+    */
+  def simhash48(text: UTF8String): Long = {
+    val toks = spacePat.split(text.toString, -1)
+    val counts = new Array[Int](48)
+    toks.foreach { t =>
+      val h = h48(t.getBytes("UTF-8"))
+      var b = 0
+      while (b < 48) { if (((h >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) { if (2 * counts(b) > toks.length) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** winnow_fp(text): minimum h48 over all character 8-grams (windows
+    * capped at the string end), floor 1 window — the winnowing content
+    * fingerprint.
+    */
+  def winnowFp(text: UTF8String): Long = {
+    val s = text.toString
+    val n = math.max(s.length - 7, 1)
+    var minFp = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val fp = h48(s.substring(i, math.min(i + 8, s.length)).getBytes("UTF-8"))
+      if (fp < minFp) minFp = fp
+      i += 1
+    }
+    minFp
+  }
+
+  // ------------------------------------------------- expression nodes
+
+  abstract class TextKernelExpr extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+  }
+
+  case class ShingleHashesExpr(child: Expression, w: Int) extends TextKernelExpr {
+    override def prettyName: String = "shingle_hashes"
+    override def dataType: DataType = StructType(Seq(
+      StructField("sh", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("hb", ArrayType(LongType, containsNull = false), nullable = false)))
+    override protected def nullSafeEval(t: Any): Any =
+      shingleHashes(t.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.shingleHashes($c, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class Simhash48Expr(child: Expression) extends TextKernelExpr {
+    override def prettyName: String = "simhash48"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(t: Any): Any =
+      simhash48(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash48($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class WinnowFpExpr(child: Expression) extends TextKernelExpr {
+    override def prettyName: String = "winnow_fp"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(t: Any): Any =
+      winnowFp(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnowFp($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------ registration
+
+  private def literalInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private val registrations: Seq[(FunctionIdentifier, Seq[Expression] => Expression)] = Seq(
+    FunctionIdentifier("shingle_hashes") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 2, s"shingle_hashes(text, w) expects 2 args, got ${cs.length}")
+      ShingleHashesExpr(cs.head, literalInt(cs(1), "w"))
+    },
+    FunctionIdentifier("simhash48") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 1, s"simhash48(text) expects 1 arg, got ${cs.length}")
+      Simhash48Expr(cs.head)
+    },
+    FunctionIdentifier("winnow_fp") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 1, s"winnow_fp(text) expects 1 arg, got ${cs.length}")
+      WinnowFpExpr(cs.head)
+    })
+
+  /** Idempotently register all text-kernel functions on a session (same
+    * runtime-registry rationale as [[CosineScore.register]]).
+    */
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    registrations.foreach { case (ident, builder) =>
+      if (!fr.functionExists(ident)) {
+        fr.registerFunction(ident,
+          new ExpressionInfo(TextKernels.getClass.getName, ident.funcName),
+          builder)
+      }
+    }
+  }
+}

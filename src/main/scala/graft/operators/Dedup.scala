@@ -38,58 +38,25 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Kernel twin of [[shingles]] + per-shingle 48-bit md5 base hash, one
-    * typed pass per partition: (doc_id, sh: array<string>, hb: array<long>).
+  /** Digest twin of [[shingles]] + per-shingle 48-bit md5 base hash as
+    * ONE narrow projection: (doc_id, sh: array<string>, hb: array<long>).
     *
-    * Why a kernel: Catalyst evaluates higher-order-function lambdas
-    * interpreted, and a digest per element through that path measures
-    * ~2 ms/doc (10+ s at sf0.1) vs ~10 us/doc in a plain JVM loop. The
-    * relational structure (explode, band join, verify join, aggregates)
-    * stays declarative; only the per-row scalar loop is fused —
-    * SURVEY.md §7.3's sanctioned last resort. Semantics are exactly
-    * [[shingles]]: Spark's split regex with limit -1, w-gram underscore
-    * join, first-occurrence distinct; hb(i) = first 6 md5 bytes of
-    * sh(i), the same value as Canonical.hex48(md5(s)).
+    * Backed by the native codegen'd `shingle_hashes` expression
+    * ([[graft.functions.TextKernels]]): Catalyst evaluates
+    * higher-order-function lambdas interpreted, and a digest per element
+    * through that path measures ~2 ms/doc (10+ s at sf0.1) vs ~10 us/doc
+    * in the expression's generated loop — and unlike the earlier
+    * `mapPartitions` kernel this stays inside whole-stage codegen with
+    * no RDD boundary (SURVEY.md §7.3 ladder step (b)). Semantics are
+    * exactly [[shingles]]: split-on-space with limit -1, w-gram
+    * underscore join, first-occurrence distinct; hb(i) = first 6 md5
+    * bytes of sh(i), the same value as Canonical.hex48(md5(s)).
     */
   def shingleKernel(docs: DataFrame, w: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    val rows = graft.Tables.spread(docs)
-      .select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val pat = java.util.regex.Pattern.compile(" ")
-        it.map { row =>
-          val toks = pat.split(row.getString(1), -1)
-          val seen = new java.util.LinkedHashSet[String]()
-          if (toks.length >= w) {
-            var i = 0
-            while (i <= toks.length - w) {
-              val sb = new java.lang.StringBuilder(toks(i))
-              var k = 1
-              while (k < w) { sb.append('_').append(toks(i + k)); k += 1 }
-              seen.add(sb.toString)
-              i += 1
-            }
-          }
-          val sh = seen.toArray(new Array[String](0))
-          val hb: Array[Long] = sh.map { s =>
-            md.reset()
-            val d = md.digest(s.getBytes("UTF-8"))
-            ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-              ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-              ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-          }
-          org.apache.spark.sql.Row(row.getLong(0), sh.toSeq, hb.toSeq)
-        }
-      }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("sh",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType, containsNull = false)),
-      org.apache.spark.sql.types.StructField("hb",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, containsNull = false)))))
+    graft.functions.TextKernels.register(docs.sparkSession)
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), expr(s"shingle_hashes(text, $w)").as("s"))
+      .select(col("doc_id"), col("s.sh").as("sh"), col("s.hb").as("hb"))
   }
 
   /** doc_id + distinct shingle set. */
@@ -213,39 +180,16 @@ object Dedup {
     * iff more than half the token 48-bit md5 hashes (same value as
     * [[h48]]) have bit b set.
     *
-    * Fused as a typed kernel: 48 interpreted HOF filter passes per row
-    * (the [[simhash16]] declarative shape scaled up) measures ~100x
-    * slower than one digest loop — same rationale as [[shingleKernel]],
+    * Backed by the native codegen'd `simhash48` expression
+    * ([[graft.functions.TextKernels]]): 48 interpreted HOF filter passes
+    * per row (the [[simhash16]] declarative shape scaled up) measures
+    * ~100x slower than the expression's one generated digest loop —
     * identical values to the declarative form (spec-checked).
     */
   def simhash48(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val rows = graft.Tables.spread(docs)
-      .select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val pat = java.util.regex.Pattern.compile(" ")
-        it.map { row =>
-          val toks = pat.split(row.getString(1), -1)
-          val counts = new Array[Int](48)
-          toks.foreach { t =>
-            md.reset()
-            val d = md.digest(t.getBytes("UTF-8"))
-            val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-              ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-              ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-            var b = 0
-            while (b < 48) { if (((h >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
-          }
-          var sig = 0L; var b = 0
-          while (b < 48) { if (2 * counts(b) > toks.length) sig |= 1L << b; b += 1 }
-          org.apache.spark.sql.Row(row.getLong(0), sig)
-        }
-      }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("simhash",
-        org.apache.spark.sql.types.LongType, nullable = false))))
+    graft.functions.TextKernels.register(docs.sparkSession)
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), expr("simhash48(text)").as("simhash"))
   }
 
   /** SimHash near-duplicate pairs — the phase-2 pairing the signature

@@ -102,46 +102,19 @@ object TextAnalysis {
     * edits anywhere outside the minimizing window). Narrow per-row
     * compute; the 8-gram array never leaves the row.
     *
-    * Fused as a typed kernel (one digest loop per row) for the same
-    * reason as [[Dedup.shingleKernel]]: a digest per 8-gram through
-    * Catalyst's interpreted lambda path is ~20x slower. Values are
-    * identical to the declarative form
-    * `array_min(transform(sequence(1, greatest(len-7, 1)),
-    * i -> hex48(md5(substring(text, i, 8)))))`.
+    * Backed by the native codegen'd `winnow_fp` expression
+    * ([[graft.functions.TextKernels]]): a digest per 8-gram through
+    * Catalyst's interpreted lambda path is ~20x slower than the
+    * expression's generated loop, and the projection stays narrow inside
+    * whole-stage codegen (no RDD boundary). Values are identical to the
+    * declarative form `array_min(transform(sequence(1, greatest(len-7,
+    * 1)), i -> hex48(md5(substring(text, i, 8)))))`.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val rows = graft.Tables.spread(docs)
-      .select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def digest(s: String): Array[Byte] = {
-          md.reset(); md.digest(s.getBytes("UTF-8"))
-        }
-        def h48(d: Array[Byte]): Long =
-          ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-            ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-            ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-        it.map { row =>
-          val text = row.getString(1)
-          val full = digest(text).map("%02x".format(_)).mkString
-          val n = math.max(text.length - 7, 1)
-          var minFp = Long.MaxValue
-          var i = 0
-          while (i < n) {
-            // SQL substring(text, i+1, 8): capped at string end
-            val fp = h48(digest(text.substring(i, math.min(i + 8, text.length))))
-            if (fp < minFp) minFp = fp
-            i += 1
-          }
-          org.apache.spark.sql.Row(row.getLong(0), full, minFp)
-        }
-      }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("text_md5",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("winnow_fp",
-        org.apache.spark.sql.types.LongType, nullable = false))))
+    graft.functions.TextKernels.register(docs.sparkSession)
+    graft.Tables.spread(docs).select(
+      col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      expr("winnow_fp(text)").as("winnow_fp"))
   }
 }
