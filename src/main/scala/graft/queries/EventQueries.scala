@@ -58,6 +58,21 @@ object EventQueries {
         .orderBy("table_name")
     }),
 
+    // Skew-salted two-phase aggregation must be SEMANTICS-INVARIANT:
+    // the oracle is the plain GROUP BY. Summed value is the canonical
+    // money integer (round(value*100) as bigint) — integer partial sums
+    // re-combine exactly, which is WHY the engine's checksum lanes are
+    // integral (float sums would drift under salting).
+    "events_salted_agg" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("value_c", expr("CAST(round(value * 100) AS BIGINT)"))
+      graft.functions.Salt.saltedSum(e, "event_type", "value_c", 8)
+        .withColumnRenamed("sum", "value_sum")
+        .join(graft.functions.Salt.saltedCount(e, "event_type", 8),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Broadcast-join revenue rollup (small dims broadcast; exact decimal
     // revenue for deterministic top-k).
     "q3_segment_revenue" -> ((s, dir) => {
@@ -121,6 +136,12 @@ object EventQueries {
          |  WHERE d.schema_name = o.schema_name AND d.table_name = o.table_name)
          |ORDER BY o.table_name""".stripMargin
     },
+
+    "events_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q3_segment_revenue" ->
       """SELECT o_orderkey,
