@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
   *    distributed pass and probe×list pairing is an equi-join on the
   *    centroid id.
   *
-  * Scoring stays inside whole-stage codegen: [[dotN]] unrolls the dot
-  * product to a flat expression over the statically-probed dimension, so
-  * the per-pair work after the join is codegen'd arithmetic — no
-  * interpreted array lambdas ([[dot]]) in the hot path, and no
-  * BroadcastNestedLoopJoin (the planner's non-codegen fallback for
-  * non-equi pair predicates) anywhere: every pairing above is an
-  * equi-join.
+  * Scoring stays inside whole-stage codegen: per-pair work after every
+  * join is the native [[graft.functions.CosineScore]] expression (one
+  * generated static call with a primitive loop) — no interpreted array
+  * lambdas ([[dot]]) in the hot path, no dim-unrolled expression trees
+  * that overflow codegen (ADVICE r03), and no BroadcastNestedLoopJoin
+  * (the planner's non-codegen fallback for non-equi pair predicates)
+  * anywhere: every pairing above is an equi-join. [[dotN]]/[[normN]]
+  * remain for the once-per-ROW norm projection, where the unrolled form
+  * is small and codegen-friendly.
   *
   * Determinism/oracle contract: floats are promoted to double BEFORE any
   * arithmetic, sums fold left-to-right, and emitted scores round via

@@ -45,12 +45,15 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
-    // Banded candidates + popcount verify; lossless for d=1 < 4 bands,
+    // Banded candidates + popcount verify; lossless for d=1 < 2 bands,
     // so the oracle is the exact all-pairs Hamming join. d=1: the 16-bit
     // fixture signature saturates (25% of ALL pairs sit within d=3 at
     // sf0.01), so only the tightest radius is a meaningful near-dup set.
+    // 2 bands of 8 bits (not 4x4): band selectivity is 2^bandBits, and
+    // d=1 only needs 2 bands — ~30x fewer candidate rows than 4x4.
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), 1).orderBy("doc_a", "doc_b")),
+      Dedup.simhashPairs(docs(s, dir), 1, bands = 2, bandBits = 8)
+        .orderBy("doc_a", "doc_b")),
 
     // 48-bit signature, 8 bands of 6 bits (lossless for d=3 < 8): the
     // scale-width variant — random pairs sit ~24 bits apart, so d<=3
