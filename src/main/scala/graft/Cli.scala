@@ -61,6 +61,7 @@ object Cli {
       }
       val report = Orchestrate.runAll(spark, dir, c.checkSql,
         (_, up) => up, specs, tableParallelism = c.threadCount,
+        structOnly = c.structOnly,
         onProgress = (d, n, pct) => println(s"progress: $d/$n ($pct%)"))
       println(Report.render(report))
       Report.exitCode(report)

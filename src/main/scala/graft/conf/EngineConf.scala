@@ -21,7 +21,11 @@ case class EngineConf(
     checkSql: String,
     threadCount: Int,
     chunkSize: Long,
-    outputDir: String)
+    outputDir: String,
+    /** Reference `check-struct-only` (`my_database_users.toml:11`):
+      * compare schemas only, skip the data stage entirely.
+      */
+    structOnly: Boolean = false)
 
 object EngineConf {
 
@@ -73,7 +77,9 @@ object EngineConf {
       checkSql = kv("check_sql"),
       threadCount = kv.getOrElse("thread_count", "8").toInt,
       chunkSize = kv.getOrElse("chunk_size", "5000").toLong,
-      outputDir = kv("output_dir"))
+      outputDir = kv("output_dir"),
+      structOnly = kv.getOrElse("check_struct_only",
+        kv.getOrElse("check-struct-only", "false")).toBoolean)
   }
 
   /** Per-table task-config rendering (SURVEY.md S4 — the `sed` template
@@ -84,7 +90,7 @@ object EngineConf {
     s"""# auto-generated diff task config
        |check-thread-count = ${conf.threadCount}
        |export-fix-sql = true
-       |check-struct-only = false
+       |check-struct-only = ${conf.structOnly}
        |
        |[data-sources.master]
        |host = "${conf.master.host}"

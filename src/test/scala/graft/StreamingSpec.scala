@@ -113,6 +113,15 @@ class EngineConfSpec extends SparkSpec {
     assert(c.master.masked.contains("****"))
   }
 
+  test("check_struct_only parses from either key spelling, defaults false") {
+    assert(!EngineConf.parse(toml).structOnly)
+    assert(EngineConf.parse(toml + "check_struct_only = \"true\"\n").structOnly)
+    assert(EngineConf.parse(toml + "check-struct-only = \"true\"\n").structOnly)
+    val t = EngineConf.renderTaskToml(
+      EngineConf.parse(toml + "check_struct_only = \"true\"\n"), "main", "orders", "r1")
+    assert(t.contains("check-struct-only = true"))
+  }
+
   test("task TOML renders per-table with run id") {
     val t = EngineConf.renderTaskToml(EngineConf.parse(toml), "main", "orders", "r1")
     assert(t.contains("target-check-tables = [\"main.orders\"]"))
