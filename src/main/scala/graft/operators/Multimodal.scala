@@ -82,6 +82,27 @@ object Multimodal {
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeFeatures(spark, withPayload(docs)).toDF()
 
+  /** Resize planning over decoded metadata: aspect-preserving fit into a
+    * `maxW` x `maxH` box with pure integer arithmetic (floor scaling,
+    * floor 1px) — the column-level half of a resize stage, oracle-exact.
+    * The pixel resample itself would run batch-wise in
+    * [[decodeFeatures]]'s seam; here the output dims ARE the contract a
+    * training pipeline consumes (bucketing by target shape, padding
+    * budgets). Narrow projection — no shuffle.
+    */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    features.select(
+      col("doc_id"), col("width"), col("height"),
+      when(col("width") * maxH <= col("height") * maxW,
+        greatest(expr(s"CAST(width * $maxH AS BIGINT) div height"), lit(1L))
+          .cast("int"))
+        .otherwise(maxW).as("out_w"),
+      when(col("width") * maxH <= col("height") * maxW, maxH)
+        .otherwise(
+          greatest(expr(s"CAST(height * $maxW AS BIGINT) div width"), lit(1L))
+            .cast("int"))
+        .as("out_h"))
+
   /** Frame-sampling plumbing for a (fake) video payload: split the blob
     * into fixed-size "frames" and keep every `stride`-th — the partition/
     * batch shape of real frame extraction, with the codec stubbed to byte

@@ -94,7 +94,13 @@ object PipelineQueries {
 
     "frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.withPayload(docs(s, dir)))
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Aspect-preserving resize planning into a 64x64 box over the decoded
+    // (stub) dims — pure integer arithmetic, mirrored exactly in SQL.
+    "image_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.features(s, docs(s, dir)), 64, 64)
+        .orderBy("doc_id")))
 
   // ---------------------------------------------------------------- oracle
 
@@ -385,6 +391,19 @@ object PipelineQueries {
          |  CAST(3 AS INTEGER) AS channels,
          |  (fp % 1000) / 1000.0 AS luminance
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "image_resize" ->
+      s"""WITH f AS (SELECT doc_id, text, ${h48("text")} AS fp FROM documents),
+         |d AS (SELECT doc_id,
+         |  CAST(16 + (fp % 240) AS INTEGER) AS width,
+         |  CAST(16 + ((fp // 240) % 240) AS INTEGER) AS height
+         |  FROM f)
+         |SELECT doc_id, width, height,
+         |  CAST(CASE WHEN width * 64 <= height * 64
+         |       THEN GREATEST((width * 64) // height, 1) ELSE 64 END AS INTEGER) AS out_w,
+         |  CAST(CASE WHEN width * 64 <= height * 64
+         |       THEN 64 ELSE GREATEST((height * 64) // width, 1) END AS INTEGER) AS out_h
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "frame_sample" ->
       s"""WITH t AS (SELECT doc_id, text,

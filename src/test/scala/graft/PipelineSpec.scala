@@ -317,6 +317,19 @@ class MultimodalSpec extends SparkSpec {
       Seq("doc_id", "byte_len", "width", "height", "channels", "luminance"))
   }
 
+  test("resize plan preserves aspect with integer floors and a 1px floor") {
+    import spark.implicits._
+    val dims = Seq((1L, 100, 50), (2L, 50, 100), (3L, 64, 64), (4L, 2000, 10))
+      .toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(dims, 64, 64)
+      .select("doc_id", "out_w", "out_h").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((64, 32)))  // wide: clamp width, floor height
+    assert(out(2L) == ((32, 64)))  // tall: clamp height, floor width
+    assert(out(3L) == ((64, 64)))  // exact fit
+    assert(out(4L) == ((64, 1)))   // extreme ratio floors to 1px, never 0
+  }
+
   test("frame sampling emits every stride-th full frame") {
     val media = Multimodal.withPayload(docs)
     val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 4)
