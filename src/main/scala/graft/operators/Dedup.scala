@@ -67,12 +67,16 @@ object Dedup {
 
   /** Exact duplicate groups over md5(text): canonical (min) doc_id per
     * duplicated text + multiplicity. One groupBy shuffle on the 128-bit
-    * hash — at 100 TB this is the standard first dedup pass.
+    * hash — at 100 TB this is the standard first dedup pass. The shuffle
+    * key is the 16-byte BINARY digest (hex restored only on the
+    * dup-bounded output), same width discipline as [[HashDiff]].
     */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("text_md5"))
+    docs.groupBy(unhex(md5(col("text"))).as("k"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+      .select(lower(hex(col("k"))).as("text_md5"),
+        col("canonical_doc_id"), col("dup_count"))
 
   // ----------------------------------------------------------- minhash
 
@@ -96,8 +100,10 @@ object Dedup {
     (0 until k).map(i =>
       coalesce(array_min(transform(baseHashes, h => laneMix(h, i))), lit(-1L)))
 
-  /** LSH banding: (doc_id, band_id, band_key) rows, band_key = md5 of the
-    * comma-joined lanes of that band. bands*rowsPerBand lanes total.
+  /** LSH banding: (doc_id, band_id, band_key) rows, band_key = md5 of
+    * the comma-joined lanes of that band, carried as 16-byte BINARY (the
+    * band self-join shuffles every posting on this key — half the width
+    * of the hex rendering; the key never appears in user output).
     */
   def lshBands(docs: DataFrame, bands: Int, rowsPerBand: Int, w: Int = 3): DataFrame =
     lshBandsFrom(shingleKernel(docs, w), bands, rowsPerBand)
@@ -107,8 +113,8 @@ object Dedup {
     val sig = minhashSignature(col("hb"), bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat_ws(",",
-          sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*))
+        unhex(md5(concat_ws(",",
+          sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*)))
           .as("band_key"))
     }
     sk.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
