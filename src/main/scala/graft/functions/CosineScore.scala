@@ -84,22 +84,29 @@ object CosineScore {
 
   private val ident = FunctionIdentifier("cosine_score")
 
+  /** (identifier, info, builder) descriptor — consumed by both the
+    * runtime [[register]] path and [[graft.GraftExtensions]]'
+    * build-time `injectFunction`.
+    */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (ident,
+      new ExpressionInfo(classOf[CosineScore].getName, "cosine_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"cosine_score expects 4 arguments, got ${children.length}")
+        CosineScore(children(0), children(1), children(2), children(3))
+      })
+
   /** Idempotently register `cosine_score` on a session so `expr(...)`
-    * resolves it. Runtime registry registration (vs
-    * SparkSessionExtensions at build time) because the engine must work
-    * on caller-provided sessions (the driver's, the tests', bench's).
+    * resolves it. Runtime registry registration exists alongside
+    * [[graft.GraftExtensions]] because the engine must also work on
+    * caller-provided sessions built WITHOUT `spark.sql.extensions`
+    * (the driver's, the tests', bench's).
     */
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     if (!fr.functionExists(ident)) {
-      fr.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[CosineScore].getName, "cosine_score"),
-        (children: Seq[Expression]) => {
-          require(children.length == 4,
-            s"cosine_score expects 4 arguments, got ${children.length}")
-          CosineScore(children(0), children(1), children(2), children(3))
-        })
+      fr.registerFunction(ident, descriptor._2, descriptor._3)
     }
   }
 }

@@ -153,6 +153,7 @@ object TextKernels {
       s"$what must be an integer literal, got $other")
   }
 
+  /** (identifier, builder) pairs — see [[descriptors]]. */
   private val registrations: Seq[(FunctionIdentifier, Seq[Expression] => Expression)] = Seq(
     FunctionIdentifier("shingle_hashes") -> { (cs: Seq[Expression]) =>
       require(cs.length == 2, s"shingle_hashes(text, w) expects 2 args, got ${cs.length}")
@@ -167,17 +168,21 @@ object TextKernels {
       WinnowFpExpr(cs.head)
     })
 
+  /** Full descriptors for [[graft.GraftExtensions]]' `injectFunction`. */
+  def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    registrations.map { case (ident, builder) =>
+      (ident,
+        new ExpressionInfo(TextKernels.getClass.getName, ident.funcName),
+        builder)
+    }
+
   /** Idempotently register all text-kernel functions on a session (same
     * runtime-registry rationale as [[CosineScore.register]]).
     */
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
-    registrations.foreach { case (ident, builder) =>
-      if (!fr.functionExists(ident)) {
-        fr.registerFunction(ident,
-          new ExpressionInfo(TextKernels.getClass.getName, ident.funcName),
-          builder)
-      }
+    descriptors.foreach { case (ident, info, builder) =>
+      if (!fr.functionExists(ident)) fr.registerFunction(ident, info, builder)
     }
   }
 }

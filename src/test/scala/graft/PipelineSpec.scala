@@ -174,6 +174,30 @@ class SimilaritySpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("native function descriptors register on a fresh session registry") {
+    // spark.sql.extensions is a STATIC conf read from the SparkContext at
+    // session creation, so build-time injection can't be exercised on the
+    // shared test context; verify the same descriptors GraftExtensions
+    // injects resolve on a genuinely fresh function registry instead.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val s2 = spark.newSession() // fresh registry, no graft functions yet
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT simhash48('a b')").collect()
+    }
+    graft.functions.CosineScore.register(s2)
+    graft.functions.TextKernels.register(s2)
+    val r = s2.sql(
+      """SELECT cosine_score(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 1.0D, 1.0D) AS c,
+        |       simhash48('a b') AS s,
+        |       winnow_fp('abcdefgh') AS w,
+        |       shingle_hashes('a b c d', 3).sh AS sh""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[String](3) == Seq("a_b_c", "b_c_d"))
+    // and the original session's registry is untouched by s2's
+    assert(spark ne s2)
+  }
+
   test("deriveBits tracks corpus size toward ~1000-row buckets, clamped") {
     assert(Similarity.deriveBits(0) == 1)
     assert(Similarity.deriveBits(500) == 1)      // sub-target corpus: 2 buckets
