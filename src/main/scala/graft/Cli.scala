@@ -55,16 +55,40 @@ object Cli {
 
     case "run-all" :: conf :: dir :: Nil =>
       val c = parseConf(conf)
-      val specs = Tables.primaryKeys.collect {
-        case (t, Seq(pk)) if Tables.pkKind(t) == "NONCLUSTERED" =>
-          t -> TableDiff.DiffSpec(Seq(pk), pk, c.chunkSize)
+      // Singleton run lock — the reference's PID-file guard
+      // (`run_syncdiff_config.sh:81-93`): a second concurrent run-all
+      // against the same output dir exits 3 instead of interleaving
+      // artifacts. OS-level file lock, released on JVM exit either way.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(c.outputDir))
+      val lockChannel = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(c.outputDir, ".graft.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock =
+        try lockChannel.tryLock()
+        catch { // held by THIS JVM (another thread) -> same "busy" answer
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (lock == null) {
+        System.err.println(
+          s"another run-all holds ${c.outputDir}/.graft.lock; exiting")
+        lockChannel.close()
+        3
+      } else try {
+        val specs = Tables.primaryKeys.collect {
+          case (t, Seq(pk)) if Tables.pkKind(t) == "NONCLUSTERED" =>
+            t -> TableDiff.DiffSpec(Seq(pk), pk, c.chunkSize)
+        }
+        val report = Orchestrate.runAll(spark, dir, c.checkSql,
+          (_, up) => up, specs, tableParallelism = c.threadCount,
+          structOnly = c.structOnly,
+          onProgress = (d, n, pct) => println(s"progress: $d/$n ($pct%)"))
+        println(Report.render(report))
+        Report.exitCode(report)
+      } finally {
+        lock.release()
+        lockChannel.close()
       }
-      val report = Orchestrate.runAll(spark, dir, c.checkSql,
-        (_, up) => up, specs, tableParallelism = c.threadCount,
-        structOnly = c.structOnly,
-        onProgress = (d, n, pct) => println(s"progress: $d/$n ($pct%)"))
-      println(Report.render(report))
-      Report.exitCode(report)
 
     case "doctor" :: conf :: dir :: Nil =>
       // preflight in the spirit of the reference's absent-but-documented

@@ -150,7 +150,22 @@ class CliSpec extends SparkSpec {
     val c = graft.conf.EngineConf.parse(Files.readString(
       java.nio.file.Paths.get(confPath)))
     val files = new java.io.File(c.outputDir).list().toSet
+      .filter(_.endsWith(".toml")) // run-all's .graft.lock may coexist
     assert(files == Set("main_orders.toml", "main_lineitem.toml", "main_events.toml"))
+  }
+
+  test("concurrent run-all against one output dir is refused (exit 3)") {
+    val c = graft.conf.EngineConf.parse(Files.readString(
+      java.nio.file.Paths.get(confPath)))
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(c.outputDir, ".graft.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try assert(Cli.run(Array("run-all", confPath, sfDir), spark) == 3)
+    finally { held.release(); ch.close() }
+    // lock released -> a fresh run proceeds normally
+    assert(Cli.run(Array("run-all", confPath, sfDir), spark) == 0)
   }
 
   test("unknown subcommand exits 2") {
