@@ -166,6 +166,23 @@ object CoreQueries {
           "s_user", "s_password", "thread_count", "chunk_size", "output_dir")
     }),
 
+    // S9: leveled run-log round-trip — render reference-format
+    // `[ts] [LEVEL] msg` lines, append a foreign noise line, parse the
+    // file back into the typed relation. Oracle is the original events.
+    "runlog_roundtrip" -> ((s, dir) => {
+      val log = new EventLog
+      log.log("INFO", "discovery started", 1704103200000L)
+      log.log("WARN", "table skipped: no pk", 1704103260000L)
+      log.log("ERROR", "compare failed: orders", 1704103320000L)
+      val f = java.nio.file.Files.createTempFile("graft_runlog", ".log")
+      log.writeTo(f)
+      java.nio.file.Files.writeString(f, "not a log line\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      EventLog.read(s, f.toString)
+        .select(unix_millis(col("ts")).as("ts_ms"), col("level"), col("message"))
+        .orderBy("ts_ms")
+    }),
+
     // F13/A6/A7: the ASCII report line + unit-scaled totals as a
     // relation — printf-style formatting must match the oracle's printf
     // exactly (field widths, alignment, integer-division M scaling).
@@ -416,6 +433,14 @@ object CoreQueries {
 
     "table_list_roundtrip" ->
       s"WITH $manifestCte\n$discoverSelect ORDER BY table_name",
+
+    "runlog_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1704103200000 AS BIGINT), 'INFO', 'discovery started'),
+        |  (CAST(1704103260000 AS BIGINT), 'WARN', 'table skipped: no pk'),
+        |  (CAST(1704103320000 AS BIGINT), 'ERROR', 'compare failed: orders'))
+        |  AS t(ts_ms, level, message)
+        |ORDER BY ts_ms""".stripMargin,
 
     "config_parse" ->
       """SELECT * FROM (VALUES
