@@ -309,42 +309,57 @@ object Similarity {
     * orderings exactly.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKFrom(ivfIndex(embeddings, nCentroids), embeddings, queryPred, k,
+      nCentroids, nProbe)
+
+  /** One narrow distributed pass: each row -> its `take` nearest centroid
+    * ids (unrounded cosine, centroid-id tie-break), norm computed en
+    * route so the pair join needs only a dot product.
+    */
+  private def ivfAssign(embeddings: DataFrame, df: DataFrame,
+                        nCentroids: Int, take: Int, p: String): DataFrame = {
     val spark = embeddings.sparkSession
-    val dim = dimOf(embeddings)
     val cents = collectVecs(embeddings.filter(col("vec_id") < nCentroids), nCentroids)
     val bc = spark.sparkContext.broadcast(cents)
-
-    // One narrow distributed pass: each row -> its `take` nearest
-    // centroid ids (unrounded cosine, centroid-id tie-break), norm
-    // computed en route so the pair join needs only a dot product.
-    def assign(df: DataFrame, take: Int, p: String): DataFrame = {
-      val rows = df.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
-        val cs = bc.value
-        it.flatMap { row =>
-          val v = toVec(row)
-          cs.map(c => (dotJ(v.v, c.v) / (v.norm * c.norm), c.id))
-            .sortBy { case (s, cid) => (-s, cid) }.take(take)
-            .map { case (_, cid) =>
-              org.apache.spark.sql.Row(v.id, row.getSeq[Float](1), v.norm, cid)
-            }
-        }
+    val rows = df.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { row =>
+        val v = toVec(row)
+        cs.map(c => (dotJ(v.v, c.v) / (v.norm * c.norm), c.id))
+          .sortBy { case (s, cid) => (-s, cid) }.take(take)
+          .map { case (_, cid) =>
+            org.apache.spark.sql.Row(v.id, row.getSeq[Float](1), v.norm, cid)
+          }
       }
-      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(s"${p}_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField(s"${p}_emb",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, containsNull = false)),
-        org.apache.spark.sql.types.StructField(s"${p}_nrm",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.LongType, nullable = false))))
     }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(s"${p}_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(s"${p}_emb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      org.apache.spark.sql.types.StructField(s"${p}_nrm",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
-    val lists = assign(embeddings, 1, "c")
+  /** The IVF inverted-list relation (c_id, c_emb, c_nrm, cid): every
+    * vector assigned to its nearest centroid. The index-reuse surface
+    * (same contract as [[Dedup.minhashNearDupsFrom]]'s signature input):
+    * at 100 TB a caller materializes this ONCE — persisted or written as
+    * a table bucketed by `cid` — and serves every subsequent query
+    * through [[ivfTopKFrom]], skipping the assignment pass.
+    */
+  def ivfIndex(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
+    ivfAssign(embeddings, embeddings, nCentroids, 1, "c")
+
+  /** [[ivfTopK]] over an existing [[ivfIndex]] relation. */
+  def ivfTopKFrom(lists: DataFrame, embeddings: DataFrame, queryPred: Column,
+                  k: Int, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val probeBase = graft.Tables.spread(embeddings).filter(queryPred)
-    val probes = assign(probeBase, nProbe, "q")
+    val probes = ivfAssign(embeddings, probeBase, nCentroids, nProbe, "q")
     // same guard as signLshTopK: a broad queryPred must not broadcast
     // the corpus-with-embeddings to every executor (ADVICE r03)
     val probeRel =

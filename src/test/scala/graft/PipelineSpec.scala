@@ -264,6 +264,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKFrom over a materialized index equals ivfTopK") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val idx = Similarity.ivfIndex(emb).persist() // caller-owned, as per contract
+    try {
+      val fromIdx = Similarity.ivfTopKFrom(idx, emb, col("vec_id") < 10, 3)
+        .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+      val direct = Similarity.ivfTopK(emb, col("vec_id") < 10, 3)
+        .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(fromIdx == direct && fromIdx.nonEmpty)
+    } finally idx.unpersist()
+  }
+
   test("IVF probes only nearest inverted lists and ranks deterministically") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 3)
