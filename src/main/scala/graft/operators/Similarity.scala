@@ -287,6 +287,49 @@ object Similarity {
       .withColumnRenamed("cand_id", "id_b")
   }
 
+  /** Multi-band sign-LSH near-duplicate pair mining — the recall
+    * recovery over [[nearDupPairsBucketed]] (VERDICT r03 #7's "multiple
+    * independent bands" alternative, mirroring
+    * [[Dedup.minhashNearDups]]'s band structure): band j buckets on the
+    * sign bits of dimension slice [j*bits, (j+1)*bits), candidates agree
+    * on ANY band (union via an equi-join on (band_id, key) over the
+    * exploded narrow band relation — embeddings never ride the explode),
+    * exact rounded cosine verifies candidate pairs only. A pair is
+    * missed only if EVERY band's sign slice differs — recall approaches
+    * exact at bands x the bucketed variant's candidate cost.
+    */
+  def nearDupPairsBanded(embeddings: DataFrame, threshold: Double,
+                         bands: Int = 4, bits: Option[Int] = None): DataFrame = {
+    val dim = dimOf(embeddings)
+    val b = bits.getOrElse(
+      deriveBits(embeddings.count(), PairMiningTargetBucket))
+    val nb = math.max(1, math.min(bands, dim / b))
+    def bandKey(j: Int): Column =
+      (0 until b).map { i =>
+        when(element_at(col("embedding"), j * b + i + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bandRel = embeddings.select(col("vec_id"),
+      explode(array((0 until nb).map(j =>
+        struct(lit(j).as("band_id"), bandKey(j).as("bkey"))): _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id"), col("band.bkey"))
+    val cand = bandRel.as("a").join(bandRel.as("b"), Seq("band_id", "bkey"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val side = withNorm(embeddings, dim)
+    val pairs = cand
+      .join(side.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), Seq("id_a"))
+      .join(side.select(col("vec_id").as("id_b"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm")), Seq("id_b"))
+      .select(col("id_a").as("q_id"), col("q_emb"), col("q_nrm"),
+        col("id_b").as("c_id"), col("c_emb"), col("c_nrm"))
+    scorePairs(pairs, Some(threshold))
+      .withColumnRenamed("left_id", "id_a")
+      .withColumnRenamed("cand_id", "id_b")
+  }
+
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
     * path next to [[signLshTopK]]: a deterministic centroid set (the
     * `nCentroids` lowest vec_ids — a seeded k-means would slot in here;

@@ -89,6 +89,12 @@ object PipelineQueries {
     "embed_neardup_bucketed" -> ((s, dir) =>
       Similarity.nearDupPairsBucketed(emb(s, dir), 0.4).orderBy("id_a", "id_b")),
 
+    // Multi-band recall recovery: candidates agree on ANY of 4
+    // independent dim-slice sign bands; a pair escapes only if every
+    // band differs.
+    "embed_neardup_banded" -> ((s, dir) =>
+      Similarity.nearDupPairsBanded(emb(s, dir), 0.4).orderBy("id_a", "id_b")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir)).orderBy("doc_id")),
 
@@ -380,6 +386,26 @@ object PipelineQueries {
          |s AS (
          |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($cosSql, 6) AS score
          |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+         |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_neardup_banded" ->
+      s"""WITH params AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // ${Similarity.PairMiningTargetBucket})))) AS bits FROM embeddings),
+         |dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+         |nbands AS (SELECT GREATEST(1, LEAST(4, (SELECT dim FROM dims) // (SELECT bits FROM params))) AS n),
+         |$embCte,
+         |base AS (SELECT vec_id, embedding, p.bits AS bits,
+         |         unnest(range(0, (SELECT n FROM nbands))) AS band_id
+         |         FROM embeddings CROSS JOIN params p),
+         |bands AS (SELECT vec_id, band_id,
+         |  CAST(COALESCE(list_sum(list_transform(range(0, bits),
+         |    i -> CASE WHEN embedding[CAST(band_id * bits + i + 1 AS INTEGER)] > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)), 0) AS BIGINT) AS bkey
+         |  FROM base),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band_id = b2.band_id AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id),
+         |s AS (SELECT id_a, id_b, round($cosSql, 6) AS score
+         |  FROM cand JOIN e q ON q.vec_id = id_a JOIN e c ON c.vec_id = id_b)
          |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "multimodal_features" ->

@@ -250,6 +250,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("banded near-dups: superset of single-bucket, subset of exact, scores identical") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "score").as[(Long, Long, Double)]
+        .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    val exact = pairs(Similarity.nearDupPairs(emb, 0.4))
+    val banded = pairs(Similarity.nearDupPairsBanded(emb, 0.4))
+    val bucketed = pairs(Similarity.nearDupPairsBucketed(emb, 0.4))
+    assert(banded.nonEmpty)
+    banded.foreach { case (p, s) =>
+      assert(exact.get(p).contains(s), s"pair $p not in exact or score drifted")
+    }
+    // band 0 IS the single-bucket scheme, so its pairs are all recovered
+    bucketed.keySet.foreach(p => assert(banded.contains(p), s"lost bucketed pair $p"))
+    assert(banded.size >= bucketed.size)
+  }
+
   test("sign-LSH top-k matches brute force restricted to the query bucket") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val lsh = Similarity.signLshTopK(emb, col("vec_id") < 20, 3)
