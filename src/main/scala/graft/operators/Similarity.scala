@@ -253,6 +253,45 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Multi-band sign-LSH top-k — the recall recovery over
+    * [[signLshTopK]], same banding as [[nearDupPairsBanded]]: a
+    * candidate shares ANY of `bands` dim-slice sign bands with the
+    * query. Candidate generation joins narrow (id, band_id, key)
+    * relations (query side broadcast under the usual guard), pairs
+    * dedupe BEFORE embeddings are attached for scoring.
+    */
+  def signLshTopKBanded(embeddings: DataFrame, queryPred: Column, k: Int,
+                        bands: Int = 4, bits: Option[Int] = None): DataFrame = {
+    val dim = dimOf(embeddings)
+    val b = bits.getOrElse(deriveBits(embeddings.count()))
+    val nb = math.max(1, math.min(bands, dim / b))
+    def bandKey(j: Int): Column =
+      (0 until b).map { i =>
+        when(element_at(col("embedding"), j * b + i + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    def bandRel(df: DataFrame, p: String): DataFrame =
+      df.select(col("vec_id").as(s"${p}_id"),
+        explode(array((0 until nb).map(j =>
+          struct(lit(j).as("band_id"), bandKey(j).as("bkey"))): _*)).as("band"))
+        .select(col(s"${p}_id"), col("band.band_id"), col("band.bkey"))
+    val qBase = embeddings.filter(queryPred)
+    val q = bandRel(qBase, "q")
+    val qRel = if (fitsBroadcast(qBase, MaxBroadcastVecs)) broadcast(q) else q
+    val cand = bandRel(embeddings, "c").join(qRel, Seq("band_id", "bkey"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val side = withNorm(embeddings, dim)
+    val pairs = cand
+      .join(side.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), Seq("q_id"))
+      .join(side.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm")), Seq("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+    topK(scorePairs(pairs, None).withColumnRenamed("left_id", "query_id"), k)
+  }
+
   /** Sign-LSH near-duplicate pair mining — the 100 TB analogue of
     * [[nearDupPairs]] and the embedding twin of
     * [[Dedup.minhashNearDups]]: candidate pairs come from a co-bucket

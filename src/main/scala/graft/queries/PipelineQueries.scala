@@ -77,6 +77,12 @@ object PipelineQueries {
       Similarity.ivfTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    // Multi-band recall recovery for top-k: candidates share ANY of 4
+    // independent dim-slice sign bands with the query.
+    "ann_lsh_banded" -> ((s, dir) =>
+      Similarity.signLshTopKBanded(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
     "dedup_jaccard_capped" -> ((s, dir) =>
       Dedup.jaccardNearDups(docs(s, dir), 0.5, maxBucket = Some(5))
         .orderBy("doc_a", "doc_b")),
@@ -350,6 +356,29 @@ object PipelineQueries {
          |  JOIN e q ON q.vec_id = p.query_id
          |  JOIN e c ON c.vec_id = a.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM scored)
+         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_banded" ->
+      s"""WITH params AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // 1000)))) AS bits FROM embeddings),
+         |dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+         |nbands AS (SELECT GREATEST(1, LEAST(4, (SELECT dim FROM dims) // (SELECT bits FROM params))) AS n),
+         |$embCte,
+         |base AS (SELECT vec_id, embedding, p.bits AS bits,
+         |         unnest(range(0, (SELECT n FROM nbands))) AS band_id
+         |         FROM embeddings CROSS JOIN params p),
+         |bands AS (SELECT vec_id, band_id,
+         |  CAST(COALESCE(list_sum(list_transform(range(0, bits),
+         |    i -> CASE WHEN embedding[CAST(band_id * bits + i + 1 AS INTEGER)] > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)), 0) AS BIGINT) AS bkey
+         |  FROM base),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+         |  FROM bands qb JOIN bands cb
+         |    ON qb.band_id = cb.band_id AND qb.bkey = cb.bkey AND qb.vec_id <> cb.vec_id
+         |  WHERE qb.vec_id < 50),
+         |s AS (SELECT query_id, cand_id, round($cosSql, 6) AS score
+         |  FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = cand_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
          |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 

@@ -250,6 +250,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("banded top-k scores drawn from exact; candidates superset of single-bucket") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val banded = Similarity.signLshTopKBanded(emb, col("vec_id") < 20, 3)
+      .select("query_id", "cand_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 1000)
+      .select("query_id", "cand_id", "score").as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    assert(banded.nonEmpty)
+    banded.foreach { case (q, c, s) =>
+      assert(exact.get((q, c)).contains(s), s"($q,$c) score drifted from exact")
+    }
+    // more bands => at least as many candidates per query as one bucket
+    val single = Similarity.signLshTopK(emb, col("vec_id") < 20, 3)
+      .select("query_id").as[Long].collect().groupBy(identity).view.mapValues(_.length)
+    val multi = banded.toSeq.groupBy(_._1).view.mapValues(_.length)
+    single.foreach { case (q, n) => assert(multi.getOrElse(q, 0) >= n.min(3)) }
+  }
+
   test("banded near-dups: superset of single-bucket, subset of exact, scores identical") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
