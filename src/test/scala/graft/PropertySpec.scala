@@ -66,6 +66,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hash-bucket chunking is diff-invariant across arbitrary bucket counts") {
+    val (n, d) = samples(drifts, 1).head
+    val up = table(n)
+    val down = up
+      .filter(!col("id").isin(d.deletes.toSeq: _*))
+      .withColumn("amount",
+        when(col("id").isin(d.mutates.toSeq: _*), col("amount") + 1)
+          .otherwise(col("amount")))
+      .unionByName(
+        table(n + 20).filter(col("id").isin(d.inserts.map(_ + n).toSeq: _*)))
+    val ranged = TableDiff.rowDiff(up, down, spec)
+      .orderBy("id").collect().toSeq
+    // 1 bucket (everything dirty -> flat tier), prime, and power-of-two
+    // counts plus random samples must all yield the identical diff
+    (Seq(1, 2, 127, 4096) ++ samples(Gen.choose(3, 999), 3)).foreach { b =>
+      val hashed = TableDiff.rowDiff(up, down, spec.copy(hashBuckets = Some(b)))
+        .orderBy("id").collect().toSeq
+      assert(hashed == ranged, s"buckets=$b diverged")
+    }
+  }
+
   test("chunk checksums are insensitive to row order (commutative combine)") {
     samples(Gen.choose(10, 200), 5).foreach { n =>
       val t = table(n)
