@@ -233,7 +233,7 @@ object Similarity {
   def signLshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                   bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
-    val b = bits.getOrElse(deriveBits(embeddings.count()))
+    val b = math.min(dim, bits.getOrElse(deriveBits(embeddings.count())))
     def side(df: DataFrame, p: String): DataFrame =
       withNorm(df, dim).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
@@ -263,7 +263,7 @@ object Similarity {
   def signLshTopKBanded(embeddings: DataFrame, queryPred: Column, k: Int,
                         bands: Int = 4, bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
-    val b = bits.getOrElse(deriveBits(embeddings.count()))
+    val b = math.min(dim, bits.getOrElse(deriveBits(embeddings.count())))
     val nb = math.max(1, math.min(bands, dim / b))
     def bandKey(j: Int): Column =
       (0 until b).map { i =>
@@ -311,8 +311,8 @@ object Similarity {
   def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
                            bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
-    val b = bits.getOrElse(
-      deriveBits(embeddings.count(), PairMiningTargetBucket))
+    val b = math.min(dim,
+      bits.getOrElse(deriveBits(embeddings.count(), PairMiningTargetBucket)))
     def side(p: String): DataFrame =
       withNorm(embeddings, dim).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
@@ -340,8 +340,8 @@ object Similarity {
   def nearDupPairsBanded(embeddings: DataFrame, threshold: Double,
                          bands: Int = 4, bits: Option[Int] = None): DataFrame = {
     val dim = dimOf(embeddings)
-    val b = bits.getOrElse(
-      deriveBits(embeddings.count(), PairMiningTargetBucket))
+    val b = math.min(dim,
+      bits.getOrElse(deriveBits(embeddings.count(), PairMiningTargetBucket)))
     val nb = math.max(1, math.min(bands, dim / b))
     def bandKey(j: Int): Column =
       (0 until b).map { i =>

@@ -177,7 +177,8 @@ object PipelineQueries {
     * pair mining (mirror of Similarity.PairMiningTargetBucket).
     */
   private def bitsCte(target: Long) =
-    s"nb AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // $target)))) AS b FROM embeddings)"
+    s"""nb AS (SELECT LEAST(16, (SELECT len(embedding) FROM embeddings LIMIT 1),
+       |  GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // $target)))) AS b FROM embeddings)""".stripMargin
 
   /** Derived-bits sign bucket (mirror of Similarity.signBucket over
     * deriveBits-many leading dimensions).
@@ -360,7 +361,7 @@ object PipelineQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh_banded" ->
-      s"""WITH params AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // 1000)))) AS bits FROM embeddings),
+      s"""WITH params AS (SELECT LEAST(16, (SELECT len(embedding) FROM embeddings LIMIT 1), GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // 1000)))) AS bits FROM embeddings),
          |dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
          |nbands AS (SELECT GREATEST(1, LEAST(4, (SELECT dim FROM dims) // (SELECT bits FROM params))) AS n),
          |$embCte,
@@ -418,7 +419,7 @@ object PipelineQueries {
          |SELECT id_a, id_b, score FROM s WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "embed_neardup_banded" ->
-      s"""WITH params AS (SELECT LEAST(16, GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // ${Similarity.PairMiningTargetBucket})))) AS bits FROM embeddings),
+      s"""WITH params AS (SELECT LEAST(16, (SELECT len(embedding) FROM embeddings LIMIT 1), GREATEST(1, LENGTH(BIN((COUNT(*) - 1) // ${Similarity.PairMiningTargetBucket})))) AS bits FROM embeddings),
          |dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
          |nbands AS (SELECT GREATEST(1, LEAST(4, (SELECT dim FROM dims) // (SELECT bits FROM params))) AS n),
          |$embCte,
