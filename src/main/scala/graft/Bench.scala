@@ -8,8 +8,7 @@ object Bench {
     // A single-shot measurement on a shared machine records scheduler
     // contention as engine regression (round 3's committed artifact was
     // 6.6x off a clean re-run of the identical build — VERDICT r03 #1);
-    // min-of-k is the standard noise floor, and all samples are emitted
-    // so variance stays visible in the artifact.
+    // min-of-k is the standard noise floor.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,22 +21,32 @@ object Bench {
     // the first query measures itself, not startup.
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // A crashed query must FAIL the bench (exit 1) and contribute NO
-        // timing: recording time-to-crash would mix real runtimes with
-        // partial ones in total (ADVICE r03).
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: ${
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
-            None
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // The rep loop is the OUTER loop: k full passes over all queries, min
+    // per query across passes. Back-to-back reps (r4's shape) let a single
+    // contended minute corrupt ALL samples of one query while leaving its
+    // neighbors clean (BENCH_r04's diff_chunks [20.2, 65.6, 21.5] vs a
+    // 0.77 s clean re-run — VERDICT r04 "What's wrong" #3); interleaving
+    // spreads any contention window thinly across every query instead.
+    (1 to reps).foreach { _ =>
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          // A crashed query must FAIL the bench (exit 1) and contribute NO
+          // timing: recording time-to-crash would mix real runtimes with
+          // partial ones in total (ADVICE r03).
+          try {
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            samples(name) = samples.getOrElse(name, Nil) :+ dt
+          } catch {
+            case e: Throwable =>
+              errors(name) = s"${e.getClass.getSimpleName}: ${
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
+              samples.remove(name)
+          }
         }
       }
-      if (times.nonEmpty) samples(name) = times
     }
     // JSON string escape incl. ALL control chars (<0x20): exception
     // messages can carry tabs/CRs that would break the driver's json.load
@@ -51,15 +60,22 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Millisecond precision keeps the stdout JSON line compact: the driver
+    // captures only a bounded tail of stdout, and r5's full-precision line
+    // with embedded per-sample arrays overflowed it → BENCH_r05 parsed:null.
+    def ms(v: Double) = f"$v%.3f"
     val best = samples.map { case (k, v) => k -> v.min }
-    val qs = best.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val samplesJson = samples
-      .map { case (k, v) => jstr(k) + ":" + v.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    val qs = best.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"samples":$samplesJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // Per-sample detail goes to STDERR so variance stays inspectable
+    // without bloating the parsed line.
+    val samplesJson = samples
+      .map { case (k, v) => jstr(k) + ":" + v.map(ms).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    System.err.println(s"""bench samples (reps=$reps, interleaved passes): $samplesJson""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: ${errors.keys.mkString(", ")}")

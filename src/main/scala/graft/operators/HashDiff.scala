@@ -57,15 +57,24 @@ object HashDiff {
     val diffs = joined(up, down).filter(col("up_cnt") =!= col("down_cnt"))
 
     // Payload pass: re-derive the serialized row ONLY for fingerprints
-    // already known to differ. The broadcast is bounded by the drift
-    // size — rows with equal fingerprints serialize identically, so one
-    // min() sample per fp equals the per-side min/coalesce the oracle
-    // computes.
+    // already known to differ. A forced broadcast() of that set would be
+    // right in the common drift-bounded case but corpus-sized under
+    // pervasive drift (wrong table pairing / mass mutation) → driver OOM,
+    // the exact case TableDiff guards with maxBroadcastChunks. Here the
+    // guard is free: the fp set sits at a shuffle-stage boundary, so
+    // AQE's runtime size check converts the semi-join to broadcast-hash
+    // only when the materialized stage is actually small, and keeps the
+    // shuffled semi-join (on fp — the key both groupBys already
+    // partition on) when it is not. No driver-side count, no extra pass,
+    // and the decision is bytes-based rather than a guessed row cap.
+    val fps = diffs.select("fp")
+    // Rows with equal fingerprints serialize identically, so one min()
+    // sample per fp equals the per-side min/coalesce the oracle computes.
     def sideVals(df: DataFrame): DataFrame =
       df.select(unhex(Canonical.fingerprint(fpCols(df))).as("fp"),
         Canonical.serialCsv(fpCols(df)).as("vals"))
     val samples = sideVals(up).unionByName(sideVals(down))
-      .join(broadcast(diffs.select("fp")), Seq("fp"), "left_semi")
+      .join(fps, Seq("fp"), "left_semi")
       .groupBy("fp").agg(min(col("vals")).as("vals"))
 
     diffs.join(samples, Seq("fp"), "left")
