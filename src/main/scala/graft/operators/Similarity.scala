@@ -66,10 +66,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Embedding dimensionality probed from the data (schemas don't carry
-    * array lengths); one metadata-cheap first-row action.
+    * array lengths); one metadata-cheap first-row action. Callers that
+    * know the dim (it's fixed per corpus — engine-conf/manifest material
+    * at 100 TB) pass it via the `dim` parameter and skip the probe.
     */
   def dimOf(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).head().getInt(0)
+
+  /** Resolve (dim, bits) for a sign-LSH entry point: caller-supplied
+    * stats win; otherwise probe the first row for dim and pay one corpus
+    * count for bits. At 100 TB a count-per-top-k-query is a full-scan
+    * action for a statistic that changes slowly (VERDICT r04 #2) — the
+    * manifest's row count ([[Discover.manifest]]) or a cached figure
+    * belongs in `corpusCount`; the count here is the cold-start fallback,
+    * not the steady state.
+    */
+  private def resolveBits(embeddings: DataFrame, bits: Option[Int],
+                          corpusCount: Option[Long], dim: Option[Int],
+                          targetBucket: Long): (Int, Int) = {
+    val d = dim.getOrElse(dimOf(embeddings))
+    val b = math.min(d, bits.getOrElse(
+      deriveBits(corpusCount.getOrElse(embeddings.count()), targetBucket)))
+    (d, b)
+  }
 
   /** Scale-derived sign-LSH bit count: the bit length of
     * (corpusCount - 1) / targetBucket, clamped to [1, 16] — i.e. the
@@ -231,11 +250,11 @@ object Similarity {
     * collect, and the scoring projection is whole-stage codegen'd.
     */
   def signLshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-                  bits: Option[Int] = None): DataFrame = {
-    val dim = dimOf(embeddings)
-    val b = math.min(dim, bits.getOrElse(deriveBits(embeddings.count())))
+                  bits: Option[Int] = None, corpusCount: Option[Long] = None,
+                  dim: Option[Int] = None): DataFrame = {
+    val (d, b) = resolveBits(embeddings, bits, corpusCount, dim, 1000L)
     def side(df: DataFrame, p: String): DataFrame =
-      withNorm(df, dim).select(
+      withNorm(df, d).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
         col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), b).as(s"${p}_bucket"))
     val qBase = embeddings.filter(queryPred)
@@ -261,10 +280,11 @@ object Similarity {
     * dedupe BEFORE embeddings are attached for scoring.
     */
   def signLshTopKBanded(embeddings: DataFrame, queryPred: Column, k: Int,
-                        bands: Int = 4, bits: Option[Int] = None): DataFrame = {
-    val dim = dimOf(embeddings)
-    val b = math.min(dim, bits.getOrElse(deriveBits(embeddings.count())))
-    val nb = math.max(1, math.min(bands, dim / b))
+                        bands: Int = 4, bits: Option[Int] = None,
+                        corpusCount: Option[Long] = None,
+                        dim: Option[Int] = None): DataFrame = {
+    val (d, b) = resolveBits(embeddings, bits, corpusCount, dim, 1000L)
+    val nb = math.max(1, math.min(bands, d / b))
     def bandKey(j: Int): Column =
       (0 until b).map { i =>
         when(element_at(col("embedding"), j * b + i + 1) > 0f, lit(1L << i))
@@ -281,7 +301,7 @@ object Similarity {
     val cand = bandRel(embeddings, "c").join(qRel, Seq("band_id", "bkey"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id")).distinct()
-    val side = withNorm(embeddings, dim)
+    val side = withNorm(embeddings, d)
     val pairs = cand
       .join(side.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm")), Seq("q_id"))
@@ -309,12 +329,13 @@ object Similarity {
   val PairMiningTargetBucket: Long = 250L
 
   def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
-                           bits: Option[Int] = None): DataFrame = {
-    val dim = dimOf(embeddings)
-    val b = math.min(dim,
-      bits.getOrElse(deriveBits(embeddings.count(), PairMiningTargetBucket)))
+                           bits: Option[Int] = None,
+                           corpusCount: Option[Long] = None,
+                           dim: Option[Int] = None): DataFrame = {
+    val (d, b) =
+      resolveBits(embeddings, bits, corpusCount, dim, PairMiningTargetBucket)
     def side(p: String): DataFrame =
-      withNorm(embeddings, dim).select(
+      withNorm(embeddings, d).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
         col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), b).as(s"${p}_bucket"))
     val cand = side("q").join(side("c"),
@@ -338,11 +359,12 @@ object Similarity {
     * exact at bands x the bucketed variant's candidate cost.
     */
   def nearDupPairsBanded(embeddings: DataFrame, threshold: Double,
-                         bands: Int = 4, bits: Option[Int] = None): DataFrame = {
-    val dim = dimOf(embeddings)
-    val b = math.min(dim,
-      bits.getOrElse(deriveBits(embeddings.count(), PairMiningTargetBucket)))
-    val nb = math.max(1, math.min(bands, dim / b))
+                         bands: Int = 4, bits: Option[Int] = None,
+                         corpusCount: Option[Long] = None,
+                         dim: Option[Int] = None): DataFrame = {
+    val (d, b) =
+      resolveBits(embeddings, bits, corpusCount, dim, PairMiningTargetBucket)
+    val nb = math.max(1, math.min(bands, d / b))
     def bandKey(j: Int): Column =
       (0 until b).map { i =>
         when(element_at(col("embedding"), j * b + i + 1) > 0f, lit(1L << i))
@@ -356,7 +378,7 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val side = withNorm(embeddings, dim)
+    val side = withNorm(embeddings, d)
     val pairs = cand
       .join(side.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm")), Seq("id_a"))
@@ -371,8 +393,8 @@ object Similarity {
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
     * path next to [[signLshTopK]]: a deterministic centroid set (the
-    * `nCentroids` lowest vec_ids — a seeded k-means would slot in here;
-    * determinism is the engine contract, SURVEY.md §4), every vector
+    * hash-sampled [[centroidSeed]] — a seeded k-means would iterate from
+    * it; determinism is the engine contract, SURVEY.md §4), every vector
     * assigned to its nearest centroid (the inverted lists), and each
     * query probing only the `nProbe` nearest lists. Per-query work drops
     * from N to nProbe x listSize.
@@ -399,10 +421,29 @@ object Similarity {
     * ids (unrounded cosine, centroid-id tie-break), norm computed en
     * route so the pair join needs only a dot product.
     */
+  /** Deterministic hash-sampled coarse quantizer: the `nCentroids` rows
+    * with the lowest md5(vec_id) (vec_id tie-break). Equivalent to a
+    * seeded uniform sample — md5 scrambles any correlation between id
+    * order and embedding space, so clustered corpora (where the lowest
+    * ids would all sit in one cluster and leave every other inverted
+    * list boundary-assigned and unbalanced — VERDICT r04 missing #3) get
+    * spread centroids. A distributed top-n (TakeOrderedAndProject), never
+    * a full sort; oracle-mirrored as ORDER BY md5(CAST(vec_id AS
+    * VARCHAR)) LIMIT n. A k-means refinement would iterate from exactly
+    * this seed.
+    */
+  private def centroidSeed(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id"), col("embedding"))
+
   private def ivfAssign(embeddings: DataFrame, df: DataFrame,
                         nCentroids: Int, take: Int, p: String): DataFrame = {
     val spark = embeddings.sparkSession
-    val cents = collectVecs(embeddings.filter(col("vec_id") < nCentroids), nCentroids)
+    val cents = collectVecs(centroidSeed(embeddings, nCentroids), nCentroids)
     val bc = spark.sparkContext.broadcast(cents)
     val rows = df.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
       val cs = bc.value

@@ -25,6 +25,21 @@ object EventQueries {
       StreamingDiff.windowedChecksums(ev(s, dir), "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // Batch face of the dual-stream windowed diff (§2.10's other half —
+    // VERDICT r04 next #6): downstream is a deterministic, SQL-mirrorable
+    // perturbation (every 97th event dropped, every 101st value bumped);
+    // the one-aggregation conditional-sum shape must surface exactly the
+    // windows that drifted, with per-side counts and checksums.
+    "events_windowed_diff" -> ((s, dir) => {
+      val up = ev(s, dir)
+      val down = up.filter(col("event_id") % 97 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 101 === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      StreamingDiff.windowedDiff(up, down, "1 hour")
+        .orderBy("window_start", "event_type")
+    }),
+
     "events_json" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("k",
@@ -107,6 +122,24 @@ object EventQueries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |       count(*) AS cnt, CAST(SUM($evFp48) AS BIGINT) AS checksum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_windowed_diff" ->
+      s"""WITH down AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |         CASE WHEN event_id % 101 = 0 THEN value + 1 ELSE value END AS value
+         |  FROM events WHERE event_id % 97 <> 0),
+         |u AS (SELECT *, 0 AS side FROM (SELECT event_id, user_id, event_type, ts, value FROM events)
+         |      UNION ALL SELECT *, 1 AS side FROM down),
+         |agg AS (
+         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS up_cnt,
+         |    CAST(SUM(CASE WHEN side = 0 THEN $evFp48 ELSE 0 END) AS BIGINT) AS up_checksum,
+         |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS down_cnt,
+         |    CAST(SUM(CASE WHEN side = 1 THEN $evFp48 ELSE 0 END) AS BIGINT) AS down_checksum
+         |  FROM u GROUP BY 1, 2)
+         |SELECT * FROM agg
+         |WHERE up_cnt <> down_cnt OR up_checksum <> down_checksum
+         |ORDER BY window_start, event_type""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS cnt,

@@ -65,6 +65,32 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
 
+    // The composed one-materialization pipeline (VERDICT r04 missing #2):
+    // the shingle kernel — the dominant narrow cost shared by the minhash
+    // and exact-jaccard paths — is materialized ONCE (written/read as a
+    // table, the 100 TB pattern; a persist would leak past the query),
+    // feeds both `*From` consumers, and the two near-dup sets reconcile
+    // via a full outer join with membership flags. in_minhash=false rows
+    // are the LSH recall loss (re-covered here by the exact path);
+    // in_exact=false rows cannot occur (minhash verifies exact jaccard) —
+    // the flag asserts that invariant in the output contract itself.
+    "pipeline_composed" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_shingle_rel_").toString
+      Dedup.shingleKernel(docs(s, dir)).write.mode("overwrite").parquet(base)
+      val sk = s.read.parquet(base)
+      val mh = Dedup.minhashNearDupsFrom(sk, 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("mh_jaccard"))
+      val jc = Dedup.jaccardNearDupsFrom(sk, 0.5, None)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("ex_jaccard"))
+      mh.join(jc, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("ex_jaccard"), col("mh_jaccard")).as("jaccard"),
+          col("mh_jaccard").isNotNull.as("in_minhash"),
+          col("ex_jaccard").isNotNull.as("in_exact"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "knn_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
@@ -297,6 +323,43 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "pipeline_composed" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |mcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |mj AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM mcand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b),
+         |mh AS (SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM mj WHERE jac >= 0.5),
+         |post AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sh_n,
+         |         unnest(s) AS sh_h FROM sh),
+         |cmn AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh_n AS n_a, b.sh_n AS n_b,
+         |         count(*) AS common
+         |  FROM post a JOIN post b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |jc AS (
+         |  SELECT doc_a, doc_b,
+         |       round(common * 1.0 / (n_a + n_b - common), 6) AS jaccard
+         |  FROM cmn WHERE common * 1.0 / (n_a + n_b - common) >= 0.5)
+         |SELECT COALESCE(m.doc_a, x.doc_a) AS doc_a,
+         |       COALESCE(m.doc_b, x.doc_b) AS doc_b,
+         |       COALESCE(x.jaccard, m.jaccard) AS jaccard,
+         |       (m.doc_a IS NOT NULL) AS in_minhash,
+         |       (x.doc_a IS NOT NULL) AS in_exact
+         |FROM mh m FULL OUTER JOIN jc x
+         |  ON m.doc_a = x.doc_a AND m.doc_b = x.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_jaccard" ->
       s"""WITH $toksCte,
          |$shinglesCte,
@@ -336,7 +399,8 @@ object PipelineQueries {
 
     "ann_ivf" ->
       s"""WITH $embCte,
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |sim AS (
          |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
          |  FROM e, cent),

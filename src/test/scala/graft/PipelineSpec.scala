@@ -213,6 +213,78 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("caller-supplied corpus stats replace the per-query count and probe") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val d = Similarity.dimOf(emb)
+    // true stats supplied -> identical results to the probing path
+    val probed = Similarity.signLshTopK(emb, col("vec_id") < 20, 3)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val stated = Similarity.signLshTopK(emb, col("vec_id") < 20, 3,
+      corpusCount = Some(n), dim = Some(d))
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(stated == probed && stated.nonEmpty)
+    // behavioral proof the stated count is USED (not re-counted): a
+    // stated 33M-row corpus derives clamp-width bits, which must act
+    // exactly like explicit bits=16 — the fixture's true count would
+    // derive 1 bit and produce a different candidate structure
+    val viaStats = Similarity.signLshTopK(emb, col("vec_id") < 20, 3,
+      corpusCount = Some(33000000L))
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaBits = Similarity.signLshTopK(emb, col("vec_id") < 20, 3,
+      bits = Some(16))
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaStats == viaBits)
+  }
+
+  test("derived-bits ladder hits the 16-bit clamp at scale and banded paths still verify (VERDICT r04 #7)") {
+    // the clamp thresholds themselves (integer ladder, no float log)
+    assert(Similarity.deriveBits(33000000L) == 16)
+    assert(Similarity.deriveBits(33000000L, Similarity.PairMiningTargetBucket) == 16)
+    assert(Similarity.deriveBits(Long.MaxValue / 4) == 16)
+    // drive the REAL banded operators through the clamp branch by stating
+    // a 33M corpus over the physical fixture: bands become 4 x 16-bit
+    // dim-slices (min(4, 64/16)), and every emitted pair must still carry
+    // the exact verified score
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    val clamped = Similarity.nearDupPairsBanded(emb, 0.4,
+      corpusCount = Some(33000000L))
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    clamped.foreach { case (p, s) =>
+      assert(exact.get(p).contains(s), s"pair $p not in exact or score drifted")
+    }
+    // identical embeddings share every sign slice: the planted exact-dup
+    // pairs survive any bit width, so the clamp path is non-vacuous
+    val identicals = exact.filter { case (_, s) => s >= 0.999999 }.keySet
+    identicals.foreach(p => assert(clamped.contains(p), s"lost identical pair $p"))
+  }
+
+  test("hash-sampled IVF centroids spread across clusters (seeded quantizer)") {
+    // clustered fixture engineered against the old first-N quantizer:
+    // ids 0..15 all sit in cluster A (axis 0), ids 16..99 in cluster B
+    // (axis 1). First-N centroids would all be cluster-A vectors, leaving
+    // every B vector boundary-assigned to one degenerate list; the md5
+    // sample is order-independent, so centroids land in both clusters.
+    val rows = (0L until 100L).map { i =>
+      if (i < 16) (i, Array(1f, 0f, (i % 5).toFloat / 50f, 0f))
+      else (i, Array(0f, 1f, 0f, (i % 7).toFloat / 70f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(emb, nCentroids = 8)
+    val byCid = idx.groupBy("cid").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byCid.keys.exists(_ >= 16L),
+      s"no cluster-B centroid selected: ${byCid.keys.toSeq.sorted}")
+    // with in-cluster centroids available, no single inverted list
+    // swallows the corpus (the failure mode of the first-N quantizer)
+    assert(byCid.values.max < 90L, s"degenerate list sizes: $byCid")
+    assert(idx.count() == 100L) // every vector assigned exactly once
+  }
+
   test("sign-LSH with a skewed bucket distribution still verifies exactly") {
     // all-positive leading dims -> every vector lands in ONE bucket
     // regardless of bit count: the equi-join degenerates to the full
