@@ -72,6 +72,23 @@ object CoreQueries {
           col("schema_name"), col("table_name"), col("table_name")))
         .orderBy("table_name")),
 
+    // The full §3.1 orchestration lifecycle as ONE oracle-checked relation
+    // (VERDICT r04 next #8): discover (check_sql over the manifest) ->
+    // per-table structure check -> data stage (keyed diff where a spec
+    // exists, keyless multiset elsewhere) -> merged report with the TOTAL
+    // tallies. Downstream = perturbed orders (the keyed path goes "diff"),
+    // identity elsewhere — the deterministic verdict mix the exit-code
+    // spec asserts on.
+    "run_all_report" -> ((s, dir) =>
+      Orchestrate.runAll(s, dir, Discover.defaultCheckSql(5000),
+        downstream = (t, up) =>
+          if (t == "orders") Perturb.ordersDownstream(up) else up,
+        keyedSpecs = Map("orders" -> ordSpec),
+        // reference-style table-level concurrency (config.toml:20) — C2
+        // exercised under the oracle, and Future.sequence keeps report
+        // order deterministic
+        tableParallelism = 3)),
+
     "chunk_checksum" -> ((s, dir) =>
       TableDiff.chunkChecksums(li(s, dir), liSpec).orderBy("chunk_id")),
 
@@ -331,6 +348,32 @@ object CoreQueries {
          |  printf(e'[data-sources.master]\\nsnapshot = "auto"\\n[task]\\ntarget-check-tables = ["%s.%s"]\\nchunk-size = 500\\noutput-dir = "./output/%s_run1"',
          |         schema_name, table_name, table_name) AS config_text
          |FROM disc ORDER BY table_name""".stripMargin,
+
+    "run_all_report" ->
+      s"""WITH $manifestCte,
+         |$rowDiffCte,
+         |disc AS ($discoverSelect),
+         |rep0 AS (
+         |  SELECT 'events' AS table_name, 'ok' AS structure, 'ok' AS data_result,
+         |         (SELECT count(*) FROM events) AS upcount,
+         |         (SELECT count(*) FROM events) AS downcount
+         |  UNION ALL
+         |  SELECT 'lineitem', 'ok', 'ok',
+         |         (SELECT count(*) FROM lineitem), (SELECT count(*) FROM lineitem)
+         |  UNION ALL
+         |  SELECT 'orders', 'ok',
+         |         CASE WHEN EXISTS (SELECT 1 FROM rd) THEN 'diff' ELSE 'ok' END,
+         |         (SELECT count(*) FROM orders), (SELECT count(*) FROM odown)),
+         |rep AS (SELECT r.* FROM rep0 r JOIN disc d ON d.table_name = r.table_name),
+         |finalrep AS (
+         |  SELECT * FROM rep
+         |  UNION ALL
+         |  SELECT 'TOTAL',
+         |         CAST(SUM(CASE WHEN structure = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
+         |         CAST(SUM(CASE WHEN data_result = 'diff' THEN 1 ELSE 0 END) AS VARCHAR) || ' diff',
+         |         CAST(SUM(upcount) AS BIGINT), CAST(SUM(downcount) AS BIGINT) FROM rep)
+         |SELECT * FROM finalrep
+         |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin,
 
     "chunk_checksum" ->
       s"""SELECT l_orderkey // 500 AS chunk_id, count(*) AS cnt,
