@@ -158,6 +158,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------------------------------------------- cluster collapse (CC)
+
+  /** Connected components over a near-dup pair relation — the collapse
+    * step every dedup pipeline runs AFTER pair mining: pairs chain into
+    * clusters (A~B, B~C => {A,B,C}) and each clustered document maps to
+    * one canonical (minimum) doc_id to keep. Output: (doc_id,
+    * canonical_id) for every document that appears in a pair.
+    *
+    * Algorithm: distributed min-label propagation. Each round is one
+    * shuffle — edges carry the neighbor's current label, a groupBy(min)
+    * folds them, and a label only ever decreases — so the fixpoint is the
+    * component minimum, reached in <= component-diameter rounds. Near-dup
+    * clusters are shallow by construction (members are all near one
+    * text), so the loop converges in a handful of rounds; `maxIter`
+    * guards the pathological chain and THROWS rather than return a
+    * silently half-merged clustering.
+    *
+    * Scale posture: state per round is one narrow (doc_id, label) pair
+    * per clustered doc — dup-bounded, never corpus-bounded — and each
+    * round eagerly checkpoints its result so lineage stays one round deep
+    * (an iteration's plan references the previous round TWICE — min-fold
+    * plus convergence compare — so un-truncated lineage doubles per round
+    * and analysis goes exponential; this is the standard iterative-graph
+    * checkpoint cadence). Local checkpoints suffice in one JVM; a
+    * 1000-executor run swaps in reliable `checkpoint` for the same
+    * truncation plus fault tolerance. Blocks are released by the context
+    * cleaner — nothing outlives the returned relation.
+    *
+    * Deterministic: min-label over a fixed edge set; the DuckDB oracle
+    * mirrors it as the recursive reachability closure's per-node minimum.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast(LongType).as("src"), col("doc_b").cast(LongType).as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // scanned every round — compute the miner once
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("canonical_id", col("doc_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("canonical_id").as("nl")),
+          Seq("dst"))
+        .groupBy("src").agg(min(col("nl")).as("nbl"))
+        .select(col("src").as("doc_id"), col("nbl"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nbl"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("canonical_id").as("old")),
+          Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"component labels still changing after $maxIter rounds — raise maxIter")
+    labels
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 16-bit SimHash over the token multiset: bit b is set iff more than

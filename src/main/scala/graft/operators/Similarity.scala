@@ -441,9 +441,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
 
   private def ivfAssign(embeddings: DataFrame, df: DataFrame,
-                        nCentroids: Int, take: Int, p: String): DataFrame = {
-    val spark = embeddings.sparkSession
-    val cents = collectVecs(centroidSeed(embeddings, nCentroids), nCentroids)
+                        nCentroids: Int, take: Int, p: String): DataFrame =
+    ivfAssignTo(collectVecs(centroidSeed(embeddings, nCentroids), nCentroids),
+      df, take, p)
+
+  /** Assign each row of `df` to its `take` nearest EXPLICIT centroids —
+    * the kernel [[ivfAssign]] and the k-means-refined path share.
+    */
+  private def ivfAssignTo(cents: Array[Vec], df: DataFrame,
+                          take: Int, p: String): DataFrame = {
+    val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
     val rows = df.select(col("vec_id"), col("embedding")).rdd.mapPartitions { it =>
       val cs = bc.value
@@ -485,6 +492,62 @@ object Similarity {
     val probes = ivfAssign(embeddings, probeBase, nCentroids, nProbe, "q")
     // same guard as signLshTopK: a broad queryPred must not broadcast
     // the corpus-with-embeddings to every executor (ADVICE r03)
+    val probeRel =
+      if (fitsBroadcast(probeBase, MaxBroadcastVecs)) broadcast(probes)
+      else probes
+    val cand = lists.join(probeRel, Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+    val scored = scorePairs(cand, None).withColumnRenamed("left_id", "query_id")
+    topK(scored, k)
+  }
+
+  /** One-Lloyd-iteration refined centroids (cid, cv: array<double>): each
+    * vector assigns to its nearest seed centroid ([[centroidSeed]]), and
+    * the refined centroid is the member mean per dimension. Component
+    * sums go through DECIMAL(27,10) — exact and ORDER-INDEPENDENT, so the
+    * mean is deterministic under any partitioning (a double sum would
+    * drift with aggregation order) and the DuckDB oracle reproduces it
+    * bit-for-bit; the only float step, the final sum/count division, has
+    * both operands identical in both engines. Narrow posture: the
+    * posexplode emits (cid, pos, v) triples — dim rows per vector, no
+    * document-sized state — and the per-cid reassembly list is
+    * dim-bounded. Further Lloyd iterations would loop this relation
+    * through [[ivfAssignTo]]; one iteration already repairs the seed's
+    * worst imbalance, the standard IVF training trade.
+    */
+  def refinedCentroids(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val members = ivfIndex(embeddings, nCentroids)
+      .select(col("cid"), posexplode(col("c_emb")))
+      .toDF("cid", "pos", "v")
+    val comp = members.groupBy("cid", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("c"))
+    comp.groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cid"), expr("transform(pc, x -> x.c)").as("cv"))
+  }
+
+  /** [[ivfTopK]] with the one-iteration k-means quantizer: lists and
+    * probes assign against [[refinedCentroids]] (collected/broadcast —
+    * nCentroids rows by construction); pair scoring stays on the original
+    * embeddings. Refined centroids track the data's actual density, so
+    * inverted lists balance where the raw seed's nearest-member geometry
+    * was lopsided.
+    */
+  def ivfTopKKmeans(embeddings: DataFrame, queryPred: Column, k: Int,
+                    nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = refinedCentroids(embeddings, nCentroids).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var n2 = 0d; var i = 0
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+        Vec(r.getLong(0), v, math.sqrt(n2))
+      }.sortBy(_.id)
+    val lists = ivfAssignTo(cents, embeddings, 1, "c")
+    val probeBase = graft.Tables.spread(embeddings).filter(queryPred)
+    val probes = ivfAssignTo(cents, probeBase, nProbe, "q")
     val probeRel =
       if (fitsBroadcast(probeBase, MaxBroadcastVecs)) broadcast(probes)
       else probes

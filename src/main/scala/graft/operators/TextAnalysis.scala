@@ -96,6 +96,30 @@ object TextAnalysis {
       expr("(length(text) + 3) div 4").cast(LongType).as("est_tokens"))
   }
 
+  /** Corpus vocabulary: per-token total occurrences and document
+    * frequency over the BPE-ish segmentation, top `k` by occurrence count
+    * (token tie-break) — the vocabulary-building pass a tokenizer
+    * training run makes over the corpus.
+    *
+    * Scale posture: the explode emits only narrow (token, doc_id) pairs
+    * (text never rides the shuffle), the count aggregates with map-side
+    * partials, and the top-k is a TakeOrderedAndProject — no full sort of
+    * the vocabulary. Document frequency is an exact distinct count; at
+    * 100 TB swap in approx_count_distinct if ±1% is acceptable (kept
+    * exact here for the oracle contract).
+    */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+  }
+
   /** Document fingerprints: the full-text md5 plus a winnowing-style
     * content fingerprint — the minimum 48-bit hash over all character
     * 8-grams (a rolling window of hashes reduced by min; robust to small

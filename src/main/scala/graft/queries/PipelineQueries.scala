@@ -37,6 +37,8 @@ object PipelineQueries {
     "token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")),
 
+    "vocab_topk" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir), 100)),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(docs(s, dir))).orderBy("text_md5")),
 
@@ -64,6 +66,15 @@ object PipelineQueries {
 
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
+
+    // Cluster collapse — the step AFTER pair mining: near-dup pairs chain
+    // into connected components and every clustered doc maps to its
+    // canonical (minimum) id. The oracle is the recursive reachability
+    // closure's per-node minimum.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.minhashNearDups(docs(s, dir), 0.5).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
 
     // The composed one-materialization pipeline (VERDICT r04 missing #2):
     // the shingle kernel — the dominant narrow cost shared by the minhash
@@ -101,6 +112,13 @@ object PipelineQueries {
 
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    // One-Lloyd-iteration quantizer: assignment + probing against the
+    // refined (member-mean) centroids, decimal-exact component sums so
+    // the oracle reproduces the means bit-for-bit.
+    "ann_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopKKmeans(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
     // Multi-band recall recovery for top-k: candidates share ANY of 4
@@ -272,6 +290,15 @@ object PipelineQueries {
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS est_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "vocab_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS occurrences,
+        |       count(DISTINCT doc_id) AS doc_freq
+        |FROM t GROUP BY token
+        |ORDER BY occurrences DESC, token LIMIT 100""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH $dupCorpusCte
          |SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
@@ -322,6 +349,33 @@ object PipelineQueries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte,
+         |$shinglesCte,
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b),
+         |mh AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+         |          UNION SELECT doc_b, doc_a FROM mh),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS canonical_id FROM reach
+         |GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "pipeline_composed" ->
       s"""WITH $toksCte,
@@ -418,6 +472,49 @@ object PipelineQueries {
          |  SELECT p.query_id, a.vec_id AS cand_id, round($cosSql, 6) AS score
          |  FROM probe p
          |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e c ON c.vec_id = a.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM scored)
+         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_kmeans" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sim0 AS (
+         |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
+         |  FROM e, cent),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim0) WHERE rn = 1),
+         |dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS pos),
+         |comp AS (
+         |  SELECT a0.cid, d.pos,
+         |         CAST(SUM(CAST(e.v[CAST(d.pos AS INTEGER)] AS DECIMAL(27,10))) AS DOUBLE)
+         |           / COUNT(*) AS c
+         |  FROM a0 JOIN e ON e.vec_id = a0.vec_id CROSS JOIN dims d
+         |  GROUP BY a0.cid, d.pos),
+         |cent2 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM comp GROUP BY cid),
+         |sim2 AS (
+         |  SELECT e.vec_id, c2.cid, ${cosOf("e.v", "c2.cv")} AS s
+         |  FROM e, cent2 c2),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim2) WHERE rn = 1),
+         |p2 AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim2 WHERE vec_id < 50) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id, round($cosSql, 6) AS score
+         |  FROM p2 p
+         |  JOIN a2 a ON a.cid = p.cid AND a.vec_id <> p.query_id
          |  JOIN e q ON q.vec_id = p.query_id
          |  JOIN e c ON c.vec_id = a.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM scored)

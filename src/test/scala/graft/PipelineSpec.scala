@@ -57,6 +57,28 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty) // planted near-dups ride on rare shingles
   }
 
+  test("components chain pairs transitively and pick the minimum canonical id") {
+    // (1~2, 2~3) must merge into one cluster even though (1,3) was never
+    // a mined pair — the collapse pair output alone cannot express
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val m = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("components converge on a long chain and refuse a truncated run") {
+    // a 12-hop path needs ~12 min-label rounds; maxIter guards against a
+    // silently half-merged clustering
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val canon = Dedup.components(chain)
+      .select("canonical_id").distinct().as[Long].collect().toSeq
+    assert(canon == Seq(0L))
+    intercept[IllegalArgumentException] {
+      Dedup.components(chain, maxIter = 3)
+    }
+  }
+
   test("simhash is identical for identical texts, near for near-dups") {
     val sig = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(4L))
@@ -382,6 +404,33 @@ class SimilaritySpec extends SparkSpec {
         .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
       assert(fromIdx == direct && fromIdx.nonEmpty)
     } finally idx.unpersist()
+  }
+
+  test("refined centroids are the member means of the seed assignment") {
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(120)
+    val members = Similarity.ivfIndex(emb, nCentroids = 4)
+      .select("cid", "c_emb")
+      .as[(Long, Array[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val refined = Similarity.refinedCentroids(emb, nCentroids = 4)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(refined.keySet == members.keySet)
+    refined.foreach { case (cid, cv) =>
+      val vs = members(cid)
+      cv.zipWithIndex.foreach { case (c, i) =>
+        // decimal-exact sum / count — compare against a BigDecimal fold
+        val exact = vs.map(v => BigDecimal(v(i).toDouble)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        assert(math.abs(c - exact.toDouble / vs.length) < 1e-12,
+          s"cid=$cid dim=$i")
+      }
+    }
+    // the k-means path is deterministic end to end
+    val a = Similarity.ivfTopKKmeans(emb, col("vec_id") < 10, 3)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.ivfTopKKmeans(emb, col("vec_id") < 10, 3)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("IVF probes only nearest inverted lists and ranks deterministically") {
