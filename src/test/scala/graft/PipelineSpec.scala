@@ -406,6 +406,39 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("bucketed ivfIndex materialization serves probe joins without a corpus-side shuffle") {
+    // The 100 TB contract stated on ivfIndex: materialize the inverted
+    // lists ONCE as a table bucketed by cid, and every subsequent query
+    // joins on cid without re-shuffling the corpus. Disable auto-broadcast
+    // so the probe join would otherwise be a shuffle-both-sides SMJ, and
+    // assert the bucketed side's Exchange is gone.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.ivfIndex(emb, nCentroids = 8).write
+      .bucketBy(8, "cid").sortBy("cid")
+      .mode("overwrite").saveAsTable("ivf_lists")
+    val lists = spark.table("ivf_lists")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probes = Similarity.ivfIndex(emb, nCentroids = 8)
+        .filter(col("c_id") < 10)
+        .select(col("c_id").as("q_id"), col("cid"))
+      val joined = lists.join(probes, Seq("cid"))
+        .filter(col("q_id") =!= col("c_id"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly one shuffle: the probe side; the bucketed scan's hash
+      // distribution satisfies the join's requirement
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (probe side), got $exchanges:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "lists side should scan the bucketed table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS ivf_lists")
+    }
+  }
+
   test("refined centroids are the member means of the seed assignment") {
     val emb = Tables.load(spark, sfDir, "embeddings").limit(120)
     val members = Similarity.ivfIndex(emb, nCentroids = 4)

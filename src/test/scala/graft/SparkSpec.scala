@@ -11,6 +11,10 @@ object TestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // managed-table surface (bucketed materialization specs) — keep the
+      // warehouse out of the repo checkout
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
     Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
