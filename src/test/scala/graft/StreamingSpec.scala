@@ -38,6 +38,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dual-stream windowed diff surfaces exactly the drifted windows (streaming face)") {
+    implicit val sc = spark.sqlContext
+    val up = MemoryStream[Ev]
+    val down = MemoryStream[Ev]
+    val q = StreamingDiff.windowedDiff(
+      up.toDF(), down.toDF(), "1 hour", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("win_diff")
+      .outputMode("complete").start()
+    try {
+      // downstream drops event 2 (h0) and mutates event 3's value (h1
+      // error window); the h1 click window (event 4) stays clean
+      val downBatch = Seq(batch(0), batch(2).copy(value = 9.9), batch(3))
+      up.addData(batch: _*)
+      down.addData(downBatch: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_diff")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val want = StreamingDiff.windowedDiff(
+        batch.toDF(), downBatch.toDF(), "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(got == want)
+      assert(want.size == 2) // (h0 click count drift), (h1 error checksum drift)
+      val counts = got.map(r => (r.getLong(2), r.getLong(4))) // (up_cnt, down_cnt)
+      assert(counts.contains((2L, 1L))) // the dropped h0 click
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
