@@ -87,6 +87,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components equal a union-find reference on arbitrary pair graphs") {
+    val graphs: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(5, 60)
+      m <- Gen.choose(1, 80)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs.distinct
+
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+
+    samples(graphs, 6).filter(_.nonEmpty).foreach { pairs =>
+      val got = Dedup.components(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(pairs), s"pairs=$pairs")
+    }
+  }
+
   test("chunk checksums are insensitive to row order (commutative combine)") {
     samples(Gen.choose(10, 200), 5).foreach { n =>
       val t = table(n)
