@@ -304,6 +304,42 @@ object Dedup {
       .distinct()
   }
 
+  // -------------------------------------- cross-corpus contamination scan
+
+  /** Benchmark-contamination scan: corpus documents whose shingle-set
+    * Jaccard against ANY benchmark document reaches `threshold` — the
+    * eval-leakage gate a training-data pipeline runs before shipping a
+    * corpus (same inverted-index shape as [[jaccardNearDupsFrom]], but a
+    * CROSS-relation join: every (corpus, benchmark) pairing is eligible,
+    * no id-orientation).
+    *
+    * Scale posture: benchmark sets are small by nature, so the benchmark
+    * posting relation broadcasts and the corpus-side postings stream
+    * through a BroadcastHashJoin — the 100 TB corpus is never shuffled.
+    * Output (doc_id, bench_id, jaccard) is contamination-bounded.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    threshold: Double): DataFrame =
+    contaminationFrom(shingleKernel(corpus), shingleKernel(benchmark), threshold)
+
+  /** [[contamination]] over existing [[shingleKernel]] relations. */
+  def contaminationFrom(corpusSk: DataFrame, benchSk: DataFrame,
+                        threshold: Double): DataFrame = {
+    def postings(sk: DataFrame, idAs: String, nAs: String): DataFrame =
+      sk.select(col("doc_id").as(idAs),
+        size(col("sh")).cast(LongType).as(nAs), explode(col("sh")).as("sh_h"))
+    val cp = postings(corpusSk, "doc_id", "n_c")
+    val bp = broadcast(postings(benchSk, "bench_id", "n_b"))
+    cp.join(bp, Seq("sh_h"))
+      .groupBy(col("doc_id"), col("bench_id"), col("n_c"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("doc_id"), col("bench_id"),
+        (col("common").cast("double") / (col("n_c") + col("n_b") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------- exact n-gram Jaccard join
 
   /** Exact all-pairs n-gram Jaccard >= threshold via a shingle inverted

@@ -120,6 +120,26 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Deterministic train/val/test assignment: the document's 48-bit
+    * md5-derived id hash mod 1000 picks a permille bucket, and the bucket
+    * maps to a split by the requested proportions. Hash-based (never
+    * random) so the split is stable across runs, machines, and corpus
+    * growth — adding documents never moves an existing one between
+    * splits, the property training pipelines need for eval hygiene.
+    * Narrow projection; engine-portable md5 arithmetic.
+    */
+  def splitAssign(docs: DataFrame, valPermille: Int = 50,
+                  testPermille: Int = 50): DataFrame = {
+    require(valPermille + testPermille < 1000, "val+test must leave room for train")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast(LongType), lit(1000L))
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < testPermille, "test")
+        .when(bucket < testPermille + valPermille, "val")
+        .otherwise("train").as("split"))
+  }
+
   /** Document fingerprints: the full-text md5 plus a winnowing-style
     * content fingerprint — the minimum 48-bit hash over all character
     * 8-grams (a rolling window of hashes reduced by min; robust to small

@@ -39,6 +39,20 @@ object PipelineQueries {
 
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir), 100)),
 
+    "dataset_split" -> ((s, dir) =>
+      TextAnalysis.splitAssign(docs(s, dir)).orderBy("doc_id")),
+
+    // Eval-leakage gate: corpus docs (doc_id % 20 != 0) scanned against
+    // the benchmark subset (doc_id % 20 = 0); the small benchmark posting
+    // relation broadcasts, the corpus streams.
+    "contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), 0.5)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(docs(s, dir))).orderBy("text_md5")),
 
@@ -298,6 +312,31 @@ object PipelineQueries {
         |       count(DISTINCT doc_id) AS doc_freq
         |FROM t GROUP BY token
         |ORDER BY occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "dataset_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${h48("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 50 THEN 'test'
+         |       WHEN bucket < 100 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "contamination" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |cp AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_c, unnest(s) AS sh_h
+         |       FROM sh WHERE doc_id % 20 <> 0),
+         |bp AS (SELECT doc_id AS bench_id, CAST(len(s) AS BIGINT) AS n_b, unnest(s) AS sh_h
+         |       FROM sh WHERE doc_id % 20 = 0),
+         |cm AS (
+         |  SELECT cp.doc_id, bp.bench_id, cp.n_c, bp.n_b, count(*) AS common
+         |  FROM cp JOIN bp ON cp.sh_h = bp.sh_h
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, bench_id,
+         |       round(common * 1.0 / (n_c + n_b - common), 6) AS jaccard
+         |FROM cm WHERE common * 1.0 / (n_c + n_b - common) >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $dupCorpusCte

@@ -79,6 +79,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination flags corpus docs overlapping the benchmark, benchmark side broadcast") {
+    val corpus = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog"),
+      doc(2, "totally unrelated content lives in this row here"),
+      doc(3, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val bench = Seq(doc(100, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, 0.5)
+    val got = hits.select("doc_id", "bench_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 100L), (3L, 100L)))
+    assert(got.find(_._1 == 1L).get._3 == 1.0) // exact copy of the benchmark doc
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastQueryStage"),
+      "benchmark postings must broadcast, never shuffle the corpus")
+  }
+
+  test("splitAssign is stable under corpus growth and covers all splits") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val subset = docs.filter(col("doc_id") < 100)
+    val full = TextAnalysis.splitAssign(docs)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    val sub = TextAnalysis.splitAssign(subset)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    // hash assignment: growing the corpus never moves an existing doc
+    sub.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved") }
+    val byCounts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byCounts.keySet == Set("train", "val", "test"))
+    assert(byCounts("train") > byCounts("val") && byCounts("train") > byCounts("test"))
+  }
+
   test("simhash is identical for identical texts, near for near-dups") {
     val sig = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(4L))
