@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the right row with the
+  * greatest timestamp <= the left row's timestamp sharing the join key —
+  * the lookup every event pipeline needs for "the state in effect when
+  * this happened" (latest config, last purchase, prevailing price).
+  *
+  * Spark has no native as-of operator, and the naive encoding — a range
+  * join `l.key = r.key AND r.ts <= l.ts` + a per-left max — explodes into
+  * every (left, earlier-right) pairing before pruning (quadratic per key,
+  * and a non-equi conjunct that falls off the hash-join path). This is
+  * the standard union trick instead: tag both sides, sort each key's
+  * timeline once, and carry the last seen right payload forward with a
+  * running `last(ignoreNulls)` window. ONE shuffle on the key, one
+  * in-partition sort, zero candidate blowup — the plan a 100 TB timeline
+  * wants. Ties (left ts == right ts) are INCLUSIVE, matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts` oracle semantics: right rows sort
+  * before left rows at the same timestamp.
+  *
+  * The right side must be unique per (key, ts) — equal-timestamp right
+  * duplicates have no defined winner in any as-of semantics; dedupe
+  * upstream (e.g. keep the max event id per instant).
+  */
+object AsOf {
+
+  /** @param payload right columns to attach, emitted as `asof_<name>`;
+    *   left rows with no as-of match carry NULLs there.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           payload: Seq[String]): DataFrame = {
+    val payCols = payload.map(c => s"asof_$c")
+    // both union legs get the full output schema; the missing side's
+    // columns ride as typed NULLs
+    val l = payload.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        lit(null).cast(right.schema(c).dataType))
+    }
+    val leftOnly = left.columns.toSeq.filterNot(Set(key, ts))
+    val r = leftOnly.foldLeft(
+      right.select(Seq(col(key), col(ts)) ++
+        payload.map(c => col(c).as(s"asof_$c")): _*)
+        .withColumn("__side", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payCols.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

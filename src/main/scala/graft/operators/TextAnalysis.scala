@@ -140,6 +140,31 @@ object TextAnalysis {
         .otherwise("train").as("split"))
   }
 
+  /** Training-shard packing: documents are packed in deterministic order
+    * (doc_id) into shards of ~`budgetTokens` estimated tokens, per
+    * `groupCol` partition — the shard-assembly step between a cleaned
+    * corpus and a training run. A document lands in the shard its LAST
+    * token falls into: shard_id = (running_total - 1) / budget, so shard
+    * boundaries are reproducible from the data alone.
+    *
+    * Scale posture: packing is inherently sequential WITHIN a shard
+    * stream, so the operator parallelizes across the `groupCol`
+    * partitions (one window per group — language here; a 100 TB run uses
+    * (split, hash-macro-bucket) as the group to bound any one group's
+    * stream) and never sorts globally.
+    */
+  def packShards(docs: DataFrame, budgetTokens: Long,
+                 groupCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = expr("(length(text) + 3) div 4").cast(LongType)
+    val w = Window.partitionBy(groupCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(groupCol), est.as("est_tokens"))
+      .withColumn("__cum", sum(col("est_tokens")).over(w))
+      .withColumn("shard_id", expr(s"(__cum - 1) div $budgetTokens"))
+      .drop("__cum")
+  }
+
   /** Document fingerprints: the full-text md5 plus a winnowing-style
     * content fingerprint — the minimum 48-bit hash over all character
     * 8-grams (a rolling window of hashes reduced by min; robust to small

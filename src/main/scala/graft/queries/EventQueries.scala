@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Discover
+import graft.operators.{AsOf, Discover}
 import graft.streaming.StreamingDiff
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -38,6 +38,20 @@ object EventQueries {
             .otherwise(col("value")))
       StreamingDiff.windowedDiff(up, down, "1 hour")
         .orderBy("window_start", "event_type")
+    }),
+
+    // Point-in-time lookup: every event joined to the user's latest
+    // purchase at-or-before its timestamp via the union-trick as-of join
+    // (one key shuffle, no range-join blowup); DuckDB's native ASOF JOIN
+    // is the oracle.
+    "events_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      AsOf.asOf(e, e.filter(col("event_type") === "purchase"),
+        "user_id", "ts", Seq("event_id", "value"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_type"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
     }),
 
     "events_json" -> ((s, dir) =>
@@ -140,6 +154,15 @@ object EventQueries {
          |SELECT * FROM agg
          |WHERE up_cnt <> down_cnt OR up_checksum <> down_checksum
          |ORDER BY window_start, event_type""".stripMargin,
+
+    "events_asof" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, epoch_ms(l.ts) AS ts_ms, l.event_type,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS cnt,

@@ -42,6 +42,9 @@ object PipelineQueries {
     "dataset_split" -> ((s, dir) =>
       TextAnalysis.splitAssign(docs(s, dir)).orderBy("doc_id")),
 
+    "pack_shards" -> ((s, dir) =>
+      TextAnalysis.packShards(docs(s, dir), 2000L).orderBy("doc_id")),
+
     // Eval-leakage gate: corpus docs (doc_id % 20 != 0) scanned against
     // the benchmark subset (doc_id % 20 = 0); the small benchmark posting
     // relation broadcasts, the corpus streams.
@@ -321,6 +324,16 @@ object PipelineQueries {
          |       WHEN bucket < 100 THEN 'val'
          |       ELSE 'train' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "pack_shards" ->
+      """WITH c AS (SELECT doc_id, lang,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS est_tokens,
+        |  SUM(CAST((length(text) + 3) // 4 AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, est_tokens, (cum - 1) // 2000 AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "contamination" ->
       s"""WITH $toksCte,

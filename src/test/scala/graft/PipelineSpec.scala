@@ -515,6 +515,38 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks the latest at-or-before right row per key, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 900.0))
+      .toDF("k", "t", "price")
+    val out = AsOf.asOf(left, right, "k", "t", Seq("price"))
+      .select("tag", "asof_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("a").isEmpty)          // before any right row
+    assert(out("b").contains(100.0))  // tie: left t == right t is inclusive
+    assert(out("c").contains(150.0))  // latest earlier row wins
+    assert(out("d").isEmpty)          // key 2's right row is later (9 > 7)
+  }
+
+  test("as-of plan is one key shuffle — no range-join candidate blowup") {
+    val e = Tables.load(spark, sfDir, "events")
+    val joined = AsOf.asOf(e, e.filter(col("event_type") === "purchase"),
+      "user_id", "ts", Seq("event_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a pair blowup:\n$plan")
+    assert(plan.contains("Window"), "running last() should drive the match")
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
@@ -545,6 +577,27 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
     assert(out(1L) == "en")
     assert(out(2L) == "und")
+  }
+
+  test("packShards fills each shard to the token budget in doc order per group") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = TextAnalysis.packShards(docs, 2000L)
+      .as[(Long, String, Long, Long)].collect()
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_._1)
+      // shard ids are non-decreasing in doc order and start at 0
+      assert(ordered.head._4 == 0L)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 >= a._4, s"$lang shards must be contiguous")
+      }
+      // a shard never holds more than budget tokens unless a single doc
+      // alone exceeds it (the straddling doc lands with its last token)
+      ordered.groupBy(_._4).foreach { case (_, members) =>
+        val total = members.map(_._3).sum
+        val prevSpill = 2000L // straddle allowance from the previous shard
+        assert(total <= 2000L + prevSpill || members.exists(_._3 > 2000L))
+      }
+    }
   }
 
   test("fingerprints: identical text identical fp; small edit keeps winnow fp") {
