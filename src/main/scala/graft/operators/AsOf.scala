@@ -28,30 +28,38 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param payload right columns to attach, emitted as `asof_<name>`;
-    *   left rows with no as-of match carry NULLs there.
+    *   left rows with no as-of match carry NULLs there. The payload
+    *   rides the timeline as ONE struct column filled by a single
+    *   `last(ignoreNulls)` window, so all `asof_*` values always come
+    *   from the same right row — per-column fills would stitch values
+    *   from different rows whenever a payload column is legitimately
+    *   NULL while a sibling is not (a torn payload).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
-    val payCols = payload.map(c => s"asof_$c")
+    val payType = org.apache.spark.sql.types.StructType(payload.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     // both union legs get the full output schema; the missing side's
     // columns ride as typed NULLs
-    val l = payload.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        lit(null).cast(right.schema(c).dataType))
-    }
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__asof_pay", lit(null).cast(payType))
     val leftOnly = left.columns.toSeq.filterNot(Set(key, ts))
     val r = leftOnly.foldLeft(
-      right.select(Seq(col(key), col(ts)) ++
-        payload.map(c => col(c).as(s"asof_$c")): _*)
+      right.select(col(key), col(ts),
+        struct(payload.map(col): _*).as("__asof_pay"))
         .withColumn("__side", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payCols.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__asof_pay",
+        last(col("__asof_pay"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(filled.filter(col("__side") === 1)) {
+      (df, c) => df.withColumn(s"asof_$c", col("__asof_pay").getField(c))
     }
-    filled.filter(col("__side") === 1).drop("__side")
+    unpacked.drop("__side", "__asof_pay")
   }
 }

@@ -119,8 +119,7 @@ object CoreQueries {
     // back — latest-run selection + verdict/row parse must reproduce the
     // newest run exactly (`step3_run_syncdiff.sh:157-218`).
     "summary_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_summaries_").toString
+      val base = graft.Scratch.dir("graft_summaries_")
       ReportIngest.writeSummaries(Seq(
         Report.TableReport("users", "ok", "ok", 900L, 900L),
         Report.TableReport("audit_log", "ok", "diff", 400L, 395L)),
@@ -144,8 +143,7 @@ object CoreQueries {
     // real mysql-client output contains), read it back with warning
     // lines dropped. Oracle = the discovery relation itself.
     "table_list_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tablelist_").toString
+      val base = graft.Scratch.dir("graft_tablelist_")
       ReportIngest.writeTableList(
         Discover.discover(s, dir, Discover.defaultCheckSql(5000)), base)
       java.nio.file.Files.writeString(
@@ -191,7 +189,7 @@ object CoreQueries {
       log.log("INFO", "discovery started", 1704103200000L)
       log.log("WARN", "table skipped: no pk", 1704103260000L)
       log.log("ERROR", "compare failed: orders", 1704103320000L)
-      val f = java.nio.file.Files.createTempFile("graft_runlog", ".log")
+      val f = graft.Scratch.file("graft_runlog", ".log")
       log.writeTo(f)
       java.nio.file.Files.writeString(f, "not a log line\n",
         java.nio.file.StandardOpenOption.APPEND)

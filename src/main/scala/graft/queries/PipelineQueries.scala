@@ -103,8 +103,7 @@ object PipelineQueries {
     // in_exact=false rows cannot occur (minhash verifies exact jaccard) —
     // the flag asserts that invariant in the output contract itself.
     "pipeline_composed" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_shingle_rel_").toString
+      val base = graft.Scratch.dir("graft_shingle_rel_")
       Dedup.shingleKernel(docs(s, dir)).write.mode("overwrite").parquet(base)
       val sk = s.read.parquet(base)
       val mh = Dedup.minhashNearDupsFrom(sk, 0.5)
@@ -332,7 +331,8 @@ object PipelineQueries {
         |    OVER (PARTITION BY lang ORDER BY doc_id
         |          ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
-        |SELECT doc_id, lang, est_tokens, (cum - 1) // 2000 AS shard_id
+        |SELECT doc_id, lang, est_tokens,
+        |  CAST((cum - 1) // 2000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "contamination" ->

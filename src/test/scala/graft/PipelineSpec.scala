@@ -535,6 +535,20 @@ class AsOfSpec extends SparkSpec {
     assert(out("d").isEmpty)          // key 2's right row is later (9 > 7)
   }
 
+  test("payload is not torn: all asof_* values come from the same right row") {
+    // latest right row has price=NULL but a non-null note; a per-column
+    // fill would resurrect the OLDER price next to the newer note
+    val left = Seq((1L, 20L, "x")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L, Some(100.0), Some("old")),
+      (1L, 10L, None: Option[Double], Some("new")))
+      .toDF("k", "t", "price", "note")
+    val r = AsOf.asOf(left, right, "k", "t", Seq("price", "note"))
+      .select("asof_price", "asof_note")
+      .as[(Option[Double], Option[String])].collect()(0)
+    assert(r == ((None, Some("new"))), s"torn payload: $r")
+  }
+
   test("as-of plan is one key shuffle — no range-join candidate blowup") {
     val e = Tables.load(spark, sfDir, "events")
     val joined = AsOf.asOf(e, e.filter(col("event_type") === "purchase"),
