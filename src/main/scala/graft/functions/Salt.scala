@@ -52,4 +52,22 @@ object Salt {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Heavy-hitter diagnostic: the top `k` keys by row count with each
+    * key's share of the relation — the measurement that DECIDES when the
+    * salting above (or AQE skew handling) is needed, and which keys to
+    * target. The full-table count collapses to one row per key with
+    * map-side partials before the whole-relation share window touches it,
+    * so the single-partition window sees |keys| rows, never |rows|; the
+    * top-k is a TakeOrderedAndProject, no full sort.
+    */
+  def keyStats(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        round(col("cnt").cast("double") / sum(col("cnt")).over(whole), 6))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

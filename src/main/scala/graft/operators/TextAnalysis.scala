@@ -186,4 +186,95 @@ object TextAnalysis {
       md5(col("text")).as("text_md5"),
       expr("winnow_fp(text)").as("winnow_fp"))
   }
+
+  /** Repetition-based quality signals (the Gopher-rule family every LLM
+    * corpus filter applies): the most-frequent token's share of the
+    * document and the duplicated-bigram fraction, plus the resulting keep
+    * verdict. Repetitive boilerplate (nav bars, scraped templates, decode
+    * loops) scores high on both and is dropped before training.
+    *
+    * Narrow per-row projection — nothing shuffles, so the filter runs at
+    * scan speed over 100 TB. The per-row compute is O(tokens²) through the
+    * interpreted HOF path (distinct × count filter); documents are
+    * short (~100 tokens) so it holds, and the upgrade path at scale is a
+    * native codegen'd kernel exactly like `winnow_fp` replaced the
+    * fingerprint HOF (TextKernels).
+    */
+  def repetitionSignals(docs: DataFrame, maxTopTokenShare: Double = 0.12,
+                        maxDupBigramFrac: Double = 0.05,
+                        minTokens: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast(LongType)
+    val topCnt = array_max(
+      transform(array_distinct(toks), t => size(filter(toks, x => x === t))))
+      .cast(LongType)
+    // sequence(1, 0) would run DESCENDING, not empty — guard 1-token docs
+    val grams = when(size(toks) > 1,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nGrams = size(grams).cast(LongType)
+    val dupFrac = when(nGrams > 0,
+      round((nGrams - size(array_distinct(grams)).cast(LongType))
+        .cast("double") / nGrams, 6)).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round(topCnt.cast("double") / n, 6).as("top_token_share"),
+      dupFrac.as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens &&
+          col("top_token_share") <= maxTopTokenShare &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+  }
+
+  /** Deterministic stratified sampling: each stratum (language here) keeps
+    * a configured permille of its documents, selected by an md5-derived
+    * bucket SALTED differently from `splitAssign`'s bucket — the sample is
+    * independent of the train/val/test split. Hash-based, never random:
+    * re-running over a grown corpus keeps every previously sampled
+    * document, so downstream caches stay valid. Narrow projection.
+    */
+  def stratifiedSample(docs: DataFrame, permille: Map[String, Int],
+                       defaultPermille: Int = 100): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast(LongType), lit(1000L))
+    val rate = permille.foldLeft(lit(defaultPermille)) { case (els, (lang, p)) =>
+      when(col("lang") === lang, lit(p)).otherwise(els)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Per-document top-`k` distinguishing terms by a log-free tf-idf
+    * variant: score = tf × (N / df), monotone in the classic tf·idf for
+    * fixed tf and rank-equivalent per (tf, df) cell. Log-free on purpose —
+    * tf, N and df are integers and one IEEE division is exactly
+    * reproducible across engines, where `ln` is library-dependent in the
+    * last ulp and would make the oracle hash flaky.
+    *
+    * Scale posture: the explode carries only (doc_id, token) — text never
+    * rides the shuffle; tf and df aggregate with map-side partials; N
+    * arrives via a broadcast single-row aggregate (no driver action); the
+    * df lookup is a broadcast-sized join at any realistic vocabulary.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val tf = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val score = (col("tf") * col("n_docs")).cast("double") / col("df")
+    val w = Window.partitionBy("doc_id").orderBy(score.desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(score, 6).as("score"), col("rank"))
+  }
 }

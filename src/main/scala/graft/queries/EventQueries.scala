@@ -64,6 +64,36 @@ object EventQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")),
 
+    // Gap-based sessionization rollup (12 h gap — the fixture's per-user
+    // event density is ~1/11 h, so a web-style 30-min gap would make
+    // nearly every event its own session): one user-key shuffle
+    // serves the lag window, the session-seq running sum, AND the
+    // per-session aggregate (grouping by (user, session_seq) reuses the
+    // user-hash exchange).
+    "events_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(ev(s, dir), 43200L)
+        .orderBy("user_id", "session_seq")),
+
+    // Rolling per-user aggregates over the previous 5 events; the summed
+    // value is canonical cents so the windowed sum is integral (float
+    // window sums would depend on the engine's accumulation order).
+    "events_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-4, Window.currentRow)
+      ev(s, dir).select(
+        col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        count(lit(1)).over(w).as("roll_cnt"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).over(w)
+          .as("roll_cents"))
+        .orderBy("event_id")
+    }),
+
+    // Heavy-hitter diagnostic: which keys would need the salting in
+    // `events_salted_agg`, and how hot they are.
+    "events_key_skew" -> ((s, dir) =>
+      graft.functions.Salt.keyStats(ev(s, dir), "user_id", 20)),
+
     "latest_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -169,6 +199,44 @@ object EventQueries {
         |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 43200000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM a),
+        |c AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM b)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+        |FROM c GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_rolling" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  count(*) OVER w AS roll_cnt,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS roll_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "events_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT user_id, cnt,
+        |  round(cnt * 1.0 / SUM(cnt) OVER (), 6) AS share
+        |FROM c ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
 
     "latest_per_key" ->
       """WITH r AS (

@@ -42,6 +42,19 @@ object PipelineQueries {
     "dataset_split" -> ((s, dir) =>
       TextAnalysis.splitAssign(docs(s, dir)).orderBy("doc_id")),
 
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")),
+
+    // Per-language permille rates: en down-sampled less than zh, the
+    // remaining languages at the default — the mixture-balancing step of
+    // corpus assembly.
+    "stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir),
+        Map("en" -> 300, "zh" -> 500), 100).orderBy("doc_id")),
+
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), 3).orderBy("doc_id", "rank")),
+
     "pack_shards" -> ((s, dir) =>
       TextAnalysis.packShards(docs(s, dir), 2000L).orderBy("doc_id")),
 
@@ -334,6 +347,50 @@ object PipelineQueries {
         |SELECT doc_id, lang, est_tokens,
         |  CAST((cum - 1) // 2000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |    t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_cnt,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM tk),
+        |q AS (SELECT doc_id, n_tokens,
+        |  round(top_cnt * 1.0 / n_tokens, 6) AS top_token_share,
+        |  CASE WHEN len(grams) > 0
+        |    THEN round((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams), 6)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |  FROM s)
+        |SELECT doc_id, n_tokens, top_token_share, dup_bigram_frac,
+        |  (n_tokens >= 20 AND top_token_share <= 0.12
+        |   AND dup_bigram_frac <= 0.05) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 300
+         |                    WHEN lang = 'zh' THEN 500 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS raw,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.token)
+        |    AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, round(raw, 6) AS score, rank
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "contamination" ->
       s"""WITH $toksCte,

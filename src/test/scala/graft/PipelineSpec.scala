@@ -621,6 +621,100 @@ class TextAnalysisSpec extends SparkSpec {
       .select("text_md5", "winnow_fp").collect()
     assert(fps(0) == fps(1))
   }
+
+  test("repetitionSignals flag repetitive text and keep varied text") {
+    val d = Seq(
+      (1L, ("spam " * 30).trim),                        // one token dominates
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")),   // all distinct
+      (3L, "ab"),                                       // single token: no bigrams
+      (4L, (((1 to 15).map(i => s"w$i").mkString(" ") + " ") * 2).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d)
+      .select("doc_id", "top_token_share", "dup_bigram_frac", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1.0 && !out(1L)._4)
+    assert(out(2L)._2 < 0.05 && out(2L)._3 == 0.0 && out(2L)._4)
+    assert(out(3L)._3 == 0.0 && !out(3L)._4) // too short, but no crash
+    assert(out(4L)._3 > 0.4 && !out(4L)._4)  // duplicated half
+  }
+
+  test("stratifiedSample is deterministic, stable under growth, independent of splitAssign") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rates = Map("en" -> 300, "zh" -> 500)
+    val a = TextAnalysis.stratifiedSample(docs, rates).as[(Long, String, Long)]
+      .collect().toSet
+    val b = TextAnalysis.stratifiedSample(docs, rates).as[(Long, String, Long)]
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+    // growth stability: sampling a subset yields exactly the subset's rows
+    val sub = TextAnalysis.stratifiedSample(
+      docs.filter(col("doc_id") < 100), rates).as[(Long, String, Long)]
+      .collect().toSet
+    assert(sub == a.filter(_._1 < 100))
+    // salted hash differs from the split bucket (independence)
+    val splitBuckets = TextAnalysis.splitAssign(docs)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(a.exists { case (id, _, bucket) => splitBuckets(id) != bucket })
+  }
+
+  test("tfidfTopK ranks a document's distinctive term above ubiquitous ones") {
+    val d = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfTopK(d, 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // each doc's unique term (df=1) outranks 'common' (df=3) despite tf
+    assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, Double)*) =
+    rows.toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+
+  test("gap over threshold starts a new session; sessions roll up correctly") {
+    val e = ev(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 100L, 2.0),   // session 1
+      (3L, 1L, 5000L, 3.0),                      // gap 4900 > 1800 -> session 2
+      (4L, 2L, 0L, 4.0))                         // other user
+    val out = Sessionize.sessions(e, 1800L)
+      .select("user_id", "session_seq", "n_events", "value_cents", "duration_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 2L, 300L, 100000L),
+      (1L, 2L, 1L, 300L, 0L),
+      (2L, 1L, 1L, 400L, 0L)))
+  }
+
+  test("assign is total: every event gets exactly one (user, session) id") {
+    val e = Tables.load(spark, sfDir, "events")
+    val assigned = Sessionize.assign(e, 43200L)
+    assert(assigned.count() == e.count())
+    assert(assigned.filter(col("session_seq").isNull).count() == 0)
+  }
+
+  test("session rollup reuses the user-key exchange: exactly one shuffle") {
+    val e = Tables.load(spark, sfDir, "events")
+    val plan = Sessionize.sessions(e, 43200L).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
+
+class KeyStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyStats ranks heavy hitters with exact shares") {
+    val d = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = functions.Salt.keyStats(d, "k", 2)
+      .as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
