@@ -89,6 +89,30 @@ object CoreQueries {
         // order deterministic
         tableParallelism = 3)),
 
+    // Cross-table referential-integrity audit: orphaned children per FK
+    // edge. The fixture is internally consistent, so one check runs
+    // against a parent with simulated partial loss (every 50th order
+    // dropped) to prove the audit actually detects orphans.
+    "ri_audit" -> ((s, dir) => {
+      val liT = li(s, dir); val ordT = ord(s, dir)
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val supp = Tables.load(s, dir, "supplier")
+      Integrity.audit(Seq(
+        Integrity.check("customer->nation", cust, nat,
+          Seq("c_nationkey" -> "n_nationkey")),
+        Integrity.check("lineitem->orders", liT, ordT,
+          Seq("l_orderkey" -> "o_orderkey")),
+        Integrity.check("lineitem->orders_partial", liT,
+          ordT.filter(col("o_orderkey") % 50 =!= 0),
+          Seq("l_orderkey" -> "o_orderkey")),
+        Integrity.check("orders->customer", ordT, cust,
+          Seq("o_custkey" -> "c_custkey")),
+        Integrity.check("supplier->nation", supp, nat,
+          Seq("s_nationkey" -> "n_nationkey"))))
+        .orderBy("check_name")
+    }),
+
     "chunk_checksum" -> ((s, dir) =>
       TableDiff.chunkChecksums(li(s, dir), liSpec).orderBy("chunk_id")),
 
@@ -372,6 +396,34 @@ object CoreQueries {
          |         CAST(SUM(upcount) AS BIGINT), CAST(SUM(downcount) AS BIGINT) FROM rep)
          |SELECT * FROM finalrep
          |ORDER BY CASE WHEN table_name = 'TOTAL' THEN 1 ELSE 0 END, table_name""".stripMargin,
+
+    "ri_audit" -> {
+      def one(name: String, childSql: String, parentSql: String,
+              childKey: String, parentKey: String): String =
+        s"""SELECT '$name' AS check_name, count(*) AS child_rows,
+           |  count(CASE WHEN p.$parentKey IS NULL THEN 1 END) AS orphan_rows
+           |FROM ($childSql) c LEFT JOIN
+           |  (SELECT DISTINCT $parentKey FROM ($parentSql)) p
+           |  ON c.$childKey = p.$parentKey""".stripMargin
+      val checks = Seq(
+        one("customer->nation", "SELECT * FROM customer",
+          "SELECT * FROM nation", "c_nationkey", "n_nationkey"),
+        one("lineitem->orders", "SELECT * FROM lineitem",
+          "SELECT * FROM orders", "l_orderkey", "o_orderkey"),
+        one("lineitem->orders_partial", "SELECT * FROM lineitem",
+          "SELECT * FROM orders WHERE o_orderkey % 50 <> 0",
+          "l_orderkey", "o_orderkey"),
+        one("orders->customer", "SELECT * FROM orders",
+          "SELECT * FROM customer", "o_custkey", "c_custkey"),
+        one("supplier->nation", "SELECT * FROM supplier",
+          "SELECT * FROM nation", "s_nationkey", "n_nationkey"))
+        .mkString("\nUNION ALL\n")
+      s"""WITH checks AS (
+         |$checks)
+         |SELECT check_name, child_rows, orphan_rows,
+         |       orphan_rows = 0 AS ok
+         |FROM checks ORDER BY check_name""".stripMargin
+    },
 
     "chunk_checksum" ->
       s"""SELECT l_orderkey // 500 AS chunk_id, count(*) AS cnt,

@@ -55,6 +55,26 @@ object PipelineQueries {
     "tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), 3).orderBy("doc_id", "rank")),
 
+    // Exact discrete token-length quantiles per language — the corpus
+    // distribution summary; integer rank arithmetic keeps it engine-exact.
+    "length_quantiles" -> ((s, dir) =>
+      Quantiles.groupStats(
+        docs(s, dir).select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "lang", "n_tokens", "doc_id").orderBy("lang")),
+
+    // Best-5 documents per language by the composite quality score —
+    // the curation selection pass (W1-W3 generalized to top-k).
+    "top_docs_per_lang" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Rank.topKPerGroup(
+        d.select("doc_id", "lang")
+          .join(TextAnalysis.stats(d).select("doc_id", "quality"), "doc_id"),
+        Seq("lang"), Seq(col("quality").desc, col("doc_id").asc), 5)
+        .select("lang", "doc_id", "quality", "rank")
+        .orderBy("lang", "rank")
+    }),
+
     "pack_shards" -> ((s, dir) =>
       TextAnalysis.packShards(docs(s, dir), 2000L).orderBy("doc_id")),
 
@@ -391,6 +411,31 @@ object PipelineQueries {
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token, tf, df, round(raw, 6) AS score, rank
         |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "length_quantiles" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |r AS (SELECT lang, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS grp_cnt
+        |  FROM t)
+        |SELECT lang, count(*) AS cnt, min(n) AS min_v, max(n) AS max_v,
+        |  max(CASE WHEN rn = (grp_cnt + 1) // 2 THEN n END) AS p50,
+        |  max(CASE WHEN rn = (9 * grp_cnt + 9) // 10 THEN n END) AS p90
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "top_docs_per_lang" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id, lang,
+         |  round(least(len(toks) / 100.0, 1.0)
+         |    * (0.5 + 0.5 * (len(list_filter(toks, t -> t IN ($enStop))) * 1.0 / len(toks))), 6) AS quality
+         |  FROM tk),
+         |r AS (SELECT lang, doc_id, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS rank
+         |  FROM q)
+         |SELECT lang, doc_id, quality, rank
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "contamination" ->
       s"""WITH $toksCte,

@@ -717,6 +717,109 @@ class KeyStatsSpec extends SparkSpec {
   }
 }
 
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("discrete quantiles select the exact ceil-rank member per group") {
+    // g1: values 1..10 -> p50 = 5th = 5, p90 = 9th = 9
+    // g2: values 1..3  -> p50 = 2nd = 2, p90 = ceil(2.7) = 3rd = 3
+    val d = ((1 to 10).map(i => ("g1", i.toLong, i.toLong)) ++
+      (1 to 3).map(i => ("g2", i.toLong, 100L + i)))
+      .toDF("g", "v", "id")
+    val out = Quantiles.groupStats(d, "g", "v", "id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(("g1", 10L, 1L, 10L, 5L, 9L), ("g2", 3L, 1L, 3L, 2L, 3L)))
+  }
+
+  test("quantile plan shuffles once on the group key") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+    val plan = Quantiles.groupStats(d, "lang", "n", "doc_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
+
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audit counts orphans exactly and passes clean edges") {
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq((10L, 1L), (11L, 1L), (12L, 9L), (13L, 8L))
+      .toDF("cid", "fk")
+    val r = Integrity.check("c->p", child, parent, Seq("fk" -> "pid"))
+      .as[(String, Long, Long, Boolean)].collect()(0)
+    assert(r == (("c->p", 4L, 2L, false)))
+    val clean = Integrity.check("ok", child.filter(col("fk") <= 3), parent,
+      Seq("fk" -> "pid")).as[(String, Long, Long, Boolean)].collect()(0)
+    assert(clean == (("ok", 2L, 0L, true)))
+  }
+
+  test("duplicate parent keys do not inflate child counts") {
+    val parent = Seq(1L, 1L, 1L).toDF("pid") // non-unique parent side
+    val child = Seq((10L, 1L), (11L, 2L)).toDF("cid", "fk")
+    val r = Integrity.check("dup", child, parent, Seq("fk" -> "pid"))
+      .as[(String, Long, Long, Boolean)].collect()(0)
+    assert(r == (("dup", 2L, 1L, false)))
+  }
+}
+
+class StreamingSessionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingSessions
+
+  test("event-time timeout closes sessions that match the batch operator") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingSessions.sessionize(mem.toDF(), gapSeconds = 1800L,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, min: Int, user: Long, v: Double) =
+        Ev(id, new java.sql.Timestamp(1704067200000L + min * 60000L),
+          user, "click", v)
+      // user 10: two events 5 min apart (one session), then 2h of silence
+      mem.addData(ev(1, 0, 10, 1.0), ev(2, 5, 10, 2.5))
+      q.processAllAvailable()
+      // a much later event advances the watermark past the session's
+      // gap horizon -> the open session times out and is emitted
+      mem.addData(ev(3, 180, 11, 9.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[StreamingSessions.ClosedSession].collect().toSet
+      val base = 1704067200000L
+      assert(got == Set(StreamingSessions.ClosedSession(
+        10L, base, base + 5 * 60000L, 2L, 350L)))
+    } finally q.stop()
+  }
+
+  test("in-batch gaps split sessions without waiting for the timeout") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingSessions.sessionize(mem.toDF(), gapSeconds = 600L,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, min: Int, user: Long, v: Double) =
+        Ev(id, new java.sql.Timestamp(1704067200000L + min * 60000L),
+          user, "click", v)
+      // one micro-batch carrying TWO sessions for user 5 (gap 30 > 10 min)
+      mem.addData(ev(1, 0, 5, 1.0), ev(2, 2, 5, 1.0), ev(3, 40, 5, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions2")
+        .as[StreamingSessions.ClosedSession].collect().toSet
+      val base = 1704067200000L
+      // the first session closed in-batch; the second is still open
+      assert(got == Set(StreamingSessions.ClosedSession(
+        5L, base, base + 2 * 60000L, 2L, 200L)))
+    } finally q.stop()
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sfDir, "documents")
