@@ -158,6 +158,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup mining: a NEW batch against an EXISTING corpus
+    * index — the production shape at 100 TB, where re-mining the whole
+    * corpus per ingest is off the table. The index side's band relation
+    * is materialized once (bucketed by band_key in a real deployment) and
+    * only the new batch is banded per run; candidates come from the
+    * new-vs-index band join (no self-join — within-batch dups are
+    * [[minhashNearDupsFrom]]'s job), verified by exact Jaccard. The new
+    * batch's band relation is ingest-sized, so AQE broadcasts it and the
+    * index side never shuffles.
+    */
+  def minhashAgainstIndexFrom(newSk: DataFrame, indexSk: DataFrame,
+                              threshold: Double, bands: Int = 4,
+                              rowsPerBand: Int = 4): DataFrame = {
+    val nb = lshBandsFrom(newSk, bands, rowsPerBand)
+    val ib = lshBandsFrom(indexSk, bands, rowsPerBand)
+    val cand = nb.as("a")
+      .join(ib.as("b"), Seq("band_id", "band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
+      .distinct()
+    cand
+      .join(newSk.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+        Seq("new_id"))
+      .join(indexSk.select(col("doc_id").as("index_id"), col("sh").as("sh_i")),
+        Seq("index_id"))
+      .select(col("new_id"), col("index_id"),
+        (size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_i")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("index_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[minhashAgainstIndexFrom]] from raw documents on both sides. */
+  def minhashAgainstIndex(newDocs: DataFrame, indexDocs: DataFrame,
+                          threshold: Double, bands: Int = 4,
+                          rowsPerBand: Int = 4): DataFrame =
+    minhashAgainstIndexFrom(shingleKernel(newDocs), shingleKernel(indexDocs),
+      threshold, bands, rowsPerBand)
+
   // ---------------------------------------------- cluster collapse (CC)
 
   /** Connected components over a near-dup pair relation — the collapse

@@ -154,16 +154,46 @@ object TextAnalysis {
     * stream) and never sorts globally.
     */
   def packShards(docs: DataFrame, budgetTokens: Long,
-                 groupCol: String = "lang"): DataFrame = {
+                 groupCol: String = "lang"): DataFrame =
+    packed(docs, budgetTokens, groupCol, keepText = false)
+
+  private def packed(docs: DataFrame, budgetTokens: Long, groupCol: String,
+                     keepText: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val est = expr("(length(text) + 3) div 4").cast(LongType)
     val w = Window.partitionBy(groupCol).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col(groupCol), est.as("est_tokens"))
+    val base = if (keepText)
+      docs.select(col("doc_id"), col(groupCol), col("text"), est.as("est_tokens"))
+    else docs.select(col("doc_id"), col(groupCol), est.as("est_tokens"))
+    base
       .withColumn("__cum", sum(col("est_tokens")).over(w))
       .withColumn("shard_id", expr(s"(__cum - 1) div $budgetTokens"))
       .drop("__cum")
   }
+
+  /** Shard assembly on top of [[packShards]]: the per-shard training
+    * payload — documents concatenated in doc_id order with newline
+    * separators — plus shard size stats. The payload is emitted as its
+    * md5 (the artifact a writer would checksum) so result rows stay
+    * narrow; a real run writes the payload column itself, partitioned by
+    * (group, shard).
+    *
+    * Scale posture: the per-shard collect_list is bounded by the token
+    * budget by construction (a shard holds ~budget tokens of text, never
+    * the corpus), and the grouping reuses the pack window's group-key
+    * exchange — one shuffle end to end.
+    */
+  def assembleShards(docs: DataFrame, budgetTokens: Long,
+                     groupCol: String = "lang"): DataFrame =
+    packed(docs, budgetTokens, groupCol, keepText = true)
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("est_tokens")).as("shard_tokens"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")))).as("payload_md5"))
 
   /** Document fingerprints: the full-text md5 plus a winnowing-style
     * content fingerprint — the minimum 48-bit hash over all character

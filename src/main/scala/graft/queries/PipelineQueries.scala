@@ -92,6 +92,43 @@ object PipelineQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(docs(s, dir))).orderBy("text_md5")),
 
+    // Incremental ingest dedup: every 10th document plays the "new
+    // batch", the rest the standing index; only cross pairs are mined.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashAgainstIndex(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0), 0.5)
+        .orderBy("new_id", "index_id")
+    }),
+
+    // Shard payload assembly: concatenated doc_id-ordered text per
+    // (lang, shard), emitted as the payload md5 + size stats.
+    "shard_payloads" -> ((s, dir) =>
+      TextAnalysis.assembleShards(docs(s, dir), 2000L)
+        .orderBy("lang", "shard_id")),
+
+    // Per-source ("domain-level") rollup: doc counts, token totals and
+    // mean quality per source — the RefinedWeb-style source triage view.
+    // Quality averages over CANONICAL micro-units (round(q*1e6) bigint):
+    // integer partial sums re-combine exactly, where a float mean would
+    // depend on each engine's accumulation order.
+    "source_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.stats(d).select("doc_id", "quality", "n_tokens"),
+          "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(expr("CAST(round(quality * 1000000) AS BIGINT)")).as("q_micro"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("q_micro").cast("double") / 1000000.0 / col("n_docs"), 6)
+            .as("avg_quality"))
+        .orderBy("source")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
 
@@ -477,6 +514,55 @@ object PipelineQueries {
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
          |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+         |ib AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+         |  FROM nb a JOIN ib b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key),
+         |j AS (
+         |  SELECT new_id, index_id,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = new_id
+         |  JOIN sh sb ON sb.doc_id = index_id)
+         |SELECT new_id, index_id, round(jac, 6) AS jaccard FROM j
+         |WHERE jac >= 0.5 ORDER BY new_id, index_id""".stripMargin,
+
+    "shard_payloads" ->
+      """WITH c AS (SELECT doc_id, lang, text,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS est_tokens,
+        |  SUM(CAST((length(text) + 3) // 4 AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, text, est_tokens,
+        |  CAST((cum - 1) // 2000 AS BIGINT) AS shard_id FROM c)
+        |SELECT lang, shard_id, count(*) AS n_docs,
+        |  CAST(SUM(est_tokens) AS BIGINT) AS shard_tokens,
+        |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
+        |FROM p GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
+
+    "source_stats" ->
+      s"""WITH tks AS (SELECT doc_id, source,
+         |  string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(least(len(toks) / 100.0, 1.0)
+         |    * (0.5 + 0.5 * (len(list_filter(toks, t -> t IN ($enStop))) * 1.0 / len(toks))), 6) AS quality
+         |  FROM tks)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000.0 / count(*), 6) AS avg_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id,

@@ -16,6 +16,21 @@ class DedupSpec extends SparkSpec {
     doc(5, "hi")) // shorter than one shingle
     .toDF("doc_id", "text")
 
+  test("incremental mining finds cross pairs only, never within-batch pairs") {
+    val newBatch = Seq(
+      doc(101, "the quick brown fox jumps over the lazy dog"),  // dup of idx 1
+      doc(102, "the quick brown fox jumps over the lazy dog"),  // dup of 101 too
+      doc(103, "nothing like anything in the standing index at all"))
+      .toDF("doc_id", "text")
+    val index = corpus.filter(col("doc_id") =!= 4)
+    val got = Dedup.minhashAgainstIndex(newBatch, index, 0.5)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    // both new dups hit index docs 1 and 2; the 101-102 within-batch pair
+    // and the novel doc 103 never appear
+    assert(got.contains((101L, 1L)) && got.contains((102L, 1L)))
+    assert(got.forall { case (n, i) => n > 100L && i <= 5L })
+  }
+
   test("shingles: short docs yield empty sets, no nulls") {
     val sh = Dedup.withShingles(corpus).filter(col("doc_id") === 5)
       .select(size(col("sh"))).as[Int].head()
@@ -620,6 +635,22 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = TextAnalysis.fingerprints(d)
       .select("text_md5", "winnow_fp").collect()
     assert(fps(0) == fps(1))
+  }
+
+  test("assembleShards concatenates payloads in doc order within the shard") {
+    val d = Seq(
+      (1L, "aaaa", "en"), (2L, "bbbb", "en"), (3L, "cccc", "en"))
+      .toDF("doc_id", "text", "lang")
+    // est 1 token each, budget 2 -> shard 0 = docs 1+2, shard 1 = doc 3
+    val out = TextAnalysis.assembleShards(d, 2L)
+      .orderBy("shard_id")
+      .select("shard_id", "n_docs", "shard_tokens", "payload_md5")
+      .as[(Long, Long, Long, String)].collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, md5("aaaa\nbbbb")),
+      (1L, 1L, 1L, md5("cccc"))))
   }
 
   test("repetitionSignals flag repetitive text and keep varied text") {
