@@ -94,6 +94,12 @@ object EventQueries {
     "events_key_skew" -> ((s, dir) =>
       graft.functions.Salt.keyStats(ev(s, dir), "user_id", 20)),
 
+    // Ordered conversion funnel: users reaching view -> click -> purchase
+    // in order, counted in one aggregation over the per-user reach times.
+    "events_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.reach(ev(s, dir),
+        Seq("view", "click", "purchase")).orderBy("step")),
+
     "latest_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -199,6 +205,23 @@ object EventQueries {
         |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= v.t_view
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.t_click
+        |  GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM v) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        |ORDER BY step""".stripMargin,
 
     "events_sessionize" ->
       """WITH a AS (

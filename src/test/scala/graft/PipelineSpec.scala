@@ -797,6 +797,38 @@ class IntegritySpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+
+  test("funnel counts only in-order progressions") {
+    val e = ev(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "purchase"),
+      (4L, 2L, 10L, "click"), (5L, 2L, 20L, "view"),    // click BEFORE view
+      (6L, 3L, 10L, "view"),
+      (7L, 4L, 10L, "purchase"))                         // purchase only
+    val got = Funnel.reach(e, Seq("view", "click", "purchase"))
+      .select("step", "event_type", "users")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("reachTimes carries nulls for unreached steps, same-instant counts") {
+    val e = ev(
+      (1L, 1L, 10L, "view"), (2L, 1L, 10L, "click"),    // same instant: counts
+      (3L, 2L, 10L, "view"))
+    val rt = Funnel.reachTimes(e, Seq("view", "click"))
+      .select("user_id", "t_view", "t_click")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rt(1L) == ((Some(10000L), Some(10000L))))
+    assert(rt(2L) == ((Some(10000L), None)))
+  }
+}
+
 class StreamingSessionsSpec extends SparkSpec {
   import spark.implicits._
   import graft.streaming.StreamingSessions
