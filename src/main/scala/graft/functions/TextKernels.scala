@@ -103,6 +103,38 @@ object TextKernels {
     minFp
   }
 
+  /** rep_signals(text): one-pass repetition counters — (n_tokens,
+    * top_cnt, n_bigrams, dup_bigrams). Replaces the interpreted-HOF
+    * distinct x count-filter form (O(tokens²) per row through Catalyst's
+    * lambda interpreter) with a hash-map pass; values are identical:
+    * top_cnt = max token multiplicity, dup_bigrams = bigrams minus
+    * distinct bigrams (non-first occurrences).
+    */
+  def repSignals(text: UTF8String): InternalRow = {
+    val toks = spacePat.split(text.toString, -1)
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    var nBigrams = 0L
+    var dup = 0L
+    if (toks.length > 1) {
+      val seen = new java.util.HashSet[String]()
+      var j = 0
+      while (j < toks.length - 1) {
+        if (!seen.add(toks(j) + " " + toks(j + 1))) dup += 1
+        nBigrams += 1
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      toks.length.toLong, top.toLong, nBigrams, dup))
+  }
+
   // ------------------------------------------------- expression nodes
 
   abstract class TextKernelExpr extends UnaryExpression {
@@ -130,6 +162,21 @@ object TextKernels {
       simhash48(t.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash48($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class RepSignalsExpr(child: Expression) extends TextKernelExpr {
+    override def prettyName: String = "rep_signals"
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("top_cnt", LongType, nullable = false),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("dup_bigrams", LongType, nullable = false)))
+    override protected def nullSafeEval(t: Any): Any =
+      repSignals(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repSignals($c)")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -166,6 +213,10 @@ object TextKernels {
     FunctionIdentifier("winnow_fp") -> { (cs: Seq[Expression]) =>
       require(cs.length == 1, s"winnow_fp(text) expects 1 arg, got ${cs.length}")
       WinnowFpExpr(cs.head)
+    },
+    FunctionIdentifier("rep_signals") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 1, s"rep_signals(text) expects 1 arg, got ${cs.length}")
+      RepSignalsExpr(cs.head)
     })
 
   /** Full descriptors for [[graft.GraftExtensions]]' `injectFunction`. */

@@ -224,33 +224,27 @@ object TextAnalysis {
     * loops) scores high on both and is dropped before training.
     *
     * Narrow per-row projection — nothing shuffles, so the filter runs at
-    * scan speed over 100 TB. The per-row compute is O(tokens²) through the
-    * interpreted HOF path (distinct × count filter); documents are
-    * short (~100 tokens) so it holds, and the upgrade path at scale is a
-    * native codegen'd kernel exactly like `winnow_fp` replaced the
-    * fingerprint HOF (TextKernels).
+    * scan speed over 100 TB. The counters come from the native codegen'd
+    * `rep_signals` expression ([[graft.functions.TextKernels]]): one
+    * hash-map pass per row, where the declarative HOF form
+    * (`array_max(transform(array_distinct(toks), t -> size(filter(...))))`)
+    * is O(tokens²) through Catalyst's interpreted lambda path — the same
+    * upgrade `winnow_fp` made for fingerprints.
     */
   def repetitionSignals(docs: DataFrame, maxTopTokenShare: Double = 0.12,
                         maxDupBigramFrac: Double = 0.05,
                         minTokens: Int = 20): DataFrame = {
-    val toks = tokens(col("text"))
-    val n = size(toks).cast(LongType)
-    val topCnt = array_max(
-      transform(array_distinct(toks), t => size(filter(toks, x => x === t))))
-      .cast(LongType)
-    // sequence(1, 0) would run DESCENDING, not empty — guard 1-token docs
-    val grams = when(size(toks) > 1,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val nGrams = size(grams).cast(LongType)
+    graft.functions.TextKernels.register(docs.sparkSession)
+    val r = expr("rep_signals(text)")
+    val n = r.getField("n_tokens")
+    val nGrams = r.getField("n_bigrams")
     val dupFrac = when(nGrams > 0,
-      round((nGrams - size(array_distinct(grams)).cast(LongType))
-        .cast("double") / nGrams, 6)).otherwise(lit(0.0))
+      round(r.getField("dup_bigrams").cast("double") / nGrams, 6))
+      .otherwise(lit(0.0))
     docs.select(
       col("doc_id"),
       n.as("n_tokens"),
-      round(topCnt.cast("double") / n, 6).as("top_token_share"),
+      round(r.getField("top_cnt").cast("double") / n, 6).as("top_token_share"),
       dupFrac.as("dup_bigram_frac"))
       .withColumn("keep",
         col("n_tokens") >= minTokens &&

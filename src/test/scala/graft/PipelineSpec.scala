@@ -653,6 +653,28 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 1L, 1L, md5("cccc"))))
   }
 
+  test("rep_signals kernel matches the declarative HOF reference on the corpus") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) > 1,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val ref = d.select(col("doc_id"),
+      size(toks).cast("long").as("n"),
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("long").as("top"),
+      size(grams).cast("long").as("ng"),
+      (size(grams) - size(array_distinct(grams))).cast("long").as("dup"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    graft.functions.TextKernels.register(spark)
+    val got = d.select(col("doc_id"), expr("rep_signals(text)").as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.top_cnt"),
+        col("r.n_bigrams"), col("r.dup_bigrams"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
   test("repetitionSignals flag repetitive text and keep varied text") {
     val d = Seq(
       (1L, ("spam " * 30).trim),                        // one token dominates
