@@ -127,4 +127,75 @@ class PropertySpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("sessionize partitions the timeline: totals preserved, gaps respect the threshold") {
+    val streams: Gen[Seq[(Long, Long)]] = for {
+      users <- Gen.choose(1, 5)
+      events <- Gen.listOfN(40, for {
+        u <- Gen.choose(1L, users.toLong)
+        t <- Gen.choose(0L, 100000L)
+      } yield (u, t))
+    } yield events.distinct
+    samples(streams, 6).foreach { evs =>
+      val gap = 5000L
+      val df = evs.zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, u, new java.sql.Timestamp(t), 1.0) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val sessions = Sessionize.sessions(df, gap / 1000L)
+        .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // every event lands in exactly one session
+      assert(sessions.map(_._3).sum == evs.size.toLong)
+      // scala reference: per user, sorted gaps split at > gap
+      sessions.groupBy(_._1).foreach { case (u, ss) =>
+        val times = evs.filter(_._1 == u).map(_._2).sorted
+        val expected = times.tail.foldLeft(List(List(times.head))) {
+          (acc, t) => if (t - acc.head.head <= gap) (t :: acc.head) :: acc.tail
+                      else List(t) :: acc
+        }.map(s => (s.min, s.max, s.size.toLong)).reverse
+        val got = ss.sortBy(_._2).map(s => (s._4, s._5, s._3)).toSeq
+        assert(got == expected, s"user=$u")
+      }
+    }
+  }
+
+  test("funnel reach counts are non-increasing down the funnel") {
+    val logs: Gen[Seq[(Long, Long, String)]] = for {
+      events <- Gen.listOfN(60, for {
+        u <- Gen.choose(1L, 8L)
+        t <- Gen.choose(0L, 10000L)
+        e <- Gen.oneOf("view", "click", "purchase")
+      } yield (u, t, e))
+    } yield events
+    samples(logs, 6).filter(_.nonEmpty).foreach { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t, e), i) =>
+          (i.toLong, u, new java.sql.Timestamp(t), e, 1.0) }
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+      val reach = Funnel.reach(df, Seq("view", "click", "purchase"))
+        .orderBy("step").select("users").as[Long].collect()
+      reach.sliding(2).foreach { case Array(a, b) => assert(b <= a)
+                                 case _ => () }
+    }
+  }
+
+  test("discrete quantiles match a sort-based reference") {
+    val groups: Gen[Seq[(String, Long)]] =
+      Gen.listOfN(120, Gen.zip(Gen.oneOf("g0", "g1", "g2"),
+        Gen.choose(0L, 1000L)))
+    samples(groups, 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "id")
+      val got = Quantiles.groupStats(df, "g", "v", "id")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val n = sorted.size
+        def q(p9: Int, p10: Int) = sorted((p9 * n + p10 - 1) / p10 - 1)
+        assert(got(g) == ((g, n.toLong, sorted.head, sorted.last,
+          q(1, 2), q(9, 10))), s"group=$g n=$n")
+      }
+    }
+  }
 }
