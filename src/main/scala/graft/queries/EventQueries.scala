@@ -100,6 +100,23 @@ object EventQueries {
       graft.operators.Funnel.reach(ev(s, dir),
         Seq("view", "click", "purchase")).orderBy("step")),
 
+    // Cohort retention: users bucketed by first-activity week, counted at
+    // each later active week offset. Weeks are integer epoch-week indexes
+    // (epoch_ms div week_ms) — no calendar/timezone arithmetic, so the
+    // oracle mirrors it exactly. The (user, week) distinct relation is
+    // the only pass over the raw log.
+    "events_retention" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 604800000").as("wk"))
+        .distinct()
+      val w = Window.partitionBy("user_id")
+      uw.withColumn("cohort_wk", min(col("wk")).over(w))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     "latest_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -222,6 +239,14 @@ object EventQueries {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
         |ORDER BY step""".stripMargin,
+
+    "events_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  epoch_ms(ts) // 604800000 AS wk FROM events),
+        |c AS (SELECT user_id, wk,
+        |  min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM uw)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_sessionize" ->
       """WITH a AS (

@@ -31,6 +31,15 @@ object PipelineQueries {
 
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
 
+    // Confusion matrix of declared vs guessed language — the accuracy
+    // face of the language-ID pass (which declared languages the n-gram
+    // heuristic mislabels, and as what).
+    "lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir))
+        .groupBy("lang_declared", "lang_guess")
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang_declared", "lang_guess")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
 
@@ -333,7 +342,29 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  private lazy val langIdSql: String =
+    s"""WITH $toksCte,
+       |h AS (SELECT doc_id, lang,
+       |  CAST(len(list_filter(toks, x -> x IN (${stopList("de")}))) AS BIGINT) AS h_de,
+       |  CAST(len(list_filter(toks, x -> x IN (${stopList("en")}))) AS BIGINT) AS h_en,
+       |  CAST(len(list_filter(toks, x -> x IN (${stopList("es")}))) AS BIGINT) AS h_es,
+       |  CAST(len(list_filter(toks, x -> x IN (${stopList("fr")}))) AS BIGINT) AS h_fr
+       |  FROM tk)
+       |SELECT doc_id, lang AS lang_declared,
+       |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_guess,
+       |  greatest(h_de, h_en, h_es, h_fr) AS hits
+       |FROM h""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "lang_confusion" ->
+      s"""WITH li AS ($langIdSql)
+         |SELECT lang_declared, lang_guess, count(*) AS docs
+         |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,
@@ -346,22 +377,7 @@ object PipelineQueries {
          |        * (0.5 + 0.5 * (len(list_filter(toks, t -> t IN ($enStop))) * 1.0 / len(toks))), 6) AS quality
          |FROM tk ORDER BY doc_id""".stripMargin,
 
-    "lang_id" ->
-      s"""WITH $toksCte,
-         |h AS (SELECT doc_id, lang,
-         |  CAST(len(list_filter(toks, x -> x IN (${stopList("de")}))) AS BIGINT) AS h_de,
-         |  CAST(len(list_filter(toks, x -> x IN (${stopList("en")}))) AS BIGINT) AS h_en,
-         |  CAST(len(list_filter(toks, x -> x IN (${stopList("es")}))) AS BIGINT) AS h_es,
-         |  CAST(len(list_filter(toks, x -> x IN (${stopList("fr")}))) AS BIGINT) AS h_fr
-         |  FROM tk)
-         |SELECT doc_id, lang AS lang_declared,
-         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-         |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-         |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-         |       ELSE 'fr' END AS lang_guess,
-         |  greatest(h_de, h_en, h_es, h_fr) AS hits
-         |FROM h ORDER BY doc_id""".stripMargin,
+    "lang_id" -> s"$langIdSql ORDER BY doc_id",
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS text_md5,
