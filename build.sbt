@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through undecorated: sbt's default logger prefixes
+// every stdout line with "[info] ", which breaks the driver's parse of
+// Bench's single JSON line (BENCH_r04..r06 all record parsed:null — the
+// line was always there, just prefixed). StdoutOutput inherits this
+// process's stdio so the JSON line lands at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -197,6 +197,36 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The END-TO-END curation pipeline as one relation — the 100 TB usage
+    // story: repetition-quality filter -> near-dup cluster collapse (keep
+    // canonical members only) -> deterministic split assignment -> token
+    // packing per (split, lang) -> shard manifest. Every stage is an
+    // already-oracle-checked operator; this query checks their
+    // COMPOSITION (filter-before-dedup ordering, join plumbing, packing
+    // over the composite group) against one SQL mirror.
+    "pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepIds = TextAnalysis.repetitionSignals(d)
+        .filter(col("keep")).select("doc_id")
+      val dupIds = Dedup.components(
+        Dedup.minhashNearDups(d, 0.5).select("doc_a", "doc_b"))
+        .filter(col("canonical_id") =!= col("doc_id")).select("doc_id")
+      val kept = d.join(keepIds, "doc_id")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+      val withSplit = kept.join(
+        TextAnalysis.splitAssign(d).select("doc_id", "split"), "doc_id")
+        .withColumn("grp", concat_ws("|", col("split"), col("lang")))
+      TextAnalysis.packShards(withSplit, 2000L, "grp")
+        .groupBy("grp", "shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("est_tokens")).as("shard_tokens"))
+        .select(
+          element_at(split(col("grp"), "\\|"), 1).as("split"),
+          element_at(split(col("grp"), "\\|"), 2).as("lang"),
+          col("shard_id"), col("n_docs"), col("shard_tokens"))
+        .orderBy("split", "lang", "shard_id")
+    }),
+
     "knn_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
@@ -632,6 +662,65 @@ object PipelineQueries {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS canonical_id FROM reach
          |GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE $toksCte,
+         |$shinglesCte,
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |jj AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b),
+         |mh AS (SELECT doc_a, doc_b FROM jj WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+         |          UNION SELECT doc_b, doc_a FROM mh),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |dropd AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) <> a),
+         |qs AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_max(list_transform(list_distinct(toks),
+         |    t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_cnt,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+         |  FROM tk),
+         |qk AS (SELECT doc_id FROM (
+         |  SELECT doc_id, n_tokens,
+         |    round(top_cnt * 1.0 / n_tokens, 6) AS tts,
+         |    CASE WHEN len(grams) > 0
+         |      THEN round((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams), 6)
+         |      ELSE 0.0 END AS dbf
+         |  FROM qs)
+         |  WHERE n_tokens >= 20 AND tts <= 0.12 AND dbf <= 0.05),
+         |kept AS (SELECT t.doc_id, t.lang, t.text FROM tk t
+         |  JOIN qk USING (doc_id)
+         |  WHERE t.doc_id NOT IN (SELECT doc_id FROM dropd)),
+         |sa2 AS (SELECT doc_id, lang, text,
+         |  CASE WHEN ${h48("CAST(doc_id AS VARCHAR)")} % 1000 < 50 THEN 'test'
+         |       WHEN ${h48("CAST(doc_id AS VARCHAR)")} % 1000 < 100 THEN 'val'
+         |       ELSE 'train' END AS split
+         |  FROM kept),
+         |cum AS (SELECT split, lang,
+         |  CAST((length(text) + 3) // 4 AS BIGINT) AS est,
+         |  SUM(CAST((length(text) + 3) // 4 AS BIGINT))
+         |    OVER (PARTITION BY split, lang ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM sa2),
+         |p AS (SELECT split, lang, est,
+         |  CAST((c - 1) // 2000 AS BIGINT) AS shard_id FROM cum)
+         |SELECT split, lang, shard_id, count(*) AS n_docs,
+         |  CAST(SUM(est) AS BIGINT) AS shard_tokens
+         |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "pipeline_composed" ->
       s"""WITH $toksCte,
