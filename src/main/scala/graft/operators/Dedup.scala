@@ -78,6 +78,31 @@ object Dedup {
       .select(lower(hex(col("k"))).as("text_md5"),
         col("canonical_doc_id"), col("dup_count"))
 
+  /** Cross-source content dedup: group by the md5 of the NORMALIZED text
+    * ([[TextAnalysis.normalized]] — case/whitespace/punctuation variants
+    * of one page collapse to one key) and keep, per content group, the
+    * single copy with the lowest (priority, doc_id) — the "prefer the
+    * curated crawl over the recrawl" selection a multi-source corpus
+    * assembly needs. Emits one row per distinct content with the kept
+    * copy's identity and the group's multiplicity.
+    *
+    * Scale posture: one shuffle on the 16-byte binary content key (the
+    * [[exact]] width discipline); the min-of-struct aggregation is
+    * map-side partial, so no window/sort over the corpus and no row ever
+    * carries the text past the projection.
+    */
+  def canonicalByContent(docs: DataFrame, priority: Column): DataFrame =
+    docs
+      .select(unhex(md5(TextAnalysis.normalized(col("text")))).as("k"),
+        priority.cast(LongType).as("__prio"), col("doc_id"), col("source"))
+      .groupBy(col("k"))
+      .agg(
+        min(struct(col("__prio"), col("doc_id"), col("source"))).as("kept"),
+        count(lit(1)).as("n_copies"))
+      .select(lower(hex(col("k"))).as("content_key"),
+        col("kept.doc_id").as("doc_id"), col("kept.source").as("source"),
+        col("n_copies"))
+
   // ----------------------------------------------------------- minhash
 
   /** 48-bit mask for the affine per-lane permutations. */

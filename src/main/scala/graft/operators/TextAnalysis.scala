@@ -252,6 +252,61 @@ object TextAnalysis {
           col("dup_bigram_frac") <= maxDupBigramFrac)
   }
 
+  /** Context-window chunking: slice each document into overlapping
+    * character windows `chunkChars` wide, `stride` apart — the prep step
+    * between a cleaned corpus and sequence packing, where long documents
+    * must become model-context-sized pieces without losing boundary text
+    * (the overlap keeps spans that straddle a cut). A document shorter
+    * than one window yields exactly one chunk; otherwise windows start at
+    * 0, stride, 2*stride, ... until the text is covered, so chunk count
+    * and boundaries are reproducible from (doc_id, length) alone:
+    * n = ceil(max(1, len - overlap) / stride), all-integer.
+    *
+    * Scale posture: narrow sequence+explode flatMap — no shuffle; the
+    * output carries each chunk's md5 and length, never a second copy of
+    * the corpus, so the result stays ~rows x 40 bytes.
+    */
+  def chunk(docs: DataFrame, chunkChars: Int = 200, stride: Int = 150): DataFrame = {
+    require(stride >= 1 && stride <= chunkChars, "need 1 <= stride <= chunkChars")
+    val overlap = chunkChars - stride
+    docs
+      .select(col("doc_id"), col("text"),
+        expr(s"(greatest(1L, length(text) - ${overlap}L) + ${stride - 1}L) div ${stride}L")
+          .as("__n"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("chunk_id"))
+      .withColumn("__ct", expr(s"substring(text, chunk_id * $stride + 1, $chunkChars)"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        length(col("__ct")).cast(LongType).as("chunk_len"),
+        md5(col("__ct")).as("chunk_md5"))
+  }
+
+  /** Canonical text form for content-identity comparisons: lowercase,
+    * punctuation/controls to spaces, runs of spaces collapsed, ends
+    * trimmed. Engine-portable — both Java regex and RE2 give `\p{L}` /
+    * `\p{N}` Unicode general-category semantics, so the DuckDB oracle
+    * reproduces the byte-exact same string.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
+
+  /** Normalization audit: the canonical form's md5 and length plus a
+    * changed flag — the pass a pipeline runs BEFORE content dedup so
+    * whitespace/case/punctuation variants of one page collapse to one
+    * content key. Narrow projection.
+    */
+  def normalizeStats(docs: DataFrame): DataFrame = {
+    val nt = normalized(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(nt).as("norm_md5"),
+      length(nt).cast(LongType).as("norm_len"),
+      (nt =!= col("text")).as("changed"))
+  }
+
   /** Deterministic stratified sampling: each stratum (language here) keeps
     * a configured permille of its documents, selected by an md5-derived
     * bucket SALTED differently from `splitAssign`'s bucket — the sample is

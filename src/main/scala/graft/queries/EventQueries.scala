@@ -94,6 +94,25 @@ object EventQueries {
     "events_key_skew" -> ((s, dir) =>
       graft.functions.Salt.keyStats(ev(s, dir), "user_id", 20)),
 
+    // Volume-anomaly flags: hours whose event count exceeds 2x the
+    // type's average hour, all-integer (cnt * n_hours > 2 * total) so the
+    // threshold is exact in both engines — the monitoring pass a pipeline
+    // runs over ingest rates. The raw log collapses to (type, hour)
+    // partials map-side; the per-type window then sees |hours| rows per
+    // type, never events, so the plan scales with the calendar, not the
+    // corpus.
+    "events_hourly_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+      ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("anomaly",
+          col("cnt") * count(lit(1)).over(w) > sum(col("cnt")).over(w) * 2)
+        .select(col("event_type"), unix_millis(col("hour_ts")).as("hour_ms"),
+          col("cnt"), col("anomaly"))
+        .orderBy("event_type", "hour_ms")
+    }),
+
     // Ordered conversion funnel: users reaching view -> click -> purchase
     // in order, counted in one aggregation over the per-user reach times.
     "events_funnel" -> ((s, dir) =>
@@ -279,6 +298,17 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "events_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, epoch_ms(hour_ts) AS hour_ms, CAST(cnt AS BIGINT) AS cnt,
+        |  (cnt * (COUNT(*) OVER w) > 2 * (SUM(cnt) OVER w)) AS anomaly
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_type, hour_ms""".stripMargin,
 
     "events_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)

@@ -117,6 +117,57 @@ object PipelineQueries {
       TextAnalysis.assembleShards(docs(s, dir), 2000L)
         .orderBy("lang", "shard_id")),
 
+    // Incremental-republish audit: pack the corpus, append a batch of NEW
+    // documents (higher doc_ids — append-only growth), re-pack, and diff
+    // the two shard manifests by payload md5. Because packing orders by
+    // doc_id, appended docs can only extend each group's TAIL shard —
+    // every earlier shard must come back byte-identical, which is the
+    // property that lets a 100 TB re-publish skip re-writing (and
+    // re-validating) almost all shards. The query surfaces exactly which
+    // shards an incremental writer must touch.
+    "shard_stability" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val delta = d.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 30000L)
+      val v1 = TextAnalysis.assembleShards(d, 2000L)
+        .select(col("lang"), col("shard_id"),
+          col("n_docs").as("n_docs_v1"), col("payload_md5").as("md5_v1"))
+      val v2 = TextAnalysis.assembleShards(d.unionByName(delta), 2000L)
+        .select(col("lang"), col("shard_id"),
+          col("n_docs").as("n_docs_v2"), col("payload_md5").as("md5_v2"))
+      v1.join(v2, Seq("lang", "shard_id"), "full_outer")
+        .select(col("lang"), col("shard_id"),
+          when(col("md5_v1").isNull, "new")
+            .when(col("md5_v2").isNull, "removed")
+            .when(col("md5_v1") === col("md5_v2"), "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+          coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"))
+        .orderBy("lang", "shard_id")
+    }),
+
+    // Dynamic quality gate: drop each language's shortest decile — the
+    // threshold comes from the DATA (per-group exact P10 by ceil-rank),
+    // not a constant, so the filter adapts per stratum. The per-lang
+    // threshold relation is tiny and broadcast into the filter join; the
+    // ranking window is the one per-lang sort exact quantiles require.
+    "quality_dynamic_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_tokens").asc, col("doc_id").asc)
+      val thr = d.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(max(when(col("rn") === expr("(cnt + 9) div 10"),
+          col("n_tokens"))).as("p10"))
+      d.join(broadcast(thr), "lang")
+        .filter(col("n_tokens") >= col("p10"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("p10"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source ("domain-level") rollup: doc counts, token totals and
     // mean quality per source — the RefinedWeb-style source triage view.
     // Quality averages over CANONICAL micro-units (round(q*1e6) bigint):
@@ -225,6 +276,34 @@ object PipelineQueries {
           element_at(split(col("grp"), "\\|"), 2).as("lang"),
           col("shard_id"), col("n_docs"), col("shard_tokens"))
         .orderBy("split", "lang", "shard_id")
+    }),
+
+    // Context-window chunking: every doc becomes overlapping 200-char
+    // windows at stride 150 — the long-document split before sequence
+    // packing.
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), 200, 150).orderBy("doc_id", "chunk_id")),
+
+    // Canonical-form audit: md5/length of the normalized text + changed
+    // flag — the pass run before content dedup.
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeStats(docs(s, dir)).orderBy("doc_id")),
+
+    // Cross-source content dedup over a corpus with planted recrawl
+    // variants (fixtures ship none): every doc_id % 5 == 0 document
+    // re-ingested under source 'recrawl' with padded whitespace — byte-
+    // different, so exact md5 misses it, but one content key after
+    // normalization. Priority keeps the original crawl's copy.
+    "cross_source_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val aug = d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            lit("recrawl").as("source"),
+            concat(lit("  "), col("text"), lit(" ")).as("text")))
+      Dedup.canonicalByContent(aug,
+          when(col("source") === "recrawl", 9L).otherwise(0L))
+        .orderBy("content_key")
     }),
 
     "knn_cosine" -> ((s, dir) =>
@@ -596,6 +675,57 @@ object PipelineQueries {
         |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
         |FROM p GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
 
+    "shard_stability" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, lang, text FROM documents WHERE doc_id % 9 = 0),
+        |c1 AS (SELECT doc_id, lang, text,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS est,
+        |  SUM(CAST((length(text) + 3) // 4 AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |v1 AS (SELECT lang, CAST((cum - 1) // 2000 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, md5(string_agg(text, chr(10) ORDER BY doc_id)) AS pm
+        |  FROM c1 GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, lang, text,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS est,
+        |  SUM(CAST((length(text) + 3) // 4 AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM aug),
+        |v2 AS (SELECT lang, CAST((cum - 1) // 2000 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, md5(string_agg(text, chr(10) ORDER BY doc_id)) AS pm
+        |  FROM c2 GROUP BY 1, 2)
+        |SELECT coalesce(v1.lang, v2.lang) AS lang,
+        |  coalesce(v1.shard_id, v2.shard_id) AS shard_id,
+        |  CASE WHEN v1.pm IS NULL THEN 'new'
+        |       WHEN v2.pm IS NULL THEN 'removed'
+        |       WHEN v1.pm = v2.pm THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  CAST(coalesce(v1.n_docs, 0) AS BIGINT) AS n_docs_v1,
+        |  CAST(coalesce(v2.n_docs, 0) AS BIGINT) AS n_docs_v2
+        |FROM v1 FULL OUTER JOIN v2
+        |  ON v1.lang = v2.lang AND v1.shard_id = v2.shard_id
+        |ORDER BY lang, shard_id""".stripMargin,
+
+    "quality_dynamic_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM t),
+        |thr AS (SELECT lang,
+        |  max(CASE WHEN rn = (cnt + 9) // 10 THEN n_tokens END) AS p10
+        |  FROM r GROUP BY lang)
+        |SELECT t.doc_id, t.lang, t.n_tokens, CAST(thr.p10 AS BIGINT) AS p10
+        |FROM t JOIN thr USING (lang)
+        |WHERE t.n_tokens >= thr.p10
+        |ORDER BY t.doc_id""".stripMargin,
+
     "source_stats" ->
       s"""WITH tks AS (SELECT doc_id, source,
          |  string_split(text, ' ') AS toks FROM documents),
@@ -662,6 +792,50 @@ object PipelineQueries {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS canonical_id FROM reach
          |GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    (greatest(1, length(text) - 50) + 149) // 150 AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+        |    substr(text, CAST(u.i * 150 + 1 AS INTEGER), 200) AS ct
+        |  FROM base, unnest(range(0, CAST(n AS BIGINT))) AS u(i))
+        |SELECT doc_id, chunk_id, chunk_id * 150 AS chunk_start,
+        |  CAST(length(ct) AS BIGINT) AS chunk_len, md5(ct) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_md5,
+        |  CAST(length(nt) AS BIGINT) AS norm_len, (nt <> text) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "cross_source_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'recrawl', '  ' || text || ' '
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck,
+        |    CASE WHEN source = 'recrawl' THEN 9 ELSE 0 END AS prio
+        |  FROM aug),
+        |r AS (
+        |  SELECT doc_id, source, ck,
+        |    row_number() OVER (PARTITION BY ck ORDER BY prio, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY ck) AS n_copies
+        |  FROM n)
+        |SELECT ck AS content_key, doc_id, source,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY content_key""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH RECURSIVE $toksCte,
