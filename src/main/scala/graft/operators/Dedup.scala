@@ -183,6 +183,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** MinHash estimator accuracy eval — the quality gate that decides
+    * whether the k-lane estimate may stand in for exact Jaccard at scale
+    * (the dedup-family twin of the ANN recall gate): for every banded
+    * candidate pair, the lane-agreement estimate (matching lanes / k)
+    * against the exact shingle-set Jaccard, plus the absolute error.
+    * est is exact binary arithmetic (k is a power of two), so the oracle
+    * reproduces every cell.
+    *
+    * Scale posture: candidates come from the same narrow band self-join
+    * as mining (never all pairs); signatures ride the pair join as k
+    * longs per side.
+    */
+  def minhashEval(docs: DataFrame, bands: Int = 4,
+                  rowsPerBand: Int = 4): DataFrame =
+    minhashEvalFrom(shingleKernel(docs), bands, rowsPerBand)
+
+  /** [[minhashEval]] over an existing [[shingleKernel]] relation. */
+  def minhashEvalFrom(sk: DataFrame, bands: Int = 4,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val b = lshBandsFrom(sk, bands, rowsPerBand)
+    val cand = b.as("a")
+      .join(b.as("b"), Seq("band_id", "band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val sigCols = minhashSignature(col("hb"), k)
+    val aSide = sk.select(col("doc_id").as("doc_a") +: col("sh").as("sh_a") +:
+      sigCols.zipWithIndex.map { case (c, i) => c.as(s"a$i") }: _*)
+    val bSide = sk.select(col("doc_id").as("doc_b") +: col("sh").as("sh_b") +:
+      sigCols.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+    val matching = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(aSide, "doc_a").join(bSide, "doc_b")
+      .withColumn("est_jaccard", round(matching.cast("double") / k, 6))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** Incremental near-dup mining: a NEW batch against an EXISTING corpus
     * index — the production shape at 100 TB, where re-mining the whole
     * corpus per ingest is off the table. The index side's band relation

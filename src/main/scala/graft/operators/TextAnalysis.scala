@@ -326,6 +326,131 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
   }
 
+  /** Per-language top-`k` token bigrams — the collocation census a corpus
+    * report runs (and the seed list for the boilerplate scan below).
+    *
+    * Scale posture: the explode carries only (lang, ngram) — text never
+    * rides the shuffle; the count aggregates with map-side partials; the
+    * ranking window runs over the COUNTED relation (vocabulary-sized, not
+    * corpus-sized), so the 5-partition lang window is cheap even though the
+    * language key space is tiny.
+    */
+  def ngramTopK(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs
+      .select(col("lang"), split(col("text"), " ").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(__toks) - 1)," +
+          " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
+        .as("ngram"))
+      .groupBy("lang", "ngram").agg(count(lit(1)).as("occurrences"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("occurrences").desc, col("ngram").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("lang", "ngram", "occurrences", "rank")
+  }
+
+  /** Corpus-level boilerplate scan (the CCNet/RefinedWeb shared-shingle
+    * rule): a token `n`-gram window is boilerplate when it occurs in at
+    * least `minDocs` DISTINCT documents (nav bars, scraped templates,
+    * license footers); each document reports its window count, boilerplate
+    * window count, and fraction.
+    *
+    * Scale posture: windows travel as 48-bit md5 prefixes — (doc_id,
+    * 12-char hash) pairs, never the window text — so both the frequency
+    * aggregate and the window⋈frequency join shuffle narrow rows; the
+    * frequency side aggregates with map-side partials. Documents shorter
+    * than one window carry no boilerplate by definition and are dropped.
+    */
+  def boilerplate(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "window size must be >= 2")
+    val gramExpr = (0 until n).map(j => s"element_at(__toks, i + $j)")
+      .mkString("concat(", ", ' ', ", ")")
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), i -> $gramExpr)")).as("__w"))
+      .select(col("doc_id"), substring(md5(col("__w")), 1, 12).as("w_hash"))
+    val freq = wins.groupBy("w_hash")
+      .agg(countDistinct(col("doc_id")).as("w_docs"))
+    wins.join(freq, "w_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("w_docs") >= minDocs, 1L).otherwise(0L)).as("boiler_windows"))
+      .withColumn("boiler_frac",
+        round(col("boiler_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** PII detection + redaction: per-document email / phone match counts and
+    * the md5 of the redacted text (emails first, then phones, so a phone
+    * pattern can never match inside a placeholder). Patterns stay within
+    * the Java∩RE2 regex subset so the DuckDB oracle reproduces the exact
+    * same redacted bytes. Narrow per-row projection — the scrub runs at
+    * scan speed over 100 TB and composes before any dedup/packing stage.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val red = regexp_replace(
+      regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+      lit(phone), lit("<PHONE>"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast(LongType)
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0))).cast(LongType)
+        .as("n_phones"),
+      md5(red).as("redacted_md5"),
+      (red =!= col("text")).as("redacted"))
+  }
+
+  /** Domain mixing: resample sources to target permille proportions
+    * WITHOUT upsampling — the corpus-mixture step between cleaning and
+    * packing. The feasible total is water-filled from the data
+    * (T = min over sources of n_total*1000/share), each source's quota is
+    * T*share/1000, and quota members are picked by an md5 rank salted
+    * independently of the split/sample hashes — deterministic, so a
+    * re-run over a grown corpus keeps previously picked documents until
+    * its quota grows. All-integer arithmetic (the oracle reproduces T and
+    * quotas exactly).
+    *
+    * Scale posture: counts and the 1-row feasible-total aggregate
+    * broadcast (sources number in the hundreds, never corpus-scale); the
+    * per-source pick window is a rank-then-filter — at 100 TB swap the
+    * global rank for the two-phase per-partition top-quota selection, same
+    * contract. The single-row T relation joins on a DATA-DERIVED constant
+    * key (pmod(n, 1)) so Catalyst plans a hash join, not a BNLJ.
+    */
+  def domainMix(docs: DataFrame, sharesPermille: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sharesPermille.values.forall(_ > 0), "shares must be positive")
+    val share = sharesPermille.foldLeft(lit(0)) { case (els, (src, p)) =>
+      when(col("source") === src, lit(p)).otherwise(els)
+    }
+    val scoped = docs.filter(col("source").isin(sharesPermille.keys.toSeq: _*))
+    val counts = scoped.groupBy("source")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("share_pm", share)
+    val t = counts.agg(min(expr("n_total * 1000 div share_pm")).as("t_total"))
+      .withColumn("__one", pmod(col("t_total"), lit(1L)))
+    val quotas = counts.withColumn("__one", pmod(col("n_total"), lit(1L)))
+      .join(broadcast(t), "__one").drop("__one")
+      .withColumn("quota", expr("t_total * share_pm div 1000"))
+      .select("source", "quota")
+    val w = Window.partitionBy("source").orderBy(
+      substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 12),
+      col("doc_id"))
+    scoped.select(col("doc_id"), col("source"))
+      .withColumn("pick_rank", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("pick_rank") <= col("quota"))
+      .select("doc_id", "source", "pick_rank", "quota")
+  }
+
   /** Per-document top-`k` distinguishing terms by a log-free tf-idf
     * variant: score = tf × (N / df), monotone in the classic tf·idf for
     * fixed tf and rank-equivalent per (tf, df) cell. Log-free on purpose —

@@ -273,6 +273,39 @@ object CoreQueries {
 
     "compare_report" -> ((s, dir) => compareReport(s, dir)),
 
+    // Star-schema enrichment: fact orders through the customer→nation→
+    // region dim chain, revenue per (region, priority). Every dim side is
+    // an explicit broadcast — at 100 TB the fact table NEVER shuffles for
+    // dimension attachment (the 1000-executor plan is three BHJs inside
+    // one whole-stage-codegen span, then one partial-agg exchange).
+    "star_join_revenue" -> ((s, dir) => {
+      val o = ord(s, dir)
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_regionkey")
+      val r = Tables.load(s, dir, "region").select("r_regionkey", "r_name")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice")).cast("decimal(30,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("r_name", "o_orderpriority")
+    }),
+
+    // One-pass table profile: per-column null/distinct/min/max over orders
+    // — the data-derived ANALYZE pass feeding discovery + chunk sizing.
+    "profile_orders" -> ((s, dir) =>
+      Profile.profile(ord(s, dir)).orderBy("col_name")),
+
+    // Bucketed co-located join: orders ⋈ per-order lineitem revenue over
+    // tables persisted bucketed+sorted on the join key — the plan carries
+    // ZERO exchanges (asserted by BucketingSpec), the shape a nightly
+    // re-compare wants at 100 TB.
+    "bucketed_join" -> ((s, dir) =>
+      graft.sources.Bucketing.colocatedRevenue(ord(s, dir), li(s, dir))
+        .orderBy("o_orderkey")),
+
     "struct_diff" -> ((s, dir) => {
       val a = li(s, dir).schema
       val b = StructType(
@@ -509,6 +542,32 @@ object CoreQueries {
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "star_join_revenue" ->
+      """SELECT r.r_name, o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, o.o_orderpriority
+        |ORDER BY r.r_name, o.o_orderpriority""".stripMargin,
+
+    "profile_orders" -> Profile.oracleSql("orders", Seq(
+      ("o_orderkey", "long"), ("o_custkey", "long"),
+      ("o_orderstatus", "string"), ("o_totalprice", "double"),
+      ("o_orderdate", "timestamp"), ("o_orderpriority", "string"))),
+
+    "bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "compare_report" ->
       s"""$compareReportBody

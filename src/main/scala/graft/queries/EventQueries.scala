@@ -40,6 +40,56 @@ object EventQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Hierarchical rollup (grouping sets): per (event_type, hour), per
+    // event_type, and grand total in ONE aggregation pass — Spark expands
+    // the grouping sets before the exchange, so the three levels share a
+    // single shuffle instead of three scans. Keys are coalesced to
+    // sentinels ('ALL' / -1) and the level is the ANSI grouping_id bitmask.
+    "events_rollup" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .rollup(col("event_type"), col("hr"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast(LongType)).as("cents"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type_k"),
+          coalesce(unix_millis(col("hr")), lit(-1L)).as("hr_ms"),
+          col("gid"), col("cnt"), col("cents"))
+        .orderBy("gid", "event_type_k", "hr_ms")),
+
+    // Partition-pruned read: events written out partitioned by day (the
+    // 100 TB layout), read back with a day filter that prunes at the FILE
+    // level — the scan's PartitionFilters skip every other day's files
+    // (spec-asserted); only the matching day is ever decoded.
+    "events_partition_prune" -> ((s, dir) => {
+      val out = graft.Scratch.dir("events_part_")
+      ev(s, dir).withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_date") === lit("2024-01-03"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast(LongType)).as("cents"))
+        .orderBy("event_type")
+    }),
+
+    // At-least-once ingestion hygiene: every 9th event redelivered 5s
+    // later; keep-first dedup surfaces each replayed id with its delivery
+    // count and first-seen time (epoch millis — the canonical ts form).
+    // One groupBy shuffle on event_id with map-side partial min/count.
+    "events_dedup_replay" -> ((s, dir) => {
+      val up = ev(s, dir)
+      val replay = up.filter(col("event_id") % 9 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 5 SECONDS"))
+      up.unionByName(replay)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_deliveries"),
+          unix_millis(min(col("ts"))).as("first_ts_ms"))
+        .filter(col("n_deliveries") > 1)
+        .orderBy("event_id")
+    }),
+
     // Point-in-time lookup: every event joined to the user's latest
     // purchase at-or-before its timestamp via the union-trick as-of join
     // (one key shuffle, no range-join blowup); DuckDB's native ASOF JOIN
@@ -226,6 +276,32 @@ object EventQueries {
          |SELECT * FROM agg
          |WHERE up_cnt <> down_cnt OR up_checksum <> down_checksum
          |ORDER BY window_start, event_type""".stripMargin,
+
+    "events_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type_k,
+        |  coalesce(epoch_ms(date_trunc('hour', ts)), -1) AS hr_ms,
+        |  CAST(GROUPING(event_type, date_trunc('hour', ts)) AS INTEGER) AS gid,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+        |ORDER BY gid, event_type_k, hr_ms""".stripMargin,
+
+    "events_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_dedup_replay" ->
+      """WITH all_ev AS (
+        |  SELECT event_id, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 5 SECOND FROM events WHERE event_id % 9 = 0)
+        |SELECT event_id, CAST(count(*) AS BIGINT) AS n_deliveries,
+        |       epoch_ms(min(ts)) AS first_ts_ms
+        |FROM all_ev GROUP BY event_id HAVING count(*) > 1
+        |ORDER BY event_id""".stripMargin,
 
     "events_asof" ->
       """WITH r AS (SELECT user_id, ts, event_id, value FROM events

@@ -26,8 +26,50 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 10000L))
   }
 
+  /** Corpus with a planted nav-bar suffix on every 4th document — the
+    * shared-template case the boilerplate scan exists for (the fixture
+    * text is synthetic and shares no natural 5-grams across documents).
+    */
+  private def boilCorpus(d: DataFrame): DataFrame =
+    d.withColumn("text", when(col("doc_id") % 4 === 0,
+      concat(col("text"),
+        lit(" home login search contact about privacy terms help")))
+      .otherwise(col("text")))
+
+  /** Corpus with planted PII on every 5th document (an email + a phone
+    * derived from the doc_id — deterministic and oracle-reproducible).
+    */
+  private def piiCorpus(d: DataFrame): DataFrame =
+    d.withColumn("text", when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+      .otherwise(col("text")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir)).orderBy("doc_id")),
+
+    // Per-language bigram census — collocation top-10.
+    "ngram_topk" -> ((s, dir) =>
+      TextAnalysis.ngramTopK(docs(s, dir), 10).orderBy("lang", "rank")),
+
+    // Corpus-frequency boilerplate scan over the planted-template corpus:
+    // every 4th doc shares the nav-bar 5-grams, the rest score zero.
+    "boilerplate_ngrams" -> ((s, dir) =>
+      TextAnalysis.boilerplate(boilCorpus(docs(s, dir)), 5, 2)
+        .orderBy("doc_id")),
+
+    // PII scrub over the planted corpus: match counts + redacted-text md5.
+    "pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(piiCorpus(docs(s, dir))).orderBy("doc_id")),
+
+    // Domain mixing: four sources resampled to 200/200/100/500 permille —
+    // the feasible total water-fills from per-source counts, quota members
+    // pick by a salted hash rank.
+    "domain_mix" -> ((s, dir) =>
+      TextAnalysis.domainMix(docs(s, dir),
+        Map("src0" -> 200, "src1" -> 200, "src2" -> 100, "src3" -> 500))
+        .orderBy("source", "pick_rank")),
 
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
 
@@ -192,6 +234,11 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), 0.5).orderBy("doc_a", "doc_b")),
 
+    // Estimator accuracy gate for the minhash family: lane-agreement
+    // estimate vs exact Jaccard on every banded candidate pair.
+    "minhash_accuracy" -> ((s, dir) =>
+      Dedup.minhashEval(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
     // Banded candidates + popcount verify; lossless for d=1 < 2 bands,
@@ -309,6 +356,26 @@ object PipelineQueries {
     "knn_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
+
+    // ANN quality gate: recall@3 of the sign-LSH index vs exact brute
+    // force over the same query set — the measurement that decides
+    // whether the cheap index is allowed to replace the exact scan.
+    "ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
+        .select("query_id", "cand_id")
+      val approx = Similarity.signLshTopK(e, col("vec_id") < 50, 3)
+        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
+      truth.join(approx,
+          truth("query_id") === approx("a_qid") &&
+            truth("cand_id") === approx("a_cid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_truth"),
+          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("k_truth"), 6))
+        .orderBy("query_id")
+    }),
 
     "ann_lsh" -> ((s, dir) =>
       Similarity.signLshTopK(emb(s, dir), col("vec_id") < 50, 3)
@@ -488,6 +555,101 @@ object PipelineQueries {
 
     "lang_id" -> s"$langIdSql ORDER BY doc_id",
 
+    "ngram_topk" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT lang, toks[i] || ' ' || toks[i+1] AS ngram
+         |      FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+         |      WHERE len(toks) >= 2),
+         |c AS (SELECT lang, ngram, count(*) AS occurrences FROM g GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY lang ORDER BY occurrences DESC, ngram) AS rank FROM c)
+         |SELECT lang, ngram, occurrences, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    "boilerplate_ngrams" ->
+      """WITH bc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN text || ' home login search contact about privacy terms help'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bc),
+        |w AS (SELECT doc_id,
+        |        substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]), 1, 12) AS w_hash
+        |      FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+        |      WHERE len(toks) >= 5),
+        |f AS (SELECT w_hash, count(DISTINCT doc_id) AS w_docs FROM w GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN w_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_windows,
+        |       round(sum(CASE WHEN w_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS boiler_frac
+        |FROM w JOIN f USING (w_hash) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH pc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or 555-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, text,
+        |        regexp_replace(
+        |          regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |          '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |      FROM pc)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(red) AS redacted_md5,
+        |  red <> text AS redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "domain_mix" ->
+      """WITH shares(source, share_pm) AS (
+        |  VALUES ('src0', 200), ('src1', 200), ('src2', 100), ('src3', 500)),
+        |scoped AS (SELECT d.doc_id, d.source, s.share_pm
+        |           FROM documents d JOIN shares s USING (source)),
+        |counts AS (SELECT source, share_pm, count(*) AS n_total
+        |           FROM scoped GROUP BY 1, 2),
+        |t AS (SELECT min(n_total * 1000 // share_pm) AS t_total FROM counts),
+        |q AS (SELECT source,
+        |        CAST((SELECT t_total FROM t) * share_pm // 1000 AS BIGINT) AS quota
+        |      FROM counts),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12),
+        |                   doc_id) AS pick_rank
+        |      FROM scoped)
+        |SELECT r.doc_id, r.source, CAST(r.pick_rank AS INTEGER) AS pick_rank, q.quota
+        |FROM r JOIN q USING (source) WHERE r.pick_rank <= q.quota
+        |ORDER BY source, pick_rank""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH ${bitsCte(1000)},
+         |$embCte,
+         |eb AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  $bucketSql AS bucket FROM embeddings),
+         |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |       FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM ts),
+         |truth AS (SELECT query_id, cand_id FROM tr WHERE rank <= 3),
+         |asx AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |        FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < 50),
+         |ar AS (SELECT *, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM asx),
+         |approx AS (SELECT query_id, cand_id FROM ar WHERE rank <= 3)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k_truth,
+         |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS text_md5,
          |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
@@ -639,6 +801,27 @@ object PipelineQueries {
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
          |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "minhash_accuracy" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round((${(0 until 16).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")}) * 1.0 / 16, 6) AS est_jaccard,
+         |    round(len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard,
+         |       round(abs(est_jaccard - jaccard), 6) AS abs_err
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH $toksCte,

@@ -1,0 +1,216 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus operators: bigram census, boilerplate scan, PII scrub,
+  * domain mixing, ANN recall gate, bucketed co-located join.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  test("ngramTopK ranks are dense 1..k with non-increasing counts per lang") {
+    val r = TextAnalysis.ngramTopK(docs, 10)
+      .select("lang", "occurrences", "rank")
+      .as[(String, Long, Int)].collect()
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length))
+      assert(byRank.map(_._2).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _         => true
+      })
+    }
+  }
+
+  test("boilerplate flags planted shared windows and nothing else as shared") {
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" home login search contact about privacy terms help")))
+        .otherwise(col("text")))
+    val r = TextAnalysis.boilerplate(planted, 5, 2)
+      .select("doc_id", "boiler_windows")
+      .as[(Long, Long)].collect().toMap
+    val plantedIds = r.keySet.filter(_ % 4 == 0)
+    assert(plantedIds.size >= 2)
+    // the 4 windows fully inside the 8-token nav bar repeat across every
+    // planted doc; straddling windows may add more
+    plantedIds.foreach(id => assert(r(id) >= 4, s"doc $id: ${r(id)}"))
+    // the small-vocabulary fixture has naturally repeated 5-grams, so the
+    // unplanted corpus is NOT zero — but planting must add at least the 4
+    // nav-bar windows to every planted doc on top of its natural score
+    val clean = TextAnalysis.boilerplate(docs, 5, 2)
+      .select("doc_id", "boiler_windows").as[(Long, Long)].collect().toMap
+    plantedIds.foreach { id =>
+      assert(r(id) >= clean.getOrElse(id, 0L) + 4, s"doc $id delta")
+    }
+  }
+
+  test("piiRedact counts planted PII and redacts exactly the matching docs") {
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    val r = TextAnalysis.piiRedact(planted)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, e, p, red) =>
+      assert(red == (e + p > 0), s"doc $id")
+      if (id % 5 == 0) assert(e >= 1 && p >= 1, s"doc $id: e=$e p=$p")
+    }
+  }
+
+  test("domainMix fills every named source exactly to its water-filled quota") {
+    val shares = Map("src0" -> 200, "src1" -> 200, "src2" -> 100, "src3" -> 500)
+    val picked = TextAnalysis.domainMix(docs, shares)
+      .select("source", "quota").as[(String, Long)].collect()
+    val kept = picked.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val quota = picked.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val totals = docs.filter(col("source").isin(shares.keys.toSeq: _*))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val t = shares.collect { case (s, pm) if totals.contains(s) =>
+      totals(s) * 1000L / pm
+    }.min
+    kept.foreach { case (src, n) =>
+      assert(n == quota(src), s"$src kept $n != quota ${quota(src)}")
+      assert(quota(src) == t * shares(src) / 1000L, s"$src quota formula")
+      assert(n <= totals(src), s"$src upsampled")
+    }
+    // deterministic: a re-run picks the identical document set
+    val again = TextAnalysis.domainMix(docs, shares)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == TextAnalysis.domainMix(docs, shares)
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("ann_recall face: k_truth is exact-k and recall stays within [0,1]") {
+    val q = SparkEntry.queries("ann_recall")(spark, sfDir)
+      .select("k_truth", "hits", "recall").as[(Long, Long, Double)].collect()
+    assert(q.length == 50)
+    q.foreach { case (k, h, rec) =>
+      assert(k == 3 && h >= 0 && h <= k)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("profile covers every column in one pass with exact null/distinct counts") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val p = operators.Profile.profile(orders)
+      .select("col_name", "n_rows", "n_nulls", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+    val n = orders.count()
+    assert(p.map(_._1).toSet == orders.columns.toSet)
+    p.foreach { case (c, rows, nulls, distinct) =>
+      assert(rows == n, s"$c n_rows")
+      assert(nulls >= 0 && nulls <= n && distinct <= n, s"$c bounds")
+    }
+    val pk = p.find(_._1 == "o_orderkey").get
+    assert(pk._3 == 0 && pk._4 == n, "dense-unique PK profile")
+    // the sketch variant keeps the same shape (values are approximate)
+    assert(operators.Profile.profile(orders, exactDistinct = false).count()
+      == orders.columns.length.toLong)
+  }
+
+  test("minhashEval reports lane-estimate vs exact jaccard consistently") {
+    val d = docs
+    val eval = operators.Dedup.minhashEval(d)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(eval.nonEmpty)
+    eval.foreach { case (_, _, est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-6)
+    }
+    // every pair the miner keeps at 0.5 appears among the evaluated candidates
+    val mined = operators.Dedup.minhashNearDups(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = eval.map(e => (e._1, e._2)).toSet
+    assert(mined.subsetOf(cands))
+  }
+
+  test("replay dedup keeps first delivery and counts every redelivery") {
+    val r = SparkEntry.queries("events_dedup_replay")(spark, sfDir)
+      .select("event_id", "n_deliveries", "first_ts_ms")
+      .as[(Long, Long, Long)].collect()
+    val ev = Tables.load(spark, sfDir, "events")
+    val expected = ev.filter(col("event_id") % 9 === 0)
+      .select(col("event_id"), unix_millis(col("ts")))
+      .as[(Long, Long)].collect().toMap
+    assert(r.length == expected.size)
+    r.foreach { case (id, nd, ts) =>
+      assert(id % 9 == 0 && nd == 2)
+      assert(ts == expected(id), s"event $id first-seen drifted")
+    }
+  }
+
+  test("star join attaches every dim via broadcast — the fact side never shuffles pre-agg") {
+    val q = SparkEntry.queries("star_join_revenue")(spark, sfDir)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3, plan)
+    assert(!plan.contains("SortMergeJoin"), "dim chain fell back to SMJ")
+  }
+
+  test("rollup emits consistent level sums in one pass") {
+    val r = SparkEntry.queries("events_rollup")(spark, sfDir)
+      .select("event_type_k", "gid", "cnt")
+      .as[(String, Int, Long)].collect()
+    val total = r.filter(_._2 == 3)
+    assert(total.length == 1 && total.head._1 == "ALL")
+    val perType = r.filter(_._2 == 1)
+    // each type's hour rows (gid=0) sum to its type row, types sum to total
+    assert(perType.map(_._3).sum == total.head._3)
+    perType.foreach { case (et, _, cnt) =>
+      assert(r.filter(x => x._2 == 0 && x._1 == et).map(_._3).sum == cnt, et)
+    }
+  }
+
+  test("day filter over the partitioned layout prunes at the partition level") {
+    val out = Scratch.dir("events_part_spec_")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val back = spark.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-03"))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(scan).isDefined,
+      s"day filter not pushed to partition pruning:\n$scan")
+    // pruned read equals the unpartitioned filter
+    val direct = Tables.load(spark, sfDir, "events")
+      .filter(to_date(col("ts")) === lit("2024-01-03")).count()
+    assert(back.count() == direct && direct > 0)
+  }
+
+  test("bucketed co-located join plans with zero exchanges and exact results") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.load(spark, sfDir, "orders")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val r = Bucketing.colocatedRevenue(orders, li, 8)
+      r.count()
+      val plan = r.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 0, s"expected shuffle-free plan, got $exchanges:\n$plan")
+      // same rows as the straightforward shuffled join
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val direct = li.groupBy("l_orderkey").agg(
+        count(lit(1)).as("n_items"),
+        sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "n_items", "revenue")
+        .as[(Long, Double, Long, Double)].collect().toSet
+      assert(r.select("o_orderkey", "o_totalprice", "n_items", "revenue")
+        .as[(Long, Double, Long, Double)].collect().toSet == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
