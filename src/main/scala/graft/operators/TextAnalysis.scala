@@ -195,6 +195,78 @@ object TextAnalysis {
           transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
             s => s.getField("text")))).as("payload_md5"))
 
+  /** Token-level sequence packing — the real LLM-pretraining packer:
+    * documents stream in deterministic (doc_id) order into fixed
+    * `seqTokens`-wide training sequences, and a document whose tokens
+    * straddle a boundary is SPLIT across sequences (unlike
+    * [[packShards]], which places whole documents). Emits one span row
+    * per (sequence, document) overlap: the doc's [tok_start, tok_end)
+    * token slice that lands in that sequence. All-integer arithmetic
+    * from one prefix sum: a doc covering cumulative tokens
+    * [cum_before, cum_before+est) overlaps sequences
+    * cum_before/W .. (cum_before+est-1)/W.
+    *
+    * Scale posture: one window per `groupCol` partition (same contract
+    * as [[packShards]]: a 100 TB run groups by (split, macro-bucket) to
+    * bound any one stream), then a narrow explode of span rows — the
+    * text never moves; a writer joins spans back to content by doc_id.
+    */
+  def packSequences(docs: DataFrame, seqTokens: Long = 512L,
+                    groupCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqTokens >= 1, "sequence width must be positive")
+    val est = expr("(length(text) + 3) div 4").cast(LongType)
+    val w = Window.partitionBy(groupCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(groupCol), est.as("est_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("est_tokens")).over(w), lit(0L)))
+      .select(col(groupCol), col("doc_id"), col("est_tokens"), col("cum_before"),
+        explode(sequence(
+          expr(s"cum_before div $seqTokens"),
+          expr(s"(cum_before + est_tokens - 1) div $seqTokens"))).as("seq_id"))
+      .select(col(groupCol), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * seqTokens - col("cum_before"))
+          .as("tok_start"),
+        least(col("est_tokens"), (col("seq_id") + 1) * seqTokens - col("cum_before"))
+          .as("tok_end"))
+      .withColumn("n_toks", col("tok_end") - col("tok_start"))
+  }
+
+  /** Tokenizer-vocabulary coverage: per document, the fraction of BPE-ish
+    * tokens OUTSIDE the corpus top-`k` vocabulary ([[vocab]]) — the
+    * out-of-vocabulary audit run before committing to a tokenizer. The
+    * vocabulary is top-k-bounded, so it broadcasts at any corpus size;
+    * the token explode carries only (doc_id, token).
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val v = vocab(docs, k).select(col("token")).withColumn("__in", lit(1))
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bpe"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov"))
+      .withColumn("oov_rate", round(col("oov").cast("double") / col("n_bpe"), 6))
+  }
+
+  /** Length-decile assignment (curriculum/binning pass): rank documents
+    * by token count (doc_id tiebreak — fully deterministic) into 10
+    * equal-depth bins. The single global window is the EXACT form for
+    * the oracle contract; at 100 TB compute approximate decile
+    * boundaries (percentile sketch), broadcast them, and bin with a
+    * narrow projection instead.
+    */
+  def lengthDeciles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+  }
+
   /** Document fingerprints: the full-text md5 plus a winnowing-style
     * content fingerprint — the minimum 48-bit hash over all character
     * 8-grams (a rolling window of hashes reduced by min; robust to small

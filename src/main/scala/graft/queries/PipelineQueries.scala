@@ -129,6 +129,20 @@ object PipelineQueries {
     "pack_shards" -> ((s, dir) =>
       TextAnalysis.packShards(docs(s, dir), 2000L).orderBy("doc_id")),
 
+    // Token-level sequence packing: span rows for 512-token training
+    // sequences, long docs split across boundaries.
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), 512L)
+        .orderBy("lang", "seq_id", "doc_id")),
+
+    // Out-of-vocabulary audit against the top-100 corpus vocabulary.
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir), 100).orderBy("doc_id")),
+
+    // Equal-depth token-length deciles (curriculum binning).
+    "length_deciles" -> ((s, dir) =>
+      TextAnalysis.lengthDeciles(docs(s, dir)).orderBy("doc_id")),
+
     // Eval-leakage gate: corpus docs (doc_id % 20 != 0) scanned against
     // the benchmark subset (doc_id % 20 = 0); the small benchmark posting
     // relation broadcasts, the corpus streams.
@@ -801,6 +815,41 @@ object PipelineQueries {
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
          |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS est FROM documents),
+        |c AS (SELECT *, CAST(coalesce(SUM(est) OVER (PARTITION BY lang
+        |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before FROM d),
+        |e AS (SELECT lang, doc_id, est, cum_before, s.seq_id
+        |      FROM c, UNNEST(generate_series(cum_before // 512,
+        |        (cum_before + est - 1) // 512)) AS s(seq_id))
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(0, seq_id * 512 - cum_before) AS BIGINT) AS tok_start,
+        |  CAST(least(est, (seq_id + 1) * 512 - cum_before) AS BIGINT) AS tok_end,
+        |  CAST(least(est, (seq_id + 1) * 512 - cum_before)
+        |       - greatest(0, seq_id * 512 - cum_before) AS BIGINT) AS n_toks
+        |FROM e ORDER BY lang, seq_id, doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM t GROUP BY token
+        |      ORDER BY count(*) DESC, token LIMIT 100)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "length_deciles" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(ntile(10) OVER (ORDER BY len(string_split(text, ' ')), doc_id)
+        |       AS INTEGER) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "minhash_accuracy" ->
       s"""WITH $toksCte,

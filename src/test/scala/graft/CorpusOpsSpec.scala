@@ -150,6 +150,57 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences spans tile each document exactly and fill sequences to width") {
+    val spans = TextAnalysis.packSequences(docs, 512L)
+      .select("lang", "seq_id", "doc_id", "tok_start", "tok_end", "n_toks")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val est = docs.select(col("doc_id"),
+      expr("(length(text) + 3) div 4").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // per doc: spans start at 0, end at est, and are contiguous
+    spans.groupBy(_._3).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0 && sorted.last._5 == est(id), s"doc $id ends")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"doc $id gap")
+        case _           =>
+      }
+      assert(ss.map(_._6).sum == est(id), s"doc $id token sum")
+    }
+    // per (lang, seq): every sequence except the stream tail is exactly full
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((lang, seq), ss) =>
+      val filled = ss.map(_._6).sum
+      val lastSeq = spans.filter(_._1 == lang).map(_._2).max
+      assert(filled <= 512, s"$lang/$seq overfull")
+      if (seq != lastSeq) assert(filled == 512, s"$lang/$seq underfull")
+    }
+  }
+
+  test("vocabCoverage OOV counts agree with the BPE token counts") {
+    val cov = TextAnalysis.vocabCoverage(docs, 100)
+      .select("doc_id", "n_bpe", "oov").as[(Long, Long, Long)].collect()
+    val bpe = TextAnalysis.tokenCounts(docs)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(cov.length == bpe.size)
+    cov.foreach { case (id, n, oov) =>
+      assert(n == bpe(id), s"doc $id token count")
+      assert(oov >= 0 && oov <= n, s"doc $id oov bounds")
+    }
+  }
+
+  test("lengthDeciles is an equal-depth, order-respecting 10-way split") {
+    val d = TextAnalysis.lengthDeciles(docs)
+      .select("n_tokens", "decile").as[(Long, Int)].collect()
+    val byDecile = d.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDecile.keySet == (1 to 10).toSet)
+    assert(byDecile.values.max - byDecile.values.min <= 1)
+    // monotone: no doc in a lower decile is longer than one in a higher
+    (1 to 9).foreach { k =>
+      assert(d.filter(_._2 == k).map(_._1).max
+        <= d.filter(_._2 == k + 1).map(_._1).min, s"decile $k order")
+    }
+  }
+
   test("star join attaches every dim via broadcast — the fact side never shuffles pre-agg") {
     val q = SparkEntry.queries("star_join_revenue")(spark, sfDir)
     q.count()
