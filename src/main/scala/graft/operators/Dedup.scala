@@ -502,4 +502,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ----------------------------------------------- asymmetric containment
+
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup relation Jaccard
+    * misses: an excerpt quoted inside a much longer document has
+    * |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so symmetric thresholds
+    * never fire. Containment is the deduplication signal for
+    * quote/excerpt/page-within-crawl cases (the overlap measure of
+    * Broder's resemblance/containment pair, syntactic-clustering line of
+    * work).
+    *
+    * Same SSJoin posting plan as [[jaccardNearDupsFrom]] (narrow
+    * postings, co-occurrence count per id-ordered pair, optional
+    * stop-shingle cap bounding Zipfian bucket blowup); a pair is emitted
+    * when EITHER direction's containment reaches `threshold`, with both
+    * directions reported (cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B|).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       maxBucket: Option[Int] = None): DataFrame =
+    containmentPairsFrom(shingleKernel(docs), threshold, maxBucket)
+
+  /** [[containmentPairs]] over an existing [[shingleKernel]] relation. */
+  def containmentPairsFrom(sk: DataFrame, threshold: Double,
+                           maxBucket: Option[Int]): DataFrame = {
+    val allPostings = sk
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("sh_n"),
+        explode(col("sh")).as("sh_h"))
+    val sh = maxBucket.fold(allPostings) { cap =>
+      val keep = allPostings.groupBy("sh_h")
+        .agg(count(lit(1)).as("__f")).filter(col("__f") <= cap)
+        .select("sh_h")
+      allPostings.join(keep, Seq("sh_h"), "left_semi")
+    }
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh_n").as("n_a"), col("b.sh_n").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / col("n_a")).as("cont_a"),
+        (col("common").cast("double") / col("n_b")).as("cont_b"))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+  }
 }

@@ -52,4 +52,42 @@ object Sessionize {
         max(unix_millis(col("ts"))).as("end_ms"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
       .withColumn("duration_ms", (col("end_ms") - col("start_ms")).cast(LongType))
+
+  /** First-touch attribution: every session is credited to the
+    * `event_type` of its FIRST event (the session's acquisition
+    * "channel"), and purchases inside the session roll up to that
+    * channel. The channel is computed on the SAME running user window
+    * that numbers the sessions — `last(ignoreNulls)` over the
+    * session-start marks carries the opening event_type forward — so
+    * attribution adds zero exchanges to [[assign]]; the per-channel
+    * rollup then aggregates a |sessions|-sized relation, never the raw
+    * log.
+    *
+    * Output: (channel, n_sessions, n_purchases, purchase_cents),
+    * purchase value in canonical cents (integral partial sums).
+    */
+  def attribution(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+    val isPurchase = col("event_type") === "purchase"
+    events
+      .withColumn("__new",
+        when(gapMs.isNull || gapMs > gapSeconds * 1000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(run))
+      .withColumn("channel",
+        last(when(col("__new") === 1L, col("event_type")), ignoreNulls = true)
+          .over(run))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(col("channel")).as("channel"),
+        sum(when(isPurchase, 1L).otherwise(0L)).as("__purch"),
+        sum(when(isPurchase, expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(0L)).as("__cents"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("__purch")).as("n_purchases"),
+        sum(col("__cents")).as("purchase_cents"))
+  }
 }

@@ -576,4 +576,39 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster with the coarse quantizer, compare pairs
+    * only WITHIN each cluster, and drop the higher id of every pair at
+    * cosine >= `threshold`. The clustering bounds pair work to
+    * sum(|cluster|^2) instead of N^2 — the same candidate-bounding move
+    * as [[nearDupPairsBucketed]], but with the quantizer's data-adaptive
+    * cells instead of fixed sign planes, and a keep/drop VERDICT per
+    * vector instead of a pair list (this is the curation face: its
+    * `dropped=false` rows are the corpus that survives).
+    *
+    * Per vector: its cluster, how many lower-id in-cluster duplicates it
+    * has (`n_dups` — the pairs that vote to drop it), and the verdict.
+    * Cluster self-join shuffles on `cid`; the exact rounded cosine runs
+    * on candidate pairs only via the codegen'd scorer.
+    */
+  def semdedup(embeddings: DataFrame, threshold: Double,
+               nCentroids: Int = 16): DataFrame = {
+    val idx = ivfIndex(embeddings, nCentroids)
+    def side(p: String): DataFrame = idx.select(
+      col("cid"), col("c_id").as(s"${p}_id"), col("c_emb").as(s"${p}_emb"),
+      col("c_nrm").as(s"${p}_nrm"))
+    val cand = side("q").join(side("c").withColumnRenamed("cid", "cid2"),
+        col("cid") === col("cid2") && col("q_id") < col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+    val votes = scorePairs(cand, Some(threshold))
+      .groupBy(col("cand_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    idx.select(col("c_id").as("vec_id"), col("cid"))
+      .join(votes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("n_dups").isNotNull.as("dropped"))
+  }
 }

@@ -560,4 +560,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(score, 6).as("score"), col("rank"))
   }
+
+  /** BM25 document ranking (Robertson–Spärck Jones Okapi weighting,
+    * k1=1.2 b=0.75) for a query made of the corpus's `nTerms` most
+    * frequent tokens — the retrieval-scoring pass next to [[tfidfTopK]].
+    *
+    * Engine-exactness: the idf uses the RATIO form (N-df+0.5)/(df+0.5)
+    * without the log — log() is the one primitive whose last-ulp
+    * behavior differs across engines, and dropping it preserves the
+    * per-term ordering (log is monotone). Per-term scores canonicalize
+    * to micro-units (round(score*1e6) BIGINT) BEFORE the per-document
+    * sum, so the cross-term accumulation is integer — exact and
+    * order-independent under any partitioning (the float-parity posture
+    * of `Canonical`; a double sum would depend on aggregation order).
+    *
+    * Plan: the tiny term list and the vocabulary df relation broadcast;
+    * tf shrinks to |terms| rows per doc BEFORE the doc-keyed join with
+    * the length relation; the (n_docs, avgdl) scalar rides a
+    * broadcast hash join on a data-derived constant key (pmod trick —
+    * see [[tfidfTopK]]'s BNLJ note). One doc-keyed shuffle total.
+    */
+  def bm25TopK(docs: DataFrame, nTerms: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+        expr("CAST(SUM(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE)").as("avgdl"))
+      .withColumn("__one", pmod(col("n_docs"), lit(1L)))
+    val terms = vocab(docs, nTerms).select("token")
+    val micro = expr(
+      "CAST(round(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+        " * (CAST(tf AS DOUBLE) * 2.2)" +
+        " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))" +
+        " * 1000000) AS BIGINT)")
+    val scored = tf
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .join(broadcast(dfRel), "token")
+      .join(dl, "doc_id")
+      .withColumn("__one", pmod(col("tf"), lit(1L)))
+      .join(broadcast(st), "__one")
+      .select(col("doc_id"), micro.as("micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("micro")).as("score_u"), count(lit(1)).as("n_terms"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_u").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"),
+        round(col("score_u").cast("double") / 1000000.0, 6).as("score"),
+        col("n_terms"), col("rank"))
+  }
 }

@@ -273,6 +273,22 @@ object CoreQueries {
 
     "compare_report" -> ((s, dir) => compareReport(s, dir)),
 
+    // Full CUBE over (status, priority): all four aggregation levels in
+    // ONE shuffle — Spark expands the grouping sets before the exchange
+    // (the 2-D completion of events_rollup's hierarchy). Keys coalesce
+    // to 'ALL' sentinels; the level is the ANSI grouping_id bitmask.
+    "orders_cube" -> ((s, dir) =>
+      ord(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("cnt"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status_k"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority_k"),
+          col("gid"), col("cnt"), col("cents"))
+        .orderBy("gid", "status_k", "priority_k")),
+
     // Star-schema enrichment: fact orders through the customer→nation→
     // region dim chain, revenue per (region, priority). Every dim side is
     // an explicit broadcast — at 100 TB the fact table NEVER shuffles for
@@ -533,6 +549,15 @@ object CoreQueries {
         |  ('l_tax',      'double', CAST(NULL AS VARCHAR), 'missing_on_down'))
         |  AS t(field, up_type, down_type, status)
         |ORDER BY field""".stripMargin,
+
+    "orders_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status_k,
+        |  coalesce(o_orderpriority, 'ALL') AS priority_k,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status_k, priority_k""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,

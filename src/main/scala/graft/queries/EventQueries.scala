@@ -114,6 +114,53 @@ object EventQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")),
 
+    // Trailing-window range join via bucket binning: each purchase
+    // against the same user's clicks in the preceding 24 h. The θ-join
+    // (BETWEEN) would plan as a per-key cartesian; binning restores an
+    // AQE-eligible equi-join on (user, day-bucket) with the interval as
+    // a residual filter — see RangeJoin's scale note.
+    "events_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.operators.RangeJoin.trailingAgg(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"),
+        "user_id", "ts", "value", 86400000L, Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // Salted equi-join (the JOIN face of events_salted_agg's two-phase
+    // aggregation): the big skewed side salts, the per-user profile
+    // replicates once per salt, and the result must be IDENTICAL to the
+    // plain join — the oracle is that plain join.
+    "events_skew_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val profile = e.groupBy("user_id")
+        .agg(unix_millis(min(col("ts"))).as("first_ms"),
+          count(lit(1)).as("user_events"))
+      graft.functions.Salt.saltedJoin(e, profile, "user_id", 8)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("first_ms"), col("user_events"))
+        .orderBy("event_id")
+    }),
+
+    // First-touch attribution: sessions credited to their opening
+    // event_type, purchases rolled up per channel — the channel rides
+    // the SAME user-key window exchange that numbers the sessions.
+    "session_attribution" -> ((s, dir) =>
+      graft.operators.Sessionize.attribution(ev(s, dir), 43200L)
+        .orderBy("channel")),
+
+    // Z-order (Morton) layout: events clustered along the interleaved
+    // (user_id, hour) curve into 16 equal-depth files; the output is each
+    // file's bounding box over BOTH dimensions — the min/max footer stats
+    // a scan would prune on. Bit-exact integer arithmetic end to end.
+    "zorder_layout" -> ((s, dir) =>
+      graft.operators.ZOrder.layout(
+        ev(s, dir).select(col("event_id"), col("user_id"),
+          expr("unix_millis(ts) div 3600000").as("hr")),
+        "user_id", "hr", "event_id", 16)
+        .orderBy("file_id")),
+
     // Gap-based sessionization rollup (12 h gap — the fixture's per-user
     // event density is ~1/11 h, so a web-style 30-min gap would make
     // nearly every event its own session): one user-key shuffle
@@ -253,7 +300,77 @@ object EventQueries {
 
   private val evFp48 = Oracle.fp48Sql(Oracle.serialSql(Oracle.eventsCols))
 
+  /** 2x16-bit Morton interleave terms (mirror of ZOrder.zValue). */
+  private val zTermsSql: String = (0 until 16).map { i =>
+    s"(CAST((((user_id & 65535) >> $i) & 1) << ${2 * i} AS BIGINT) + " +
+      s"CAST((((hr & 65535) >> $i) & 1) << ${2 * i + 1} AS BIGINT))"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "events_range_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  CAST(SUM(CASE WHEN c.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_window,
+        |  CAST(SUM(CASE WHEN c.event_id IS NOT NULL
+        |                THEN CAST(round(c.value * 100) AS BIGINT)
+        |                ELSE 0 END) AS BIGINT) AS cents_in_window
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND epoch_ms(c.ts) > epoch_ms(p.ts) - 86400000
+        | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin,
+
+    "events_skew_join" ->
+      """WITH prof AS (SELECT user_id, epoch_ms(min(ts)) AS first_ms,
+        |                     count(*) AS user_events
+        |              FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.event_type, p.first_ms,
+        |       CAST(p.user_events AS BIGINT) AS user_events
+        |FROM events e JOIN prof p USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "session_attribution" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(prev_ts) > 43200000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM a),
+        |c AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(SUM(is_new) OVER w AS BIGINT) AS session_seq,
+        |    last_value(CASE WHEN is_new = 1 THEN event_type END IGNORE NULLS)
+        |      OVER w AS channel
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s AS (
+        |  SELECT user_id, session_seq, min(channel) AS channel,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cents
+        |  FROM c GROUP BY 1, 2)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS purchase_cents
+        |FROM s GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "zorder_layout" ->
+      s"""WITH b AS (SELECT event_id, user_id,
+         |  epoch_ms(ts) // 3600000 AS hr FROM events),
+         |z AS (SELECT event_id, user_id, hr,
+         |  CAST($zTermsSql AS BIGINT) AS zv FROM b),
+         |f AS (SELECT *, ntile(16) OVER (ORDER BY zv, event_id) AS file_id FROM z)
+         |SELECT CAST(file_id AS INTEGER) AS file_id, count(*) AS n_rows,
+         |  min(zv) AS z_min, max(zv) AS z_max,
+         |  min(user_id) AS x_min, max(user_id) AS x_max,
+         |  min(hr) AS y_min, max(hr) AS y_max
+         |FROM f GROUP BY 1 ORDER BY file_id""".stripMargin,
+
     "events_hourly_checksum" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |       count(*) AS cnt, CAST(SUM($evFp48) AS BIGINT) AS checksum

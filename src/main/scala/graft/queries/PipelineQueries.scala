@@ -36,6 +36,22 @@ object PipelineQueries {
         lit(" home login search contact about privacy terms help")))
       .otherwise(col("text")))
 
+  /** Corpus with planted excerpts (fixtures ship none): every 6th
+    * document also ingested as its leading 40% of tokens under a shifted
+    * id — the "quoted excerpt / partial recrawl" case whose Jaccard to
+    * the original is too low for symmetric dedup but whose CONTAINMENT
+    * is ~1.
+    */
+  private def excerptCorpus(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 40000L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "greatest(3, (size(split(text, ' ')) * 2) div 5)), ' ')")
+            .as("text")))
+  }
+
   /** Corpus with planted PII on every 5th document (an email + a phone
     * derived from the doc_id — deterministic and oracle-reproducible).
     */
@@ -367,6 +383,25 @@ object PipelineQueries {
         .orderBy("content_key")
     }),
 
+    // Asymmetric containment dedup over the planted-excerpt corpus:
+    // every excerpt is caught with cont_a ~ 1 even though its Jaccard to
+    // the full document is far below any symmetric threshold.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(excerptCorpus(docs(s, dir)), 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // BM25 retrieval ranking for the corpus's top-5 tokens as the query;
+    // log-free rational idf + micro-unit per-term scores keep the
+    // cross-term sum integer-exact (see TextAnalysis.bm25TopK).
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), 5, 10).orderBy("rank")),
+
+    // SemDeDup-style semantic dedup: quantizer clusters bound the pair
+    // work; within-cluster cosine >= 0.4 drops the higher id. The
+    // dropped=false rows are the surviving corpus.
+    "semdedup" -> ((s, dir) =>
+      Similarity.semdedup(emb(s, dir), 0.4).orderBy("vec_id")),
+
     "knn_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
@@ -550,6 +585,86 @@ object PipelineQueries {
        |FROM h""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 40000,
+        |    array_to_string(toks[1:greatest(3, (len(toks) * 2) // 5)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id % 6 = 0)),
+        |tk2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |sh2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        |      range(1, len(toks) - 2 + 1),
+        |      i -> toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)] || '_' || toks[CAST(i + 2 AS INTEGER)]))
+        |    ELSE [] END AS s
+        |  FROM tk2),
+        |post AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sh_n,
+        |         unnest(s) AS sh_h FROM sh2),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh_n AS n_a,
+        |         b.sh_n AS n_b, count(*) AS common
+        |  FROM post a JOIN post b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  round(common * 1.0 / n_a, 6) AS cont_a,
+        |  round(common * 1.0 / n_b, 6) AS cont_b
+        |FROM common
+        |WHERE common * 1.0 / n_a >= 0.8 OR common * 1.0 / n_b >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |terms AS (SELECT token FROM t GROUP BY token
+        |          ORDER BY count(*) DESC, token LIMIT 5),
+        |s AS (SELECT tf.doc_id,
+        |  CAST(round(((CAST(st.n_docs - dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+        |    * 1000000) AS BIGINT) AS micro
+        |  FROM tf JOIN terms USING (token) JOIN dfr USING (token)
+        |  JOIN dl USING (doc_id) CROSS JOIN st),
+        |g AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_u,
+        |      CAST(count(*) AS BIGINT) AS n_terms FROM s GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank
+        |      FROM g)
+        |SELECT doc_id, round(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score,
+        |       n_terms, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "semdedup" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sim AS (
+         |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cid, e.v FROM assign a
+         |      JOIN e ON e.vec_id = a.vec_id),
+         |p AS (SELECT y.vec_id AS vid, round(${cosOf("x.v", "y.v")}, 6) AS score
+         |      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |d AS (SELECT vid AS vec_id, count(*) AS n_dups FROM p
+         |      WHERE score >= 0.4 GROUP BY 1)
+         |SELECT m.vec_id, m.cid,
+         |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM m LEFT JOIN d ON d.vec_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
+
     "lang_confusion" ->
       s"""WITH li AS ($langIdSql)
          |SELECT lang_declared, lang_guess, count(*) AS docs
