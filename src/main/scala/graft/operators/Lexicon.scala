@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus lexicon induction — the vocabulary-building passes a training-data
+  * pipeline runs before tokenizer and retrieval decisions (north-star
+  * extension, SURVEY.md §7.1 module 11):
+  *
+  *   - [[pmiTopK]]        PMI collocation mining (multi-word-expression
+  *                        discovery for tokenizer pre-merges)
+  *   - [[bpePairs]]       the BPE vocabulary-induction inner step: the
+  *                        adjacent-symbol pair census whose argmax is the
+  *                        next merge rule
+  *   - [[invertedIndex]]  capped posting lists — the retrieval index shape
+  *                        behind BM25 / contamination lookups
+  *
+  * All scores are exact integers (micro-units / counts), so the DuckDB
+  * oracle hash-matches bit for bit — no IEEE log/exp in any output column.
+  */
+object Lexicon {
+
+  /** Adjacent-token PMI collocations in integer micro-units:
+    *
+    *   pmi_micro = pair_cnt * n_tokens * 1e6  div  (cnt_a * cnt_b)
+    *
+    * — the monotone rational core of pointwise mutual information
+    * (log dropped: log is monotone, so ranking by the ratio IS ranking by
+    * PMI, and the integer form keeps the oracle exact).
+    *
+    * Scale posture: the explode carries bare token pairs (text never rides
+    * a shuffle); the pair census aggregates with map-side partials and is
+    * then vocabulary²-bounded, so both unigram joins broadcast (the unigram
+    * relation is vocabulary-sized) and the rank window runs over ≤ the
+    * minPair-filtered pair census, not the corpus. The BIGINT product
+    * `pair_cnt * n_tokens * 1e6` is exact up to ~1e18; a corpus past ~1e12
+    * tokens would widen the accumulators to DECIMAL(38,0) — noted rather
+    * than done because the oracle comparison requires both engines to stay
+    * in int64.
+    */
+  def pmiTopK(docs: DataFrame, minPair: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("n_tokens"))
+    val pairs = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> struct(" +
+          "element_at(__toks, i) AS a, element_at(__toks, i + 1) AS b))")).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPair)
+    val scored = pairs
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("cnt").as("cnt_a"))), "tok_a")
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("cnt").as("cnt_b"))), "tok_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        expr("pair_cnt * n_tokens * 1000000 div (cnt_a * cnt_b)"))
+    val w = Window.orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "tok_a", "tok_b", "pair_cnt", "cnt_a", "cnt_b", "pmi_micro")
+  }
+
+  /** BPE merge-pair census (the inner loop of byte-pair-encoding vocabulary
+    * induction): count every adjacent 2-character window inside every word,
+    * weighted by word frequency; the top pair is the next merge rule.
+    *
+    * Scale posture: the word census collapses the corpus to its vocabulary
+    * FIRST (one map-side-combining aggregation over bare words), so the
+    * character-pair explode runs over the vocabulary — at 100 TB that is
+    * millions of rows, not trillions. The rank window therefore sorts a
+    * relation bounded by (distinct 2-grams of the alphabet), which is tiny.
+    */
+  def bpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+    val w = Window.orderBy(col("pair_count").desc, col("pair"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "pair", "pair_count")
+  }
+
+  /** Capped inverted index: token → document frequency + the first `cap`
+    * posting doc_ids (ascending, comma-joined) — the index relation a
+    * BM25 / contamination-lookup service would serve.
+    *
+    * Scale posture: postings are truncated BEFORE aggregation by a
+    * per-token row_number window (never an unbounded collect_list), so the
+    * reduced row for a stopword-grade token holds ≤ cap ids no matter the
+    * corpus size. The window's per-token skew (a token in every document
+    * sorts its full posting run) is the honest cost of exact smallest-k
+    * postings; the production escape hatch is bucketing doc_ids and keeping
+    * only the first non-empty bucket, which bounds the sort without
+    * changing the emitted ids.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int = 20): DataFrame = {
+    val td = docs
+      .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+      .distinct()
+    val freq = td.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("token").orderBy("doc_id")
+    val heads = td.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+    freq.join(heads, "token")
+      .select(col("token"), col("doc_freq"),
+        least(col("doc_freq"), lit(cap.toLong)).as("postings_len"),
+        col("postings"))
+  }
+}

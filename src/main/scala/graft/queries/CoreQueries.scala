@@ -132,6 +132,24 @@ object CoreQueries {
       TableDiff.rowDiff(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)),
         ordSpec.copy(hashBuckets = Some(4096))).orderBy("o_orderkey")),
 
+    // The fix-SQL round-trip property AS an oracle (S10's reason to
+    // exist): apply Repair to the drifted downstream using the row diff,
+    // and the result must equal the upstream bit for bit — so the oracle
+    // is simply the canonical projection of `orders` itself. Both repair
+    // joins key on the drift-bounded diff relation and broadcast against
+    // the (at scale, 100 TB) downstream.
+    "repair_roundtrip" -> ((s, dir) => {
+      val up = ord(s, dir)
+      val down = Perturb.ordersDownstream(up)
+      val rd = TableDiff.rowDiff(up, down, ordSpec)
+      Repair.repair(down, up, rd, ordSpec.pkCols)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          unix_millis(col("o_orderdate")).as("o_orderdate_ms"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
     // P6 `range` — the reference's user-facing row restriction applied to
     // BOTH sides before chunking/diffing (`my_database_users.toml:46`).
     "row_diff_range" -> ((s, dir) =>
@@ -499,6 +517,14 @@ object CoreQueries {
     "row_diff_hashchunk" ->
       s"""WITH $rowDiffCte
          |SELECT * FROM rd ORDER BY o_orderkey""".stripMargin,
+
+    // repair(down, up, rowDiff) == up, canonically projected.
+    "repair_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "row_diff_range" ->
       s"""WITH ${rowDiffCteWhere("o_orderkey % 2 = 0")}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOf, Discover}
+import graft.operators.{AsOf, Discover, Scd2}
 import graft.streaming.StreamingDiff
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -88,6 +88,38 @@ object EventQueries {
           unix_millis(min(col("ts"))).as("first_ts_ms"))
         .filter(col("n_deliveries") > 1)
         .orderBy("event_id")
+    }),
+
+    // SCD-2 interval build (CDC face of S6 snapshot semantics): each
+    // user's consecutive same-type events collapse into versioned
+    // validity intervals; the open interval is the current state. One
+    // exchange services the run detection, the run rollup, AND the
+    // lead(valid_to) stitch.
+    "events_scd2" -> ((s, dir) =>
+      Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
+
+    // Behavioral co-occurrence: Jaccard (integer micro-units) between the
+    // user sets of every event-type pair — the audience-overlap diagnostic
+    // behind mixture/dedup decisions. The self-join keys on user_id (the
+    // distinct relation is |users|x|types|, tiny after dedup) and both
+    // per-type size lookups broadcast.
+    "events_type_affinity" -> ((s, dir) => {
+      val ut = ev(s, dir).select("user_id", "event_type").distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      ut.as("x").join(ut.as("y"), Seq("user_id"))
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("both_users"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("nu").as("users_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("nu").as("users_b"))), "type_b")
+        .withColumn("jaccard_micro",
+          expr("both_users * 1000000 div (users_a + users_b - both_users)"))
+        .select("type_a", "type_b", "users_a", "users_b", "both_users",
+          "jaccard_micro")
+        .orderBy("type_a", "type_b")
     }),
 
     // Point-in-time lookup: every event joined to the user's latest
@@ -419,6 +451,46 @@ object EventQueries {
         |       epoch_ms(min(ts)) AS first_ts_ms
         |FROM all_ev GROUP BY event_id HAVING count(*) > 1
         |ORDER BY event_id""".stripMargin,
+
+    "events_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT *, SUM(chg) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS version FROM o),
+        |r AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |        min(event_type) AS state, min(ts) AS f,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM v GROUP BY user_id, version),
+        |x AS (SELECT user_id, version, state,
+        |        epoch_ms(f) AS valid_from_ms,
+        |        epoch_ms(lead(f) OVER (
+        |          PARTITION BY user_id ORDER BY version)) AS valid_to_ms,
+        |        n_events
+        |      FROM r)
+        |SELECT user_id, version, state, valid_from_ms, valid_to_ms,
+        |       n_events, valid_to_ms IS NULL AS is_current
+        |FROM x ORDER BY user_id, version""".stripMargin,
+
+    "events_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |      FROM ut GROUP BY 1),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS both_users
+        |      FROM ut x JOIN ut y
+        |        ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS users_a, sb.nu AS users_b, both_users,
+        |  CAST(both_users * 1000000 // (sa.nu + sb.nu - both_users) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM i JOIN s sa ON i.type_a = sa.event_type
+        |       JOIN s sb ON i.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "events_asof" ->
       """WITH r AS (SELECT user_id, ts, event_id, value FROM events

@@ -69,6 +69,21 @@ object PipelineQueries {
     "ngram_topk" -> ((s, dir) =>
       TextAnalysis.ngramTopK(docs(s, dir), 10).orderBy("lang", "rank")),
 
+    // PMI collocation mining — the rational (log-free) micro-unit PMI
+    // over adjacent token pairs; the tokenizer-pre-merge discovery pass.
+    "pmi_topk" -> ((s, dir) =>
+      Lexicon.pmiTopK(docs(s, dir), 5L, 50).orderBy("rank")),
+
+    // BPE vocabulary induction, inner step: the frequency census of
+    // adjacent 2-char windows inside words — the argmax is merge rule #1.
+    "bpe_pairs" -> ((s, dir) =>
+      Lexicon.bpePairs(docs(s, dir), 50).orderBy("rank")),
+
+    // Capped posting lists: token -> doc frequency + first-20 doc_ids —
+    // the retrieval index relation behind BM25 / contamination lookups.
+    "inverted_index" -> ((s, dir) =>
+      Lexicon.invertedIndex(docs(s, dir), 20).orderBy("token")),
+
     // Corpus-frequency boilerplate scan over the planted-template corpus:
     // every 4th doc shares the nav-bar 5-grams, the rest score zero.
     "boilerplate_ngrams" -> ((s, dir) =>
@@ -694,6 +709,55 @@ object PipelineQueries {
          |        PARTITION BY lang ORDER BY occurrences DESC, ngram) AS rank FROM c)
          |SELECT lang, ngram, occurrences, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    "pmi_topk" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM tk, UNNEST(toks) AS z(t) GROUP BY 1),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM u),
+         |p AS (SELECT toks[i] AS tok_a, toks[i+1] AS tok_b,
+         |             CAST(count(*) AS BIGINT) AS pair_cnt
+         |      FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS w(i)
+         |      WHERE len(toks) >= 2 GROUP BY 1, 2 HAVING count(*) >= 5),
+         |sc AS (SELECT tok_a, tok_b, pair_cnt, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+         |         CAST(pair_cnt * n_tokens * 1000000 // (ua.cnt * ub.cnt) AS BIGINT)
+         |           AS pmi_micro
+         |       FROM p JOIN u ua ON p.tok_a = ua.tok
+         |              JOIN u ub ON p.tok_b = ub.tok, n),
+         |r AS (SELECT *, row_number() OVER (
+         |        ORDER BY pmi_micro DESC, tok_a, tok_b) AS rank FROM sc)
+         |SELECT CAST(rank AS INTEGER) AS rank, tok_a, tok_b, pair_cnt,
+         |       cnt_a, cnt_b, pmi_micro
+         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH wd AS (SELECT t AS word FROM documents,
+        |             UNNEST(string_split(text, ' ')) AS z(t)
+        |             WHERE len(t) >= 2),
+        |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY 1),
+        |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, freq
+        |      FROM v, UNNEST(generate_series(1, len(word) - 1)) AS w(i)),
+        |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (
+        |        ORDER BY pair_count DESC, pair) AS rank FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, pair, pair_count
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "inverted_index" ->
+      """WITH td AS (SELECT DISTINCT t AS token, doc_id FROM documents,
+        |              UNNEST(string_split(text, ' ')) AS z(t)),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+        |      FROM td GROUP BY 1),
+        |rn AS (SELECT token, doc_id, row_number() OVER (
+        |         PARTITION BY token ORDER BY doc_id) AS rn FROM td),
+        |h AS (SELECT token,
+        |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |          AS postings
+        |      FROM rn WHERE rn <= 20 GROUP BY token)
+        |SELECT token, doc_freq,
+        |       CAST(least(doc_freq, 20) AS BIGINT) AS postings_len, postings
+        |FROM f JOIN h USING (token) ORDER BY token""".stripMargin,
 
     "boilerplate_ngrams" ->
       """WITH bc AS (
