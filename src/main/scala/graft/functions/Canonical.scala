@@ -50,6 +50,19 @@ object Canonical {
 
   val NullSentinel = "@NULL@"
 
+  /** Epoch milliseconds of a timestamp column, NTZ-safe.
+    *
+    * Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ in
+    * Spark 4, and `unix_millis` rejects NTZ outright (DATATYPE_MISMATCH) —
+    * the r7 `repair_roundtrip` breakage. The engine runs a UTC session, so
+    * NTZ→TZ cast is the identity (and a TZ→TZ cast is a no-op), making this
+    * the single safe spelling for EVERY fixture timestamp column. All epoch
+    * conversions in the codebase must route through here rather than call
+    * `unix_millis` raw, so a fixture regeneration flipping TZ-ness cannot
+    * break registered plans.
+    */
+  def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
+
   /** Canonical string form of one column, by declared type. */
   def canonical(c: Column, dt: DataType): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
@@ -59,12 +72,10 @@ object Canonical {
       // identical to DuckDB's CAST(round(x*100) AS BIGINT).
       round(c.cast(DoubleType) * lit(100)).cast(LongType).cast(StringType)
     case _: DecimalType => c.cast(StringType)
-    case TimestampType => unix_millis(c).cast(StringType)
-    case TimestampNTZType =>
-      // Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ; the
-      // engine runs with a UTC session, so NTZ→TZ cast is the identity
-      // and epoch millis match DuckDB's epoch_ms over the same file.
-      unix_millis(c.cast(TimestampType)).cast(StringType)
+    case TimestampType | TimestampNTZType =>
+      // Epoch millis match DuckDB's epoch_ms over the same file; epochMs
+      // handles the NTZ case (see its scaladoc).
+      epochMs(c).cast(StringType)
     case DateType => c.cast(StringType)
     case StringType => c
     case BinaryType => md5(c)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Canonical
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,7 +24,7 @@ object Funnel {
   def reachTimes(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col("user_id"), col("event_type"),
-      unix_millis(col("ts")).as("__ts_ms"))
+      Canonical.epochMs(col("ts")).as("__ts_ms"))
     val stepDfs = steps.zipWithIndex.foldLeft(List.empty[(String, DataFrame)]) {
       case (acc, (step, i)) =>
         val mine = e.filter(col("event_type") === step)

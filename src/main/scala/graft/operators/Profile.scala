@@ -31,7 +31,7 @@ object Profile {
     // parquet timestamps may surface as NTZ (isAdjustedToUTC=false); the
     // session runs UTC, so the NTZ→TZ cast is the identity on the instant
     case TimestampType | TimestampNTZType =>
-      unix_millis(c.cast(TimestampType)).cast("string")
+      graft.functions.Canonical.epochMs(c).cast("string")
     case _ => c.cast("string")
   }
 

@@ -38,13 +38,14 @@ object RangeJoin {
                   tsCol: String, valueCol: String, windowMs: Long,
                   idCols: Seq[String]): DataFrame = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val ems = graft.functions.Canonical.epochMs(col(tsCol))
     val probeExp = probe
-      .withColumn("__ms", unix_millis(col(tsCol)))
+      .withColumn("__ms", ems)
       .withColumn("__bucket", explode(array(
-        expr(s"(unix_millis($tsCol) - ${windowMs}L) div ${windowMs}L"),
-        expr(s"unix_millis($tsCol) div ${windowMs}L"))))
+        expr(s"(__ms - ${windowMs}L) div ${windowMs}L"),
+        expr(s"__ms div ${windowMs}L"))))
     val buildRel = build
-      .select(col(key), unix_millis(col(tsCol)).as("__bms"),
+      .select(col(key), ems.as("__bms"),
         expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("__cents"))
       .withColumn("__bucket", expr(s"__bms div ${windowMs}L"))
     val hit = col("__bms").isNotNull &&

@@ -39,8 +39,9 @@ object Scd2 {
         count(lit(1)).as("n_events"))
     val byVer = Window.partitionBy("user_id").orderBy("version")
     runs
-      .withColumn("valid_from_ms", unix_millis(col("__from")))
-      .withColumn("valid_to_ms", unix_millis(lead(col("__from"), 1).over(byVer)))
+      .withColumn("valid_from_ms", graft.functions.Canonical.epochMs(col("__from")))
+      .withColumn("valid_to_ms",
+        graft.functions.Canonical.epochMs(lead(col("__from"), 1).over(byVer)))
       .withColumn("is_current", col("valid_to_ms").isNull)
       .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms",
         "n_events", "is_current")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Canonical
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,7 +32,7 @@ object Sessionize {
   def assign(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+    val gapMs = Canonical.epochMs(col("ts")) - Canonical.epochMs(lag(col("ts"), 1).over(w))
     events
       .withColumn("__new",
         when(gapMs.isNull || gapMs > gapSeconds * 1000L, 1L).otherwise(0L))
@@ -48,8 +49,8 @@ object Sessionize {
       .groupBy("user_id", "session_seq")
       .agg(
         count(lit(1)).as("n_events"),
-        min(unix_millis(col("ts"))).as("start_ms"),
-        max(unix_millis(col("ts"))).as("end_ms"),
+        min(Canonical.epochMs(col("ts"))).as("start_ms"),
+        max(Canonical.epochMs(col("ts"))).as("end_ms"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
       .withColumn("duration_ms", (col("end_ms") - col("start_ms")).cast(LongType))
 
@@ -69,7 +70,7 @@ object Sessionize {
   def attribution(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+    val gapMs = Canonical.epochMs(col("ts")) - Canonical.epochMs(lag(col("ts"), 1).over(w))
     val isPurchase = col("event_type") === "purchase"
     events
       .withColumn("__new",

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Canonical
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -145,7 +146,7 @@ object CoreQueries {
       Repair.repair(down, up, rd, ordSpec.pkCols)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          unix_millis(col("o_orderdate")).as("o_orderdate_ms"),
+          Canonical.epochMs(col("o_orderdate")).as("o_orderdate_ms"),
           col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
@@ -236,7 +237,7 @@ object CoreQueries {
       java.nio.file.Files.writeString(f, "not a log line\n",
         java.nio.file.StandardOpenOption.APPEND)
       EventLog.read(s, f.toString)
-        .select(unix_millis(col("ts")).as("ts_ms"), col("level"), col("message"))
+        .select(Canonical.epochMs(col("ts")).as("ts_ms"), col("level"), col("message"))
         .orderBy("ts_ms")
     }),
 

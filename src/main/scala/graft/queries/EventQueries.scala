@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Canonical
 import graft.operators.{AsOf, Discover, Scd2}
 import graft.streaming.StreamingDiff
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,7 +55,7 @@ object EventQueries {
           sum(round(col("value") * 100).cast(LongType)).as("cents"))
         .select(
           coalesce(col("event_type"), lit("ALL")).as("event_type_k"),
-          coalesce(unix_millis(col("hr")), lit(-1L)).as("hr_ms"),
+          coalesce(Canonical.epochMs(col("hr")), lit(-1L)).as("hr_ms"),
           col("gid"), col("cnt"), col("cents"))
         .orderBy("gid", "event_type_k", "hr_ms")),
 
@@ -85,7 +86,7 @@ object EventQueries {
       up.unionByName(replay)
         .groupBy("event_id")
         .agg(count(lit(1)).as("n_deliveries"),
-          unix_millis(min(col("ts"))).as("first_ts_ms"))
+          Canonical.epochMs(min(col("ts"))).as("first_ts_ms"))
         .filter(col("n_deliveries") > 1)
         .orderBy("event_id")
     }),
@@ -131,7 +132,7 @@ object EventQueries {
       AsOf.asOf(e, e.filter(col("event_type") === "purchase"),
         "user_id", "ts", Seq("event_id", "value"))
         .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ts_ms"), col("event_type"),
+          Canonical.epochMs(col("ts")).as("ts_ms"), col("event_type"),
           col("asof_event_id"), col("asof_value"))
         .orderBy("event_id")
     }),
@@ -167,7 +168,7 @@ object EventQueries {
     "events_skew_join" -> ((s, dir) => {
       val e = ev(s, dir)
       val profile = e.groupBy("user_id")
-        .agg(unix_millis(min(col("ts"))).as("first_ms"),
+        .agg(Canonical.epochMs(min(col("ts"))).as("first_ms"),
           count(lit(1)).as("user_events"))
       graft.functions.Salt.saltedJoin(e, profile, "user_id", 8)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -189,7 +190,7 @@ object EventQueries {
     "zorder_layout" -> ((s, dir) =>
       graft.operators.ZOrder.layout(
         ev(s, dir).select(col("event_id"), col("user_id"),
-          expr("unix_millis(ts) div 3600000").as("hr")),
+          expr("unix_millis(cast(ts as timestamp)) div 3600000").as("hr")),
         "user_id", "hr", "event_id", 16)
         .orderBy("file_id")),
 
@@ -211,7 +212,7 @@ object EventQueries {
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(-4, Window.currentRow)
       ev(s, dir).select(
-        col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("user_id"), Canonical.epochMs(col("ts")).as("ts_ms"),
         count(lit(1)).over(w).as("roll_cnt"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).over(w)
           .as("roll_cents"))
@@ -237,7 +238,7 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("anomaly",
           col("cnt") * count(lit(1)).over(w) > sum(col("cnt")).over(w) * 2)
-        .select(col("event_type"), unix_millis(col("hour_ts")).as("hour_ms"),
+        .select(col("event_type"), Canonical.epochMs(col("hour_ts")).as("hour_ms"),
           col("cnt"), col("anomaly"))
         .orderBy("event_type", "hour_ms")
     }),
@@ -256,7 +257,7 @@ object EventQueries {
     "events_retention" -> ((s, dir) => {
       val uw = ev(s, dir)
         .select(col("user_id"),
-          expr("unix_millis(ts) div 604800000").as("wk"))
+          expr("unix_millis(cast(ts as timestamp)) div 604800000").as("wk"))
         .distinct()
       val w = Window.partitionBy("user_id")
       uw.withColumn("cohort_wk", min(col("wk")).over(w))
@@ -272,7 +273,7 @@ object EventQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_millis(col("ts")).as("ts_ms"))
+          Canonical.epochMs(col("ts")).as("ts_ms"))
         .orderBy("user_id")
     }),
 
@@ -318,7 +319,7 @@ object EventQueries {
           col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey")
         .agg(sum(revenue).as("rev_dec"),
-          first(unix_millis(col("o_orderdate").cast("timestamp")))
+          first(Canonical.epochMs(col("o_orderdate").cast("timestamp")))
             .as("o_orderdate_ms"))
         // rank on the exact decimal, then cast for display — a double tie
         // at the top-10 boundary could otherwise disagree with the oracle

@@ -18,7 +18,7 @@ class PlanAuditSpec extends SparkSpec {
   private val perturbedQueries = Set(
     "diff_chunks", "row_diff", "row_diff_range", "row_diff_hashchunk",
     "compare_report", "report_lines", "run_all_report",
-    "hashdiff_lineitem", "fix_sql")
+    "hashdiff_lineitem", "fix_sql", "repair_roundtrip")
 
   test("no CartesianProduct anywhere; BNLJ only in Perturb-carrying queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
