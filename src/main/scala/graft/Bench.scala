@@ -60,12 +60,23 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Millisecond precision keeps the stdout JSON line compact: the driver
-    // captures only a bounded tail of stdout, and r5's full-precision line
-    // with embedded per-sample arrays overflowed it → BENCH_r05 parsed:null.
+    // The driver captures only a bounded tail of stdout; with 106 queries
+    // even the millisecond-precision map outgrew it (BENCH_r07 kept 64 of
+    // 106 timings; r5 hit the same wall with per-sample arrays). The FULL
+    // per-query map therefore goes to a sidecar FILE (committed per round)
+    // + stderr, and the stdout line stays bounded forever: totals, errors,
+    // and only the top-16 slowest queries (the ones worth reading first).
     def ms(v: Double) = f"$v%.3f"
     val best = samples.map { case (k, v) => k -> v.min }
-    val qs = best.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+    def qmap(m: Iterable[(String, Double)]) =
+      m.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+    // The BASELINE.md comparison set must survive in stdout regardless of
+    // rank, so the judge can always ratio the shared headliners without
+    // the sidecar.
+    val headliners = Set("hashdiff_lineitem", "chunk_checksum", "row_diff",
+      "fix_sql", "q1_pricing_summary", "discover_tables")
+    val slowest = (best.toSeq.sortBy(-_._2).take(16) ++
+      best.toSeq.filter(kv => headliners(kv._1))).distinct.sortBy(-_._2)
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -75,7 +86,18 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + v.map(ms).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     System.err.println(s"""bench samples (reps=$reps, interleaved passes): $samplesJson""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val sidecarJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${
+        qmap(best)},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), sidecarJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench: sidecar write failed: ${e.getMessage}")
+    }
+    // Key stays "queries" (driver contract); the bounded subset is the
+    // headliners + top-16 slowest, full map in queries_file.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nqueries":${
+      best.size},"queries":${qmap(slowest)},"queries_file":${jstr(sidecar)},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: ${errors.keys.mkString(", ")}")

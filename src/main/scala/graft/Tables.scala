@@ -73,7 +73,16 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Width from scan METADATA, not `df.rdd.getNumPartitions`: the RDD
+    // conversion forces eager physical planning outside AQE for every
+    // caller (VERDICT r07 #5). A scan's parallelism is bounded below by
+    // max(file count, bytes/maxPartitionBytes) — both available without
+    // planning; in-memory test relations report 0 files and size-estimate
+    // only, which safely lands on the repartition branch.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val est = BigInt(df.inputFiles.length).max(bytes / maxSplit)
+    if (est < target) df.repartition(target) else df
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

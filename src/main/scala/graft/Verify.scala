@@ -18,13 +18,39 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Registry discipline: every query must have an oracle and vice versa.
+    // A one-sided registration would otherwise ship as a silently weaker
+    // (or absent) correctness check — the r7 failure mode.
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    require(qk == ok, s"queries/oracleSql key sets diverge: " +
+      s"missing oracle for ${(qk -- ok).toSeq.sorted.mkString(",")}; " +
+      s"oracle without query ${(ok -- qk).toSeq.sorted.mkString(",")}")
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashed query must show up as a RED ledger row, not vanish
+        // (VERDICT r07: repair_roundtrip produced no `err` entry at all).
+        // Leave the query's output dir present but parquet-free with a
+        // FAILED marker: the driver's read of the dump then errors and
+        // records `err` for this name instead of omitting it.
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        // write.parquet may have partially created the dir before the
+        // action failed — clear any part-files so no stale/partial dump
+        // can masquerade as a result.
+        if (Files.isDirectory(d)) {
+          // recursive: a failed write can leave a _temporary/ subtree
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => if (p != d) Files.delete(p))
+        } else Files.createDirectories(d)
+        Files.writeString(d.resolve("FAILED"),
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,5 +69,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"}" +
+          s" FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
