@@ -151,6 +151,47 @@ object Canonical {
   def fingerprintFast(cols: Seq[(Column, DataType)]): Column =
     xxhash64(serial(cols))
 
+  /** MySQL/TiDB-shaped rendering of one column for the CRC-compat lane —
+    * the string CONCAT_WS sees when sync_diff_inspector's checksum SQL
+    * (`BIT_XOR(CAST(CRC32(CONCAT_WS(',', cols..., CONCAT(ISNULL(col)...)))
+    * AS UNSIGNED))`) runs server-side. Byte-identical for integral,
+    * decimal, string, date, and second-precision timestamp columns; for
+    * FLOAT/DOUBLE the caller should pre-cast to the MySQL column's
+    * DECIMAL type (server float formatting is not reproducible bit-for-bit
+    * from another engine — same caveat the repair literal lane documents).
+    */
+  def mysqlRepr(c: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
+    case BooleanType => c.cast(IntegerType).cast(StringType)
+    case _: DecimalType => c.cast(StringType)
+    case FloatType | DoubleType => c.cast(StringType)
+    case TimestampType | TimestampNTZType =>
+      date_format(c.cast(TimestampType), "yyyy-MM-dd HH:mm:ss")
+    case DateType => c.cast(StringType)
+    case StringType => c
+    case _ => c.cast(StringType)
+  }
+
+  /** CRC-compat per-row hash (SURVEY §2.5 A1 note): CRC32 over the
+    * MySQL-shaped serial, combinable across rows with BIT_XOR — the exact
+    * construction sync_diff_inspector issues to both endpoints, letting a
+    * user migrating off the reference cross-validate per-chunk checksums
+    * against a live TiDB/MySQL byte for byte. XOR (unlike the default
+    * lane's SUM of 48-bit fingerprints) is self-inverse — a chunk
+    * containing the same row an EVEN number of times XORs to the same
+    * value as zero copies — which is why this lane is opt-in compat
+    * rather than the default: the md5-sum lane detects duplicate-row
+    * drift that BIT_XOR provably cannot.
+    */
+  def crcRow(cols: Seq[(Column, DataType)]): Column = {
+    val nullFlags = concat(cols.map { case (c, _) =>
+      isnull(c).cast(IntegerType).cast(StringType)
+    }: _*)
+    val serial = concat_ws(",",
+      cols.map { case (c, dt) => mysqlRepr(c, dt) } :+ nullFlags: _*)
+    crc32(serial.cast(BinaryType))
+  }
+
   /** Chunk id from a numeric leading-PK column: contiguous ranges of
     * `width` key values — the file-source analogue of the reference's
     * PK-range chunks (`my_database_users.toml:45`, chunk-size 5000).

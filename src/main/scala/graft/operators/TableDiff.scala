@@ -53,7 +53,8 @@ object TableDiff {
       range: String = "1 = 1",
       maxPushdownRanges: Int = 32,
       maxBroadcastChunks: Int = 100000,
-      hashBuckets: Option[Int] = None)
+      hashBuckets: Option[Int] = None,
+      crcCompat: Boolean = false)
 
   /** Chunk-id expression for a side under the spec's chunking mode. */
   private def chunkCol(df: DataFrame, spec: DiffSpec): Column =
@@ -87,11 +88,33 @@ object TableDiff {
 
   /** Per-chunk (row count, commutative checksum). One shuffle; partial agg
     * happens map-side (HashAggregateExec partial/final).
+    *
+    * `spec.crcCompat` switches the checksum lane from SUM-of-48-bit-md5
+    * (the engine default — order-independent AND duplicate-sensitive) to
+    * sync_diff_inspector's published `BIT_XOR(CRC32(serial))`, letting a
+    * migrating user cross-validate chunk checksums against a live
+    * TiDB/MySQL endpoint byte for byte (see [[Canonical.crcRow]] for the
+    * construction and the XOR duplicate-blindness caveat that keeps this
+    * opt-in). Both lanes are map-side-combining single-shuffle aggregates.
     */
   def chunkChecksums(df: DataFrame, spec: DiffSpec): DataFrame =
-    withFingerprint(df, spec)
-      .groupBy("chunk_id")
-      .agg(count(lit(1)).as("cnt"), sum(col("row_fp")).as("checksum"))
+    if (spec.crcCompat) {
+      // crc lane only — the md5 lane is not computed here unless hash
+      // bucketing needs it for the chunk id.
+      val base = df.filter(expr(spec.range))
+        .withColumn("row_crc", Canonical.crcRow(fpCols(df)))
+      val chunked = spec.hashBuckets match {
+        case Some(b) => base.withColumn("chunk_id",
+          Canonical.chunkIdFromFp(Canonical.fingerprint48(fpCols(df)), b))
+        case None => base.withColumn("chunk_id",
+          Canonical.chunkId(col(spec.chunkBy), spec.chunkWidth))
+      }
+      chunked.groupBy("chunk_id")
+        .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_crc)").as("checksum"))
+    } else
+      withFingerprint(df, spec)
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("cnt"), sum(col("row_fp")).as("checksum"))
 
   /** Joined per-chunk relation of both sides with a badness flag — shared
     * by [[badChunks]] (filter) and [[summary]] (aggregate) so the report

@@ -117,6 +117,18 @@ object CoreQueries {
     "chunk_checksum" -> ((s, dir) =>
       TableDiff.chunkChecksums(li(s, dir), liSpec).orderBy("chunk_id")),
 
+    // SURVEY §2.5 A1 CRC-compat mode: per-chunk BIT_XOR(CRC32(serial)) —
+    // sync_diff_inspector's published checksum construction, so a user
+    // migrating off the reference can cross-validate chunk checksums
+    // against a live TiDB/MySQL byte for byte. The money double pre-casts
+    // to the MySQL column's DECIMAL(18,2) scale (server float formatting
+    // is the one render no other engine can reproduce bit-for-bit). The
+    // oracle reimplements CRC32 in pure SQL (Oracle.crcSql).
+    "chunk_checksum_crc" -> ((s, dir) =>
+      TableDiff.chunkChecksums(
+        ord(s, dir).withColumn("o_totalprice", dec(col("o_totalprice"))),
+        ordSpec.copy(crcCompat = true)).orderBy("chunk_id")),
+
     "diff_chunks" -> ((s, dir) =>
       TableDiff.badChunks(ord(s, dir), Perturb.ordersDownstream(ord(s, dir)), ordSpec)
         .orderBy("chunk_id")),
@@ -497,6 +509,14 @@ object CoreQueries {
       s"""SELECT l_orderkey // 500 AS chunk_id, count(*) AS cnt,
          |       CAST(SUM($liFp48) AS BIGINT) AS checksum
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "chunk_checksum_crc" ->
+      s"""WITH sr AS (SELECT o_orderkey // 500 AS chunk_id,
+         |                   ${mysqlSerialSql(ordersCols)} AS serial
+         |            FROM orders)
+         |SELECT chunk_id, count(*) AS cnt,
+         |       CAST(bit_xor(${crcSql("serial")}) AS BIGINT) AS checksum
+         |FROM sr GROUP BY 1 ORDER BY chunk_id""".stripMargin,
 
     "diff_chunks" ->
       s"""WITH $oDownCte,
