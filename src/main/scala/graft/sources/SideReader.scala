@@ -27,6 +27,29 @@ object SideReader {
   /** Immutable snapshot directory: `<dir>/<table>.parquet`. */
   case class ParquetDir(dir: String) extends Side
 
+  /** Snapshot-pin rendering, per endpoint dialect (S6). The pin always
+    * takes the same wrapped-subquery shape — `(SELECT * FROM t <clause>)
+    * AS t` as Spark's `dbtable` — so partition predicates apply over a
+    * derived table; only the clause text is dialect-specific.
+    *
+    *  - [[TiDbSnapshot]]: the published TiDB stale-read syntax
+    *    (`AS OF TIMESTAMP '<ts>'`) — the reference's `snapshot` option
+    *    (`my_database_users.toml:20,29`). Needs a TiDB endpoint.
+    *  - [[CommentSnapshot]]: the identical clause inside a SQL comment,
+    *    for engines without time travel. The wrapped-subquery READ PATH
+    *    — the part of the pin that is engine-independent plumbing —
+    *    executes verbatim against any JDBC endpoint (embedded Derby in
+    *    `SideReaderSpec`), while the pin text rides along inert. This is
+    *    a test/compat shim, not a semantic snapshot.
+    */
+  sealed trait SnapshotDialect { def clause(ts: String): String }
+  case object TiDbSnapshot extends SnapshotDialect {
+    def clause(ts: String): String = s"AS OF TIMESTAMP '$ts'"
+  }
+  case object CommentSnapshot extends SnapshotDialect {
+    def clause(ts: String): String = s"/* AS OF TIMESTAMP '$ts' */"
+  }
+
   /** Partitioned JDBC scan of `schema.table`. */
   case class Jdbc(
       url: String,
@@ -38,7 +61,8 @@ object SideReader {
       lowerBound: Long,
       upperBound: Long,
       chunkSize: Long,
-      snapshotTs: Option[String] = None) extends Side
+      snapshotTs: Option[String] = None,
+      dialect: SnapshotDialect = TiDbSnapshot) extends Side
 
   /** Spark JDBC reader options for a [[Jdbc]] side: chunk-size rows per
     * partition (C1), `dbtable` wrapped in an AS OF subquery when a
@@ -49,7 +73,7 @@ object SideReader {
     val numPartitions = math.max(1L, (span + j.chunkSize - 1) / j.chunkSize)
     val target = j.snapshotTs match {
       case Some(ts) =>
-        s"(SELECT * FROM ${j.schema}.${j.table} AS OF TIMESTAMP '$ts') AS t"
+        s"(SELECT * FROM ${j.schema}.${j.table} ${j.dialect.clause(ts)}) AS t"
       case None => s"${j.schema}.${j.table}"
     }
     Map(

@@ -154,6 +154,43 @@ class SideReaderSpec extends SparkSpec {
       "(SELECT * FROM main.orders AS OF TIMESTAMP '2024-01-01 00:00:00') AS t")
     assert(opts("numPartitions") == "2")
   }
+
+  test("snapshot-pinned wrapped read EXECUTES end to end (S6 plumbing, VERDICT r07 #8)") {
+    // The pin's engine-independent half — dbtable as a parenthesized
+    // subquery with partition predicates applied over the derived table —
+    // executes against embedded Derby via the CommentSnapshot dialect
+    // (same clause text, rendered inert; Derby has no time travel). Only
+    // the clause semantics remain TiDB-only.
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = "jdbc:derby:memory:graftasof;create=true"
+    val conn = java.sql.DriverManager.getConnection(url, "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE snap (id INT PRIMARY KEY, v VARCHAR(16))")
+      val ins = conn.prepareStatement("INSERT INTO snap VALUES (?, ?)")
+      (0 until 60).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"v$i"); ins.addBatch()
+      }
+      ins.executeBatch()
+      st.close(); ins.close()
+    } finally conn.close()
+
+    val side = SideReader.Jdbc(
+      url = url, schema = "APP", table = "snap", user = "app",
+      password = "app", pkColumn = "id", lowerBound = 0, upperBound = 59,
+      chunkSize = 20, snapshotTs = Some("2024-01-01 00:00:00"),
+      dialect = SideReader.CommentSnapshot)
+    // The options carry the full wrapped shape with the pin text present.
+    val opts = SideReader.jdbcOptions(side)
+    assert(opts("dbtable") ==
+      "(SELECT * FROM APP.snap /* AS OF TIMESTAMP '2024-01-01 00:00:00' */) AS t")
+    val df = SideReader.read(spark, side, "snap")
+    assert(df.rdd.getNumPartitions == 3) // 60-row span / 20-row chunks
+    assert(df.count() == 60)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).get(0).toString.toLong == 1770L)
+  }
 }
 
 class CliSpec extends SparkSpec {
