@@ -103,6 +103,42 @@ object TextKernels {
     minFp
   }
 
+  /** winnow_set(text, w): the full Schleimer–Wilkerson–Aiken winnowing
+    * fingerprint SET — for every window of `w` consecutive character
+    * 8-gram hashes, keep the window minimum; return the distinct minima
+    * sorted ascending. [[winnowFp]] is the degenerate whole-document
+    * window (one global min); the set form guarantees any shared
+    * substring of length >= 7 + w shares at least one fingerprint
+    * (the winnowing coverage theorem), which is what pairwise
+    * substring-overlap mining needs.
+    */
+  def winnowSet(text: UTF8String, w: Int): ArrayData = {
+    val s = text.toString
+    val n = math.max(s.length - 7, 1)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = h48(s.substring(i, math.min(i + 8, s.length)).getBytes("UTF-8"))
+      i += 1
+    }
+    val nWin = math.max(n - w + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = hs(j)
+      var k = j + 1
+      val end = math.min(j + w, n)
+      while (k < end) { if (hs(k) < m) m = hs(k); k += 1 }
+      set.add(m)
+      j += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** rep_signals(text): one-pass repetition counters — (n_tokens,
     * top_cnt, n_bigrams, dup_bigrams). Replaces the interpreted-HOF
     * distinct x count-filter form (O(tokens²) per row through Catalyst's
@@ -181,6 +217,17 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  case class WinnowSetExpr(child: Expression, w: Int) extends TextKernelExpr {
+    override def prettyName: String = "winnow_set"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      winnowSet(t.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnowSet($c, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class WinnowFpExpr(child: Expression) extends TextKernelExpr {
     override def prettyName: String = "winnow_fp"
     override def dataType: DataType = LongType
@@ -213,6 +260,10 @@ object TextKernels {
     FunctionIdentifier("winnow_fp") -> { (cs: Seq[Expression]) =>
       require(cs.length == 1, s"winnow_fp(text) expects 1 arg, got ${cs.length}")
       WinnowFpExpr(cs.head)
+    },
+    FunctionIdentifier("winnow_set") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 2, s"winnow_set(text, w) expects 2 args, got ${cs.length}")
+      WinnowSetExpr(cs.head, literalInt(cs(1), "w"))
     },
     FunctionIdentifier("rep_signals") -> { (cs: Seq[Expression]) =>
       require(cs.length == 1, s"rep_signals(text) expects 1 arg, got ${cs.length}")

@@ -548,4 +548,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
   }
+
+  // ------------------------------------------ substring overlap (winnowing)
+
+  /** Character-level substring-overlap pairs from winnowing fingerprint
+    * SETS — the shuffle-friendly stand-in for suffix-array exact-substring
+    * dedup (the Lee et al. "Deduplicating Training Data" exact-substring
+    * pass, whose suffix array does not distribute): by the
+    * Schleimer–Wilkerson–Aiken coverage theorem, any verbatim substring of
+    * length >= 7 + `window` shared by two documents shares at least one
+    * winnow fingerprint, so the shared-fingerprint count witnesses long
+    * verbatim overlap that token-shingle Jaccard dilutes (an excerpt
+    * embedded in a longer page) and SimHash never localizes.
+    *
+    * Plan shape: the same capped inverted-index SSJoin as
+    * [[jaccardNearDupsFrom]] — only (doc_id, 8-byte fingerprint) postings
+    * shuffle, text never moves, and `maxBucket` drops boilerplate-hot
+    * fingerprints before the quadratic bucket join (recall on planted
+    * pairs rides their RARE fingerprints, so the cap costs ~nothing
+    * there). Output overlap_permille = shared*1000 div min(n_a, n_b) —
+    * the containment-oriented normalization, excerpt-safe.
+    */
+  def winnowOverlapPairs(docs: DataFrame, window: Int = 8,
+                         minShared: Long = 2L,
+                         maxBucket: Option[Int] = None,
+                         minPermille: Long = 0L): DataFrame = {
+    graft.functions.TextKernels.register(docs.sparkSession)
+    val fps = graft.Tables.spread(docs)
+      .select(col("doc_id"), expr(s"winnow_set(text, $window)").as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
+        explode(col("fps")).as("fp"))
+    val pruned = maxBucket.fold(fps) { cap =>
+      val keep = fps.groupBy("fp").agg(count(lit(1)).as("__f"))
+        .filter(col("__f") <= cap).select("fp")
+      fps.join(keep, Seq("fp"), "left_semi")
+    }
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_fp").as("n_a"), col("b.n_fp").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        expr("shared * 1000 div least(n_a, n_b)").as("overlap_permille"))
+      .filter(col("overlap_permille") >= minPermille)
+  }
 }

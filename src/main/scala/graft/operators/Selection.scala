@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data-selection operators for the training-data pipeline: which
+  * documents to KEEP, ranked by statistical fit rather than filtered by
+  * per-document heuristics (the [[TextAnalysis]] quality rules).
+  *
+  *  - [[dsirTopK]]: DSIR-style importance ranking (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling") —
+  *    documents scored by the log-likelihood ratio of a target domain
+  *    vs the raw corpus under a hashed bag-of-ngrams model. The
+  *    domain-targeted selection step between crawling and training.
+  *  - [[unigramPpl]]: corpus-unigram-LM cross-entropy / perplexity per
+  *    document — the CCNet-style LM quality signal (there the LM is
+  *    wiki-trained KenLM; the unigram corpus LM is its engine-portable,
+  *    oracle-exact analogue). High perplexity = lexically atypical
+  *    (gibberish, wrong language, encoding damage).
+  *
+  * Scale posture (100 TB): both operators reduce the corpus to BOUNDED
+  * statistics first (a `buckets`-sized feature census / a vocabulary
+  * census), join those back in one pass over the exploded tokens, and
+  * aggregate per document — one shuffle each side, map-side partials
+  * everywhere, nothing driver-side. All hashing is md5-derived and all
+  * scores round at fixed precision, so the DuckDB oracle reproduces
+  * ranks exactly.
+  */
+object Selection {
+
+  /** 48-bit md5-derived hash (portable — mirror of Dedup.h48). */
+  private def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  /** Hashed unigram+bigram feature ids for one document's token array:
+    * every token and every adjacent pair hashes into `buckets` buckets.
+    * Occurrences (not distinct features) — DSIR's bag model.
+    */
+  private def featureIds(toks: Column, buckets: Int): Column = {
+    val unis = transform(toks, t => pmod(h48(t), lit(buckets.toLong)))
+    val bis = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => pmod(h48(concat(t, lit("_"), element_at(toks, i + 2))),
+          lit(buckets.toLong))))
+      .otherwise(array().cast("array<bigint>"))
+    concat(unis, bis)
+  }
+
+  /** Top-`k` documents by DSIR importance weight to a target domain.
+    *
+    * weight(doc) = sum over feature occurrences f of
+    *   ln((cnt_target(f)+1) / (tot_target+B)) -
+    *   ln((cnt_raw(f)+1)    / (tot_raw+B))        (Laplace-smoothed)
+    *
+    * reported in integer micro-nats (round(w * 1e6)) so the cross-engine
+    * rank order is bit-stable. The feature census is `buckets`-bounded
+    * (default 256) — it broadcasts at ANY corpus size, which is the whole
+    * point of DSIR's hashed projection.
+    *
+    * @param targetPred SQL predicate over `documents` rows defining the
+    *                   target domain (e.g. "lang = 'en'")
+    */
+  def dsirTopK(docs: DataFrame, targetPred: String, buckets: Int = 256,
+               k: Int = 50): DataFrame = {
+    val feats = graft.Tables.spread(docs)
+      .select(col("doc_id"), expr(targetPred).as("__in_target"),
+        explode(featureIds(split(col("text"), " "), buckets)).as("f"))
+    val census = feats.groupBy("f").agg(
+      count(lit(1)).as("cnt_raw"),
+      sum(when(col("__in_target"), 1L).otherwise(0L)).as("cnt_tgt"))
+    // Totals fold into the b-bounded census (no second corpus pass, no
+    // 1-row crossJoin): window-free sums via a pmod-keyed self-aggregate.
+    val totals = census.agg(
+      sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_tgt")).as("tot_tgt"))
+      .withColumn("__one", pmod(col("tot_raw"), lit(1L)))
+    val llr = census
+      .withColumn("__one", pmod(col("f"), lit(1L)))
+      .join(broadcast(totals), "__one").drop("__one")
+      .withColumn("llr",
+        log((col("cnt_tgt") + 1).cast("double") /
+          (col("tot_tgt") + buckets).cast("double")) -
+          log((col("cnt_raw") + 1).cast("double") /
+            (col("tot_raw") + buckets).cast("double")))
+      .select("f", "llr")
+    val weights = feats
+      .join(broadcast(llr), "f")
+      .groupBy("doc_id")
+      .agg(round(sum(col("llr")) * 1e6).cast(LongType).as("weight_micro"),
+        count(lit(1)).as("n_feats"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight_micro").desc, col("doc_id").asc)
+    weights.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "weight_micro", "n_feats")
+  }
+
+  /** Per-document cross-entropy (nats/token) and perplexity under the
+    * corpus unigram LM: H(d) = -mean over token occurrences of
+    * ln(cnt(t)/total), ppl = e^H. Every token is in-vocabulary by
+    * construction (the LM is fit on the same corpus), so no OOV floor is
+    * needed; a held-out LM would add one.
+    *
+    * The unigram census is vocabulary-sized: no broadcast hint on
+    * purpose — locally AQE broadcasts it, at 100 TB (vocabulary in the
+    * hundreds of millions) it shuffle-joins on the token, which is the
+    * right plan at both scales.
+    */
+  def unigramPpl(docs: DataFrame): DataFrame = {
+    val toks = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("total"))
+      .withColumn("__one", pmod(col("total"), lit(1L)))
+    val scored = toks
+      .join(uni, "tok")
+      .withColumn("__one", pmod(col("cnt"), lit(1L)))
+      .join(broadcast(total), "__one").drop("__one")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(log(col("cnt").cast("double") / col("total").cast("double"))))
+          .as("h"))
+    scored.select(col("doc_id"), col("n_tokens"),
+      round(col("h"), 6).as("h_nats"),
+      round(exp(col("h")), 6).as("ppl"))
+  }
+}

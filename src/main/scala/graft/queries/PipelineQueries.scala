@@ -405,6 +405,34 @@ object PipelineQueries {
       Dedup.containmentPairs(excerptCorpus(docs(s, dir)), 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // Character-level substring-overlap pairs from winnowing fingerprint
+    // SETS over the same planted-excerpt corpus — the suffix-array-free
+    // exact-substring dedup face: the excerpt shares its whole character
+    // prefix with the original, so >= 40% of the smaller side's
+    // fingerprints co-occur (82/84 planted pairs at these settings; the
+    // two misses are 3-token excerpts below the winnowing guarantee
+    // length of 7 + window chars). The fixture corpus draws from a
+    // ~30-word vocabulary, so lower thresholds surface GENUINE incidental
+    // substring sharing between unrelated docs — the permille threshold,
+    // not the raw shared count, is the dedup dial.
+    "winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(excerptCorpus(docs(s, dir)),
+        window = 8, minShared = 2L, maxBucket = Some(32), minPermille = 400L)
+        .orderBy("doc_a", "doc_b")),
+
+    // DSIR importance ranking: top-50 documents by hashed-ngram
+    // log-likelihood ratio of the 'en' target domain vs the raw corpus —
+    // the domain-targeted data-selection step (micro-nat weights keep
+    // cross-engine rank order bit-stable).
+    "dsir_topk" -> ((s, dir) =>
+      Selection.dsirTopK(docs(s, dir), "lang = 'en'", 256, 50)
+        .orderBy("rank")),
+
+    // Corpus-unigram-LM cross-entropy / perplexity per document — the
+    // CCNet-style LM quality signal, engine-portable form.
+    "unigram_ppl" -> ((s, dir) =>
+      Selection.unigramPpl(docs(s, dir)).orderBy("doc_id")),
+
     // BM25 retrieval ranking for the corpus's top-5 tokens as the query;
     // log-free rational idf + micro-unit per-term scores keep the
     // cross-term sum integer-exact (see TextAnalysis.bm25TopK).
@@ -629,6 +657,85 @@ object PipelineQueries {
         |FROM common
         |WHERE common * 1.0 / n_a >= 0.8 OR common * 1.0 / n_b >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Winnowing mirror: per-char-position 8-gram h48 list; window (16)
+    // minima; distinct fingerprint set; capped inverted-index pair join.
+    "winnow_overlap" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    array_to_string(toks[1:greatest(3, (len(toks) * 2) // 5)], ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents WHERE doc_id % 6 = 0)),
+         |hs AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |      i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")}) AS hl
+         |  FROM corpus),
+         |ws AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(hl) - 8 + 1, 1) + 1),
+         |      j -> list_min(hl[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fps
+         |  FROM hs),
+         |post0 AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |          unnest(fps) AS fp FROM ws),
+         |keep AS (SELECT fp FROM post0 GROUP BY fp HAVING count(*) <= 32),
+         |post AS (SELECT post0.* FROM post0 JOIN keep USING (fp)),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS n_a,
+         |         b.n_fp AS n_b, CAST(count(*) AS BIGINT) AS shared
+         |  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, shared, n_a, n_b,
+         |       shared * 1000 // least(n_a, n_b) AS overlap_permille
+         |FROM common WHERE shared >= 2
+         |  AND shared * 1000 // least(n_a, n_b) >= 400
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DSIR mirror: hashed unigram+bigram occurrences into 256 buckets,
+    // Laplace-smoothed target/raw log-likelihood ratio per bucket,
+    // per-doc micro-nat weight sum, global top-50.
+    "dsir_topk" ->
+      s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |            FROM documents),
+         |ft AS (SELECT doc_id, (lang = 'en') AS in_tgt,
+         |    unnest(list_concat(
+         |      list_transform(toks, t -> ${h48("t")} % 256),
+         |      CASE WHEN len(toks) >= 2 THEN
+         |        list_transform(range(1, len(toks) - 1 + 1),
+         |          i -> ${h48("toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)]")} % 256)
+         |      ELSE [] END)) AS f
+         |  FROM tk),
+         |census AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_raw,
+         |    CAST(sum(CASE WHEN in_tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+         |  FROM ft GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
+         |               CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM census),
+         |llr AS (SELECT f,
+         |    ln((cnt_tgt + 1) * 1.0 / (tot_tgt + 256))
+         |      - ln((cnt_raw + 1) * 1.0 / (tot_raw + 256)) AS llr
+         |  FROM census, tot),
+         |wt AS (SELECT doc_id,
+         |    CAST(round(sum(llr) * 1000000) AS BIGINT) AS weight_micro,
+         |    CAST(count(*) AS BIGINT) AS n_feats
+         |  FROM ft JOIN llr USING (f) GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (
+         |        ORDER BY weight_micro DESC, doc_id) AS rank FROM wt)
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, weight_micro, n_feats
+         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // Corpus-unigram-LM mirror: vocabulary census, per-doc mean negative
+    // log-probability over token occurrences, perplexity = e^H.
+    "unigram_ppl" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM u),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |             -avg(ln(cnt * 1.0 / total)) AS h
+        |      FROM t JOIN u USING (tok), tt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(h, 6) AS h_nats, round(exp(h), 6) AS ppl
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id,

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, Selection}
+import org.apache.spark.sql.functions._
+
+/** Specs for the data-selection operators and the winnowing kernel. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winnow_set guarantees a shared fingerprint for long shared substrings") {
+    graft.functions.TextKernels.register(spark)
+    // SWA coverage: any shared substring of length >= 7 + w (here 15)
+    // must share at least one window-min fingerprint.
+    val shared = "zqxwvukjhgfedcba" // 16 chars, appears in both docs
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different $shared tail")).toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"), expr("winnow_set(text, 8)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(sets(1L).intersect(sets(2L)).nonEmpty)
+  }
+
+  test("winnow_set is the sorted distinct window-min set; winnow_fp its global min") {
+    graft.functions.TextKernels.register(spark)
+    val r = Seq(("abcdefghijklmnop", 1))
+      .toDF("text", "x")
+      .select(expr("winnow_set(text, 4)").as("s"), expr("winnow_fp(text)").as("g"))
+      .collect()(0)
+    val s = r.getSeq[Long](0)
+    assert(s == s.sorted && s.distinct == s)
+    assert(s.min == r.getLong(1))
+  }
+
+  test("winnowOverlapPairs finds a planted excerpt, permille near containment") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // prefix excerpt
+      (3L, "zebra xylophone quartz jackal vivid mosaic")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, window = 4, minShared = 2L)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(p12.getAs[Long]("overlap_permille") >= 700L) // excerpt ~contained
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("dsirTopK ranks target-domain-like docs first") {
+    // Target = docs tagged 'en'; 'xx' docs use a disjoint vocabulary, and
+    // one untagged doc ('mix') written in target vocabulary must outrank
+    // the off-domain ones.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta alpha beta"),
+      (2L, "en", "beta gamma delta epsilon alpha gamma"),
+      (3L, "xx", "uno dos tres cuatro cinco seis"),
+      (4L, "xx", "sept huit neuf dix onze douze"),
+      (5L, "mix", "alpha beta gamma delta epsilon beta")
+    ).toDF("doc_id", "lang", "text")
+    val ranked = Selection.dsirTopK(docs, "lang = 'en'", 256, 5)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSeq
+    val pos = ranked.zipWithIndex.toMap
+    assert(pos(5L) < pos(3L) && pos(5L) < pos(4L))
+    assert(Set(1L, 2L, 5L).map(pos).max < Set(3L, 4L).map(pos).min)
+  }
+
+  test("unigramPpl: repetitive common-token docs score lower than rare-token docs") {
+    val docs = Seq(
+      (1L, "common common common common common common"),
+      (2L, "common common common rare1 rare2 rare3")).toDF("doc_id", "text")
+    val out = Selection.unigramPpl(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(out(1L) < out(2L))
+    // doc of only the modal token: ppl = total/cnt(common) = 12/9 exactly
+    assert(math.abs(out(1L) - 12.0 / 9.0) < 1e-6)
+  }
+}
