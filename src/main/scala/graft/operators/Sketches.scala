@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic, engine-portable sketches.
+  *
+  * Spark's own `approx_count_distinct` is a HyperLogLog++ whose hash and
+  * register layout are engine-private — useful, but unverifiable by an
+  * external oracle and unstable across engines, so a migration can't
+  * cross-check cardinalities. This HLL uses the engine's portable
+  * md5-derived 48-bit hash ([[graft.functions.Canonical.hex48]] lane):
+  * top 8 bits pick one of m=256 registers, the first-one position in the
+  * low 40 bits is the rank, and the Flajolet et al. bias-corrected
+  * harmonic estimate (with the small-range linear-counting branch) is
+  * plain arithmetic — every step reproduces bit-for-bit in any engine
+  * with md5, which is what makes the sketch ORACLE-TIER here.
+  *
+  * Scale posture: the register table is the whole state — at most
+  * m rows per group after the first aggregation, so the sketch of a
+  * 100 TB column is 256 longs per group, built with one map-side-combining
+  * shuffle on (group, bucket) and merged with MAX (the HLL merge is the
+  * register-wise max, which is exactly what the two-phase HashAggregate
+  * does). The exact column rides along only to report the realized error;
+  * a production caller drops it and keeps the one-pass sketch.
+  */
+object Sketches {
+
+  private val M = 256 // registers (b = 8 bucket bits)
+  private val Pow40 = 1099511627776L // 2^40 — low-bit span below the bucket
+
+  /** Per-`groupCol` HLL cardinality estimate of `keyCol`, with the exact
+    * distinct count and realized permille error alongside.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast(LongType)
+    val registers = df
+      .select(col(groupCol).as("grp"), h.as("__h"))
+      .withColumn("bucket", expr(s"__h div ${Pow40}L"))
+      .withColumn("rem", pmod(col("__h"), lit(Pow40)))
+      // rank = 1-based position of the first set bit in the 40-bit
+      // remainder; all-zero remainder saturates at 41. String-domain bit
+      // scan (bin/lpad/instr) keeps both engines integer-exact.
+      .withColumn("rho", when(col("rem") === 0L, lit(41))
+        .otherwise(expr("instr(lpad(bin(rem), 40, '0'), '1')").cast("int")))
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("mreg"))
+    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+      lit((M.toDouble) * M)
+    val est = registers.groupBy("grp")
+      .agg(sum(pow(lit(2.0), -col("mreg"))).as("sum_inv"),
+        count(lit(1)).as("present"))
+      .withColumn("zeros", lit(M.toLong) - col("present"))
+      // absent registers contribute 2^-0 = 1 each to the harmonic sum
+      .withColumn("raw", alphaM2 / (col("sum_inv") + col("zeros")))
+      .withColumn("hll_estimate", round(
+        when(col("raw") <= lit(2.5 * M) && col("zeros") > 0,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("zeros")))
+          .otherwise(col("raw")), 4))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    est.join(exact, "grp")
+      .select(col("grp").as(groupCol), col("exact_distinct"),
+        col("hll_estimate"),
+        floor(abs(col("hll_estimate") - col("exact_distinct")) * 1000.0 /
+          col("exact_distinct")).cast(LongType).as("err_permille"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Canonical
-import graft.operators.{AsOf, Discover, Scd2}
+import graft.operators.{AsOf, Discover, Scd2, Sketches}
 import graft.streaming.StreamingDiff
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -327,7 +327,43 @@ object EventQueries {
         .limit(10)
         .select(col("o_orderkey"), col("rev_dec").cast("double").as("revenue"),
           col("o_orderdate_ms"))
-    }))
+    }),
+
+    // TPC-H Q5-shaped multiway star join (local-supplier volume): the
+    // c_nationkey = s_nationkey twist makes the customer join a TWO-key
+    // equi-join, so the plan must thread the supplier nation through the
+    // fact chain. Dims (supplier/nation/region) broadcast — at 100 TB the
+    // lineitem-orders-customer spine shuffles on its keys and nothing
+    // else moves. Exact decimal revenue, cast for display.
+    "q5_region_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val supp = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(30,4)")
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(revenue).as("rev_dec"), count(lit(1)).as("n_lineitems"))
+        .orderBy(col("r_name"), col("n_name"))
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"), col("n_lineitems"))
+    }),
+
+    // Deterministic HLL sketch (md5-hash registers — Sketches scaladoc):
+    // per-event-type user cardinality estimate, oracle-exact including
+    // the estimate itself, with the realized error reported alongside.
+    "hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(ev(s, dir), "user_id", "event_type")
+        .orderBy("event_type")))
 
   // ---------------------------------------------------------------- oracle
 
@@ -625,5 +661,51 @@ object EventQueries {
         |ORDER BY SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
         |       AS DECIMAL(30,4))) DESC, o_orderkey
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // HLL mirror: identical md5-derived registers, harmonic estimate, and
+    // linear-counting branch — the ESTIMATE is oracle-compared, not just
+    // the exact count.
+    "hll_distinct" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hh
+        |  FROM events),
+        |b AS (SELECT grp, hh // 1099511627776 AS bucket,
+        |             hh % 1099511627776 AS rem FROM h),
+        |r AS (SELECT grp, bucket,
+        |    max(CASE WHEN rem = 0 THEN 41
+        |             ELSE strpos(lpad(bin(rem), 40, '0'), '1') END) AS mreg
+        |  FROM b GROUP BY 1, 2),
+        |g AS (SELECT grp, sum(power(2.0, -mreg)) AS sum_inv,
+        |             count(*) AS present FROM r GROUP BY 1),
+        |e AS (SELECT grp, 256 - present AS zeros,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |      / (sum_inv + (256 - present)) AS raw FROM g),
+        |est AS (SELECT grp,
+        |    round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+        |               THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4)
+        |      AS hll_estimate
+        |  FROM e),
+        |x AS (SELECT event_type AS grp,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |      FROM events GROUP BY 1)
+        |SELECT est.grp AS event_type, exact_distinct, hll_estimate,
+        |  CAST(floor(abs(hll_estimate - exact_distinct) * 1000.0
+        |       / exact_distinct) AS BIGINT) AS err_permille
+        |FROM est JOIN x USING (grp) ORDER BY event_type""".stripMargin)
 }
