@@ -594,4 +594,38 @@ object Dedup {
         expr("shared * 1000 div least(n_a, n_b)").as("overlap_permille"))
       .filter(col("overlap_permille") >= minPermille)
   }
+
+  /** Character-level benchmark-contamination scan via winnowing — the
+    * eval-leakage case the shingle-Jaccard [[contamination]] dilutes: a
+    * short benchmark item pasted VERBATIM inside a long training page has
+    * near-zero symmetric Jaccard but shares essentially all of the
+    * benchmark side's winnow fingerprints. Coverage is normalized on the
+    * BENCHMARK side (shared/n_b — containment of the eval item), so
+    * document length cannot wash out a leak.
+    *
+    * Scale posture: benchmark sets are small by nature — their
+    * fingerprint postings broadcast, and the 100 TB corpus streams
+    * through a BroadcastHashJoin without shuffling (same shape as
+    * [[contaminationFrom]]).
+    */
+  def winnowContamination(corpus: DataFrame, benchmark: DataFrame,
+                          window: Int = 8,
+                          minPermille: Long = 500L): DataFrame = {
+    graft.functions.TextKernels.register(corpus.sparkSession)
+    def postings(df: DataFrame, idAs: String): DataFrame =
+      graft.Tables.spread(df)
+        .select(col("doc_id").as(idAs),
+          expr(s"winnow_set(text, $window)").as("f"))
+        .select(col(idAs), size(col("f")).cast(LongType).as("__n"),
+          explode(col("f")).as("fp"))
+    val cp = postings(corpus, "doc_id").drop("__n")
+    val bp = broadcast(postings(benchmark, "bench_id")
+      .withColumnRenamed("__n", "n_b"))
+    cp.join(bp, Seq("fp"))
+      .groupBy("doc_id", "bench_id", "n_b")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("n_b"),
+        expr("shared * 1000 div n_b").as("bench_permille"))
+      .filter(col("bench_permille") >= minPermille)
+  }
 }

@@ -185,6 +185,28 @@ object PipelineQueries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Char-level eval-leakage scan: every corpus doc with doc_id % 20 == 1
+    // gets its neighboring benchmark doc's text APPENDED (the
+    // "benchmark item pasted into a long page" leak whose symmetric
+    // Jaccard is diluted below any threshold); winnow containment on the
+    // benchmark side flags all 25 planted leaks at 1000 permille while
+    // natural 30-word-vocabulary noise stays below ~455.
+    "contamination_winnow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      val leaky = d.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .join(bench.select((col("doc_id") + 1).as("__lid"),
+          col("text").as("__btext")), col("doc_id") === col("__lid"), "left")
+        .select(col("doc_id"),
+          when(col("__btext").isNotNull,
+            concat(col("text"), lit(" "), col("__btext")))
+            .otherwise(col("text")).as("text"))
+      Dedup.winnowContamination(leaky, bench, window = 8, minPermille = 500L)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(docs(s, dir))).orderBy("text_md5")),
 
@@ -1075,6 +1097,44 @@ object PipelineQueries {
          |SELECT doc_id, bench_id,
          |       round(common * 1.0 / (n_c + n_b - common), 6) AS jaccard
          |FROM cm WHERE common * 1.0 / (n_c + n_b - common) >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Winnowing containment mirror over the planted-leak corpus.
+    "contamination_winnow" ->
+      s"""WITH corpus AS (
+         |  SELECT c.doc_id,
+         |    CASE WHEN b.text IS NOT NULL THEN c.text || ' ' || b.text
+         |         ELSE c.text END AS text
+         |  FROM documents c
+         |  LEFT JOIN documents b
+         |    ON b.doc_id = c.doc_id - 1 AND b.doc_id % 20 = 0
+         |  WHERE c.doc_id % 20 <> 0),
+         |ch AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |      i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")}) AS hl
+         |  FROM corpus),
+         |cw AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(hl) - 8 + 1, 1) + 1),
+         |      j -> list_min(hl[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fps
+         |  FROM ch),
+         |bh AS (SELECT doc_id AS bench_id,
+         |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |      i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")}) AS hl
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |bw AS (SELECT bench_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(hl) - 8 + 1, 1) + 1),
+         |      j -> list_min(hl[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fps
+         |  FROM bh),
+         |cp AS (SELECT doc_id, unnest(fps) AS fp FROM cw),
+         |bp AS (SELECT bench_id, CAST(len(fps) AS BIGINT) AS n_b,
+         |       unnest(fps) AS fp FROM bw),
+         |cm AS (SELECT doc_id, bench_id, n_b, CAST(count(*) AS BIGINT) AS shared
+         |       FROM cp JOIN bp USING (fp) GROUP BY 1, 2, 3)
+         |SELECT doc_id, bench_id, shared, n_b,
+         |       shared * 1000 // n_b AS bench_permille
+         |FROM cm WHERE shared * 1000 // n_b >= 500
          |ORDER BY doc_id, bench_id""".stripMargin,
 
     "dedup_exact" ->
