@@ -27,8 +27,45 @@ import org.apache.spark.sql.types.LongType
   */
 object Sketches {
 
-  private val M = 256 // registers (b = 8 bucket bits)
+  val M = 256 // registers (b = 8 bucket bits)
   private val Pow40 = 1099511627776L // 2^40 — low-bit span below the bucket
+
+  /** (bucket, rank) of one key under the portable hash — the JVM-side
+    * mirror of the relational register derivation below, shared with the
+    * streaming face so both produce IDENTICAL registers: bucket = top 8
+    * of the 48 hash bits, rank = 1-based first-set-bit position in the
+    * low 40 (41 when all-zero).
+    */
+  def registerOf(key: String): (Int, Int) = {
+    val h = graft.functions.TextKernels.h48(key.getBytes("UTF-8"))
+    val rem = h & (Pow40 - 1)
+    val rho = if (rem == 0L) 41 else java.lang.Long.numberOfLeadingZeros(rem) - 23
+    ((h >>> 40).toInt, rho)
+  }
+
+  /** Flajolet bias-corrected estimate from a register array — double
+    * arithmetic in the SAME operation order as the relational form, and
+    * the harmonic sum is a sum of powers of two spanning < 52 bits, so it
+    * is EXACT regardless of accumulation order: the streaming face's
+    * loop, this loop, and Spark's partial aggregation all produce the
+    * identical double, which is why the batch/stream parity spec can
+    * assert bit equality rather than a tolerance.
+    */
+  def estimateFromRegisters(regs: Array[Int]): Double = {
+    var sumInv = 0.0
+    var present = 0
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) > 0) { present += 1; sumInv += math.pow(2.0, -regs(i)) }
+      i += 1
+    }
+    val zeros = M - present
+    val raw = (0.7213 / (1.0 + 1.079 / 256.0)) * (M.toDouble * M) / (sumInv + zeros)
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M.toDouble * math.log(M.toDouble / zeros)
+      else raw
+    BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 
   /** Per-`groupCol` HLL cardinality estimate of `keyCol`, with the exact
     * distinct count and realized permille error alongside.

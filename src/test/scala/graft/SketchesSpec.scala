@@ -37,4 +37,33 @@ class SketchesSpec extends SparkSpec {
       .collect()(0).getAs[Double]("hll_estimate")
     assert(whole == reordered)
   }
+
+  test("streaming HLL equals the batch estimate bit for bit after each prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingSketches
+      .hllEstimates(mem.toDF().toDF("event_type", "user_id"),
+        "user_id", "event_type")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(graft.streaming.StreamingSketches.outputMode).start()
+    try {
+      val chunk1 = (1 to 2000).map(i => ("a", i.toLong))
+      val chunk2 = (1500 to 4000).map(i => ("a", i.toLong)) // overlap replays
+      def batchEst(rows: Seq[(String, Long)]): Double =
+        operators.Sketches.hllDistinct(
+          rows.toDF("event_type", "user_id"), "user_id", "event_type")
+          .collect()(0).getAs[Double]("hll_estimate")
+      mem.addData(chunk1: _*)
+      q.processAllAvailable()
+      // Update-mode memory sink appends one row per trigger for the single
+      // group; the last row is the latest prefix's estimate.
+      val got1 = spark.table("hll_stream").collect().last.getAs[Double]("hll_estimate")
+      assert(got1 == batchEst(chunk1))
+      mem.addData(chunk2: _*)
+      q.processAllAvailable()
+      val got2 = spark.table("hll_stream").collect().last.getAs[Double]("hll_estimate")
+      assert(got2 == batchEst(chunk1 ++ chunk2))
+    } finally q.stop()
+  }
 }
