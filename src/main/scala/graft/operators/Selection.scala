@@ -88,10 +88,15 @@ object Selection {
       .groupBy("doc_id")
       .agg(round(sum(col("llr")) * 1e6).cast(LongType).as("weight_micro"),
         count(lit(1)).as("n_feats"))
+    // Distributed top-k FIRST (orderBy+limit plans as TakeOrdered — every
+    // partition keeps its own k, the driver merges k*partitions rows), so
+    // the corpus-sized weights relation never funnels through a global
+    // single-partition window; the rank window then runs over k rows.
+    val topK = weights
+      .orderBy(col("weight_micro").desc, col("doc_id").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("weight_micro").desc, col("doc_id").asc)
-    weights.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK.withColumn("rank", row_number().over(w))
       .select("rank", "doc_id", "weight_micro", "n_feats")
   }
 
