@@ -253,18 +253,48 @@ object TextAnalysis {
 
   /** Length-decile assignment (curriculum/binning pass): rank documents
     * by token count (doc_id tiebreak — fully deterministic) into 10
-    * equal-depth bins. The single global window is the EXACT form for
-    * the oracle contract; at 100 TB compute approximate decile
-    * boundaries (percentile sketch), broadcast them, and bin with a
-    * narrow projection instead.
+    * equal-depth bins.
+    *
+    * EXACT ntile without the global window: a naive
+    * `ntile(10) OVER (ORDER BY ...)` funnels the whole corpus through one
+    * WindowExec partition. Instead the global rank decomposes as
+    *   rank(doc) = cum_before(n_tokens) + rn_within(n_tokens, doc_id)
+    * where cum_before is a running sum over the DISTINCT-LENGTH census (a
+    * bounded relation — thousands of distinct lengths, not corpus rows)
+    * and rn_within is a row_number partitioned BY length (bounded, well-
+    * spread partitions). The decile then follows from rank with Spark's
+    * NTile distribution rule (first n%10 buckets take one extra row) —
+    * bit-identical to the window form, which the unchanged DuckDB ntile
+    * oracle proves.
     */
   def lengthDeciles(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val census = lens.groupBy("n_tokens").agg(count(lit(1)).as("__cnt"))
+    val wLen = Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = census.select(col("n_tokens"),
+      coalesce(sum(col("__cnt")).over(wLen), lit(0L)).as("__cum_before"))
+    val totals = census.agg(sum(col("__cnt")).as("__n"))
+      .withColumn("__one", pmod(col("__n"), lit(1L)))
+    val wIn = Window.partitionBy("n_tokens").orderBy("doc_id")
+    lens
+      .withColumn("__rn", row_number().over(wIn).cast(LongType))
+      .join(cum, "n_tokens")
+      .withColumn("__one", pmod(col("__rn"), lit(1L)))
+      .join(broadcast(totals), "__one")
+      .withColumn("__rank", col("__cum_before") + col("__rn"))
+      .withColumn("decile", expr(
+        // Spark NTile rule: base = n div 10, rem = n % 10; the first rem
+        // buckets hold base+1 rows each.
+        """CASE WHEN __rank <= (__n % 10) * (__n div 10 + 1)
+          |     THEN (__rank - 1) div (__n div 10 + 1) + 1
+          |     ELSE (__n % 10) +
+          |          (__rank - (__n % 10) * (__n div 10 + 1) - 1)
+          |            div (__n div 10) + 1
+          |END""".stripMargin).cast("int"))
+      .select("doc_id", "n_tokens", "decile")
   }
 
   /** Document fingerprints: the full-text md5 plus a winnowing-style
@@ -606,10 +636,14 @@ object TextAnalysis {
       .select(col("doc_id"), micro.as("micro"))
       .groupBy("doc_id")
       .agg(sum(col("micro")).as("score_u"), count(lit(1)).as("n_terms"))
+    // Distributed top-k (TakeOrdered) before the rank window, so the
+    // scored relation — corpus-sized when the query terms are common —
+    // never funnels through a global single-partition window; the window
+    // then numbers k rows.
     scored
+      .orderBy(col("score_u").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_u").desc, col("doc_id").asc)))
-      .filter(col("rank") <= k)
       .select(col("doc_id"),
         round(col("score_u").cast("double") / 1000000.0, 6).as("score"),
         col("n_terms"), col("rank"))

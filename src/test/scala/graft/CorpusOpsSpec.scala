@@ -201,6 +201,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("decomposed ntile equals Spark's window ntile when n % 10 != 0") {
+    // The decomposed-rank form (bounded census window + per-length
+    // row_number) must reproduce NTile's uneven-bucket rule — the first
+    // n%10 buckets take one extra row — which the sf fixtures (n
+    // divisible by 10) never exercise. 503 synthetic docs with heavy
+    // length ties hit both branches.
+    import org.apache.spark.sql.expressions.Window
+    val synth = (1 to 503)
+      .map(i => (i.toLong, ("w " * (1 + i % 7)).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthDeciles(synth)
+      .select("doc_id", "decile").as[(Long, Int)].collect().toMap
+    val want = synth
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+      .select("doc_id", "decile").as[(Long, Int)].collect().toMap
+    assert(got == want)
+  }
+
   test("star join attaches every dim via broadcast — the fact side never shuffles pre-agg") {
     val q = SparkEntry.queries("star_join_revenue")(spark, sfDir)
     q.count()
