@@ -73,9 +73,12 @@ object Lexicon {
       .withColumn("pmi_micro",
         expr("CAST((CAST(pair_cnt AS DECIMAL(38,0)) * n_tokens * 1000000)" +
           " div (cnt_a * cnt_b) AS BIGINT)"))
+    // distributed top-k first (TakeOrdered) — the scored pair census is
+    // vocabulary²-bounded but still far too wide for one window partition
+    // at scale; the rank window then numbers k rows
     val w = Window.orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    scored.orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b")).limit(k)
+      .withColumn("rank", row_number().over(w))
       .select("rank", "tok_a", "tok_b", "pair_cnt", "cnt_a", "cnt_b", "pmi_micro")
   }
 
@@ -100,8 +103,8 @@ object Lexicon {
         .as("pair"))
       .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
     val w = Window.orderBy(col("pair_count").desc, col("pair"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    pairs.orderBy(col("pair_count").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(w))
       .select("rank", "pair", "pair_count")
   }
 
