@@ -67,14 +67,15 @@ object Sketches {
     BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
-  /** Per-`groupCol` HLL cardinality estimate of `keyCol`, with the exact
-    * distinct count and realized permille error alongside.
+  /** (grp, bucket, mreg) register relation — the sketch's entire state,
+    * built in one map-side-combining shuffle; at most [[M]] rows per
+    * group whatever the input size.
     */
-  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+  def registerRelation(df: DataFrame, keyCol: String,
+                       groupCol: String): DataFrame = {
     val h = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
       .cast(LongType)
-    val registers = df
-      .select(col(groupCol).as("grp"), h.as("__h"))
+    df.select(col(groupCol).cast("string").as("grp"), h.as("__h"))
       .withColumn("bucket", expr(s"__h div ${Pow40}L"))
       .withColumn("rem", pmod(col("__h"), lit(Pow40)))
       // rank = 1-based position of the first set bit in the 40-bit
@@ -83,9 +84,13 @@ object Sketches {
       .withColumn("rho", when(col("rem") === 0L, lit(41))
         .otherwise(expr("instr(lpad(bin(rem), 40, '0'), '1')").cast("int")))
       .groupBy("grp", "bucket").agg(max(col("rho")).as("mreg"))
+  }
+
+  /** Estimates from a (grp, bucket, mreg) register relation. */
+  private def estimates(registers: DataFrame): DataFrame = {
     val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
       lit((M.toDouble) * M)
-    val est = registers.groupBy("grp")
+    registers.groupBy("grp")
       .agg(sum(pow(lit(2.0), -col("mreg"))).as("sum_inv"),
         count(lit(1)).as("present"))
       .withColumn("zeros", lit(M.toLong) - col("present"))
@@ -95,12 +100,43 @@ object Sketches {
         when(col("raw") <= lit(2.5 * M) && col("zeros") > 0,
           lit(M.toDouble) * log(lit(M.toDouble) / col("zeros")))
           .otherwise(col("raw")), 4))
-    val exact = df.groupBy(col(groupCol).as("grp"))
-      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+  }
+
+  private def withExact(est: DataFrame, exact: DataFrame,
+                        groupCol: String): DataFrame =
     est.join(exact, "grp")
       .select(col("grp").as(groupCol), col("exact_distinct"),
         col("hll_estimate"),
         floor(abs(col("hll_estimate") - col("exact_distinct")) * 1000.0 /
           col("exact_distinct")).cast(LongType).as("err_permille"))
+
+  /** Per-`groupCol` HLL cardinality estimate of `keyCol`, with the exact
+    * distinct count and realized permille error alongside.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val exact = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    withExact(estimates(registerRelation(df, keyCol, groupCol)), exact, groupCol)
+  }
+
+  /** [[hllDistinct]] plus an `__ALL__` row whose registers are MERGED
+    * from the per-group registers (bucket-wise max) rather than rescanned
+    * — the sketch's associativity as a relation: one corpus scan yields
+    * every group's cardinality AND the union's. This is the property that
+    * lets a 100 TB pipeline sketch per-partition/per-day and roll up
+    * arbitrarily later without touching the data again. (The exact lane
+    * does rescan — it exists only to report the realized error and is
+    * dropped in production use.)
+    */
+  def hllRollup(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val regs = registerRelation(df, keyCol, groupCol)
+    val merged = regs.groupBy("bucket").agg(max(col("mreg")).as("mreg"))
+      .withColumn("grp", lit("__ALL__"))
+      .select("grp", "bucket", "mreg")
+    val exact = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+      .unionByName(df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+        .withColumn("grp", lit("__ALL__")).select("grp", "exact_distinct"))
+    withExact(estimates(regs.unionByName(merged)), exact, groupCol)
   }
 }

@@ -363,6 +363,13 @@ object EventQueries {
     // the estimate itself, with the realized error reported alongside.
     "hll_distinct" -> ((s, dir) =>
       Sketches.hllDistinct(ev(s, dir), "user_id", "event_type")
+        .orderBy("event_type")),
+
+    // Sketch associativity as a relation: the __ALL__ row's registers are
+    // bucket-wise maxes of the per-type registers — no second scan of the
+    // data — and its estimate is still oracle-exact.
+    "hll_rollup" -> ((s, dir) =>
+      Sketches.hllRollup(ev(s, dir), "user_id", "event_type")
         .orderBy("event_type")))
 
   // ---------------------------------------------------------------- oracle
@@ -704,6 +711,40 @@ object EventQueries {
         |x AS (SELECT event_type AS grp,
         |             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
         |      FROM events GROUP BY 1)
+        |SELECT est.grp AS event_type, exact_distinct, hll_estimate,
+        |  CAST(floor(abs(hll_estimate - exact_distinct) * 1000.0
+        |       / exact_distinct) AS BIGINT) AS err_permille
+        |FROM est JOIN x USING (grp) ORDER BY event_type""".stripMargin,
+
+    "hll_rollup" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hh
+        |  FROM events),
+        |b AS (SELECT grp, hh // 1099511627776 AS bucket,
+        |             hh % 1099511627776 AS rem FROM h),
+        |r0 AS (SELECT grp, bucket,
+        |    max(CASE WHEN rem = 0 THEN 41
+        |             ELSE strpos(lpad(bin(rem), 40, '0'), '1') END) AS mreg
+        |  FROM b GROUP BY 1, 2),
+        |r AS (SELECT * FROM r0
+        |      UNION ALL
+        |      SELECT '__ALL__', bucket, max(mreg) FROM r0 GROUP BY 2),
+        |g AS (SELECT grp, sum(power(2.0, -mreg)) AS sum_inv,
+        |             count(*) AS present FROM r GROUP BY 1),
+        |e AS (SELECT grp, 256 - present AS zeros,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |      / (sum_inv + (256 - present)) AS raw FROM g),
+        |est AS (SELECT grp,
+        |    round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+        |               THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4)
+        |      AS hll_estimate
+        |  FROM e),
+        |x AS (SELECT event_type AS grp,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |      FROM events GROUP BY 1
+        |      UNION ALL
+        |      SELECT '__ALL__', CAST(count(DISTINCT user_id) AS BIGINT)
+        |      FROM events)
         |SELECT est.grp AS event_type, exact_distinct, hll_estimate,
         |  CAST(floor(abs(hll_estimate - exact_distinct) * 1000.0
         |       / exact_distinct) AS BIGINT) AS err_permille

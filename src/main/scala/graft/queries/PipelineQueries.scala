@@ -442,6 +442,26 @@ object PipelineQueries {
         window = 8, minShared = 2L, maxBucket = Some(32), minPermille = 400L)
         .orderBy("doc_a", "doc_b")),
 
+    // The recall gate for the substring-overlap miner (same pattern as
+    // minhash_accuracy / ann_recall): every planted (original, excerpt)
+    // pair either appears in winnow_overlap's output or doesn't — one
+    // oracle-pinned row of (n_planted, n_caught, recall_permille), so a
+    // parameter or kernel regression that silently costs recall turns
+    // the ledger red instead of passing as "fewer rows".
+    "winnow_accuracy" -> ((s, dir) => {
+      val caught = Dedup.winnowOverlapPairs(excerptCorpus(docs(s, dir)),
+        window = 8, minShared = 2L, maxBucket = Some(32), minPermille = 400L)
+        .select(col("doc_a"), col("doc_b")).withColumn("__hit", lit(1))
+      docs(s, dir).filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 40000L).as("doc_b"))
+        .join(caught, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+        .withColumn("recall_permille",
+          expr("n_caught * 1000 div n_planted"))
+    }),
+
     // DSIR importance ranking: top-50 documents by hashed-ngram
     // log-likelihood ratio of the 'en' target domain vs the raw corpus —
     // the domain-targeted data-selection step (micro-nat weights keep
@@ -550,6 +570,37 @@ object PipelineQueries {
     */
   private def h48(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
+
+  /** Shared winnowing pair-mining CTE chain over the planted-excerpt
+    * corpus (mirror of Dedup.winnowOverlapPairs at window=8, cap=32):
+    * ends at `common(doc_a, doc_b, n_a, n_b, shared)`.
+    */
+  private lazy val winnowPairCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 40000,
+       |    array_to_string(toks[1:greatest(3, (len(toks) * 2) // 5)], ' ')
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents WHERE doc_id % 6 = 0)),
+       |hs AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |      i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")}) AS hl
+       |  FROM corpus),
+       |ws AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(hl) - 8 + 1, 1) + 1),
+       |      j -> list_min(hl[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fps
+       |  FROM hs),
+       |post0 AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       |          unnest(fps) AS fp FROM ws),
+       |keep AS (SELECT fp FROM post0 GROUP BY fp HAVING count(*) <= 32),
+       |post AS (SELECT post0.* FROM post0 JOIN keep USING (fp)),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS n_a,
+       |         b.n_fp AS n_b, CAST(count(*) AS BIGINT) AS shared
+       |  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
   private val enStop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
 
@@ -680,39 +731,30 @@ object PipelineQueries {
         |WHERE common * 1.0 / n_a >= 0.8 OR common * 1.0 / n_b >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Winnowing mirror: per-char-position 8-gram h48 list; window (16)
+    // Winnowing mirror: per-char-position 8-gram h48 list; window (8)
     // minima; distinct fingerprint set; capped inverted-index pair join.
     "winnow_overlap" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 40000,
-         |    array_to_string(toks[1:greatest(3, (len(toks) * 2) // 5)], ' ')
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-         |        FROM documents WHERE doc_id % 6 = 0)),
-         |hs AS (SELECT doc_id,
-         |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-         |      i -> ${h48("substring(text, CAST(i AS INTEGER), 8)")}) AS hl
-         |  FROM corpus),
-         |ws AS (SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(hl) - 8 + 1, 1) + 1),
-         |      j -> list_min(hl[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fps
-         |  FROM hs),
-         |post0 AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
-         |          unnest(fps) AS fp FROM ws),
-         |keep AS (SELECT fp FROM post0 GROUP BY fp HAVING count(*) <= 32),
-         |post AS (SELECT post0.* FROM post0 JOIN keep USING (fp)),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS n_a,
-         |         b.n_fp AS n_b, CAST(count(*) AS BIGINT) AS shared
-         |  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+      s"""WITH $winnowPairCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b,
          |       shared * 1000 // least(n_a, n_b) AS overlap_permille
          |FROM common WHERE shared >= 2
          |  AND shared * 1000 // least(n_a, n_b) >= 400
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "winnow_accuracy" ->
+      s"""WITH $winnowPairCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM common
+         |          WHERE shared >= 2
+         |            AND shared * 1000 // least(n_a, n_b) >= 400),
+         |planted AS (SELECT doc_id AS doc_a, doc_id + 40000 AS doc_b
+         |            FROM documents WHERE doc_id % 6 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+         |  CAST(sum(CASE WHEN pr.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_caught,
+         |  CAST(sum(CASE WHEN pr.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // CAST(count(*) AS BIGINT) AS recall_permille
+         |FROM planted pl LEFT JOIN pairs pr
+         |  ON pl.doc_a = pr.doc_a AND pl.doc_b = pr.doc_b""".stripMargin,
 
     // DSIR mirror: hashed unigram+bigram occurrences into 256 buckets,
     // Laplace-smoothed target/raw log-likelihood ratio per bucket,
