@@ -75,13 +75,22 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Width from scan METADATA, not `df.rdd.getNumPartitions`: the RDD
     // conversion forces eager physical planning outside AQE for every
-    // caller (VERDICT r07 #5). A scan's parallelism is bounded below by
-    // max(file count, bytes/maxPartitionBytes) — both available without
-    // planning; in-memory test relations report 0 files and size-estimate
-    // only, which safely lands on the repartition branch.
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val est = BigInt(df.inputFiles.length).max(bytes / maxSplit)
+    // caller (VERDICT r07 #5). A FILE scan's parallelism is bounded below
+    // by max(file count, bytes/maxPartitionBytes) — both available
+    // without planning. The estimate is only trusted for file-backed
+    // relations: fileless ones report either a placeholder size (JDBC
+    // scans advertise defaultSizeInBytes = Long.MaxValue — "huge" there
+    // means UNKNOWN, and the scan may still be one partition) or a
+    // multiplied join estimate, so those fall back to the physical
+    // partition count (eager planning only on that rare path).
+    val files = df.inputFiles.length
+    val est: BigInt =
+      if (files > 0) {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val maxSplit =
+          BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        BigInt(files).max(bytes / maxSplit)
+      } else BigInt(df.rdd.getNumPartitions)
     if (est < target) df.repartition(target) else df
   }
 

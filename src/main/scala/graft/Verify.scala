@@ -40,17 +40,26 @@ object Verify {
         // records `err` for this name instead of omitting it.
         failed += name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        val d = Paths.get(s"$outDir/$name")
-        // write.parquet may have partially created the dir before the
-        // action failed — clear any part-files so no stale/partial dump
-        // can masquerade as a result.
-        if (Files.isDirectory(d)) {
-          // recursive: a failed write can leave a _temporary/ subtree
-          Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => if (p != d) Files.delete(p))
-        } else Files.createDirectories(d)
-        Files.writeString(d.resolve("FAILED"),
-          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
+        // The marker write must never abort the remaining queries — an IO
+        // error here would skip every later query AND the failure
+        // summary, the exact silent-vanish mode this block exists to end.
+        try {
+          val d = Paths.get(s"$outDir/$name")
+          // write.parquet may have partially created the dir before the
+          // action failed — clear any part-files so no stale/partial dump
+          // can masquerade as a result.
+          if (Files.isDirectory(d)) {
+            // recursive: a failed write can leave a _temporary/ subtree
+            val walk = Files.walk(d)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => if (p != d) Files.delete(p))
+            finally walk.close()
+          } else Files.createDirectories(d)
+          Files.writeString(d.resolve("FAILED"),
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
+        } catch { case cleanup: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $cleanup")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

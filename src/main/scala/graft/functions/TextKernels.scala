@@ -263,7 +263,9 @@ object TextKernels {
     },
     FunctionIdentifier("winnow_set") -> { (cs: Seq[Expression]) =>
       require(cs.length == 2, s"winnow_set(text, w) expects 2 args, got ${cs.length}")
-      WinnowSetExpr(cs.head, literalInt(cs(1), "w"))
+      val w = literalInt(cs(1), "w")
+      require(w >= 1, s"winnow_set window must be >= 1, got $w")
+      WinnowSetExpr(cs.head, w)
     },
     FunctionIdentifier("rep_signals") -> { (cs: Seq[Expression]) =>
       require(cs.length == 1, s"rep_signals(text) expects 1 arg, got ${cs.length}")

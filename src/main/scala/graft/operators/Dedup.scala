@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
-  /** 48-bit md5-derived hash of a string expression (portable). */
+  /** 48-bit md5-derived hash of a string expression (portable — the one
+    * spelling, [[graft.functions.Canonical.hex48]]).
+    */
   private def h48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+    graft.functions.Canonical.hex48(md5(c))
 
   /** Word w-shingles (default 3-grams), distinct, underscore-joined.
     * Documents shorter than w words yield an empty set.

@@ -71,8 +71,10 @@ object Lexicon {
       // max(cnt_a, cnt_b) and the ratio's magnitude is bounded by the
       // corpus, not the product).
       .withColumn("pmi_micro",
+        // the DIVISOR widens too: cnt_a * cnt_b in int64 wraps once both
+        // counts pass ~3e9 (any stopword pair at a ~1e12-token corpus)
         expr("CAST((CAST(pair_cnt AS DECIMAL(38,0)) * n_tokens * 1000000)" +
-          " div (cnt_a * cnt_b) AS BIGINT)"))
+          " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"))
     // distributed top-k first (TakeOrdered) — the scored pair census is
     // vocabulary²-bounded but still far too wide for one window partition
     // at scale; the rank window then numbers k rows

@@ -29,9 +29,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Selection {
 
-  /** 48-bit md5-derived hash (portable — mirror of Dedup.h48). */
+  /** 48-bit md5-derived hash — the ONE portable spelling
+    * ([[graft.functions.Canonical.hex48]]); every operator's oracle
+    * parity depends on all call sites staying bit-identical.
+    */
   private def h48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+    graft.functions.Canonical.hex48(md5(c))
 
   /** Hashed unigram+bigram feature ids for one document's token array:
     * every token and every adjacent pair hashes into `buckets` buckets.
@@ -110,21 +113,34 @@ object Selection {
     * purpose — locally AQE broadcasts it, at 100 TB (vocabulary in the
     * hundreds of millions) it shuffle-joins on the token, which is the
     * right plan at both scales.
+    *
+    * Determinism: the per-token log-probability quantizes to integer
+    * NANO-nats ONCE, in the vocabulary census (one ln per distinct
+    * token), and each document sums LONGS — an exact associative
+    * aggregate, stable under any shuffle/merge order. A double sum here
+    * would merge partials in shuffle-fetch arrival order, which varies
+    * run to run once the census join shuffles — exactly the flakiness
+    * the fixed-precision oracle contract cannot absorb.
     */
   def unigramPpl(docs: DataFrame): DataFrame = {
     val toks = graft.Tables.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = uni.agg(sum(col("cnt")).as("total"))
+    val uni0 = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = uni0.agg(sum(col("cnt")).as("total"))
       .withColumn("__one", pmod(col("total"), lit(1L)))
-    val scored = toks
-      .join(uni, "tok")
+    val uni = uni0
       .withColumn("__one", pmod(col("cnt"), lit(1L)))
       .join(broadcast(total), "__one").drop("__one")
+      .withColumn("llp_nano",
+        round(log(col("cnt").cast("double") / col("total").cast("double"))
+          * lit(1e9)).cast(LongType))
+      .select("tok", "llp_nano")
+    val scored = toks
+      .join(uni, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        (-avg(log(col("cnt").cast("double") / col("total").cast("double"))))
-          .as("h"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llp_nano")).as("__s"))
+      .withColumn("h",
+        -(col("__s").cast("double") / (col("n_tokens").cast("double") * 1e9)))
     scored.select(col("doc_id"), col("n_tokens"),
       round(col("h"), 6).as("h_nats"),
       round(exp(col("h")), 6).as("ppl"))

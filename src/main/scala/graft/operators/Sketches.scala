@@ -73,9 +73,13 @@ object Sketches {
     */
   def registerRelation(df: DataFrame, keyCol: String,
                        groupCol: String): DataFrame = {
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
-      .cast(LongType)
-    df.select(col(groupCol).cast("string").as("grp"), h.as("__h"))
+    val h = graft.functions.Canonical.hex48(md5(col(keyCol).cast("string")))
+    // NULL keys are excluded, matching count(DISTINCT key) semantics —
+    // without the filter the null row lands in a NULL register bucket,
+    // inflating `present` (count counts it, sum skips it) and skewing
+    // zeros/estimate while the exact lane ignores it.
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"), h.as("__h"))
       .withColumn("bucket", expr(s"__h div ${Pow40}L"))
       .withColumn("rem", pmod(col("__h"), lit(Pow40)))
       // rank = 1-based position of the first set bit in the 40-bit

@@ -189,8 +189,11 @@ object EventQueries {
     // a scan would prune on. Bit-exact integer arithmetic end to end.
     "zorder_layout" -> ((s, dir) =>
       graft.operators.ZOrder.layout(
-        ev(s, dir).select(col("event_id"), col("user_id"),
-          expr("unix_millis(cast(ts as timestamp)) div 3600000").as("hr")),
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"),
+            Canonical.epochMs(col("ts")).as("__ms"))
+          .select(col("event_id"), col("user_id"),
+            expr("__ms div 3600000").as("hr")),
         "user_id", "hr", "event_id", 16)
         .orderBy("file_id")),
 
@@ -256,8 +259,8 @@ object EventQueries {
     // the only pass over the raw log.
     "events_retention" -> ((s, dir) => {
       val uw = ev(s, dir)
-        .select(col("user_id"),
-          expr("unix_millis(cast(ts as timestamp)) div 604800000").as("wk"))
+        .select(col("user_id"), Canonical.epochMs(col("ts")).as("__ms"))
+        .select(col("user_id"), expr("__ms div 604800000").as("wk"))
         .distinct()
       val w = Window.partitionBy("user_id")
       uw.withColumn("cohort_wk", min(col("wk")).over(w))
@@ -691,7 +694,7 @@ object EventQueries {
     "hll_distinct" ->
       """WITH h AS (SELECT event_type AS grp,
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hh
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |b AS (SELECT grp, hh // 1099511627776 AS bucket,
         |             hh % 1099511627776 AS rem FROM h),
         |r AS (SELECT grp, bucket,
@@ -719,7 +722,7 @@ object EventQueries {
     "hll_rollup" ->
       """WITH h AS (SELECT event_type AS grp,
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hh
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |b AS (SELECT grp, hh // 1099511627776 AS bucket,
         |             hh % 1099511627776 AS rem FROM h),
         |r0 AS (SELECT grp, bucket,

@@ -788,16 +788,22 @@ object PipelineQueries {
          |SELECT CAST(rank AS INTEGER) AS rank, doc_id, weight_micro, n_feats
          |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
-    // Corpus-unigram-LM mirror: vocabulary census, per-doc mean negative
-    // log-probability over token occurrences, perplexity = e^H.
+    // Corpus-unigram-LM mirror: vocabulary census with per-token
+    // log-probabilities quantized to integer NANO-nats (one ln per
+    // distinct token — the order-stable exact-long-sum form the Spark
+    // side uses), per-doc mean from the long sum, perplexity = e^H.
     "unigram_ppl" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |           FROM documents),
-        |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
-        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM u),
+        |u0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM u0),
+        |u AS (SELECT tok,
+        |        CAST(round(ln(cnt * 1.0 / total) * 1000000000) AS BIGINT)
+        |          AS llp_nano
+        |      FROM u0, tt),
         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |             -avg(ln(cnt * 1.0 / total)) AS h
-        |      FROM t JOIN u USING (tok), tt GROUP BY doc_id)
+        |             -(sum(llp_nano) * 1.0 / (count(*) * 1000000000)) AS h
+        |      FROM t JOIN u USING (tok) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, round(h, 6) AS h_nats, round(exp(h), 6) AS ppl
         |FROM d ORDER BY doc_id""".stripMargin,
 

@@ -34,9 +34,12 @@ object StreamingSketches {
         (grp: String, rows: Iterator[(String, String)],
          state: org.apache.spark.sql.streaming.GroupState[Array[Int]]) =>
           val regs = state.getOption.getOrElse(new Array[Int](Sketches.M))
+          // null keys are excluded, matching the batch face's filter
           rows.foreach { case (_, k) =>
-            val (bucket, rho) = Sketches.registerOf(k)
-            if (rho > regs(bucket)) regs(bucket) = rho
+            if (k != null) {
+              val (bucket, rho) = Sketches.registerOf(k)
+              if (rho > regs(bucket)) regs(bucket) = rho
+            }
           }
           state.update(regs)
           HllEstimate(grp, Sketches.estimateFromRegisters(regs),
