@@ -69,28 +69,41 @@ object Selection {
     val feats = graft.Tables.spread(docs)
       .select(col("doc_id"), expr(targetPred).as("__in_target"),
         explode(featureIds(split(col("text"), " "), buckets)).as("f"))
-    val census = feats.groupBy("f").agg(
-      count(lit(1)).as("cnt_raw"),
-      sum(when(col("__in_target"), 1L).otherwise(0L)).as("cnt_tgt"))
+    // Per-doc feature HISTOGRAM first: one map-side-combining shuffle
+    // collapses the corpus-token-sized explode to <= |docs| x buckets
+    // rows; both the census and the weights derive from it — the raw
+    // exploded relation never shuffles again.
+    val hist = feats.groupBy("doc_id", "__in_target", "f")
+      .agg(count(lit(1)).as("occ"))
+    val census = hist.groupBy("f").agg(
+      sum(col("occ")).as("cnt_raw"),
+      sum(when(col("__in_target"), col("occ")).otherwise(0L)).as("cnt_tgt"))
     // Totals fold into the b-bounded census (no second corpus pass, no
     // 1-row crossJoin): window-free sums via a pmod-keyed self-aggregate.
     val totals = census.agg(
       sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_tgt")).as("tot_tgt"))
       .withColumn("__one", pmod(col("tot_raw"), lit(1L)))
+    // Per-bucket LLR quantized to integer NANO-nats (one pair of ln calls
+    // per bucket, 256 total): per-doc weights then sum LONGS — exact and
+    // associative, so the result does not depend on shuffle merge order
+    // (the double-sum form was deterministic only because the broadcast
+    // join happened to preserve per-doc partitioning).
     val llr = census
       .withColumn("__one", pmod(col("f"), lit(1L)))
       .join(broadcast(totals), "__one").drop("__one")
-      .withColumn("llr",
+      .withColumn("llr_nano", round((
         log((col("cnt_tgt") + 1).cast("double") /
           (col("tot_tgt") + buckets).cast("double")) -
           log((col("cnt_raw") + 1).cast("double") /
-            (col("tot_raw") + buckets).cast("double")))
-      .select("f", "llr")
-    val weights = feats
+            (col("tot_raw") + buckets).cast("double"))) * lit(1e9))
+        .cast(LongType))
+      .select("f", "llr_nano")
+    val weights = hist
       .join(broadcast(llr), "f")
       .groupBy("doc_id")
-      .agg(round(sum(col("llr")) * 1e6).cast(LongType).as("weight_micro"),
-        count(lit(1)).as("n_feats"))
+      .agg(round((sum(col("occ") * col("llr_nano")).cast("double")) / lit(1e3))
+        .cast(LongType).as("weight_micro"),
+        sum(col("occ")).as("n_feats"))
     // Distributed top-k FIRST (orderBy+limit plans as TakeOrdered — every
     // partition keeps its own k, the driver merges k*partitions rows), so
     // the corpus-sized weights relation never funnels through a global

@@ -770,19 +770,23 @@ object PipelineQueries {
          |          i -> ${h48("toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)]")} % 256)
          |      ELSE [] END)) AS f
          |  FROM tk),
-         |census AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_raw,
-         |    CAST(sum(CASE WHEN in_tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
-         |  FROM ft GROUP BY 1),
+         |hist AS (SELECT doc_id, in_tgt, f, CAST(count(*) AS BIGINT) AS occ
+         |  FROM ft GROUP BY 1, 2, 3),
+         |census AS (SELECT f, CAST(sum(occ) AS BIGINT) AS cnt_raw,
+         |    CAST(sum(CASE WHEN in_tgt THEN occ ELSE 0 END) AS BIGINT) AS cnt_tgt
+         |  FROM hist GROUP BY 1),
          |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
          |               CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM census),
          |llr AS (SELECT f,
-         |    ln((cnt_tgt + 1) * 1.0 / (tot_tgt + 256))
-         |      - ln((cnt_raw + 1) * 1.0 / (tot_raw + 256)) AS llr
+         |    CAST(round((ln((cnt_tgt + 1) * 1.0 / (tot_tgt + 256))
+         |      - ln((cnt_raw + 1) * 1.0 / (tot_raw + 256))) * 1000000000)
+         |      AS BIGINT) AS llr_nano
          |  FROM census, tot),
          |wt AS (SELECT doc_id,
-         |    CAST(round(sum(llr) * 1000000) AS BIGINT) AS weight_micro,
-         |    CAST(count(*) AS BIGINT) AS n_feats
-         |  FROM ft JOIN llr USING (f) GROUP BY 1),
+         |    CAST(round(CAST(sum(occ * llr_nano) AS DOUBLE) / 1000) AS BIGINT)
+         |      AS weight_micro,
+         |    CAST(sum(occ) AS BIGINT) AS n_feats
+         |  FROM hist JOIN llr USING (f) GROUP BY 1),
          |r AS (SELECT *, row_number() OVER (
          |        ORDER BY weight_micro DESC, doc_id) AS rank FROM wt)
          |SELECT CAST(rank AS INTEGER) AS rank, doc_id, weight_micro, n_feats
