@@ -64,8 +64,12 @@ object Selection {
     * @param targetPred SQL predicate over `documents` rows defining the
     *                   target domain (e.g. "lang = 'en'")
     */
-  def dsirTopK(docs: DataFrame, targetPred: String, buckets: Int = 256,
-               k: Int = 50): DataFrame = {
+  /** (doc_id, w_nano, n_feats) — per-doc DSIR log-weight as the EXACT
+    * long sum of occurrence-weighted nano-nat LLRs (see [[dsirTopK]]'s
+    * determinism note). Shared by ranking and resampling.
+    */
+  private def dsirWeights(docs: DataFrame, targetPred: String,
+                          buckets: Int): DataFrame = {
     val feats = graft.Tables.spread(docs)
       .select(col("doc_id"), expr(targetPred).as("__in_target"),
         explode(featureIds(split(col("text"), " "), buckets)).as("f"))
@@ -98,12 +102,18 @@ object Selection {
             (col("tot_raw") + buckets).cast("double"))) * lit(1e9))
         .cast(LongType))
       .select("f", "llr_nano")
-    val weights = hist
+    hist
       .join(broadcast(llr), "f")
       .groupBy("doc_id")
-      .agg(round((sum(col("occ") * col("llr_nano")).cast("double")) / lit(1e3))
-        .cast(LongType).as("weight_micro"),
+      .agg(sum(col("occ") * col("llr_nano")).as("w_nano"),
         sum(col("occ")).as("n_feats"))
+  }
+
+  def dsirTopK(docs: DataFrame, targetPred: String, buckets: Int = 256,
+               k: Int = 50): DataFrame = {
+    val weights = dsirWeights(docs, targetPred, buckets)
+      .withColumn("weight_micro",
+        round(col("w_nano").cast("double") / lit(1e3)).cast(LongType))
     // Distributed top-k FIRST (orderBy+limit plans as TakeOrdered — every
     // partition keeps its own k, the driver merges k*partitions rows), so
     // the corpus-sized weights relation never funnels through a global
@@ -114,6 +124,33 @@ object Selection {
       .orderBy(col("weight_micro").desc, col("doc_id").asc)
     topK.withColumn("rank", row_number().over(w))
       .select("rank", "doc_id", "weight_micro", "n_feats")
+  }
+
+  /** DSIR importance RESAMPLING (the paper's actual selection step):
+    * Gumbel-top-k over the log-weights — sampling k documents WITHOUT
+    * replacement with probability proportional to importance — with the
+    * Gumbel noise derived from the doc id's portable hash rather than a
+    * RNG: u = (h48(doc_id)+0.5)/2^48, g = -ln(-ln(u)). Deterministic, so
+    * the draw replays identically across runs/engines (no rand() in
+    * plans — the engine-wide replayability rule) and the oracle can pin
+    * the SAMPLE itself, not just its distribution. Same TakeOrdered
+    * top-k shape as [[dsirTopK]].
+    */
+  def dsirSample(docs: DataFrame, targetPred: String, buckets: Int = 256,
+                 k: Int = 50): DataFrame = {
+    val u = (h48(col("doc_id").cast("string")).cast("double") + lit(0.5)) /
+      lit(281474976710656.0) // 2^48
+    val scored = dsirWeights(docs, targetPred, buckets)
+      .withColumn("gumbel", -log(-log(u)))
+      .withColumn("score_micro",
+        round((col("w_nano").cast("double") / lit(1e9) + col("gumbel")) *
+          lit(1e6)).cast(LongType))
+    val topK = scored
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    topK.withColumn("draw", row_number().over(w))
+      .select("draw", "doc_id", "score_micro", "n_feats")
   }
 
   /** Per-document cross-entropy (nats/token) and perplexity under the

@@ -470,6 +470,13 @@ object PipelineQueries {
       Selection.dsirTopK(docs(s, dir), "lang = 'en'", 256, 50)
         .orderBy("rank")),
 
+    // The paper's actual selection step: Gumbel-top-k importance
+    // RESAMPLING with hash-derived (replayable) Gumbel noise — the
+    // oracle pins the drawn sample itself.
+    "dsir_sample" -> ((s, dir) =>
+      Selection.dsirSample(docs(s, dir), "lang = 'en'", 256, 50)
+        .orderBy("draw")),
+
     // Corpus-unigram-LM cross-entropy / perplexity per document — the
     // CCNet-style LM quality signal, engine-portable form.
     "unigram_ppl" -> ((s, dir) =>
@@ -570,6 +577,35 @@ object PipelineQueries {
     */
   private def h48(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
+
+  /** Shared DSIR CTE chain (mirror of Selection.dsirWeights at 256
+    * buckets, target lang='en'): hashed unigram+bigram occurrences,
+    * per-doc histogram, Laplace-smoothed nano-nat LLRs — ends at
+    * `hist(doc_id, in_tgt, f, occ)` and `llr(f, llr_nano)`.
+    */
+  private lazy val dsirCtes: String =
+    s"""tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |            FROM documents),
+       |ft AS (SELECT doc_id, (lang = 'en') AS in_tgt,
+       |    unnest(list_concat(
+       |      list_transform(toks, t -> ${h48("t")} % 256),
+       |      CASE WHEN len(toks) >= 2 THEN
+       |        list_transform(range(1, len(toks) - 1 + 1),
+       |          i -> ${h48("toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)]")} % 256)
+       |      ELSE [] END)) AS f
+       |  FROM tk),
+       |hist AS (SELECT doc_id, in_tgt, f, CAST(count(*) AS BIGINT) AS occ
+       |  FROM ft GROUP BY 1, 2, 3),
+       |census AS (SELECT f, CAST(sum(occ) AS BIGINT) AS cnt_raw,
+       |    CAST(sum(CASE WHEN in_tgt THEN occ ELSE 0 END) AS BIGINT) AS cnt_tgt
+       |  FROM hist GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
+       |               CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM census),
+       |llr AS (SELECT f,
+       |    CAST(round((ln((cnt_tgt + 1) * 1.0 / (tot_tgt + 256))
+       |      - ln((cnt_raw + 1) * 1.0 / (tot_raw + 256))) * 1000000000)
+       |      AS BIGINT) AS llr_nano
+       |  FROM census, tot)""".stripMargin
 
   /** Shared winnowing pair-mining CTE chain over the planted-excerpt
     * corpus (mirror of Dedup.winnowOverlapPairs at window=8, cap=32):
@@ -760,28 +796,7 @@ object PipelineQueries {
     // Laplace-smoothed target/raw log-likelihood ratio per bucket,
     // per-doc micro-nat weight sum, global top-50.
     "dsir_topk" ->
-      s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-         |            FROM documents),
-         |ft AS (SELECT doc_id, (lang = 'en') AS in_tgt,
-         |    unnest(list_concat(
-         |      list_transform(toks, t -> ${h48("t")} % 256),
-         |      CASE WHEN len(toks) >= 2 THEN
-         |        list_transform(range(1, len(toks) - 1 + 1),
-         |          i -> ${h48("toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)]")} % 256)
-         |      ELSE [] END)) AS f
-         |  FROM tk),
-         |hist AS (SELECT doc_id, in_tgt, f, CAST(count(*) AS BIGINT) AS occ
-         |  FROM ft GROUP BY 1, 2, 3),
-         |census AS (SELECT f, CAST(sum(occ) AS BIGINT) AS cnt_raw,
-         |    CAST(sum(CASE WHEN in_tgt THEN occ ELSE 0 END) AS BIGINT) AS cnt_tgt
-         |  FROM hist GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
-         |               CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM census),
-         |llr AS (SELECT f,
-         |    CAST(round((ln((cnt_tgt + 1) * 1.0 / (tot_tgt + 256))
-         |      - ln((cnt_raw + 1) * 1.0 / (tot_raw + 256))) * 1000000000)
-         |      AS BIGINT) AS llr_nano
-         |  FROM census, tot),
+      s"""WITH $dsirCtes,
          |wt AS (SELECT doc_id,
          |    CAST(round(CAST(sum(occ * llr_nano) AS DOUBLE) / 1000) AS BIGINT)
          |      AS weight_micro,
@@ -791,6 +806,24 @@ object PipelineQueries {
          |        ORDER BY weight_micro DESC, doc_id) AS rank FROM wt)
          |SELECT CAST(rank AS INTEGER) AS rank, doc_id, weight_micro, n_feats
          |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // Gumbel-top-k mirror: u from the doc-id hash, g = -ln(-ln(u)),
+    // score = log-weight + g in integer micro units.
+    "dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |wt AS (SELECT doc_id, CAST(sum(occ * llr_nano) AS BIGINT) AS w_nano,
+         |    CAST(sum(occ) AS BIGINT) AS n_feats
+         |  FROM hist JOIN llr USING (f) GROUP BY 1),
+         |sc AS (SELECT doc_id, n_feats,
+         |    CAST(round((CAST(w_nano AS DOUBLE) / 1000000000
+         |      + (-ln(-ln((${h48("CAST(doc_id AS VARCHAR)")} + 0.5)
+         |                 / 281474976710656.0)))) * 1000000) AS BIGINT)
+         |      AS score_micro
+         |  FROM wt),
+         |r AS (SELECT *, row_number() OVER (
+         |        ORDER BY score_micro DESC, doc_id) AS draw FROM sc)
+         |SELECT CAST(draw AS INTEGER) AS draw, doc_id, score_micro, n_feats
+         |FROM r WHERE draw <= 50 ORDER BY draw""".stripMargin,
 
     // Corpus-unigram-LM mirror: vocabulary census with per-token
     // log-probabilities quantized to integer NANO-nats (one ln per

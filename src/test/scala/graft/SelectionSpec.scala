@@ -62,6 +62,22 @@ class SelectionSpec extends SparkSpec {
     assert(Set(1L, 2L, 5L).map(pos).max < Set(3L, 4L).map(pos).min)
   }
 
+  test("dsirSample is a replayable draw: identical across runs, weight-biased") {
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i <= 10) "en" else "xx"
+      val text = if (i <= 20) "alpha beta gamma delta" else "uno dos tres cuatro"
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val a = Selection.dsirSample(docs, "lang = 'en'", 256, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val b = Selection.dsirSample(docs, "lang = 'en'", 256, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(a == b) // hash-derived Gumbel: the draw replays bit-identically
+    // weight bias: target-vocabulary docs (1-20) dominate the draw
+    val drawn = a.map(_._2).toSet
+    assert(drawn.count(_ <= 20L) > drawn.count(_ > 20L))
+  }
+
   test("unigramPpl: repetitive common-token docs score lower than rare-token docs") {
     val docs = Seq(
       (1L, "common common common common common common"),
