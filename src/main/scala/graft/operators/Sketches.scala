@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -121,6 +121,175 @@ object Sketches {
     val exact = df.groupBy(col(groupCol).cast("string").as("grp"))
       .agg(countDistinct(col(keyCol)).as("exact_distinct"))
     withExact(estimates(registerRelation(df, keyCol, groupCol)), exact, groupCol)
+  }
+
+  /** Inclusion–exclusion set-intersection estimate from HLL registers:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union's registers are
+    * the bucket-wise MAX of A's and B's — sketch algebra, no rescan and
+    * no join of the two populations. This is the cheap answer to "how
+    * many customers/users/documents do these two partitions share?" at
+    * 100 TB: the exact answer needs a distinct-intersection join across
+    * both sides; the sketch answer needs 2×256 longs. Clamped at 0 (the
+    * difference of three noisy estimates can go negative when the true
+    * overlap is small). The exact lanes ride along to report the realized
+    * error; inclusion–exclusion on the exact counts is itself exact, so
+    * `exact_inter` needs no distinct-join either.
+    *
+    * `tagCol` must evaluate to 'A' or 'B' per row; rows tagged neither
+    * are ignored.
+    */
+  def hllOverlap(df: DataFrame, keyCol: String, tagCol: Column): DataFrame = {
+    val tagged = df.filter(col(keyCol).isNotNull && tagCol.isin("A", "B"))
+      .select(tagCol.as("tag"), col(keyCol).as("k"))
+    val r0 = registerRelation(tagged, "k", "tag")
+    val ru = r0.groupBy("bucket").agg(max("mreg").as("mreg"))
+      .withColumn("grp", lit("U")).select("grp", "bucket", "mreg")
+    val wideEst = estimates(r0.unionByName(ru)).agg(
+      max(when(col("grp") === "A", col("hll_estimate"))).as("est_a"),
+      max(when(col("grp") === "B", col("hll_estimate"))).as("est_b"),
+      max(when(col("grp") === "U", col("hll_estimate"))).as("est_union"))
+      .withColumn("est_inter", round(
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)), 4))
+    val exact = tagged.agg(
+      countDistinct(when(col("tag") === "A", col("k"))).as("exact_a"),
+      countDistinct(when(col("tag") === "B", col("k"))).as("exact_b"),
+      countDistinct(col("k")).as("exact_union"))
+      .withColumn("exact_inter",
+        col("exact_a") + col("exact_b") - col("exact_union"))
+    // 1-row × 1-row attach on a data-derived zero key — a literal key
+    // constant-folds into a BNLJ, which the plan audit forbids
+    val l = wideEst.withColumn("j",
+      pmod(floor(col("est_union")).cast(LongType), lit(1L)))
+    val r = exact.withColumn("j", pmod(col("exact_union"), lit(1L)))
+    l.join(r, "j").drop("j")
+      .withColumn("inter_err_permille",
+        when(col("exact_inter") > 0,
+          floor(abs(col("est_inter") - col("exact_inter")) * lit(1000.0) /
+            col("exact_inter")))
+          .otherwise(lit(0)).cast(LongType))
+      .select(col("exact_a"), col("est_a"), col("exact_b"), col("est_b"),
+        col("exact_union"), col("est_union"),
+        col("exact_inter"), col("est_inter"), col("inter_err_permille"))
+  }
+
+  // -------------------------------------------------------- count-min
+
+  /** Count-min sketch width (buckets per depth) and depth (independent
+    * hash rows). State is `CmsD * CmsW` = 4096 counters per group — the
+    * POINT of the sketch: per-key frequency estimates over a keyspace of
+    * any cardinality (every token of a 100 TB corpus, every user of a
+    * year of events) in constant memory, where the exact `groupBy(key)`
+    * would shuffle and hold one row per distinct key.
+    */
+  val CmsW = 1024L
+  val CmsD = 4
+
+  /** The d (depth, bucket) cells one key hashes into — one md5 per depth,
+    * salted `"d:key"`, bucketed into the low bits of the portable 48-bit
+    * lane. Same derivation the oracle replays in SQL, which is what makes
+    * the ESTIMATES (not just the exact lane) cross-engine checkable.
+    */
+  private def cmsBuckets(key: Column): Column =
+    array((0 until CmsD).map { d =>
+      struct(lit(d).as("depth"),
+        pmod(graft.functions.Canonical.hex48(
+          md5(concat_ws(":", lit(d.toString), key.cast("string")))),
+          lit(CmsW)).as("bucket"))
+    }: _*)
+
+  /** JVM-side mirror of [[cmsBuckets]] — the bucket each depth hashes a
+    * key into, shared with the streaming face so both faces produce
+    * IDENTICAL counters (the same batch/stream contract [[registerOf]]
+    * anchors for the HLL).
+    */
+  def cmsCellsOf(key: String): Array[Int] =
+    Array.tabulate(CmsD) { d =>
+      (graft.functions.TextKernels.h48(
+        s"$d:$key".getBytes("UTF-8")) % CmsW).toInt
+    }
+
+  /** (grp, depth, bucket, cnt) counter relation — the sketch's entire
+    * state. One narrow explode (×[[CmsD]]) then one map-side-combining
+    * shuffle on (grp, depth, bucket): whatever the input size, at most
+    * 4096 rows per group cross the wire per map partition.
+    */
+  def cmsRelation(df: DataFrame, keyCol: String, groupCol: Column): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(groupCol.cast("string").as("grp"),
+        explode(cmsBuckets(col(keyCol))).as("db"))
+      .select(col("grp"), col("db.depth").as("depth"),
+        col("db.bucket").as("bucket"))
+      .groupBy("grp", "depth", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query: min over depths of the probed cells. Probes carry
+    * (grp, key, exact_cnt); the probe side is k-bounded, so the equi-join
+    * against the (≤ groups × 4096)-row counter relation broadcasts. A
+    * probed key always hits all d of its cells (its own occurrences are
+    * counted there), so the inner join loses nothing; collisions only
+    * ever ADD mass, hence `over_permille` is the sketch's one-sided error
+    * and is provably ≥ 0 (the property [[SketchesSpec]] pins for every
+    * key, not just the probed ones).
+    */
+  private def cmsEstimate(probes: DataFrame, keyCol: String,
+                          regs: DataFrame): DataFrame =
+    probes.withColumn("db", explode(cmsBuckets(col(keyCol))))
+      .select(col("grp"), col(keyCol), col("exact_cnt"),
+        col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .join(regs, Seq("grp", "depth", "bucket"))
+      .groupBy(col("grp"), col(keyCol), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .withColumn("over_permille",
+        floor((col("cms_estimate") - col("exact_cnt")) * lit(1000.0) /
+          col("exact_cnt")).cast(LongType))
+
+  /** Top-k exact heavy hitters of `keyCol` with their count-min estimates
+    * and realized one-sided error. The exact lane rides along only to
+    * report that error (as in [[hllDistinct]]); the production caller at
+    * 100 TB keeps the 4096-counter sketch and probes candidate keys
+    * without ever materializing the exact per-key counts.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val regs = cmsRelation(df, keyCol, lit("__ALL__"))
+    val probes = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(keyCol))
+      .limit(k) // TakeOrdered — no global sort materializes
+      .withColumn("grp", lit("__ALL__"))
+    cmsEstimate(probes, keyCol, regs)
+      .select(col(keyCol), col("exact_cnt"), col("cms_estimate"),
+        col("over_permille"))
+      .orderBy(col("exact_cnt").desc, col(keyCol))
+  }
+
+  /** Per-`groupCol` sketches plus an `__ALL__` sketch MERGED by
+    * bucket-wise SUM of the per-group counters — no second scan: the CMS
+    * counterpart of [[hllRollup]]'s register-max merge. Sum-associativity
+    * is what lets a pipeline sketch per shard/day and roll up arbitrarily
+    * later. Each group (and the rollup) probes its top-1 key, so the
+    * output pins both the per-group and the merged estimates.
+    */
+  def cmsRollup(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val regs = cmsRelation(df, keyCol, col(groupCol))
+    val merged = regs.groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
+      .withColumn("grp", lit("__ALL__"))
+      .select("grp", "depth", "bucket", "cnt")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"), col(keyCol))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .unionByName(df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("grp", lit("__ALL__"))
+        .select(col("grp"), col(keyCol), col("exact_cnt")))
+    // top-1 key per group over the ALREADY-AGGREGATED counts relation —
+    // the window partitions a (groups × keys)-sized input, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("exact_cnt").desc, col(keyCol))
+    val probes = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    cmsEstimate(probes, keyCol, regs.unionByName(merged))
+      .select(col("grp").as(groupCol), col(keyCol), col("exact_cnt"),
+        col("cms_estimate"), col("over_permille"))
+      .orderBy(groupCol)
   }
 
   /** [[hllDistinct]] plus an `__ALL__` row whose registers are MERGED

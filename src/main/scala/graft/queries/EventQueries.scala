@@ -373,7 +373,29 @@ object EventQueries {
     // data — and its estimate is still oracle-exact.
     "hll_rollup" -> ((s, dir) =>
       Sketches.hllRollup(ev(s, dir), "user_id", "event_type")
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // Count-min sketch (md5-salted depth hashes — Sketches scaladoc):
+    // top-10 heavy hitters' frequency estimates from 4096 counters, the
+    // exact lane alongside only to pin the one-sided error.
+    "cms_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(ev(s, dir), "user_id", k = 10)),
+
+    // CMS merge-by-sum associativity as a relation: the __ALL__ row's
+    // counters are bucket-wise sums of the per-type counters — no second
+    // scan — and each group's top-1 key estimate is oracle-exact.
+    "cms_rollup" -> ((s, dir) =>
+      Sketches.cmsRollup(ev(s, dir), "user_id", "event_type")),
+
+    // Sketch algebra, step 3: intersection by inclusion-exclusion over
+    // the SAME registers that answer the per-set cardinalities — how many
+    // customers ordered in both 1995 and 1996, without a distinct-join.
+    "hll_overlap" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+      Sketches.hllOverlap(o, "o_custkey",
+        when(year(col("o_orderdate")) === 1995, "A").otherwise("B"))
+    }))
 
   // ---------------------------------------------------------------- oracle
 
@@ -751,5 +773,120 @@ object EventQueries {
         |SELECT est.grp AS event_type, exact_distinct, hll_estimate,
         |  CAST(floor(abs(hll_estimate - exact_distinct) * 1000.0
         |       / exact_distinct) AS BIGINT) AS err_permille
-        |FROM est JOIN x USING (grp) ORDER BY event_type""".stripMargin)
+        |FROM est JOIN x USING (grp) ORDER BY event_type""".stripMargin,
+
+    // CMS mirror: identical md5-salted depth hashes and min-over-depths
+    // point queries — the ESTIMATES are oracle-compared, not just the
+    // exact counts.
+    "cms_heavy_hitters" ->
+      """WITH d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+        |h AS (SELECT depth,
+        |    CAST(('0x' || substr(md5(CAST(depth AS VARCHAR) || ':'
+        |          || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM events, d WHERE user_id IS NOT NULL),
+        |r AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM h GROUP BY 1, 2),
+        |x AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |      ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |p AS (SELECT x.user_id, x.exact_cnt, d.depth,
+        |    CAST(('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':'
+        |          || CAST(x.user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM x, d),
+        |e AS (SELECT p.user_id, p.exact_cnt, min(r.cnt) AS cms_estimate
+        |      FROM p JOIN r USING (depth, bucket) GROUP BY 1, 2)
+        |SELECT user_id, exact_cnt, cms_estimate,
+        |  CAST(floor((cms_estimate - exact_cnt) * 1000.0 / exact_cnt)
+        |       AS BIGINT) AS over_permille
+        |FROM e ORDER BY exact_cnt DESC, user_id""".stripMargin,
+
+    "cms_rollup" ->
+      """WITH d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+        |h AS (SELECT event_type AS grp, depth,
+        |    CAST(('0x' || substr(md5(CAST(depth AS VARCHAR) || ':'
+        |          || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM events, d WHERE user_id IS NOT NULL),
+        |r0 AS (SELECT grp, depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM h GROUP BY 1, 2, 3),
+        |r AS (SELECT * FROM r0
+        |      UNION ALL
+        |      SELECT '__ALL__', depth, bucket, CAST(sum(cnt) AS BIGINT)
+        |      FROM r0 GROUP BY 2, 3),
+        |xu AS (SELECT event_type AS grp, user_id,
+        |              CAST(count(*) AS BIGINT) AS exact_cnt
+        |       FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |       UNION ALL
+        |       SELECT '__ALL__', user_id, CAST(count(*) AS BIGINT)
+        |       FROM events WHERE user_id IS NOT NULL GROUP BY 2),
+        |p0 AS (SELECT grp, user_id, exact_cnt, row_number() OVER
+        |         (PARTITION BY grp ORDER BY exact_cnt DESC, user_id) AS rn
+        |       FROM xu),
+        |p AS (SELECT grp, user_id, exact_cnt FROM p0 WHERE rn = 1),
+        |pb AS (SELECT p.grp, p.user_id, p.exact_cnt, d.depth,
+        |    CAST(('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':'
+        |          || CAST(p.user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM p, d),
+        |e AS (SELECT pb.grp, pb.user_id, pb.exact_cnt,
+        |             min(r.cnt) AS cms_estimate
+        |      FROM pb JOIN r ON r.grp = pb.grp AND r.depth = pb.depth
+        |                    AND r.bucket = pb.bucket
+        |      GROUP BY 1, 2, 3)
+        |SELECT grp AS event_type, user_id, exact_cnt, cms_estimate,
+        |  CAST(floor((cms_estimate - exact_cnt) * 1000.0 / exact_cnt)
+        |       AS BIGINT) AS over_permille
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // HLL inclusion-exclusion mirror: same registers, same max-merge
+    // union, intersection = A + B - U on the rounded estimates.
+    "hll_overlap" ->
+      """WITH t AS (SELECT CASE WHEN year(o_orderdate) = 1995 THEN 'A'
+        |                  ELSE 'B' END AS tag, o_custkey AS k
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND year(o_orderdate) IN (1995, 1996)),
+        |h AS (SELECT tag,
+        |    CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      AS hh FROM t),
+        |b AS (SELECT tag AS grp, hh // 1099511627776 AS bucket,
+        |             hh % 1099511627776 AS rem FROM h),
+        |r0 AS (SELECT grp, bucket,
+        |    max(CASE WHEN rem = 0 THEN 41
+        |             ELSE strpos(lpad(bin(rem), 40, '0'), '1') END) AS mreg
+        |  FROM b GROUP BY 1, 2),
+        |r AS (SELECT * FROM r0
+        |      UNION ALL
+        |      SELECT 'U', bucket, max(mreg) FROM r0 GROUP BY 2),
+        |g AS (SELECT grp, sum(power(2.0, -mreg)) AS sum_inv,
+        |             count(*) AS present FROM r GROUP BY 1),
+        |e AS (SELECT grp, 256 - present AS zeros,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |      / (sum_inv + (256 - present)) AS raw FROM g),
+        |est AS (SELECT grp,
+        |    round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+        |               THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4)
+        |      AS hll_estimate
+        |  FROM e),
+        |w AS (SELECT
+        |    max(CASE WHEN grp = 'A' THEN hll_estimate END) AS est_a,
+        |    max(CASE WHEN grp = 'B' THEN hll_estimate END) AS est_b,
+        |    max(CASE WHEN grp = 'U' THEN hll_estimate END) AS est_union
+        |  FROM est),
+        |x AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN tag = 'A' THEN k END) AS BIGINT)
+        |      AS exact_a,
+        |    CAST(count(DISTINCT CASE WHEN tag = 'B' THEN k END) AS BIGINT)
+        |      AS exact_b,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS exact_union
+        |  FROM t)
+        |SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
+        |  exact_a + exact_b - exact_union AS exact_inter,
+        |  round(greatest(est_a + est_b - est_union, 0.0), 4) AS est_inter,
+        |  CAST(floor(abs(round(greatest(est_a + est_b - est_union, 0.0), 4)
+        |       - (exact_a + exact_b - exact_union)) * 1000.0
+        |       / (exact_a + exact_b - exact_union)) AS BIGINT)
+        |    AS inter_err_permille
+        |FROM w, x""".stripMargin)
 }

@@ -66,4 +66,98 @@ class SketchesSpec extends SparkSpec {
       assert(got2 == batchEst(chunk1 ++ chunk2))
     } finally q.stop()
   }
+
+  test("hll overlap: inclusion-exclusion intersection near exact, clamped at 0") {
+    // A = 1..6000, B = 4001..10000 — exact intersection 2000. The
+    // estimate differences compound three register-level errors, so the
+    // tolerance is generous; the input is deterministic (md5 registers),
+    // so a pass here is a pass always.
+    val rows = ((1 to 6000).map(i => ("A", i)) ++
+      (4001 to 10000).map(i => ("B", i))).toDF("tag", "k")
+    val r = Sketches.hllOverlap(rows, "k", col("tag")).collect()(0)
+    assert(r.getAs[Long]("exact_inter") == 2000L)
+    assert(math.abs(r.getAs[Double]("est_inter") - 2000.0) / 2000.0 < 0.5)
+    // disjoint populations: the difference of noisy estimates may be
+    // negative; the operator must clamp, never report a negative overlap
+    val dj = ((1 to 3000).map(i => ("A", i)) ++
+      (100001 to 103000).map(i => ("B", i))).toDF("tag", "k")
+    val r2 = Sketches.hllOverlap(dj, "k", col("tag")).collect()(0)
+    assert(r2.getAs[Long]("exact_inter") == 0L)
+    assert(r2.getAs[Double]("est_inter") >= 0.0)
+  }
+
+  test("cms estimate is one-sided: >= exact for EVERY key, not just heavy ones") {
+    // 700 keys in 4x1024 counters — collisions are certain, undercounts
+    // are impossible: min-over-depths can only carry the key's own mass
+    // plus colliding mass.
+    val df = (1 to 20000).map(i => i % 700).toDF("k")
+    val out = Sketches.cmsHeavyHitters(df, "k", k = 700).collect()
+    assert(out.length == 700)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_cnt"),
+        s"undercount at k=${r.get(0)}")
+      assert(r.getAs[Long]("over_permille") >= 0L)
+    }
+  }
+
+  test("cms JVM cells match the relational derivation for the same key") {
+    // cmsCellsOf (streaming face) and the Column-side md5 salt must land
+    // every key in the same cells, or batch/stream parity is fiction.
+    val rel = Sketches.cmsRelation(Seq("149").toDF("k"), "k", lit("g"))
+      .orderBy("depth").select("depth", "bucket").collect()
+      .map(r => (r.getAs[Int]("depth"), r.getAs[Long]("bucket").toInt))
+    val jvm = Sketches.cmsCellsOf("149").zipWithIndex.map(_.swap)
+    assert(rel.toSeq == jvm.toSeq)
+  }
+
+  test("streaming CMS point estimates equal the batch fold after each prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val probes = Seq("7", "13", "absent")
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingSketches
+      .cmsPointEstimates(mem.toDF().toDF("event_type", "user_id"),
+        "user_id", "event_type", probes)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(graft.streaming.StreamingSketches.outputMode).start()
+    try {
+      val w = Sketches.CmsW.toInt
+      def fold(rows: Seq[String]): Map[String, Long] = {
+        val cells = new Array[Long](Sketches.CmsD * w)
+        rows.foreach { k =>
+          Sketches.cmsCellsOf(k).zipWithIndex
+            .foreach { case (b, d) => cells(d * w + b) += 1L }
+        }
+        probes.map { p =>
+          p -> Sketches.cmsCellsOf(p).zipWithIndex
+            .map { case (b, d) => cells(d * w + b) }.min
+        }.toMap
+      }
+      def lastEsts(): Map[String, Long] =
+        spark.table("cms_stream").collect().takeRight(probes.size)
+          .map(r => r.getAs[String]("probe_key") ->
+            r.getAs[Long]("cms_estimate")).toMap
+      val chunk1 = (1 to 2000).map(i => ("a", (i % 50).toString))
+      mem.addData(chunk1: _*)
+      q.processAllAvailable()
+      assert(lastEsts() == fold(chunk1.map(_._2)))
+      val chunk2 = (1 to 1500).map(i => ("a", (i % 90).toString))
+      mem.addData(chunk2: _*)
+      q.processAllAvailable()
+      assert(lastEsts() == fold((chunk1 ++ chunk2).map(_._2)))
+    } finally q.stop()
+  }
+
+  test("cms counters merge by sum: per-group rollup equals the direct sketch") {
+    // The additive-merge property that licenses shard/day-wise sketching
+    // with late rollup — bucket-wise sums of per-group counters must be
+    // indistinguishable from a single global pass.
+    val df = (1 to 15000).map(i => (s"g${i % 5}", i % 400)).toDF("grp", "k")
+    val direct = Sketches.cmsRelation(df, "k", lit("__ALL__"))
+      .select("depth", "bucket", "cnt").collect().toSet
+    val merged = Sketches.cmsRelation(df, "k", col("grp"))
+      .groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
+      .select("depth", "bucket", "cnt").collect().toSet
+    assert(direct == merged)
+  }
 }
