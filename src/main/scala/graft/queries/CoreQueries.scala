@@ -360,6 +360,18 @@ object CoreQueries {
           .map(f => if (f.name == "l_quantity") f.copy(dataType = StringType) else f)
           :+ StructField("l_comment", StringType, nullable = true))
       StructDiff.toDF(s, StructDiff.diff(a, b)).orderBy("field")
+    }),
+
+    // Bipartite HITS authorities over the customer-supplier link graph
+    // (Graph scaladoc): which suppliers accumulate the most weight from
+    // well-connected customers — the "domain authority" curation signal,
+    // integer-exact so the SCORES oracle-compare bit for bit.
+    "hits_authority" -> ((s, dir) => {
+      val edges = li(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(ord(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      Graph.hitsAuthorities(edges, "o_custkey", "l_suppkey",
+        rounds = 2, k = 10)
     }))
 
   // ---------------------------------------------------------------- oracle
@@ -682,5 +694,32 @@ object CoreQueries {
          |  CASE WHEN pk_kind = 'CLUSTERED'
          |       THEN 'secret_' || table_name
          |       ELSE 'plain*' || table_name END AS password
-         |FROM manifest ORDER BY table_name""".stripMargin)
+         |FROM manifest ORDER BY table_name""".stripMargin,
+
+    // HITS mirror: identical integer half-rounds — the SCORES compare
+    // bit for bit, no float tolerance anywhere.
+    "hits_authority" ->
+      """WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+        |                  CAST(l_suppkey AS BIGINT) AS dst,
+        |                  CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a0 AS (SELECT DISTINCT dst AS node, CAST(1 AS BIGINT) AS score
+        |       FROM e),
+        |h1 AS (SELECT src, CAST(sum(w * score) AS BIGINT) AS score
+        |       FROM e JOIN a0 ON e.dst = a0.node GROUP BY 1),
+        |a1 AS (SELECT dst AS node, CAST(sum(e.w * h1.score) AS BIGINT)
+        |         AS score
+        |       FROM e JOIN h1 USING (src) GROUP BY 1),
+        |h2 AS (SELECT src, CAST(sum(w * score) AS BIGINT) AS score
+        |       FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |a2 AS (SELECT dst AS node, CAST(sum(e.w * h2.score) AS BIGINT)
+        |         AS score
+        |       FROM e JOIN h2 USING (src) GROUP BY 1),
+        |ranked AS (SELECT node, score, row_number() OVER
+        |             (ORDER BY score DESC, node) AS rank
+        |           FROM a2)
+        |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin)
 }
