@@ -86,4 +86,75 @@ object Graph {
         col("rank"))
       .orderBy("rank")
   }
+
+  /** Top-k PageRank over a directed edge list, in a FIXED-POINT integer
+    * lane (micro-units): the walk probabilities are scaled by 1e6 and every
+    * per-edge contribution is a single integer floor-division, so Spark's
+    * partial aggregation and the DuckDB oracle agree bit for bit — the
+    * complement to [[hitsAuthorities]] for non-bipartite link graphs.
+    *
+    * Recurrence (damping d in micro-units, default 850000 = 0.85):
+    *   r_0(v)    = 1_000_000
+    *   term(u→v) = ((r_i(u) * d) div (1_000_000 * deg(u))) * w(u,v)
+    *   r_{i+1}(v) = 150_000 + sum_in-edges term
+    * where deg(u) is u's WEIGHTED out-degree. The floor happens before the
+    * multiplicity scaling — a deterministic rounding choice both engines
+    * express identically; dangling mass is dropped (standard simplification,
+    * conservative: scores only shrink).
+    *
+    * Overflow: total mass is invariant-bounded by n_nodes * 1e6 (the base
+    * term injects 0.15e6 per node, inflow retains <= 0.85 of mass), so the
+    * per-edge product r*d stays inside int64 iff n_nodes <= 1e7. That bound
+    * rides the output as a relational `assert_true` on the aggregated node
+    * count — loud failure, no silent wrap, no driver collect (same guard
+    * shape as HITS above). Past 1e7 nodes, rescale the base unit down.
+    *
+    * Scale posture: edges aggregate once to (src, dst, w); each round is
+    * edge ⋈ degree ⋈ score equi-joins plus one groupBy(dst) with map-side
+    * partial sums — shuffles are all on node ids, nothing corpus-global.
+    * Top-k is a TakeOrdered (orderBy+limit), never a full sort.
+    */
+  def pagerankTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                   rounds: Int = 2, k: Int = 10): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "bounded unrolled iteration count")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val deg = e.groupBy("src").agg(sum("w").as("deg"))
+    val nodes = e.select(col("src").as("node")).distinct()
+    val nGuard = nodes.agg(count(lit(1)).as("n_nodes"))
+      .withColumn("j", pmod(col("n_nodes"), lit(1L)) * lit(0L))
+    var rank: DataFrame = nodes.withColumn("score", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val contrib = e.join(deg, "src")
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          (expr("(score * 850000L) div (1000000L * deg)") * col("w"))
+            .as("term"))
+      val inflow = contrib.groupBy("dst").agg(sum("term").as("inflow"))
+      rank = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("score"))
+    }
+    val topk = rank
+      .orderBy(col("score").desc, col("node"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("node"))))
+      .withColumn("j", pmod(col("score"), lit(1L)) * lit(0L))
+    topk.join(nGuard, "j")
+      .select(col("node"),
+        (col("score") + coalesce(
+          assert_true(col("n_nodes") <= lit(10000000L),
+            lit("PageRank integer lane overflow risk: more than 1e7 nodes " +
+              "— rescale the micro-unit base or switch to a float lane"))
+            .cast(LongType),
+          lit(0L))).as("pr_score"),
+        col("rank"))
+      .orderBy("rank")
+  }
 }

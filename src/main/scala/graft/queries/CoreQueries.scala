@@ -372,6 +372,42 @@ object CoreQueries {
           col("l_orderkey") === col("o_orderkey"))
       Graph.hitsAuthorities(edges, "o_custkey", "l_suppkey",
         rounds = 2, k = 10)
+    }),
+
+    // PageRank over the symmetrized customer<->supplier link graph
+    // (Graph.pagerankTopK scaladoc): node ids are disambiguated into one
+    // int64 space (custkey*2, suppkey*2+1), edges run BOTH directions so
+    // the walk is non-degenerate (a one-way bipartite graph would starve
+    // the source side after one hop). Fixed-point micro-unit lane —
+    // the SCORES oracle-compare bit for bit, no float tolerance.
+    "pagerank_topk" -> ((s, dir) => {
+      val base = li(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(ord(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pagerankTopK(edges, "src", "dst", rounds = 2, k = 10)
+    }),
+
+    // Bloom-filter runtime pruning (BloomPrune scaladoc): the probe side
+    // (lineitem) is pre-filtered through a 128Kbit/3-hash Bloom filter of
+    // the selective build side's keys BEFORE the shuffle join. The oracle
+    // is the PLAIN join — the pruned plan must be bit-identical (no false
+    // negatives by construction; the join kills false positives), which
+    // makes the equivalence itself the correctness check.
+    "bloom_prune_join" -> ((s, dir) => {
+      val probe = li(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val build = ord(s, dir)
+        .filter(col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      BloomPrune.prunedJoin(probe, build, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          dec(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag", "o_orderpriority")
     }))
 
   // ---------------------------------------------------------------- oracle
@@ -721,5 +757,55 @@ object CoreQueries {
         |             (ORDER BY score DESC, node) AS rank
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin)
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // PageRank mirror: identical per-edge floor-divisions (DuckDB `//`
+    // floors, Spark `div` truncates — all operands positive, so the two
+    // agree) and identical join/aggregate rounds.
+    "pagerank_topk" ->
+      """WITH b AS (SELECT CAST(o_custkey * 2 AS BIGINT) AS a,
+        |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS bn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |eu AS (SELECT a AS src, bn AS dst FROM b
+        |       UNION ALL SELECT bn, a FROM b),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM eu GROUP BY 1, 2),
+        |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM n),
+        |c1 AS (SELECT e.dst,
+        |         CAST(((r0.score * 850000) // (1000000 * d.deg)) * e.w
+        |           AS BIGINT) AS term
+        |       FROM e JOIN d USING (src) JOIN r0 ON e.src = r0.node),
+        |i1 AS (SELECT dst, CAST(sum(term) AS BIGINT) AS inflow
+        |       FROM c1 GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(i1.inflow, 0) AS BIGINT) AS score
+        |       FROM n LEFT JOIN i1 ON n.node = i1.dst),
+        |c2 AS (SELECT e.dst,
+        |         CAST(((r1.score * 850000) // (1000000 * d.deg)) * e.w
+        |           AS BIGINT) AS term
+        |       FROM e JOIN d USING (src) JOIN r1 ON e.src = r1.node),
+        |i2 AS (SELECT dst, CAST(sum(term) AS BIGINT) AS inflow
+        |       FROM c2 GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(i2.inflow, 0) AS BIGINT) AS score
+        |       FROM n LEFT JOIN i2 ON n.node = i2.dst),
+        |ranked AS (SELECT node, score, row_number() OVER
+        |             (ORDER BY score DESC, node) AS rank
+        |           FROM r2)
+        |SELECT node, score AS pr_score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Bloom-prune mirror: the ORACLE is the plain unpruned join — the
+    // Spark side must prove its Bloom pre-filter changes nothing.
+    "bloom_prune_join" ->
+      """SELECT l_returnflag, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 150000.0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
 }

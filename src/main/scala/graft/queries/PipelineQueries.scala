@@ -160,6 +160,41 @@ object PipelineQueries {
     "pack_shards" -> ((s, dir) =>
       TextAnalysis.packShards(docs(s, dir), 2000L).orderBy("doc_id")),
 
+    // Small-file compaction planning (Compaction scaladoc): first-fit
+    // binning of per-source fragments toward 2 KiB output files — the
+    // lake-maintenance inverse of the reference's chunk split, windowed
+    // PER SOURCE so a 1000-partition lake plans 1000 independent streams.
+    "compaction_plan" -> ((s, dir) =>
+      Compaction.plan(docs(s, dir), "source", "doc_id", "n_chars", 2048L)),
+
+    // JSONL source/sink roundtrip: documents → newline-delimited JSON →
+    // schema-EXPLICIT read-back (no inference scan — at 100 TB an
+    // inference pass is a full extra read) → per-lang totals. The oracle
+    // aggregates the parquet directly, so the check proves the JSONL
+    // encode/decode is lossless for doc_id/lang/n_chars/text lengths.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft_jsonl_")
+      docs(s, dir).select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite").json(base)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text"))).as("sum_textlen"))
+        .orderBy("lang")
+    }),
+
     // Token-level sequence packing: span rows for 512-token training
     // sequences, long docs split across boundaries.
     "pack_sequences" -> ((s, dir) =>
@@ -1098,6 +1133,33 @@ object PipelineQueries {
         |SELECT doc_id, lang, est_tokens,
         |  CAST((cum - 1) // 2000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Compaction mirror: identical ROWS-window prefix sum and floor
+    // division (all operands non-negative, `//` == Spark DIV).
+    "compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id AS frag_id,
+        |             CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        |c AS (SELECT source, frag_id, bytes,
+        |        CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY frag_id
+        |               ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT)
+        |          AS cum_before
+        |      FROM f),
+        |b AS (SELECT source, frag_id, bytes,
+        |        CAST(cum_before // 2048 AS BIGINT) AS bin FROM c)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_frags,
+        |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |       CAST(min(frag_id) AS BIGINT) AS first_frag,
+        |       CAST(max(frag_id) AS BIGINT) AS last_frag,
+        |       (count(*) = 1 AND sum(bytes) > 2048) AS oversized
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // JSONL roundtrip mirror: aggregates the parquet directly — equality
+    // proves the Spark-side JSONL encode/decode was lossless.
+    "jsonl_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_textlen
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "quality_filter" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

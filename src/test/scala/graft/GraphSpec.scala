@@ -19,6 +19,33 @@ class GraphSpec extends SparkSpec {
       Seq((10L, 32L, 1), (20L, 20L, 2)))
   }
 
+  test("pagerank matches the hand-computed fixed-point rounds") {
+    // 1->2, 2->1, 2->3, 3->1; deg 1:1 2:2 3:1.
+    //   r1: n1 = 150000+425000+850000, n2 = 150000+850000,
+    //       n3 = 150000+425000
+    //   r2: n1 = 150000+425000+488750, n2 = 150000+1211250,
+    //       n3 = 150000+425000
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.pagerankTopK(edges, "src", "dst", rounds = 2, k = 10)
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("node"),
+      r.getAs[Long]("pr_score"), r.getAs[Int]("rank"))).toSeq ==
+      Seq((2L, 1361250L, 1), (1L, 1063750L, 2), (3L, 575000L, 3)))
+  }
+
+  test("pagerank conserves mass within the damping budget") {
+    // Sum of scores never exceeds n*1e6 (the overflow bound's invariant):
+    // base injects 0.15e6 per node, inflow retains <= 0.85 of prior mass.
+    val edges = (1 to 200).map(i => (i.toLong, ((i * 7) % 200 + 1).toLong))
+      .toDF("src", "dst")
+    val both = edges.unionByName(edges.toDF("dst", "src").select(
+      col("dst").as("src"), col("src").as("dst")))
+    val total = Graph.pagerankTopK(both, "src", "dst", rounds = 4, k = 1000)
+      .agg(sum("pr_score")).collect()(0).getLong(0)
+    assert(total <= 200L * 1000000L)
+  }
+
   test("hits overflow guard fails loudly past the strength cap") {
     // rounds=4 caps node strength at ~17; one hub of strength 40 trips
     // the assert_true guard instead of wrapping silently.
