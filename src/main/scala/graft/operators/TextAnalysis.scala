@@ -553,6 +553,53 @@ object TextAnalysis {
       .select("doc_id", "source", "pick_rank", "quota")
   }
 
+  /** Temperature-scaled domain mixing at α = 1/2 — the standard
+    * "flatten the source distribution" reweighting (multilingual and
+    * multi-corpus training mixes sample domain d with probability
+    * ∝ n_d^α, α<1, so giant domains stop drowning small ones). α = 1/2
+    * keeps the lane engine-exact WITHOUT a float tolerance: the weight is
+    * floor(sqrt(n_d)) and IEEE-754 requires sqrt to be CORRECTLY ROUNDED,
+    * so Spark and DuckDB compute the identical double for any n_d < 2^52
+    * and the floor agrees bit for bit (a relational assert_true guards
+    * that bound — loud failure, not drift, past it). Quotas are then
+    * integer: quota_d = min(budget · w_d div Σw, n_d).
+    *
+    * Pick order reuses [[domainMix]]'s seeded-md5 rank: deterministic,
+    * engine-reproducible, uncorrelated with doc ids.
+    *
+    * Scale posture: identical to domainMix — source-sized aggregates
+    * broadcast; the pick window is per-source; the 1-row Σw relation
+    * joins on a data-derived constant key (hash join, not BNLJ).
+    */
+  def domainTemperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .withColumn("wgt",
+        floor(sqrt(col("n_total").cast("double"))).cast("long"))
+    val t = counts
+      .agg(sum("wgt").as("w_sum"), max("n_total").as("n_max"))
+      .withColumn("__one", pmod(col("w_sum"), lit(1L)))
+    val quotas = counts.withColumn("__one", pmod(col("n_total"), lit(1L)))
+      .join(broadcast(t), "__one").drop("__one")
+      .withColumn("quota",
+        least(expr(s"${budget}L * wgt div w_sum"), col("n_total")) +
+          coalesce(
+            assert_true(col("n_max") <= lit(1L << 52),
+              lit("temperature mix: domain count exceeds 2^52 — " +
+                "floor(sqrt(double)) is no longer integer-exact")).cast("long"),
+            lit(0L)))
+      .select("source", "quota")
+    val w = Window.partitionBy("source").orderBy(
+      substring(md5(concat(lit("tmix:"), col("doc_id").cast("string"))), 1, 12),
+      col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("pick_rank", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("pick_rank") <= col("quota"))
+      .select("doc_id", "source", "pick_rank", "quota")
+  }
+
   /** Per-document top-`k` distinguishing terms by a log-free tf-idf
     * variant: score = tf × (N / df), monotone in the classic tf·idf for
     * fixed tf and rank-equivalent per (tf, df) cell. Log-free on purpose —

@@ -102,6 +102,20 @@ object PipelineQueries {
         Map("src0" -> 200, "src1" -> 200, "src2" -> 100, "src3" -> 500))
         .orderBy("source", "pick_rank")),
 
+    // α=1/2 temperature-flattened source mix (domainTemperatureMix
+    // scaladoc): weights floor(sqrt(n_d)) — IEEE-correctly-rounded sqrt
+    // makes the lane engine-exact; quotas integer floor-divisions.
+    "domain_temperature_mix" -> ((s, dir) =>
+      TextAnalysis.domainTemperatureMix(docs(s, dir), 100L)
+        .orderBy("source", "pick_rank")),
+
+    // Robust per-lang doc-length outliers by Median Absolute Deviation
+    // (Quantiles.madOutliers scaladoc): discrete lower-medians by rank
+    // arithmetic, integer deviations — distribution-free QA, bit-exact.
+    "mad_outliers" -> ((s, dir) =>
+      Quantiles.madOutliers(docs(s, dir), "lang", "doc_id", "n_chars",
+        k = 2)),
+
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
 
     // Confusion matrix of declared vs guessed language — the accuracy
@@ -1067,6 +1081,50 @@ object PipelineQueries {
         |SELECT r.doc_id, r.source, CAST(r.pick_rank AS INTEGER) AS pick_rank, q.quota
         |FROM r JOIN q USING (source) WHERE r.pick_rank <= q.quota
         |ORDER BY source, pick_rank""".stripMargin,
+
+    // Temperature-mix mirror: identical floor(sqrt(double)) weights
+    // (IEEE sqrt is correctly rounded in both engines), identical integer
+    // quota divisions and seeded-md5 pick ranks.
+    "domain_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_total,
+        |        CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS wgt
+        |      FROM c),
+        |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS w_sum FROM w),
+        |q AS (SELECT source,
+        |        LEAST(100 * wgt // (SELECT w_sum FROM t), n_total) AS quota
+        |      FROM w),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 12),
+        |                   doc_id) AS pick_rank
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.pick_rank AS INTEGER) AS pick_rank,
+        |       CAST(q.quota AS BIGINT) AS quota
+        |FROM r JOIN q USING (source) WHERE r.pick_rank <= q.quota
+        |ORDER BY source, pick_rank""".stripMargin,
+
+    // MAD mirror: identical rank-selected lower-medians and integer
+    // deviation comparisons.
+    "mad_outliers" ->
+      """WITH base AS (SELECT lang AS g, CAST(doc_id AS BIGINT) AS id,
+        |                CAST(n_chars AS BIGINT) AS v FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY g) AS cnt FROM base),
+        |med AS (SELECT g, v AS med FROM r WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT base.g, base.id, base.v, med.med,
+        |        abs(base.v - med.med) AS dev
+        |      FROM base JOIN med USING (g)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY dev, id)
+        |           AS rn2,
+        |         count(*) OVER (PARTITION BY g) AS cnt2 FROM d),
+        |mad AS (SELECT g, dev AS mad FROM r2 WHERE rn2 = (cnt2 + 1) // 2)
+        |SELECT d.g AS lang, d.id AS doc_id, d.v AS n_chars, d.med,
+        |       mad.mad, d.dev
+        |FROM d JOIN mad USING (g) WHERE d.dev > 2 * mad.mad
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "ann_recall" ->
       s"""WITH ${bitsCte(1000)},

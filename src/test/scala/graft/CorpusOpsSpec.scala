@@ -90,6 +90,36 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("domainTemperatureMix flattens: big sources lose share, quotas exact") {
+    // sources of 100 and 4 docs: sqrt weights 10 and 2, budget 12 →
+    // quotas 10 and 2 — the small source's share rises from ~4% to 1/6
+    val synth = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.domainTemperatureMix(synth, budget = 12L)
+      .select("source", "quota").as[(String, Long)].collect()
+    val kept = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(kept == Map("big" -> 10L, "tiny" -> 2L))
+    assert(out.toMap == Map("big" -> 10L, "tiny" -> 2L)) // quota == kept
+  }
+
+  test("madOutliers flags only past k*MAD with discrete integer medians") {
+    // group a: [10,10,10,10,100] → med 10, MAD 0 → only the 100 flags
+    // group b: 1..7 → med 4, MAD 2 → nothing exceeds 2*MAD = 4
+    val synth = (Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "a", 10L), (5L, "a", 100L)) ++
+      (1 to 7).map(i => (10L + i, "b", i.toLong)))
+      .toDF("id", "g", "v")
+    val out = graft.operators.Quantiles
+      .madOutliers(synth, "g", "id", "v", k = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("g") == "a" && r.getAs[Long]("id") == 5L &&
+      r.getAs[Long]("med") == 10L && r.getAs[Long]("mad") == 0L &&
+      r.getAs[Long]("dev") == 90L)
+  }
+
   test("ann_recall face: k_truth is exact-k and recall stays within [0,1]") {
     val q = SparkEntry.queries("ann_recall")(spark, sfDir)
       .select("k_truth", "hits", "recall").as[(Long, Long, Double)].collect()
