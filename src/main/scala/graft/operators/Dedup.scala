@@ -630,4 +630,57 @@ object Dedup {
         expr("shared * 1000 div n_b").as("bench_permille"))
       .filter(col("bench_permille") >= minPermille)
   }
+
+  /** Sub-document dedup-and-REWRITE — the paragraph-dedup pass of the
+    * big public curation pipelines, on fixed-width chunks (the fixture
+    * corpus has no paragraph delimiters): split every document into
+    * non-overlapping `chunkChars` spans, keep each distinct span text
+    * only in its FIRST owning document (min doc_id), and re-assemble
+    * every document from its surviving spans in order. Duplicated
+    * boilerplate thus survives exactly once corpus-wide while unique
+    * content is untouched — a finer instrument than whole-doc dedup,
+    * which either keeps or kills entire documents.
+    *
+    * Output per document: total/kept span counts, rewritten length, and
+    * the md5 of the rewritten text (the compact oracle-comparable witness
+    * of the exact reassembled bytes).
+    *
+    * Scale posture: spans shuffle ONCE on their content to find the first
+    * owner (a 100-char string key — bounded, never the whole doc), the
+    * keep-join is on the same key, and reassembly is a per-doc groupBy
+    * whose collect_list is ordered deterministically by array_sort before
+    * joining. No corpus-global window, no collect. Within-doc repeats of
+    * an owned span are all kept — removal semantics stay local to the
+    * ownership rule, so the operator is one deterministic pass.
+    */
+  def chunkDedupRewrite(docs: DataFrame, chunkChars: Int = 100): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    val base = docs.select(col("doc_id"), col("text"),
+      expr(s"greatest(CAST(1 AS BIGINT), " +
+        s"(CAST(length(text) AS BIGINT) + ${chunkChars - 1}) div $chunkChars)")
+        .as("n"))
+    val spans = base.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(CAST(0 AS BIGINT), n - 1),
+           |  i -> struct(i AS chunk_id,
+           |    substring(text, CAST(i * $chunkChars + 1 AS INT),
+           |      $chunkChars) AS ct))""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.chunk_id"), col("s.ct"))
+    val owner = spans.groupBy("ct").agg(min("doc_id").as("keep_doc"))
+    val kept = spans.join(owner, "ct")
+      .filter(col("doc_id") === col("keep_doc"))
+    val rewritten = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_chunks"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(chunk_id, ct))), x -> x.ct), '')")
+          .as("newtext"))
+    base.select(col("doc_id"), col("n"))
+      .join(rewritten, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        length(coalesce(col("newtext"), lit(""))).cast(LongType)
+          .as("new_len"),
+        md5(coalesce(col("newtext"), lit(""))).as("new_md5"))
+      .orderBy("doc_id")
+  }
 }

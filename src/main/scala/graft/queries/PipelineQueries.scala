@@ -447,6 +447,13 @@ object PipelineQueries {
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunk(docs(s, dir), 200, 150).orderBy("doc_id", "chunk_id")),
 
+    // Sub-document dedup-and-rewrite (Dedup.chunkDedupRewrite scaladoc):
+    // 100-char spans, first-owner-wins across the corpus, documents
+    // reassembled from surviving spans — the paragraph-dedup shape; the
+    // rewritten bytes are witnessed by md5.
+    "chunk_dedup_rewrite" -> ((s, dir) =>
+      Dedup.chunkDedupRewrite(docs(s, dir), 100)),
+
     // Canonical-form audit: md5/length of the normalized text + changed
     // flag — the pass run before content dedup.
     "text_normalize" -> ((s, dir) =>
@@ -1588,6 +1595,27 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, chunk_id * 150 AS chunk_start,
         |  CAST(length(ct) AS BIGINT) AS chunk_len, md5(ct) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Rewrite mirror: identical span split, first-owner rule, and
+    // in-order reassembly (string_agg ORDER BY == array_sort join).
+    "chunk_dedup_rewrite" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    greatest(1, (length(text) + 99) // 100) AS n FROM documents),
+        |c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+        |        substr(text, CAST(u.i * 100 + 1 AS INT), 100) AS ct
+        |      FROM base, unnest(range(0, CAST(n AS BIGINT))) AS u(i)),
+        |own AS (SELECT ct, min(doc_id) AS keep_doc FROM c GROUP BY 1),
+        |k AS (SELECT c.doc_id, c.chunk_id, c.ct
+        |      FROM c JOIN own USING (ct) WHERE c.doc_id = own.keep_doc),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+        |          string_agg(ct, '' ORDER BY chunk_id) AS newtext
+        |        FROM k GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_chunks,
+        |       COALESCE(a.kept_chunks, 0) AS kept_chunks,
+        |       CAST(length(COALESCE(a.newtext, '')) AS BIGINT) AS new_len,
+        |       md5(COALESCE(a.newtext, '')) AS new_md5
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """WITH n AS (

@@ -120,6 +120,21 @@ class CorpusOpsSpec extends SparkSpec {
       r.getAs[Long]("dev") == 90L)
   }
 
+  test("chunkDedupRewrite keeps first owner, rewrites later docs only") {
+    // doc 1: ABC|DEF  doc 2: DEF|XYZ (shares span DEF with doc 1)
+    // doc 3: unique single short span
+    val a = "a" * 3; val b = "b" * 3; val c = "c" * 3
+    val synth = Seq((1L, a + b), (2L, b + c), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.chunkDedupRewrite(synth, 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("kept_chunks"),
+        r.getAs[Long]("new_len"))).toSeq
+    // doc 1 keeps both spans (owns aaa and bbb); doc 2 loses bbb to
+    // doc 1 and keeps ccc; doc 3 keeps its only span
+    assert(out == Seq((1L, 2L, 2L, 6L), (2L, 2L, 1L, 3L), (3L, 1L, 1L, 2L)))
+  }
+
   test("ann_recall face: k_truth is exact-k and recall stays within [0,1]") {
     val q = SparkEntry.queries("ann_recall")(spark, sfDir)
       .select("k_truth", "hits", "recall").as[(Long, Long, Double)].collect()
