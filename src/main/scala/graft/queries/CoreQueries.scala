@@ -374,6 +374,42 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // PERMISSIVE CSV ingest with corrupt-record accounting — the ingest
+    // face TSV/JSONL don't cover: a malformed row must neither kill the
+    // job (FAILFAST) nor vanish (DROPMALFORMED); it lands in the corrupt
+    // lane and is COUNTED, so data loss at ingest is observable. Three
+    // rows are planted with an unparseable bigint; the oracle knows the
+    // clean per-lang counts from the parquet plus exactly those 3.
+    "csv_badrows" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft_csvbad_")
+      Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .coalesce(1).write.mode("overwrite").csv(base)
+      // three malformation kinds, each with an unparseable n_chars so the
+      // corrupt lane's sum is NULL by construction (no dependence on which
+      // OTHER fields the permissive parser salvages): bad bigint key, bad
+      // bigint value, excess columns
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "part-injected.csv"),
+        "oops,en,bad\n13,de,notanint\n14,fr,zz,extra\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(base)
+        .groupBy(when(col("_bad").isNotNull, lit("__CORRUPT__"))
+          .otherwise(col("lang")).as("lang_key"))
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang_key")
+    }),
+
     // PageRank over the symmetrized customer<->supplier link graph
     // (Graph.pagerankTopK scaladoc): node ids are disambiguated into one
     // int64 space (custkey*2, suppkey*2+1), edges run BOTH directions so
@@ -758,6 +794,18 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // CSV mirror: the clean lanes aggregate the parquet; the corrupt lane
+    // is exactly the 3 planted malformed rows with a NULL sum.
+    "csv_badrows" ->
+      """WITH v AS (SELECT lang AS lang_key,
+        |             CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |           FROM documents GROUP BY 1
+        |           UNION ALL
+        |           SELECT '__CORRUPT__', CAST(3 AS BIGINT),
+        |             CAST(NULL AS BIGINT))
+        |SELECT * FROM v ORDER BY lang_key""".stripMargin,
 
     // PageRank mirror: identical per-edge floor-divisions (DuckDB `//`
     // floors, Spark `div` truncates — all operands positive, so the two
