@@ -82,4 +82,45 @@ object Profile {
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY col_name""".stripMargin
   }
+
+  /** Exact join-output cardinality WITHOUT executing the join — the
+    * "plan before you spend cluster-hours" estimator: |A ⋈ B| on an
+    * equi-key is Σ_k cnt_A(k)·cnt_B(k), computable from two per-key
+    * count aggregations joined on the key (each input read once, no row
+    * ever replicated). Alongside the total the relation reports the
+    * structural facts a planner acts on: per-side key cardinalities,
+    * matching-key count, and the largest single-key output (the skew
+    * number that decides salting BEFORE the job runs — one hot key
+    * producing 10^10 rows is invisible in the total until it kills a
+    * 100 TB run).
+    *
+    * Scale posture: both aggregations are map-side-partial groupBys; the
+    * histogram join carries (key, count) pairs only; the final aggregate
+    * is one row. Never materializes a joined row.
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String): DataFrame = {
+    val la = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cnt_a"))
+    val ra = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cnt_b"))
+    // data-derived constant join key (pmod(x,1)=0): a pure-literal key
+    // would constant-fold the 1-row attaches into BNLJ, which the
+    // engine-wide plan audit forbids (same device as the pmi/tf-idf
+    // total attaches)
+    val leftKeys = la.agg(count(lit(1)).as("n_keys_left"))
+      .withColumn("__one", pmod(col("n_keys_left"), lit(1L)))
+    val rightKeys = ra.agg(count(lit(1)).as("n_keys_right"))
+      .withColumn("__one", pmod(col("n_keys_right"), lit(1L)))
+    la.join(ra, "k")
+      .select((col("cnt_a") * col("cnt_b")).as("out_rows"))
+      .agg(coalesce(sum("out_rows"), lit(0L)).as("est_rows"),
+        count(lit(1)).as("n_common_keys"),
+        coalesce(max("out_rows"), lit(0L)).as("max_key_rows"))
+      .withColumn("__one", pmod(col("n_common_keys"), lit(1L)))
+      .join(broadcast(leftKeys), "__one")
+      .join(broadcast(rightKeys), "__one")
+      .select("est_rows", "n_common_keys", "n_keys_left", "n_keys_right",
+        "max_key_rows")
+  }
 }

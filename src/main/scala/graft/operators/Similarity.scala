@@ -241,6 +241,35 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for retrieval/embedding training: per query,
+    * the k nearest neighbors whose LABEL DIFFERS — the most-confusable
+    * wrong answers, which is exactly the contrastive-training batch a
+    * dual-encoder wants (random negatives are too easy to teach margin).
+    *
+    * Same exact-scoring contract as [[bruteForceTopK]] (bounded-broadcast
+    * kernel, `queryPred` selects a small query set); the label attach
+    * rides the kernel's existing <=[[MaxBroadcastVecs]] corpus bound, so
+    * broadcasting the 2-column label relation adds no new scale hazard.
+    * Ranking happens AFTER the label filter — a same-label neighbor
+    * never shadows a harder negative.
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column,
+                    k: Int): DataFrame = {
+    val q = graft.Tables.spread(embeddings).filter(queryPred)
+    val scored = kernelScores(q, embeddings, pairOriented = false)
+      .withColumnRenamed("left_id", "query_id")
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val labeled = scored
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))), "query_id")
+      .join(broadcast(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("c_label"))), "cand_id")
+      .filter(col("q_label") =!= col("c_label"))
+    topK(labeled, k)
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), col("score"), col("rank"))
+  }
+
   /** Bucketed ANN top-k: candidates share the query's sign bucket.
     *
     * Fully distributed: bucket ids are computed on BOTH sides as narrow

@@ -374,6 +374,15 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // Exact join-output cardinality WITHOUT executing the join
+    // (Profile.joinSizeEstimate scaladoc): per-key count histograms
+    // joined on the key — the "plan before you spend cluster-hours"
+    // estimator, with the max-single-key skew number that decides
+    // salting up front.
+    "join_size_estimate" -> ((s, dir) =>
+      Profile.joinSizeEstimate(li(s, dir), ord(s, dir),
+        "l_orderkey", "o_orderkey")),
+
     // PERMISSIVE CSV ingest with corrupt-record accounting — the ingest
     // face TSV/JSONL don't cover: a malformed row must neither kill the
     // job (FAILFAST) nor vanish (DROPMALFORMED); it lands in the corrupt
@@ -794,6 +803,20 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Join-size mirror: identical histogram product-sum.
+    "join_size_estimate" ->
+      """WITH la AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt_a
+        |            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |ra AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt_b
+        |       FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT cnt_a * cnt_b AS out_rows FROM la JOIN ra USING (k))
+        |SELECT CAST(COALESCE(sum(out_rows), 0) AS BIGINT) AS est_rows,
+        |       CAST(count(*) AS BIGINT) AS n_common_keys,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM la) AS n_keys_left,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ra) AS n_keys_right,
+        |       CAST(COALESCE(max(out_rows), 0) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin,
 
     // CSV mirror: the clean lanes aggregate the parquet; the corrupt lane
     // is exactly the 3 planted malformed rows with a NULL sum.

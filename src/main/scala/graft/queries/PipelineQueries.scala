@@ -554,6 +554,23 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
 
+    // Hard-negative mining (Similarity.hardNegatives scaladoc): per
+    // query, the 3 nearest neighbors with a DIFFERENT label — the
+    // contrastive-training batch; ranking after the label filter so a
+    // same-label neighbor never shadows a harder negative.
+    "ann_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(emb(s, dir), col("vec_id") < 10, 3)
+        .orderBy("query_id", "rank")),
+
+    // Per-lang integer-permille percentile normalization of doc length
+    // (Rank.percentileNorm scaladoc) — cross-source score calibration;
+    // the >=900 filter IS the per-group top-decile selection.
+    "quality_percentile_norm" -> ((s, dir) =>
+      Rank.percentileNorm(docs(s, dir).select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id")
+        .filter(col("pr_permille") >= 900)
+        .orderBy("lang", "doc_id")),
+
     // ANN quality gate: recall@3 of the sign-LSH index vs exact brute
     // force over the same query set — the measurement that decides
     // whether the cheap index is allowed to replace the exact scan.
@@ -1767,6 +1784,39 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
          |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Hard-negative mirror: identical scoring, label filter BEFORE rank.
+    "ann_hard_negatives" ->
+      s"""WITH $embCte,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |f AS (SELECT s.query_id, ql.label AS q_label, s.cand_id,
+         |        cl.label AS c_label, s.score
+         |      FROM s JOIN lab ql ON s.query_id = ql.vec_id
+         |             JOIN lab cl ON s.cand_id = cl.vec_id
+         |      WHERE ql.label <> cl.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, cand_id) AS rank FROM f)
+         |SELECT query_id, q_label, cand_id, c_label, score,
+         |       CAST(rank AS INTEGER) AS rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Percentile-norm mirror: identical integer rank arithmetic.
+    "quality_percentile_norm" ->
+      """WITH r AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |       CAST(CASE WHEN cnt = 1 THEN 0
+        |            ELSE (rn - 1) * 1000 // (cnt - 1) END AS BIGINT)
+        |         AS pr_permille
+        |FROM r WHERE (CASE WHEN cnt = 1 THEN 0
+        |              ELSE (rn - 1) * 1000 // (cnt - 1) END) >= 900
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH ${bitsCte(1000)},

@@ -120,6 +120,32 @@ class CorpusOpsSpec extends SparkSpec {
       r.getAs[Long]("dev") == 90L)
   }
 
+  test("joinSizeEstimate predicts the exact join cardinality and skew key") {
+    val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
+    val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
+    val r = graft.operators.Profile.joinSizeEstimate(left, right, "lk", "rk")
+      .collect().head
+    assert((r.getAs[Long]("est_rows"), r.getAs[Long]("n_common_keys"),
+      r.getAs[Long]("n_keys_left"), r.getAs[Long]("n_keys_right"),
+      r.getAs[Long]("max_key_rows")) == ((4L, 2L, 3L, 3L, 2L)))
+    // the estimate equals the executed join's count
+    assert(left.join(right, col("lk") === col("rk")).count() ==
+      r.getAs[Long]("est_rows"))
+  }
+
+  test("percentileNorm spans 0..1000 per group with integer rank steps") {
+    val df = (1 to 5).map(i => (i.toLong, "g", i * 10L))
+      .toDF("id", "grp", "score")
+    val pr = graft.operators.Rank.percentileNorm(df, "grp", "score", "id")
+      .orderBy("id").select("pr_permille").as[Long].collect().toSeq
+    assert(pr == Seq(0L, 250L, 500L, 750L, 1000L))
+    // 1-row group normalizes to 0, not a division by zero
+    val one = graft.operators.Rank.percentileNorm(
+      Seq((1L, "x", 5L)).toDF("id", "grp", "score"), "grp", "score", "id")
+      .select("pr_permille").as[Long].collect().toSeq
+    assert(one == Seq(0L))
+  }
+
   test("chunkDedupRewrite keeps first owner, rewrites later docs only") {
     // doc 1: ABC|DEF  doc 2: DEF|XYZ (shares span DEF with doc 1)
     // doc 3: unique single short span

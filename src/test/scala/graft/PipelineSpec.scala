@@ -211,6 +211,15 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._2) == Seq(1, 2, 3))
   }
 
+  test("hard negatives exclude same-label neighbors and rank after the filter") {
+    // query 0 (label 0): nearest overall is vec 1 (same label — excluded);
+    // hard negatives are vec 2 (cos 0) then vec 3 (cos -1)
+    val out = Similarity.hardNegatives(vecs, col("vec_id") === 0, 3)
+      .select("cand_id", "c_label", "rank").as[(Long, Int, Int)]
+      .collect().toSeq
+    assert(out == Seq((2L, 1, 1), (3L, 1, 2)))
+  }
+
   test("sign-LSH candidates stay within the query's bucket") {
     val more = vecs.unionByName(
       Seq((4L, Array(2f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
