@@ -374,6 +374,25 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // SymSpell edit-distance-1 recovery matching (Fuzzy scaladoc): a
+    // corrupted feed (one key-dependent character dropped from every
+    // name) is re-linked to the master by deletion-variant equi-join +
+    // candidate-bounded levenshtein verify — the fuzzy lane the repair
+    // path needs when the exact diff can only say delete+insert.
+    "fuzzy_repair_match" -> ((s, dir) => {
+      val master = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val corrupted = master.select(col("c_custkey").as("key"),
+        expr("concat(substring(c_name, 1, CAST(9 + pmod(c_custkey, 8) AS INT)), " +
+          "substring(c_name, CAST(11 + pmod(c_custkey, 8) AS INT), " +
+          "length(c_name)))").as("bad_name"))
+      Fuzzy.editDistance1Join(master, corrupted,
+        "c_custkey", "c_name", "key", "bad_name")
+        .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"),
+          col("distance"), (col("id_a") === col("id_b")).as("true_link"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact join-output cardinality WITHOUT executing the join
     // (Profile.joinSizeEstimate scaladoc): per-key count histograms
     // joined on the key — the "plan before you spend cluster-hours"
@@ -803,6 +822,35 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Fuzzy mirror: identical deletion neighborhoods and classic
+    // levenshtein (both engines implement the textbook distance).
+    "fuzzy_repair_match" ->
+      """WITH m AS (SELECT c_custkey AS id_a, c_name AS name_a FROM customer),
+        |corr AS (SELECT c_custkey AS id_b,
+        |    substring(c_name, 1, CAST(9 + (c_custkey % 8) AS INT)) ||
+        |    substring(c_name, CAST(11 + (c_custkey % 8) AS INT),
+        |              length(c_name)) AS name_b
+        |  FROM customer),
+        |av AS (SELECT id_a, name_a, v.x AS variant FROM m,
+        |  UNNEST(list_distinct(list_transform(range(0, length(name_a) + 1),
+        |    i -> CASE WHEN i = 0 THEN name_a
+        |         ELSE substring(name_a, 1, CAST(i - 1 AS INT)) ||
+        |              substring(name_a, CAST(i + 1 AS INT), length(name_a))
+        |         END))) AS v(x)),
+        |bv AS (SELECT id_b, name_b, v.x AS variant FROM corr,
+        |  UNNEST(list_distinct(list_transform(range(0, length(name_b) + 1),
+        |    i -> CASE WHEN i = 0 THEN name_b
+        |         ELSE substring(name_b, 1, CAST(i - 1 AS INT)) ||
+        |              substring(name_b, CAST(i + 1 AS INT), length(name_b))
+        |         END))) AS v(x)),
+        |cand AS (SELECT DISTINCT id_a, name_a, id_b, name_b
+        |         FROM av JOIN bv USING (variant))
+        |SELECT id_a, name_a, id_b, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance,
+        |       (id_a = id_b) AS true_link
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Join-size mirror: identical histogram product-sum.
     "join_size_estimate" ->

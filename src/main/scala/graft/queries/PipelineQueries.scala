@@ -562,6 +562,12 @@ object PipelineQueries {
       Similarity.hardNegatives(emb(s, dir), col("vec_id") < 10, 3)
         .orderBy("query_id", "rank")),
 
+    // Order-preserving dense surrogate ids WITHOUT a global window
+    // (Ids.denseIds scaladoc): range-bucket ranks + bucket-summary
+    // prefix offsets, bit-identical to the single-partition row_number.
+    "dense_ids" -> ((s, dir) =>
+      Ids.denseIds(docs(s, dir), "doc_id", 100L).orderBy("doc_id")),
+
     // Per-lang integer-permille percentile normalization of doc length
     // (Rank.percentileNorm scaladoc) — cross-source score calibration;
     // the >=900 filter IS the per-group top-decile selection.
@@ -1802,6 +1808,13 @@ object PipelineQueries {
          |SELECT query_id, q_label, cand_id, c_label, score,
          |       CAST(rank AS INTEGER) AS rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Dense-id mirror: the GLOBAL row_number the two-phase form must
+    // reproduce bit for bit.
+    "dense_ids" ->
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS dense_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Percentile-norm mirror: identical integer rank arithmetic.
     "quality_percentile_norm" ->

@@ -120,6 +120,28 @@ class CorpusOpsSpec extends SparkSpec {
       r.getAs[Long]("dev") == 90L)
   }
 
+  test("symspell join finds every levenshtein-1 pair kind, nothing past 1") {
+    val a = Seq((1L, "abcd"), (2L, "wxyz")).toDF("ida", "na")
+    // equal / substitution / deletion / insertion / distance-2
+    val b = Seq((10L, "abcd"), (11L, "abed"), (12L, "abd"),
+      (13L, "abcde"), (14L, "abef")).toDF("idb", "nb")
+    val out = graft.operators.Fuzzy
+      .editDistance1Join(a, b, "ida", "na", "idb", "nb")
+      .select("id_a", "id_b", "distance").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(out == Set((1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 1),
+      (1L, 13L, 1)))
+  }
+
+  test("denseIds equals the global row_number over gappy keys") {
+    val keys = Seq(5L, 7L, 103L, 250L, 251L, 999L, 1000L, 5000L)
+    val df = keys.toDF("k0")
+    val out = graft.operators.Ids.denseIds(df, "k0", 100L)
+      .orderBy("k0").select("k0", "dense_id").as[(Long, Long)]
+      .collect().toSeq
+    assert(out == keys.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) })
+  }
+
   test("joinSizeEstimate predicts the exact join cardinality and skew key") {
     val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
     val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
