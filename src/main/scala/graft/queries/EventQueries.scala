@@ -99,6 +99,38 @@ object EventQueries {
     "events_scd2" -> ((s, dir) =>
       Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
 
+    // Zero-filled hourly time spine — the completeness audit a monitoring
+    // pipeline runs before trusting any rate metric: a missing HOUR is
+    // invisible to every groupBy (absent groups produce no row), so the
+    // spine is generated from the observed bounds (1-row aggregate → a
+    // sequence projection, no join) and the per-hour counts LEFT-join
+    // onto it; `is_gap` marks silent outage windows.
+    "events_gap_fill" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("hr_ms", Canonical.epochMs(date_trunc("hour", col("ts"))))
+      val bounds = e.agg(min("hr_ms").as("h0"), max("hr_ms").as("h1"))
+      val spine = bounds.select(
+        explode(expr("sequence(h0, h1, 3600000L)")).as("hr_ms"))
+      val counts = e.groupBy("hr_ms").agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("hr_ms"), "left")
+        .select(col("hr_ms"), coalesce(col("n"), lit(0L)).as("cnt"),
+          (coalesce(col("n"), lit(0L)) === 0L).as("is_gap"))
+        .orderBy("hr_ms")
+    }),
+
+    // Equi-width value histogram in exact cents (the money-canonical
+    // round(x*100) lane): 50.00-wide bins with per-bin count/min/max/sum
+    // — the distribution shape equi-depth deciles can't show (empty and
+    // sparse regions disappear under equi-depth).
+    "events_value_histogram" -> ((s, dir) =>
+      ev(s, dir)
+        .select(round(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("bin", expr("cents div 5000L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"), sum("cents").as("sum_cents"))
+        .orderBy("bin")),
+
     // Behavioral co-occurrence: Jaccard (integer micro-units) between the
     // user sets of every event-type pair — the audience-overlap diagnostic
     // behind mixture/dedup decisions. The self-join keys on user_id (the
@@ -408,6 +440,33 @@ object EventQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Spine mirror: DuckDB range(h0, h1+step, step) == Spark's inclusive
+    // sequence(h0, h1, step) for aligned bounds.
+    "events_gap_fill" ->
+      """WITH b AS (SELECT epoch_ms(date_trunc('hour', min(ts))) AS h0,
+        |             epoch_ms(date_trunc('hour', max(ts))) AS h1
+        |           FROM events),
+        |spine AS (SELECT CAST(u.h AS BIGINT) AS hr_ms
+        |          FROM b, UNNEST(range(h0, h1 + 3600000, 3600000)) AS u(h)),
+        |c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS hr_ms,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY 1)
+        |SELECT spine.hr_ms, COALESCE(c.cnt, 0) AS cnt,
+        |       (COALESCE(c.cnt, 0) = 0) AS is_gap
+        |FROM spine LEFT JOIN c USING (hr_ms)
+        |ORDER BY hr_ms""".stripMargin,
+
+    // Histogram mirror: identical cents rounding and floor division.
+    "events_value_histogram" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT CAST(cents // 5000 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(cents) AS BIGINT) AS min_cents,
+        |       CAST(max(cents) AS BIGINT) AS max_cents,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_range_join" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
         |  CAST(SUM(CASE WHEN c.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
