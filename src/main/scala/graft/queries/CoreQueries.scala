@@ -5,7 +5,7 @@ import graft.functions.Canonical
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Core comparison-engine queries (SURVEY.md §2.1-2.9) with DuckDB oracles.
   *
@@ -372,6 +372,31 @@ object CoreQueries {
           col("l_orderkey") === col("o_orderkey"))
       Graph.hitsAuthorities(edges, "o_custkey", "l_suppkey",
         rounds = 2, k = 10)
+    }),
+
+    // Market-basket co-occurrence: top part PAIRS by order-level support.
+    // The item-side twin of events_type_affinity's user-side Jaccard —
+    // here the key space is parts x parts (scale-interesting), but the
+    // pair explode is bounded per order by the order's line count, the
+    // self-join keys on l_orderkey, and the census shuffles (part_a,
+    // part_b) pairs only. Top-k is TakeOrdered, never a global sort.
+    "market_basket" -> ((s, dir) => {
+      val lp = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"),
+          col("y.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(50)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("support").desc, col("part_a"), col("part_b"))))
+        .select(col("rank").cast(IntegerType).as("rank"),
+          col("part_a"), col("part_b"), col("support"))
+        .orderBy("rank")
     }),
 
     // SymSpell edit-distance-1 recovery matching (Fuzzy scaladoc): a
@@ -822,6 +847,19 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Basket mirror: identical distinct-pair census and TakeOrdered rank.
+    "market_basket" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |        CAST(count(*) AS BIGINT) AS support
+        |      FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey
+        |      GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY support DESC, part_a, part_b) AS rank FROM p)
+        |SELECT CAST(rank AS INTEGER) AS rank, part_a, part_b, support
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // Fuzzy mirror: identical deletion neighborhoods and classic
     // levenshtein (both engines implement the textbook distance).

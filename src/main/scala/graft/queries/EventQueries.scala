@@ -99,6 +99,32 @@ object EventQueries {
     "events_scd2" -> ((s, dir) =>
       Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
 
+    // Direct-follows graph (process mining): the OBSERVED event-type
+    // transition structure per user stream — counts and integer-permille
+    // transition probabilities for each (from, to) edge, plus the median-
+    // free mean gap in exact ms. The funnel assumes an order; this
+    // DISCOVERS it. One lead() window per user partition; edge aggregation
+    // is map-side partial; the per-source totals broadcast back.
+    "events_dfg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val e = ev(s, dir)
+        .withColumn("ts_ms", Canonical.epochMs(col("ts")))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .withColumn("next_ms", lead("ts_ms", 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val edges = e.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("transitions"),
+          sum(col("next_ms") - col("ts_ms")).as("gap_ms_total"))
+      val outTotals = edges.groupBy("from_type")
+        .agg(sum("transitions").as("from_total"))
+      edges.join(broadcast(outTotals), "from_type")
+        .select(col("from_type"), col("to_type"), col("transitions"),
+          expr("transitions * 1000 div from_total").as("permille"),
+          expr("gap_ms_total div transitions").as("mean_gap_ms"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Zero-filled hourly time spine — the completeness audit a monitoring
     // pipeline runs before trusting any rate metric: a missing HOUR is
     // invisible to every groupBy (absent groups produce no row), so the
@@ -440,6 +466,28 @@ object EventQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // DFG mirror: identical lead() windows (ts, event_id total order)
+    // and integer permille/mean divisions.
+    "events_dfg" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(epoch_ms(ts)) OVER w AS next_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ed AS (SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS transitions,
+        |         CAST(sum(next_ms - ts_ms) AS BIGINT) AS gap_total
+        |       FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(transitions) AS BIGINT)
+        |        AS from_total FROM ed GROUP BY 1)
+        |SELECT ed.from_type, ed.to_type, ed.transitions,
+        |       CAST(ed.transitions * 1000 // t.from_total AS BIGINT)
+        |         AS permille,
+        |       CAST(ed.gap_total // ed.transitions AS BIGINT)
+        |         AS mean_gap_ms
+        |FROM ed JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // Spine mirror: DuckDB range(h0, h1+step, step) == Spark's inclusive
     // sequence(h0, h1, step) for aligned bounds.
     "events_gap_fill" ->
