@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Canonical
-import graft.operators.{AsOf, Discover, Scd2, Sketches}
+import graft.operators.{AsOf, Discover, Drift, Scd2, Sketches}
 import graft.streaming.StreamingDiff
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -98,6 +98,19 @@ object EventQueries {
     // lead(valid_to) stitch.
     "events_scd2" -> ((s, dir) =>
       Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
+
+    // Distribution drift (Drift scaladoc): two-sample KS permille + χ²
+    // micro between upstream values and the standard deterministic
+    // perturbation — catches the systematic shift a row-count compare
+    // can't see. Same downstream derivation as events_windowed_diff.
+    "events_value_drift" -> ((s, dir) => {
+      val up = ev(s, dir)
+      val down = up.filter(col("event_id") % 97 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 101 === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      Drift.twoSampleDrift(up, down, 5000L)
+    }),
 
     // Direct-follows graph (process mining): the OBSERVED event-type
     // transition structure per user stream — counts and integer-permille
@@ -466,6 +479,43 @@ object EventQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Drift mirror: BIGINT lane (fixture-safe; Spark runs the DECIMAL
+    // lane for 100 TB — the pmi precedent), identical per-bin floor
+    // divisions before max/sum.
+    "events_value_drift" ->
+      """WITH u AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |d0 AS (SELECT CASE WHEN event_id % 101 = 0 THEN value + 1.0
+        |              ELSE value END AS value
+        |       FROM events WHERE event_id % 97 <> 0),
+        |d AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM d0),
+        |ub AS (SELECT cents // 5000 AS bin, CAST(count(*) AS BIGINT) AS n_up
+        |       FROM u GROUP BY 1),
+        |db AS (SELECT cents // 5000 AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_down
+        |       FROM d GROUP BY 1),
+        |j AS (SELECT COALESCE(ub.bin, db.bin) AS bin,
+        |        COALESCE(n_up, 0) AS n_up, COALESCE(n_down, 0) AS n_down
+        |      FROM ub FULL JOIN db ON ub.bin = db.bin),
+        |c AS (SELECT *,
+        |        sum(n_up) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |          AS cum_up,
+        |        sum(n_down) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |          AS cum_down
+        |      FROM j),
+        |t AS (SELECT CAST(sum(n_up) AS BIGINT) AS t_up,
+        |        CAST(sum(n_down) AS BIGINT) AS t_down FROM j)
+        |SELECT t.t_up AS n_up, t.t_down AS n_down,
+        |       CAST(count(*) AS BIGINT) AS n_bins,
+        |       CAST(max(abs(cum_up * t_down - cum_down * t_up) * 1000
+        |                // (t_up * t_down)) AS BIGINT) AS ks_permille,
+        |       CAST(sum(CASE WHEN c.n_up > 0 THEN
+        |             ((c.n_down * t_up - c.n_up * t_down) *
+        |              (c.n_down * t_up - c.n_up * t_down) * 1000000)
+        |             // (c.n_up * t_down * t_up)
+        |           ELSE 0 END) AS BIGINT) AS chi2_micro
+        |FROM c, t GROUP BY t.t_up, t.t_down""".stripMargin,
+
     // DFG mirror: identical lead() windows (ts, event_id total order)
     // and integer permille/mean divisions.
     "events_dfg" ->

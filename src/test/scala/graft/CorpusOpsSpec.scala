@@ -120,6 +120,21 @@ class CorpusOpsSpec extends SparkSpec {
       r.getAs[Long]("dev") == 90L)
   }
 
+  test("drift stats are zero on identical sides, positive under a shift") {
+    val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("event_id", "value")
+    val same = graft.operators.Drift.twoSampleDrift(base, base, 1000L)
+      .collect().head
+    assert(same.getAs[Long]("ks_permille") == 0L &&
+      same.getAs[Long]("chi2_micro") == 0L)
+    // shift every value up by 20.00 — one full bin width
+    val shifted = base.withColumn("value", col("value") + 20.0)
+    val drift = graft.operators.Drift.twoSampleDrift(base, shifted, 2000L)
+      .collect().head
+    assert(drift.getAs[Long]("ks_permille") > 0L &&
+      drift.getAs[Long]("chi2_micro") > 0L)
+  }
+
   test("symspell join finds every levenshtein-1 pair kind, nothing past 1") {
     val a = Seq((1L, "abcd"), (2L, "wxyz")).toDF("ida", "na")
     // equal / substitution / deletion / insertion / distance-2
