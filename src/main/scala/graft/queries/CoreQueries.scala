@@ -480,6 +480,25 @@ object CoreQueries {
       Graph.pagerankTopK(edges, "src", "dst", rounds = 2, k = 10)
     }),
 
+    // Bounded-hop BFS over the symmetrized customer<->supplier graph
+    // (Graph.bfsFrontiers scaladoc): blast radius of the nation-0
+    // customer cohort — per hop, newly reached nodes and cumulative
+    // total. Frontier joins carry node ids only; visited-set exclusion
+    // is an anti-join.
+    "graph_bfs_hops" -> ((s, dir) => {
+      val base = li(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(ord(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.bfsFrontiers(edges, "src", "dst", seeds, "node", hops = 3)
+    }),
+
     // Bloom-filter runtime pruning (BloomPrune scaladoc): the probe side
     // (lineitem) is pre-filtered through a 128Kbit/3-hash Bloom filter of
     // the selective build side's keys BEFORE the shuffle join. The oracle
@@ -847,6 +866,44 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // BFS mirror: identical unrolled frontier/visited set algebra.
+    "graph_bfs_hops" ->
+      """WITH b AS (SELECT CAST(o_custkey * 2 AS BIGINT) AS a,
+        |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS bn
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |        SELECT a AS src, bn AS dst FROM b
+        |        UNION ALL SELECT bn, a FROM b)),
+        |f0 AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS node
+        |       FROM customer WHERE c_nationkey = 0),
+        |v0 AS (SELECT node FROM f0),
+        |f1 AS (SELECT node FROM (SELECT DISTINCT e.dst AS node
+        |         FROM e JOIN f0 ON e.src = f0.node)
+        |       WHERE node NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT node FROM v0 UNION SELECT node FROM f1),
+        |f2 AS (SELECT node FROM (SELECT DISTINCT e.dst AS node
+        |         FROM e JOIN f1 ON e.src = f1.node)
+        |       WHERE node NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node FROM v1 UNION SELECT node FROM f2),
+        |f3 AS (SELECT node FROM (SELECT DISTINCT e.dst AS node
+        |         FROM e JOIN f2 ON e.src = f2.node)
+        |       WHERE node NOT IN (SELECT node FROM v2)),
+        |v3 AS (SELECT node FROM v2 UNION SELECT node FROM f3)
+        |SELECT CAST(0 AS INTEGER) AS hop,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f0) AS frontier_size,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v0) AS reached_total
+        |UNION ALL SELECT CAST(1 AS INTEGER),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f1),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v1)
+        |UNION ALL SELECT CAST(2 AS INTEGER),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f2),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v2)
+        |UNION ALL SELECT CAST(3 AS INTEGER),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f3),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v3)
+        |ORDER BY hop""".stripMargin,
 
     // Basket mirror: identical distinct-pair census and TakeOrdered rank.
     "market_basket" ->

@@ -46,6 +46,20 @@ class GraphSpec extends SparkSpec {
     assert(total <= 200L * 1000000L)
   }
 
+  test("bfs frontiers expand by hop and never recount visited nodes") {
+    // path graph 1-2-3-4 (bidirectional), seed {1}:
+    //   hop0 {1}, hop1 {2}, hop2 {3}, hop3 {4}
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfsFrontiers(edges, "src", "dst", seeds, "node", 3)
+      .collect().map(r => (r.getAs[Int]("hop"),
+        r.getAs[Long]("frontier_size"), r.getAs[Long]("reached_total")))
+      .toSeq
+    assert(out == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 1L, 3L), (3, 1L, 4L)))
+  }
+
   test("hits overflow guard fails loudly past the strength cap") {
     // rounds=4 caps node strength at ~17; one hub of strength 40 trips
     // the assert_true guard instead of wrapping silently.
