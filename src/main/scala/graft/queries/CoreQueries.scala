@@ -374,6 +374,18 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // 2-D Pareto skyline (Skyline scaladoc): orders no other order beats
+    // on BOTH recency and value — per-date summary + suffix-max window
+    // over the summary, no O(n^2) self-join.
+    "orders_skyline" -> ((s, dir) => {
+      val o = ord(s, dir).select(col("o_orderkey"),
+        Canonical.epochMs(col("o_orderdate")).as("date_ms"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      Skyline.pareto2D(o, "date_ms", "price_cents")
+        .select("o_orderkey", "date_ms", "price_cents")
+        .orderBy("o_orderkey")
+    }),
+
     // Market-basket co-occurrence: top part PAIRS by order-level support.
     // The item-side twin of events_type_affinity's user-side Jaccard —
     // here the key space is parts x parts (scale-interesting), but the
@@ -866,6 +878,23 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Skyline mirror: identical per-date max + suffix-max decomposition.
+    "orders_skyline" ->
+      """WITH o AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS date_ms,
+        |             CAST(round(o_totalprice * 100) AS BIGINT)
+        |               AS price_cents
+        |           FROM orders),
+        |px AS (SELECT date_ms, max(price_cents) AS gmax FROM o GROUP BY 1),
+        |s AS (SELECT date_ms, gmax,
+        |        COALESCE(max(gmax) OVER (ORDER BY date_ms DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          -9223372036854775808) AS smax
+        |      FROM px)
+        |SELECT o.o_orderkey, o.date_ms, o.price_cents
+        |FROM o JOIN s USING (date_ms)
+        |WHERE o.price_cents = s.gmax AND o.price_cents > s.smax
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // BFS mirror: identical unrolled frontier/visited set algebra.
     "graph_bfs_hops" ->

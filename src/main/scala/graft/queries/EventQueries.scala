@@ -99,6 +99,26 @@ object EventQueries {
     "events_scd2" -> ((s, dir) =>
       Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
 
+    // Incremental view maintenance: the standing aggregate is NOT
+    // rescanned when a delta arrives — the base partial (96/97ths of the
+    // stream) and the delta partial (the rest) merge by sum, and the
+    // oracle is the FULL recompute, so equality proves the algebraic
+    // merge is lossless. This is the maintenance shape that makes a
+    // 100 TB rollup affordable: per-ingest cost follows the delta, not
+    // the table.
+    "events_incremental_agg" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      def part(pred: org.apache.spark.sql.Column) = e.filter(pred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("cents_sum"))
+      part(col("event_id") % 97 =!= 0)
+        .unionByName(part(col("event_id") % 97 === 0))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("cnt"), sum("cents_sum").as("cents_sum"))
+        .orderBy("event_type")
+    }),
+
     // Distribution drift (Drift scaladoc): two-sample KS permille + χ²
     // micro between upstream values and the standard deterministic
     // perturbation — catches the systematic shift a row-count compare
@@ -479,6 +499,15 @@ object EventQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Incremental-agg mirror: the FULL recompute the partial merge must
+    // equal exactly.
+    "events_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents_sum
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // Drift mirror: BIGINT lane (fixture-safe; Spark runs the DECIMAL
     // lane for 100 TB — the pmi precedent), identical per-bin floor
     // divisions before max/sum.

@@ -120,6 +120,26 @@ class CorpusOpsSpec extends SparkSpec {
       r.getAs[Long]("dev") == 90L)
   }
 
+  test("pareto2D keeps exactly the non-dominated set, ties included") {
+    // (x, y): (1,5) on-frontier; (1,3) dominated same-x; (2,5) dominates
+    // (1,5)? no — x greater, y equal → (1,5) IS dominated by (2,5).
+    // (3,4) frontier; (3,4) duplicate kept; (4,1) frontier (max x).
+    val df = Seq((10L, 1L, 5L), (11L, 1L, 3L), (12L, 2L, 5L),
+      (13L, 3L, 4L), (14L, 3L, 4L), (15L, 4L, 1L))
+      .toDF("id", "x", "y")
+    val out = graft.operators.Skyline.pareto2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(12L, 13L, 14L, 15L))
+    // brute-force cross-check: no kept row is dominated, every dropped
+    // row is
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = rows.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    rows.foreach { p =>
+      assert(out.contains(p._1) == !dominated(p), s"row $p")
+    }
+  }
+
   test("drift stats are zero on identical sides, positive under a shift") {
     val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble))
       .toDF("event_id", "value")
