@@ -99,6 +99,29 @@ object EventQueries {
     "events_scd2" -> ((s, dir) =>
       Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
 
+    // Per-user behavioral diversity as GINI IMPURITY in exact micro
+    // units — the log-free entropy stand-in (1 − Σp² needs only integer
+    // squares over a common denominator, where Shannon entropy's log is
+    // library-dependent): gini_micro = (n² − Σc²)·1e6 div n². Squares
+    // run in DECIMAL(38,0) (counts past ~3e9 wrap int64 silently — the
+    // pmi precedent). Top-20 most-diverse users, TakeOrdered.
+    "events_user_gini" -> ((s, dir) => {
+      val perType = ev(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val g = perType.groupBy("user_id")
+        .agg(sum("c").as("n"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sq"))
+        .withColumn("gini_micro", expr(
+          "CAST(((CAST(n AS DECIMAL(38,0)) * n - sq) * 1000000) " +
+            "div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+        .select(col("user_id"), col("n").as("n_events"), col("gini_micro"))
+      g.orderBy(col("gini_micro").desc, col("user_id")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("gini_micro").desc,
+            col("user_id"))).cast(IntegerType))
+        .orderBy("rank")
+    }),
+
     // Incremental view maintenance: the standing aggregate is NOT
     // rescanned when a delta arrives — the base partial (96/97ths of the
     // stream) and the delta partial (the rest) merge by sum, and the
@@ -499,6 +522,24 @@ object EventQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Gini mirror: BIGINT lane (fixture-safe; Spark runs DECIMAL for
+    // the 100 TB counts), identical floor division and rank order.
+    "events_user_gini" ->
+      """WITH pt AS (SELECT user_id, event_type,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |        CAST(sum(c * c) AS BIGINT) AS sq
+        |      FROM pt GROUP BY 1),
+        |sc AS (SELECT user_id, n_events,
+        |         CAST(((n_events * n_events - sq) * 1000000)
+        |              // (n_events * n_events) AS BIGINT) AS gini_micro
+        |       FROM g),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY gini_micro DESC, user_id) AS rank FROM sc)
+        |SELECT user_id, n_events, gini_micro, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     // Incremental-agg mirror: the FULL recompute the partial merge must
     // equal exactly.
     "events_incremental_agg" ->
