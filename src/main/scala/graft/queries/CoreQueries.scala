@@ -374,6 +374,33 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // Exact per-group simple OLS regression — slope/intercept of
+    // extendedprice-cents on quantity, in micro units with NO float
+    // anywhere: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluated as ONE
+    // floor division of two DECIMAL(38,0) cross-products (the pmi
+    // precedent; int64 wraps silently at ~1e12-row groups), intercept
+    // from the already-floored slope so both engines share the exact
+    // same rounding path. One aggregation pass per group — the sums are
+    // classic map-side partials; nothing corpus-global.
+    "price_regression" -> ((s, dir) => {
+      val base = li(s, dir).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .withColumn("slope_micro", expr(
+          "CAST(((n * sxy - sx * sy) * 1000000) div " +
+            "(n * sxx - sx * sx) AS BIGINT)"))
+        .withColumn("intercept_micro", expr(
+          "CAST((sy * 1000000 - slope_micro * sx) div n AS BIGINT)"))
+        .select("l_returnflag", "n", "slope_micro", "intercept_micro")
+        .orderBy("l_returnflag")
+    }),
+
     // 2-D Pareto skyline (Skyline scaladoc): orders no other order beats
     // on BOTH recency and value — per-date summary + suffix-max window
     // over the summary, no O(n^2) self-join.
@@ -878,6 +905,37 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Regression mirror: HUGEINT lane (DuckDB int128 spans the same
+    // range as Spark's DECIMAL(38,0)). Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors — they differ on NEGATIVE
+    // numerators (a downhill slope, a below-zero intercept), so the
+    // mirror divides magnitudes and re-applies the sign explicitly.
+    "price_regression" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |      FROM b GROUP BY 1),
+        |s AS (SELECT *,
+        |        CAST(CASE WHEN (n * sxy - sx * sy) >= 0
+        |          THEN ((n * sxy - sx * sy) * 1000000)
+        |               // (n * sxx - sx * sx)
+        |          ELSE -(((sx * sy - n * sxy) * 1000000)
+        |               // (n * sxx - sx * sx)) END AS BIGINT) AS slope_micro
+        |      FROM a)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope_micro,
+        |       CAST(CASE WHEN (sy * 1000000 -
+        |                       CAST(slope_micro AS HUGEINT) * sx) >= 0
+        |         THEN (sy * 1000000 - CAST(slope_micro AS HUGEINT) * sx)
+        |              // n
+        |         ELSE -((CAST(slope_micro AS HUGEINT) * sx - sy * 1000000)
+        |              // n) END AS BIGINT) AS intercept_micro
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     // Skyline mirror: identical per-date max + suffix-max decomposition.
     "orders_skyline" ->
