@@ -601,6 +601,32 @@ object PipelineQueries {
       Similarity.signLshTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    // Reciprocal-rank fusion of the two ANN indexes — the standard
+    // hybrid-retrieval combiner (rank-based, so incomparable score
+    // scales fuse cleanly): rrf_micro = Σ over runs of 1e6 div
+    // (60 + rank). Integer per-term flooring makes the fused score
+    // engine-exact; candidates surfaced by BOTH indexes outrank
+    // single-run candidates of equal rank — exactly the agreement
+    // bonus RRF exists to award. Re-rank is per-query, TakeOrdered
+    // semantics on bounded candidate lists.
+    "ann_rank_fusion" -> ((s, dir) => {
+      val runs =
+        Similarity.signLshTopK(emb(s, dir), col("vec_id") < 50, 3)
+          .select(col("query_id"), col("cand_id"), col("rank"))
+          .unionByName(
+            Similarity.ivfTopK(emb(s, dir), col("vec_id") < 50, 3)
+              .select(col("query_id"), col("cand_id"), col("rank")))
+      runs
+        .withColumn("term", expr("1000000L div (60L + rank)"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum("term").as("rrf_micro"), count(lit(1)).as("n_runs"))
+        .withColumn("fused_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("rrf_micro").desc, col("cand_id"))))
+        .filter(col("fused_rank") <= 3)
+        .orderBy("query_id", "fused_rank")
+    }),
+
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
@@ -814,6 +840,49 @@ object PipelineQueries {
        |       ELSE 'fr' END AS lang_guess,
        |  greatest(h_de, h_en, h_es, h_fr) AS hits
        |FROM h""".stripMargin
+
+  /** Full ANN index pipelines as standalone SELECTs — used verbatim for
+    * their own ledger entries AND composed as subqueries by the RRF
+    * fusion oracle (one source of truth per index). */
+  private lazy val annLshOracle: String =
+    s"""WITH ${bitsCte(1000)},
+       |eb AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |  $bucketSql AS bucket FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+       |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 50),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
+       |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val annIvfOracle: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |sim AS (
+       |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
+       |  FROM e, cent),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sim) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sim WHERE vec_id < 50) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id, round($cosSql, 6) AS score
+       |  FROM probe p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e c ON c.vec_id = a.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM scored)
+       |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_containment" ->
@@ -1831,45 +1900,29 @@ object PipelineQueries {
         |              ELSE (rn - 1) * 1000 // (cnt - 1) END) >= 900
         |ORDER BY lang, doc_id""".stripMargin,
 
-    "ann_lsh" ->
-      s"""WITH ${bitsCte(1000)},
-         |eb AS (SELECT vec_id, embedding,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |  $bucketSql AS bucket FROM embeddings),
-         |s AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
-         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 50),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
-         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh" -> annLshOracle,
 
-    "ann_ivf" ->
-      s"""WITH $embCte,
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |sim AS (
-         |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
-         |  FROM e, cent),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sim) WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sim WHERE vec_id < 50) WHERE rn <= 2),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS cand_id, round($cosSql, 6) AS score
-         |  FROM probe p
-         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
-         |  JOIN e q ON q.vec_id = p.query_id
-         |  JOIN e c ON c.vec_id = a.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM scored)
-         |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> annIvfOracle,
+
+    // RRF mirror: both full index pipelines as subqueries, identical
+    // per-term integer flooring.
+    "ann_rank_fusion" ->
+      s"""WITH runs AS (
+         |  SELECT query_id, cand_id, rank FROM ($annLshOracle)
+         |  UNION ALL
+         |  SELECT query_id, cand_id, rank FROM ($annIvfOracle)),
+         |fused AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_runs
+         |  FROM runs GROUP BY 1, 2),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, cand_id) AS fused_rank
+         |       FROM fused)
+         |SELECT query_id, cand_id, rrf_micro, n_runs,
+         |       CAST(fused_rank AS INTEGER) AS fused_rank
+         |FROM rr WHERE fused_rank <= 3
+         |ORDER BY query_id, fused_rank""".stripMargin,
 
     "ann_ivf_kmeans" ->
       s"""WITH $embCte,
