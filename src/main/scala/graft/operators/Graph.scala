@@ -100,6 +100,13 @@ object Graph {
     * travels. Hops are bounded by the argument (diameter-bounded graphs
     * converge earlier; an empty frontier short-circuits nothing but
     * costs only key-relation work). Counts aggregate per hop to one row.
+    *
+    * Each hop's frontier/visited set is `localCheckpoint`ed (eager,
+    * executor-storage): a lazily chained h-hop DAG re-derives the whole
+    * prefix inside every hop — O(h²) recomputation of the edge join —
+    * which is exactly why every iterative graph engine (Pregel included)
+    * materializes per round. The checkpoint truncates lineage so hop h
+    * costs one join, not h of them.
     */
   def bfsFrontiers(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
@@ -110,8 +117,10 @@ object Graph {
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .distinct()
+      .localCheckpoint()
     var frontier = seeds.select(col(seedCol).cast(LongType).as("node"))
       .distinct()
+      .localCheckpoint()
     var visited = frontier
     var out = frontier
       .agg(count(lit(1)).as("frontier_size"))
@@ -121,7 +130,8 @@ object Graph {
       frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .except(visited)
-      visited = visited.unionByName(frontier)
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
       val row = frontier.agg(count(lit(1)).as("frontier_size"))
         .withColumn("__one", pmod(col("frontier_size"), lit(1L)))
         .join(visited.agg(count(lit(1)).as("reached_total"))

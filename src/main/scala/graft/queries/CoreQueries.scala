@@ -374,6 +374,66 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // Percent-of-parent: each nation's revenue share of its region in
+    // integer permille — the two-level rollup + broadcast-back shape
+    // every BI drilldown uses. The orders⋈customer join is the only
+    // large exchange; nation/region dims and the region totals (both
+    // bounded) broadcast.
+    "share_of_region" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val perNation = ord(s, dir)
+        .join(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(sum(cents).as("nation_cents"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      val perRegion = perNation.groupBy("r_name")
+        .agg(sum("nation_cents").as("region_cents"))
+      perNation.join(broadcast(perRegion), "r_name")
+        .select(col("r_name"), col("n_name"), col("nation_cents"),
+          col("region_cents"),
+          expr("nation_cents * 1000 div region_cents").as("share_permille"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ABC (Pareto-class) inventory analysis per nation: suppliers sorted
+    // by account balance, cumulative share in integer permille, classed
+    // A (first 70%), B (to 90%), C (tail). One window PER NATION — the
+    // partitioned prefix-sum shape; totals broadcast back.
+    "supplier_abc" -> ((s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+        // classic ABC ranks non-negative value only: a negative balance
+        // in the running share would let the cumulative permille fall
+        // back across class boundaries (late rows re-entering "A")
+        .filter(col("bal_cents") >= 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey")
+        .orderBy(col("bal_cents").desc, col("s_suppkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = sup.groupBy("s_nationkey")
+        .agg(sum("bal_cents").as("nation_cents"))
+      sup.withColumn("cum_cents", sum("bal_cents").over(w))
+        .join(broadcast(tot), "s_nationkey")
+        .withColumn("cum_permille",
+          expr("cum_cents * 1000 div nation_cents"))
+        .withColumn("abc_class",
+          when(col("cum_permille") <= 700, lit("A"))
+            .when(col("cum_permille") <= 900, lit("B"))
+            .otherwise(lit("C")))
+        .select("s_nationkey", "s_suppkey", "bal_cents", "cum_permille",
+          "abc_class")
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
     // Exact per-group simple OLS regression — slope/intercept of
     // extendedprice-cents on quantity, in micro units with NO float
     // anywhere: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluated as ONE
@@ -905,6 +965,47 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Share mirror: identical two-level aggregation and permille.
+    "share_of_region" ->
+      """WITH pn AS (SELECT c_nationkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS nation_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |nn AS (SELECT pn.c_nationkey, n_name, r_name, nation_cents
+        |       FROM pn JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey),
+        |pr AS (SELECT r_name, CAST(sum(nation_cents) AS BIGINT)
+        |         AS region_cents FROM nn GROUP BY 1)
+        |SELECT nn.r_name, nn.n_name, nn.nation_cents, pr.region_cents,
+        |       CAST(nn.nation_cents * 1000 // pr.region_cents AS BIGINT)
+        |         AS share_permille
+        |FROM nn JOIN pr USING (r_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // ABC mirror: identical per-nation running share and class bounds.
+    "supplier_abc" ->
+      """WITH s AS (SELECT s_suppkey, s_nationkey,
+        |             CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |           FROM supplier
+        |           WHERE CAST(round(s_acctbal * 100) AS BIGINT) >= 0),
+        |c AS (SELECT *, CAST(SUM(bal_cents) OVER (PARTITION BY s_nationkey
+        |          ORDER BY bal_cents DESC, s_suppkey
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |      FROM s),
+        |t AS (SELECT s_nationkey, CAST(sum(bal_cents) AS BIGINT)
+        |        AS nation_cents FROM s GROUP BY 1)
+        |SELECT c.s_nationkey, c.s_suppkey, c.bal_cents,
+        |       CAST(c.cum_cents * 1000 // t.nation_cents AS BIGINT)
+        |         AS cum_permille,
+        |       CASE WHEN c.cum_cents * 1000 // t.nation_cents <= 700
+        |              THEN 'A'
+        |            WHEN c.cum_cents * 1000 // t.nation_cents <= 900
+        |              THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM c JOIN t USING (s_nationkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     // Regression mirror: HUGEINT lane (DuckDB int128 spans the same
     // range as Spark's DECIMAL(38,0)). Spark's `div` truncates toward

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Canonical
-import graft.operators.{AsOf, Discover, Drift, Scd2, Sketches}
+import graft.operators.{AsOf, Discover, Drift, Scd2, Sessionize, Sketches}
 import graft.streaming.StreamingDiff
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -98,6 +98,26 @@ object EventQueries {
     // lead(valid_to) stitch.
     "events_scd2" -> ((s, dir) =>
       Scd2.intervals(ev(s, dir)).orderBy("user_id", "version")),
+
+    // Top session PATHS — the navigation census behind funnel design:
+    // each session (same 12 h gap rule as events_sessionize) becomes its
+    // ordered event-type string, and the corpus votes on the most common
+    // journeys. Path assembly is per-session (bounded), the census is a
+    // map-side-partial groupBy on the path string, top-10 is TakeOrdered.
+    "events_top_paths" -> ((s, dir) => {
+      val paths = Sessionize.assign(ev(s, dir), 43200L)
+        .withColumn("ts_ms", Canonical.epochMs(col("ts")))
+        .groupBy("user_id", "session_seq")
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(ts_ms, event_id, event_type))), x -> x.event_type), '>')")
+          .as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_sessions").desc,
+            col("path"))).cast(IntegerType))
+        .orderBy("rank")
+    }),
 
     // Per-user behavioral diversity as GINI IMPURITY in exact micro
     // units — the log-free entropy stand-in (1 − Σp² needs only integer
@@ -522,6 +542,37 @@ object EventQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Path mirror: identical session assignment (the events_sessionize
+    // CTE) + string_agg ORDER BY == array_sort-then-join.
+    "events_top_paths" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 43200000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM a),
+        |c AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_seq
+        |  FROM b),
+        |p AS (
+        |  SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM c GROUP BY 1, 2),
+        |n AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY n_sessions DESC, path) AS rank FROM n)
+        |SELECT path, n_sessions, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // Gini mirror: BIGINT lane (fixture-safe; Spark runs DECIMAL for
     // the 100 TB counts), identical floor division and rank order.
     "events_user_gini" ->
