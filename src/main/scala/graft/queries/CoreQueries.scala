@@ -374,6 +374,27 @@ object CoreQueries {
         rounds = 2, k = 10)
     }),
 
+    // Pivot→unpivot ROUND-TRIP: orders counts cross-tabbed to a wide
+    // (status × priority) matrix with an EXPLICIT pivot column list (an
+    // open-ended pivot needs a values-discovery pass — at 100 TB that's
+    // a full extra scan, so the contract pins the domain), then melted
+    // back to long form. The oracle is the plain long-form aggregate:
+    // equality proves BOTH reshapes lossless, including the zero-fill
+    // cells pivot invents and the round-trip must drop.
+    "pivot_roundtrip" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val wide = ord(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      val long = wide.unpivot(
+        Array(col("o_orderstatus")),
+        prios.map(col).toArray, "o_orderpriority", "n_orders")
+      long.filter(col("n_orders").isNotNull && col("n_orders") > 0)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // Percent-of-parent: each nation's revenue share of its region in
     // integer permille — the two-level rollup + broadcast-back shape
     // every BI drilldown uses. The orders⋈customer join is the only
@@ -965,6 +986,14 @@ object CoreQueries {
         |           FROM a2)
         |SELECT node, score AS auth_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Round-trip mirror: the plain long-form aggregate both reshapes
+    // must reproduce.
+    "pivot_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // Share mirror: identical two-level aggregation and permille.
     "share_of_region" ->
