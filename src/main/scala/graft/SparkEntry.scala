@@ -19,11 +19,11 @@ object SparkEntry {
     * pipeline extensions (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.PipelineQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++ graft.queries.OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.PipelineQueries.oracle ++
-      graft.queries.EventQueries.oracle
+      graft.queries.EventQueries.oracle ++ graft.queries.OlapQueries.oracle
 }

@@ -1,0 +1,506 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Canonical
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped OLAP battery over the fixture star schema — the join
+  * patterns a warehouse comparison engine meets in the wild and that the
+  * rest of the registry does not yet exercise as first-class queries:
+  * EXISTS semi-joins (q4), nation-pair θ-ish equi-joins (q7), conditional
+  * market-share ratios (q8), returned-item top-k (q10), outer-join count
+  * distributions (q13), conditional shares (q14), decorrelated
+  * correlated-average subqueries (q17), group-HAVING semi-joins (q18),
+  * disjunctive post-join predicates (q19), dual semi+anti EXISTS/NOT
+  * EXISTS (q21), and scalar-subquery + anti-join (q22).
+  *
+  * Adaptations from the published TPC-H text, forced by the fixture
+  * schema (TESTDATA.md has no partsupp table and lineitem carries no
+  * commit/receipt dates): "late" means shipped more than N days after
+  * `o_orderdate`, and q22's "no orders" (empty at fixture density — every
+  * rich customer has orders) becomes "no orders since 2000", preserving
+  * the scalar-subquery + anti-join plan shape.
+  *
+  * Scale posture (the actual point of the battery):
+  *  - dims (`part` 2k, `supplier` 150, `nation` 25, `region` 5 rows at
+  *    sf0.01; bounded at any SF) are ALWAYS `broadcast()` — the
+  *    lineitem/orders/customer spine shuffles on its join keys and
+  *    nothing else moves;
+  *  - correlated subqueries are decorrelated into one extra aggregation
+  *    over the SAME shuffle key as the main join (q17: per-partkey, q21:
+  *    per-orderkey), never a per-row re-scan;
+  *  - scalar aggregates (q22's global average) reduce to ONE row and
+  *    re-attach via a broadcast hash join on a constant key — not a
+  *    BroadcastNestedLoopJoin (PlanAuditSpec forbids those);
+  *  - threshold comparisons against averages are exact integer
+  *    cross-multiplications in the cents lane (`qty < 0.2*avg` ⇔
+  *    `5*qty*cnt < sum`), so the oracle compare never rides on float
+  *    summation order.
+  *
+  * Money math rides the registry's decimal lane (see q3/q5 in
+  * [[EventQueries]]): DECIMAL(18,2) × (1 − DECIMAL(18,2) discount) summed
+  * as DECIMAL(30,4), cast to double only for display — bit-identical in
+  * Spark and DuckDB because the decimal sums are exact.
+  */
+object OlapQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal revenue lane: extendedprice * (1 - discount). */
+  private val revenue: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(30,4)")
+
+  private val revenueSql: String =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      | * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      | AS DECIMAL(30,4))""".stripMargin.replaceAll("\n", "")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q4 order-priority checking: EXISTS ⇒ LEFT SEMI with a
+    // column-to-column condition (l_shipdate > o_orderdate + 30d), so the
+    // probe side carries the date through the join instead of re-scanning
+    // lineitem per order. At 100 TB both sides shuffle once on orderkey.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val li = t(s, dir, "lineitem")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q6 forecasting-revenue-change: pure scan + filter + single
+    // aggregation — the degenerate case whose whole value is pushdown
+    // (PushedFilters must carry the shipdate year and quantity bounds to
+    // the parquet scan; no shuffle survives except the final 1-row agg).
+    "q6_revenue_delta" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997 &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("decimal(30,4)"))
+            .cast("double").as("revenue_disc"),
+          count(lit(1)).as("n_items"))),
+
+    // Q7 volume shipping between two nations: both nation dims broadcast
+    // pre-filtered to the pair (isin pushes to the dim scan; the
+    // cross-pair OR is evaluated post-join on two tiny name columns).
+    "q7_volume_shipping" -> ((s, dir) => {
+      val names = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(names: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(names: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q8 national market share: one nation's slice of a region's PROMO
+    // revenue per year. The numerator is a conditional sum over the SAME
+    // aggregation as the denominator — one pass, no second join tree. The
+    // share divides two doubles cast from exact decimals, so both engines
+    // perform the identical IEEE division.
+    "q8_market_share" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .filter(year(col("o_orderdate")).isin(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(asia), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", revenue)
+            .otherwise(lit(0).cast("decimal(30,4)"))).as("nation_dec"),
+          sum(revenue).as("total_dec"))
+        .select(col("o_year"),
+          col("nation_dec").cast("double").as("nation_revenue"),
+          col("total_dec").cast("double").as("total_revenue"),
+          (col("nation_dec").cast("double") / col("total_dec").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q10 returned-item reporting: top 20 customers by refund-quarter
+    // revenue. Rank on the exact decimal (double ties at the cut line
+    // would make the top-k oracle-unstable), cast for display.
+    "q10_returned_items" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .filter(year(col("o_orderdate")) === 1997 &&
+              month(col("o_orderdate")) <= 3),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"))
+        .agg(sum(revenue).as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("acctbal_cents"), col("n_name"))),
+
+    // Q13 customer order-count distribution: LEFT OUTER so zero-order
+    // customers survive into the c_count=0 bucket, then a second
+    // aggregation over the first's output — the histogram-of-groups shape.
+    // count(o_orderkey) (non-null counting) is what makes the outer join's
+    // null rows count as zero.
+    "q13_order_distribution" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q14 promo revenue share for one month: numerator = conditional sum
+    // inside the same aggregate as the denominator. part (bounded dim)
+    // broadcasts; the month filter prunes the fact scan.
+    "q14_promo_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997 &&
+          month(col("l_shipdate")) === 9)
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(30,4)"))).as("promo_dec"),
+          sum(revenue).as("total_dec"))
+        .select(
+          col("promo_dec").cast("double").as("promo_revenue"),
+          col("total_dec").cast("double").as("total_revenue"),
+          (lit(100.0) * col("promo_dec").cast("double") /
+            col("total_dec").cast("double")).as("promo_share"))),
+
+    // Q17 small-quantity-order revenue: the classic correlated scalar
+    // subquery (l_quantity < 0.2 * per-part average), decorrelated into a
+    // per-partkey aggregate joined back on the SAME key the brand join
+    // already shuffles on. The threshold compare is the exact integer
+    // cross-multiplication 5*qty*cnt < sum_qty (quantities are integral),
+    // so no float average ever exists to disagree on.
+    "q17_small_quantity" -> ((s, dir) => {
+      val brandLi = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val perPart = brandLi.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt_qty"))
+      brandLi.join(perPart, col("l_partkey") === col("pk"))
+        .filter(lit(5) * col("l_quantity").cast("long") * col("cnt_qty") <
+          col("sum_qty"))
+        .agg(sum(cents(col("l_extendedprice"))).as("total_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q18 large-volume orders: group-HAVING on the fact, then the
+    // qualifying keys (tiny) join back to orders/customer. At scale the
+    // HAVING output is drift-bounded, so AQE turns the second join's
+    // build side into a broadcast automatically.
+    "q18_large_orders" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          Canonical.epochMs(col("o_orderdate")).as("o_orderdate_ms"),
+          cents(col("o_totalprice")).as("totalprice_cents"), col("sum_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // Q19 discounted revenue under an OR-of-ANDs predicate: the equi-join
+    // on partkey hash-joins first; the disjunction (referencing BOTH
+    // sides) evaluates as a post-join filter — the shape that degrades to
+    // a nested loop if mis-planned (PlanAuditSpec proves it doesn't).
+    "q19_disjunctive" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // Q21 suppliers-who-kept-waiting (adapted: "late" = shipped >60 days
+    // after order date, finished orders only): EXISTS another supplier in
+    // the order (LEFT SEMI) AND NOT EXISTS another LATE supplier (LEFT
+    // ANTI) — both probes shuffle on the same orderkey as the driving
+    // join, so the whole query is one key's worth of exchanges.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val fOrd = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li.join(fOrd, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      late
+        .join(others,
+          col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(lateOthers,
+          col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // Q22 dormant high-balance customers (adapted: "no orders" → "no
+    // orders since 2000"): the global positive-balance average reduces to
+    // ONE (sum, count) row that re-attaches via a broadcast hash join on
+    // a DATA-DERIVED constant key (pmod(x,1)=0 — non-foldable, so the
+    // equi-key survives FoldablePropagation; a lit(1) on both sides folds
+    // the condition to TRUE and degrades to BNLJ, which PlanAuditSpec
+    // forbids). The above-average test is the exact cross-multiplication
+    // cents*cnt > sum.
+    "q22_dormant_rich" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("sum_pos"),
+          count(lit(1)).as("cnt_pos"))
+        .withColumn("k", pmod(col("cnt_pos"), lit(1L)))
+      val recent = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) >= 2000)
+        .select("o_custkey")
+      cust
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("k", pmod(col("c_custkey").cast("long"), lit(1L)))
+        .join(broadcast(pos), "k")
+        .filter(cents(col("c_acctbal")) * col("cnt_pos") > col("sum_pos"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy("c_mktsegment")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_revenue_delta" ->
+      s"""SELECT
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         |       * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+         |    AS DOUBLE) AS revenue_disc,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE year(l_shipdate) = 1997
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE year(l_shipdate) IN (1996, 1997)
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    SUM(CASE WHEN n1.n_name = 'NATION_2' THEN $revenueSql
+         |             ELSE CAST(0 AS DECIMAL(30,4)) END) AS nation_dec,
+         |    SUM($revenueSql) AS total_dec
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE year(o_orderdate) IN (1996, 1997)
+         |  GROUP BY 1)
+         |SELECT o_year,
+         |  CAST(nation_dec AS DOUBLE) AS nation_revenue,
+         |  CAST(total_dec AS DOUBLE) AS total_revenue,
+         |  CAST(nation_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS mkt_share
+         |FROM agg ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |  n_name
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND year(o_orderdate) = 1997 AND month(o_orderdate) <= 3
+         |GROUP BY c_custkey, c_name, 4, n_name
+         |ORDER BY SUM($revenueSql) DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+         |    AS promo_revenue,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
+         |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+         |               ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+         |    / CAST(SUM($revenueSql) AS DOUBLE) AS promo_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 9""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH brand_li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey AND p_brand = 'Brand#23'),
+        |per_part AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS cnt_qty
+        |  FROM brand_li GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(*) AS n_items
+        |FROM brand_li JOIN per_part ON l_partkey = pk
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * cnt_qty < sum_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q22_dormant_rich" ->
+      """WITH pos AS (
+        |  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_pos,
+        |    count(*) AS cnt_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM customer, pos
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * cnt_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND year(o_orderdate) >= 2000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+}

@@ -26,7 +26,8 @@ class LedgerSpec extends AnyFunSuite {
     val sizes = Seq(
       graft.queries.CoreQueries.queries.size,
       graft.queries.PipelineQueries.queries.size,
-      graft.queries.EventQueries.queries.size)
+      graft.queries.EventQueries.queries.size,
+      graft.queries.OlapQueries.queries.size)
     assert(sizes.sum == SparkEntry.queries.size,
       s"registry name collision: per-registry sizes $sizes sum to " +
         s"${sizes.sum} but the merged map holds ${SparkEntry.queries.size}")
