@@ -619,6 +619,21 @@ object CoreQueries {
       Graph.bfsFrontiers(edges, "src", "dst", seeds, "node", hops = 3)
     }),
 
+    // Triangle census (Graph.triangleStats scaladoc) over the supplier
+    // co-order graph: suppliers are adjacent when some order draws lines
+    // from both. Degree-ordered orientation keeps the wedge join O(m^1.5)
+    // whatever the degree skew; output is the 1-row exact census from
+    // which the global clustering coefficient 3T/W follows.
+    "graph_triangles" -> ((s, dir) => {
+      val os = li(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = os.join(
+          os.select(col("ok"), col("sk").as("sk2")), "ok")
+        .filter(col("sk") < col("sk2"))
+      Graph.triangleStats(pairs, "sk", "sk2")
+    }),
+
     // Bloom-filter runtime pruning (BloomPrune scaladoc): the probe side
     // (lineitem) is pre-filtered through a 128Kbit/3-hash Bloom filter of
     // the selective build side's keys BEFORE the shuffle join. The oracle
@@ -1228,6 +1243,28 @@ object CoreQueries {
         |           FROM r2)
         |SELECT node, score AS pr_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Triangle mirror: plain a<b<c listing — orientation-free, so it
+    // cross-checks the degree-ordered scheme's count, not its plan.
+    "graph_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok,
+        |              CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e
+        |              UNION ALL SELECT v FROM e) ends
+        |        GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_nodes,
+        |         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg),
+        |es AS (SELECT count(*) AS n_edges FROM e),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1
+        |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles
+        |FROM ns, es, tri""".stripMargin,
 
     // Bloom-prune mirror: the ORACLE is the plain unpruned join — the
     // Spark side must prove its Bloom pre-filter changes nothing.

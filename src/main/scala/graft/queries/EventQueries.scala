@@ -529,6 +529,80 @@ object EventQueries {
         .filter(year(col("o_orderdate")).isin(1995, 1996))
       Sketches.hllOverlap(o, "o_custkey",
         when(year(col("o_orderdate")) === 1995, "A").otherwise("B"))
+    }),
+
+    // CDC MERGE apply — the upsert face of the SCD-2 interval build
+    // above: a versioned changelog (insert + two update waves + deletes,
+    // derived deterministically from the key so the oracle replays it)
+    // collapses to latest-version-wins per key, deletes drop out, and the
+    // survivors aggregate. latest-wins is max_by(payload, version) — ONE
+    // groupBy shuffle with map-side partials, not a window sort (at 100 TB
+    // the changelog is append-heavy and the aggregate form spills better
+    // than per-key sorted windows). Versions are unique per key by
+    // construction, so max_by is deterministic.
+    "orders_cdc_merge" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val base = o.select(col("k"), col("status"), col("cents"),
+        lit(0L).as("version"), lit("I").as("op"))
+      val upd1 = o.filter(col("k") % 10 >= 1 && col("k") % 10 <= 3)
+        .select(col("k"), col("status"), (col("cents") + 500L).as("cents"),
+          lit(1L).as("version"), lit("U").as("op"))
+      val upd2 = o.filter(col("k") % 10 === 1)
+        .select(col("k"), col("status"), (col("cents") + 1500L).as("cents"),
+          lit(2L).as("version"), lit("U").as("op"))
+      val del = o.filter(col("k") % 10 === 0)
+        .select(col("k"), col("status"), col("cents"),
+          lit(1L).as("version"), lit("D").as("op"))
+      base.unionByName(upd1).unionByName(upd2).unionByName(del)
+        .groupBy("k")
+        .agg(max_by(struct(col("op"), col("status"), col("cents")),
+          col("version")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .groupBy(col("last.status").as("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("last.cents")).as("sum_cents"))
+        .orderBy("status")
+    }),
+
+    // Semi-additive period-end balance — the financial-warehouse
+    // aggregate where SUM over time is wrong: each user's balance is
+    // their LAST tick in the period (day here — the fixture spans one
+    // month of days), carried forward through silent periods (LOCF),
+    // then summed ACROSS users per period. The day spine attaches to the
+    // user dimension by a 1-row-bounds broadcast + explode (per-user
+    // sequence), NOT a cross join — same row count, no CartesianProduct
+    // (the plan audit forbids one). The LOCF window partitions by user
+    // over a spine-bounded frame — never corpus-wide.
+    "events_day_balance" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val ticks = e.select(col("user_id"),
+          date_trunc("day", col("ts")).as("mon"),
+          col("ts"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("user_id", "mon")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "mon", "cents")
+      val bounds = e.agg(date_trunc("day", min(col("ts"))).as("m0"),
+          date_trunc("day", max(col("ts"))).as("m1"))
+        .withColumn("j", pmod(unix_micros(col("m0")), lit(1L)))
+      val grid = e.select("user_id").distinct()
+        .withColumn("j", pmod(col("user_id").cast(LongType), lit(1L)))
+        .join(broadcast(bounds), "j")
+        .select(col("user_id"),
+          explode(expr("sequence(m0, m1, interval 1 day)")).as("mon"))
+      grid.join(ticks, Seq("user_id", "mon"), "left")
+        .withColumn("bal", last(col("cents"), ignoreNulls = true).over(Window
+          .partitionBy("user_id").orderBy("mon")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("bal").isNotNull)
+        .groupBy("mon")
+        .agg(count(lit(1)).as("n_users"), sum(col("bal")).as("total_cents"))
+        .select(Canonical.epochMs(col("mon")).as("day_ms"),
+          col("n_users"), col("total_cents"))
+        .orderBy("day_ms")
     }))
 
   // ---------------------------------------------------------------- oracle
@@ -1166,5 +1240,60 @@ object EventQueries {
         |       - (exact_a + exact_b - exact_union)) * 1000.0
         |       / (exact_a + exact_b - exact_union)) AS BIGINT)
         |    AS inter_err_permille
-        |FROM w, x""".stripMargin)
+        |FROM w, x""".stripMargin,
+
+    // CDC mirror: identical deterministic changelog; latest-wins via
+    // windowed row_number (versions unique per key, so it equals max_by).
+    "orders_cdc_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |log AS (
+        |  SELECT k, status, cents, 0 AS version, 'I' AS op FROM o
+        |  UNION ALL
+        |  SELECT k, status, cents + 500, 1, 'U' FROM o
+        |  WHERE k % 10 BETWEEN 1 AND 3
+        |  UNION ALL
+        |  SELECT k, status, cents + 1500, 2, 'U' FROM o WHERE k % 10 = 1
+        |  UNION ALL
+        |  SELECT k, status, cents, 1, 'D' FROM o WHERE k % 10 = 0),
+        |latest AS (SELECT k, op, status, cents,
+        |             row_number() OVER (PARTITION BY k ORDER BY version DESC)
+        |               AS rn
+        |           FROM log)
+        |SELECT status, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Semi-additive mirror: same last-tick-per-day + LOCF over the day
+    // spine; the spine cross join is fine HERE (oracle-side only —
+    // DuckDB has no plan audit and the spine is span-bounded).
+    "events_day_balance" ->
+      """WITH t AS (SELECT user_id, date_trunc('day', ts) AS mon_ns,
+        |             CAST(round(value * 100) AS BIGINT) AS cents,
+        |             row_number() OVER (
+        |               PARTITION BY user_id, date_trunc('day', ts)
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events),
+        |ticks AS (SELECT user_id, CAST(mon_ns AS TIMESTAMP) AS mon, cents
+        |          FROM t WHERE rn = 1),
+        |b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS m0,
+        |             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS m1
+        |      FROM events),
+        |spine AS (SELECT unnest(generate_series(m0, m1, INTERVAL 1 DAY))
+        |            AS mon FROM b),
+        |grid AS (SELECT u.user_id, s.mon
+        |         FROM (SELECT DISTINCT user_id FROM events) u, spine s),
+        |filled AS (SELECT g.user_id, g.mon,
+        |             last_value(t2.cents IGNORE NULLS) OVER (
+        |               PARTITION BY g.user_id ORDER BY g.mon
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS bal
+        |           FROM grid g LEFT JOIN ticks t2
+        |             ON g.user_id = t2.user_id AND g.mon = t2.mon)
+        |SELECT epoch_ms(mon) AS day_ms, count(*) AS n_users,
+        |  CAST(sum(bal) AS BIGINT) AS total_cents
+        |FROM filled WHERE bal IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

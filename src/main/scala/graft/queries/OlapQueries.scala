@@ -210,6 +210,30 @@ object OlapQueries {
           (lit(100.0) * col("promo_dec").cast("double") /
             col("total_dec").cast("double")).as("promo_share"))),
 
+    // Q15 top supplier(s): quarterly revenue per supplier, then the
+    // global max re-attaches via the pmod-key broadcast hash join (q22's
+    // scalar-subquery shape over an AGGREGATED relation this time) and
+    // equality on the EXACT decimal keeps ties oracle-stable — the
+    // published query's "= max(total_revenue)" semantics, which a top-1
+    // LIMIT would get wrong on ties.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997 &&
+          quarter(col("l_shipdate")) === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
+        .withColumn("k", pmod(col("max_dec").cast("long"), lit(1L)))
+      rev.withColumn("k", pmod(col("l_suppkey").cast("long"), lit(1L)))
+        .join(broadcast(mx), "k")
+        .filter(col("rev_dec") === col("max_dec"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // Q17 small-quantity-order revenue: the classic correlated scalar
     // subquery (l_quantity < 0.2 * per-part average), decorrelated into a
     // per-partkey aggregate joined back on the SAME key the brand join
@@ -422,6 +446,17 @@ object OlapQueries {
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 9""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, SUM($revenueSql) AS rev_dec
+         |  FROM lineitem
+         |  WHERE year(l_shipdate) = 1997 AND quarter(l_shipdate) = 1
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q17_small_quantity" ->
       """WITH brand_li AS (

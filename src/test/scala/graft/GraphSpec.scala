@@ -60,6 +60,22 @@ class GraphSpec extends SparkSpec {
     assert(out == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 1L, 3L), (3, 1L, 4L)))
   }
 
+  test("triangle census counts the hand-built graph exactly once each") {
+    // K4 on {1,2,3,4} (4 triangles... C(4,3)=4) plus a pendant 4-5 and a
+    // disconnected edge 6-7. Edges given as messy multi/directed input:
+    // duplicates, reversed orientation, and a self-loop all normalize
+    // away. n=7 nodes, m=8 edges, wedges: deg(1..3)=3, deg(4)=4,
+    // deg(5)=1, deg(6)=deg(7)=1 -> 3*3 + 6 + 0 = 15, triangles = 4.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (6L, 7L), (5L, 5L))
+      .toDF("a", "b")
+    val out = Graph.triangleStats(edges, "a", "b").collect().head
+    assert((out.getAs[Long]("n_nodes"), out.getAs[Long]("n_edges"),
+      out.getAs[Long]("n_wedges"), out.getAs[Long]("n_triangles")) ==
+      ((7L, 8L, 15L, 4L)))
+  }
+
   test("hits overflow guard fails loudly past the strength cap") {
     // rounds=4 caps node strength at ~17; one hub of strength 40 trips
     // the assert_true guard instead of wrapping silently.
