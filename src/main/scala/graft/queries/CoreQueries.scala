@@ -538,6 +538,26 @@ object CoreQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Bounded-buffer top-k per group (TopKHeap scaladoc): top-3 line
+    // items per supplier by exact cents. The AGGREGATE form — partial
+    // top-k before the exchange, shuffle carries <= k rows per group per
+    // map task — where the window form shuffles and sorts the whole
+    // corpus. The oracle is the window form: same rows, different plan.
+    "topk_heap" -> ((s, dir) => {
+      val top3 = udaf(new graft.functions.TopKHeap(3))
+      li(s, dir)
+        .select(col("l_suppkey").cast("long").as("suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("score"),
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"))
+        .groupBy("suppkey").agg(top3(col("score"), col("id")).as("top"))
+        .select(col("suppkey"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("suppkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.score").as("cents"), col("t.id").as("id"))
+        .orderBy("suppkey", "rank")
+    }),
+
     // Exact join-output cardinality WITHOUT executing the join
     // (Profile.joinSizeEstimate scaladoc): per-key count histograms
     // joined on the key — the "plan before you spend cluster-hours"
@@ -1152,6 +1172,20 @@ object CoreQueries {
 
     // Fuzzy mirror: identical deletion neighborhoods and classic
     // levenshtein (both engines implement the textbook distance).
+    // Top-k mirror: the WINDOW form — row_number over the same total
+    // order — proves the bounded-buffer aggregate selects identically.
+    "topk_heap" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+        |  FROM lineitem),
+        |r AS (SELECT suppkey, cents, id,
+        |    row_number() OVER (PARTITION BY suppkey
+        |      ORDER BY cents DESC, id ASC) AS rank
+        |  FROM c)
+        |SELECT suppkey, CAST(rank AS BIGINT) AS rank, cents, id
+        |FROM r WHERE rank <= 3 ORDER BY suppkey, rank""".stripMargin,
+
     "fuzzy_repair_match" ->
       """WITH m AS (SELECT c_custkey AS id_a, c_name AS name_a FROM customer),
         |corr AS (SELECT c_custkey AS id_b,
