@@ -216,6 +216,63 @@ object Graph {
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Bounded-round k-core peeling trace — the dense-subgraph extractor
+    * behind link-farm detection (a spam ring is a high-core cluster),
+    * crawl frontier prioritization, and "keep only well-connected
+    * entities" graph QA before sampling. Each round removes every node
+    * whose CURRENT degree is below k (and the edges it carried), so
+    * removals cascade; the full k-core is the fixpoint. Emits one row
+    * per round: (round, n_nodes, n_edges) of the surviving graph —
+    * round 0 is the normalized input — making the peel-off curve itself
+    * the QA artifact (a graph that loses half its edges by round 2 is
+    * mostly periphery).
+    *
+    * Scale posture: one degree aggregation (key-only, map-side partial)
+    * plus two left-semi joins of the edge list against the ≥k survivor
+    * set per round — the survivor relation is node-sized and shrinks
+    * monotonically; AQE broadcasts it when it fits. Rounds are bounded
+    * by the argument (the fixpoint needs at most |V| rounds but real
+    * peel curves flatten in a handful). Per-round `localCheckpoint`
+    * truncates lineage for the same O(rounds²) re-derivation reason as
+    * [[bfsFrontiers]].
+    */
+  def kcoreTrace(edges: DataFrame, srcCol: String, dstCol: String,
+                 k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 6,
+      "bounded unrolled peel count")
+    var cur = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol).cast(LongType), col(dstCol).cast(LongType)).as("u"),
+        greatest(col(srcCol).cast(LongType), col(dstCol).cast(LongType)).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def trace(r: Int, df: DataFrame): DataFrame = {
+      val ends = df.select(col("u").as("node"))
+        .unionByName(df.select(col("v").as("node")))
+      ends.agg(count_distinct(col("node")).as("n_nodes"))
+        .withColumn("__one", pmod(col("n_nodes"), lit(1L)))
+        .join(df.agg(count(lit(1)).as("n_edges"))
+          .withColumn("__one", pmod(col("n_edges"), lit(1L))), "__one")
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    var out = trace(0, cur)
+    for (r <- 1 to rounds) {
+      val keep = cur.select(col("u").as("node"))
+        .unionByName(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("node")
+      cur = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      out = out.unionByName(trace(r, cur))
+    }
+    out.orderBy("round")
+  }
+
   /** Top-k PageRank over a directed edge list, in a FIXED-POINT integer
     * lane (micro-units): the walk probabilities are scaled by 1e6 and every
     * per-edge contribution is a single integer floor-division, so Spark's

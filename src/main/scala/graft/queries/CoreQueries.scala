@@ -639,6 +639,18 @@ object CoreQueries {
       Graph.bfsFrontiers(edges, "src", "dst", seeds, "node", hops = 3)
     }),
 
+    // k-core peel trace (Graph.kcoreTrace scaladoc) over the bipartite
+    // part–supplier graph from lineitem (part nodes even, supplier nodes
+    // odd — disjoint id spaces). k=3 peels parts backed by fewer than 3
+    // distinct suppliers; the cascade trims supplier degrees in turn.
+    // One (round, n_nodes, n_edges) row per peel round.
+    "graph_kcore" -> ((s, dir) => {
+      val e = li(s, dir).select(
+        (col("l_partkey") * 2).cast("long").as("p"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("q"))
+      Graph.kcoreTrace(e, "p", "q", k = 3, rounds = 3)
+    }),
+
     // Triangle census (Graph.triangleStats scaladoc) over the supplier
     // co-order graph: suppliers are adjacent when some order draws lines
     // from both. Degree-ordered orientation keeps the wedge join O(m^1.5)
@@ -1277,6 +1289,49 @@ object CoreQueries {
         |           FROM r2)
         |SELECT node, score AS pr_score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // k-core mirror: the same 3 peel rounds as chained CTEs — survivor
+    // sets by HAVING on degree, edge filters by IN-membership.
+    "graph_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    LEAST(CAST(l_partkey * 2 AS BIGINT),
+        |          CAST(l_suppkey * 2 + 1 AS BIGINT)) AS u,
+        |    GREATEST(CAST(l_partkey * 2 AS BIGINT),
+        |             CAST(l_suppkey * 2 + 1 AS BIGINT)) AS v
+        |  FROM lineitem),
+        |k1 AS (SELECT node FROM (SELECT u AS node FROM e0
+        |         UNION ALL SELECT v FROM e0) t
+        |       GROUP BY 1 HAVING count(*) >= 3),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k1)
+        |         AND v IN (SELECT node FROM k1)),
+        |k2 AS (SELECT node FROM (SELECT u AS node FROM e1
+        |         UNION ALL SELECT v FROM e1) t
+        |       GROUP BY 1 HAVING count(*) >= 3),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k2)
+        |         AND v IN (SELECT node FROM k2)),
+        |k3 AS (SELECT node FROM (SELECT u AS node FROM e2
+        |         UNION ALL SELECT v FROM e2) t
+        |       GROUP BY 1 HAVING count(*) >= 3),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM k3)
+        |         AND v IN (SELECT node FROM k3))
+        |SELECT CAST(0 AS INTEGER) AS round,
+        |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+        |    (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) t)
+        |    AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+        |UNION ALL SELECT CAST(1 AS INTEGER),
+        |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+        |    (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) t),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e1)
+        |UNION ALL SELECT CAST(2 AS INTEGER),
+        |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+        |    (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) t),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e2)
+        |UNION ALL SELECT CAST(3 AS INTEGER),
+        |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+        |    (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) t),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e3)
+        |ORDER BY round""".stripMargin,
 
     // Triangle mirror: plain a<b<c listing — orientation-free, so it
     // cross-checks the degree-ordered scheme's count, not its plan.

@@ -76,6 +76,18 @@ class GraphSpec extends SparkSpec {
       ((7L, 8L, 15L, 4L)))
   }
 
+  test("kcore peel cascades: pendant removal drops a once-core node") {
+    // Triangle {1,2,3} + path 3-4-5. k=2, round 1: nodes 4's neighbor 5
+    // (deg 1) and... deg(5)=1 drops 5 and edge 4-5; round 2: 4 now has
+    // deg 1, drops too; round 3: stable triangle. The cascade is the
+    // point — 4 survives round 1 but not round 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.kcoreTrace(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0, 5L, 5L), (1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+  }
+
   test("hits overflow guard fails loudly past the strength cap") {
     // rounds=4 caps node strength at ~17; one hub of strength 40 trips
     // the assert_true guard instead of wrapping silently.
