@@ -62,4 +62,37 @@ object AsOf {
     }
     unpacked.drop("__side", "__asof_pay")
   }
+
+  /** [[asOf]] with a STALENESS BOUND: a match only counts when the right
+    * row is at most `toleranceMs` older than the left row; beyond that
+    * the payload is NULL, exactly as if no right row existed. This is
+    * the semantics real point-in-time lookups want at 100 TB ("the
+    * prevailing price — unless the quote is more than an hour stale, in
+    * which case there IS no prevailing price") and what keeps LOCF from
+    * smearing a years-old value across a silent key.
+    *
+    * Same single-shuffle union plan as [[asOf]]: the right timestamp
+    * rides the payload struct (so staleness is judged against the SAME
+    * row the payload came from — never a torn pair), and the bound is a
+    * post-window projection, not a join condition, so nothing falls off
+    * the hash path.
+    */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+                 ts: String, payload: Seq[String],
+                 toleranceMs: Long): DataFrame = {
+    require(toleranceMs >= 0, "tolerance must be non-negative")
+    val r = right.withColumn("__rt_ms",
+      graft.functions.Canonical.epochMs(col(ts)))
+    val joined = asOf(left, r, key, ts, payload :+ "__rt_ms")
+    val gap = graft.functions.Canonical.epochMs(col(ts)) -
+      col("asof___rt_ms")
+    // gap NULL (no match at all) keeps the already-NULL payload via the
+    // otherwise branch; only a PRESENT-but-stale match is nulled out.
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(gap > toleranceMs,
+          lit(null).cast(df.schema(s"asof_$c").dataType))
+          .otherwise(col(s"asof_$c")))
+    }.drop("asof___rt_ms")
+  }
 }

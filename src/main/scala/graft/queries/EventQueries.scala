@@ -271,6 +271,21 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Staleness-bounded as-of (AsOf.asOfWithin scaladoc): each click
+    // attaches its user's most recent view ONLY if at most 1 hour old —
+    // an older match is as good as none. Same one-shuffle union-trick
+    // plan; the bound is a projection, not a join predicate.
+    "events_asof_tolerance" -> ((s, dir) => {
+      val e = ev(s, dir)
+      AsOf.asOfWithin(e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"),
+        "user_id", "ts", Seq("event_id", "value"), 3600000L)
+        .select(col("user_id"), col("event_id"),
+          Canonical.epochMs(col("ts")).as("ts_ms"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     "events_json" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("k",
@@ -921,6 +936,23 @@ object EventQueries {
         |FROM events l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // Tolerance mirror: plain ASOF join, staleness nulled after the fact
+    // (NULL gap falls through the CASE to NULL on its own).
+    "events_asof_tolerance" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'view'),
+        |j AS (SELECT l.user_id, l.event_id, epoch_ms(l.ts) AS ts_ms,
+        |        r.event_id AS r_eid, r.value AS r_val,
+        |        epoch_ms(r.ts) AS r_ms
+        |      FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |      ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT user_id, event_id, ts_ms,
+        |  CASE WHEN ts_ms - r_ms <= 3600000 THEN r_eid END
+        |    AS asof_event_id,
+        |  CASE WHEN ts_ms - r_ms <= 3600000 THEN r_val END
+        |    AS asof_value
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS cnt,

@@ -573,6 +573,23 @@ class AsOfSpec extends SparkSpec {
     assert(r == ((None, Some("new"))), s"torn payload: $r")
   }
 
+  test("tolerance nulls a stale match, keeps boundary-exact and fresh ones") {
+    val left = Seq((1L, 20L, "stale"), (1L, 12L, "fresh"),
+      (1L, 15L, "boundary"), (2L, 9L, "none"))
+      .toDF("k", "ms", "tag")
+      .withColumn("t", timestamp_millis(col("ms")))
+    val right = Seq((1L, 10L, 100.0)).toDF("k", "ms", "price")
+      .withColumn("t", timestamp_millis(col("ms")))
+    val out = AsOf.asOfWithin(left.drop("ms"), right.drop("ms"),
+        "k", "t", Seq("price"), toleranceMs = 5L)
+      .select("tag", "asof_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("stale").isEmpty)            // gap 10 > 5 — nulled
+    assert(out("fresh").contains(100.0))    // gap 2
+    assert(out("boundary").contains(100.0)) // gap == tolerance is inclusive
+    assert(out("none").isEmpty)             // no right row at all
+  }
+
   test("as-of plan is one key shuffle — no range-join candidate blowup") {
     val e = Tables.load(spark, sfDir, "events")
     val joined = AsOf.asOf(e, e.filter(col("event_type") === "purchase"),
