@@ -8,6 +8,50 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingCdc
+  import graft.streaming.StreamingCdc.{Change, Current}
+
+  test("latest-wins upsert state: late versions cannot regress, deletes tombstone") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = StreamingCdc.latestWins(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_cur")
+      .outputMode("update").start()
+    try {
+      // wave 1: inserts for 1..4; k=2 updated; k=3's v2 arrives FIRST
+      mem.addData(
+        Change(1, 0, "I", "A", 100), Change(2, 0, "I", "A", 200),
+        Change(3, 0, "I", "B", 300), Change(4, 0, "I", "B", 400),
+        Change(2, 1, "U", "A", 250), Change(3, 2, "U", "B", 390))
+      q.processAllAvailable()
+      // wave 2: k=3's v1 arrives LATE (must not regress v2); k=4 deleted
+      mem.addData(Change(3, 1, "U", "B", 350), Change(4, 1, "D", "B", 400))
+      q.processAllAvailable()
+      // latest emission per key = the key's current row
+      val cur = spark.table("cdc_cur").as[Current].collect()
+        .groupBy(_.k).map { case (_, rows) => rows.maxBy(_.version) }
+      val live = cur.filter(_.op != "D").map(c => (c.k, c.version, c.cents))
+      assert(live.toSet == Set((1L, 0L, 100L), (2L, 1L, 250L), (3L, 2L, 390L)))
+      assert(cur.find(_.k == 4).map(_.op).contains("D")) // tombstone emitted
+      // replay equals the batch collapse: max_by(struct, version) per key
+      val batchCur = Seq(
+        Change(1, 0, "I", "A", 100), Change(2, 0, "I", "A", 200),
+        Change(3, 0, "I", "B", 300), Change(4, 0, "I", "B", 400),
+        Change(2, 1, "U", "A", 250), Change(3, 2, "U", "B", 390),
+        Change(3, 1, "U", "B", 350), Change(4, 1, "D", "B", 400))
+        .toDS().groupBy(col("k"))
+        .agg(max_by(struct(col("version"), col("op"), col("cents")),
+          col("version")).as("c"))
+        .filter(col("c.op") =!= "D")
+        .select(col("k"), col("c.version"), col("c.cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batchCur == live.toSet.map((t: (Long, Long, Long)) => t))
+    } finally q.stop()
+  }
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
