@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -26,11 +28,26 @@ object Verify {
     require(qk == ok, s"queries/oracleSql key sets diverge: " +
       s"missing oracle for ${(qk -- ok).toSeq.sorted.mkString(",")}; " +
       s"oracle without query ${(ok -- qk).toSeq.sorted.mkString(",")}")
+    // Order-canonical dump: the driver hashes the parquet's row sequence,
+    // so a dump whose row order depends on partition concatenation order
+    // can flip red between runs even when the VALUES are exact (the r8
+    // bloom_prune_join red row — judge re-ran it twice bit-exact). Sort
+    // the single coalesced partition on every orderable output column so
+    // green never depends on task scheduling. Map-typed columns are not
+    // orderable in Spark and are skipped; full-row duplicates tie under
+    // the sort but identical rows hash identically regardless of order.
+    def canonicalize(df: DataFrame): DataFrame = {
+      val sortCols = df.schema.fields
+        .filter(f => RowOrdering.isOrderable(f.dataType))
+        .map(f => col("`" + f.name + "`"))
+      val one = df.coalesce(1)
+      if (sortCols.isEmpty) one else one.sortWithinPartitions(sortCols: _*)
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canonicalize(fn(spark, sfDir)).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         // A crashed query must show up as a RED ledger row, not vanish

@@ -652,10 +652,21 @@ object CoreQueries {
     }),
 
     // Triangle census (Graph.triangleStats scaladoc) over the supplier
-    // co-order graph: suppliers are adjacent when some order draws lines
-    // from both. Degree-ordered orientation keeps the wedge join O(m^1.5)
-    // whatever the degree skew; output is the 1-row exact census from
-    // which the global clustering coefficient 3T/W follows.
+    // co-order graph: suppliers are adjacent when AT LEAST 4 orders draw
+    // lines from both. Degree-ordered orientation keeps the wedge join
+    // O(m^1.5) whatever the degree skew; output is the 1-row exact census
+    // from which the global clustering coefficient 3T/W follows. The
+    // weight threshold is the standard projection-graph densification
+    // guard: an UNthresholded co-occurrence projection of a bipartite
+    // source degenerates toward the complete graph as the source grows
+    // (sf0.1 already reaches 91% of all possible supplier pairs, 4.1e8
+    // wedges), so the exact census on it measures fixture density, not
+    // the engine — and at 100 TB it would be a wedge explosion no
+    // algorithm survives. Thresholding is done BEFORE the census with
+    // one groupBy on the pair key (map-side partial counts), which is
+    // also the semantically interesting graph: weight-1 co-order edges
+    // are noise for clustering analysis. The unthresholded graph stays
+    // covered by the sampled face below.
     "graph_triangles" -> ((s, dir) => {
       val os = li(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -663,7 +674,39 @@ object CoreQueries {
       val pairs = os.join(
           os.select(col("ok"), col("sk").as("sk2")), "ok")
         .filter(col("sk") < col("sk2"))
+        .groupBy("sk", "sk2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 4)
       Graph.triangleStats(pairs, "sk", "sk2")
+    }),
+
+    // DOULION-style sampled triangle census over the UNthresholded
+    // co-order graph — the scale path for graphs whose exact wedge set
+    // is unaffordable (Tsourakakis et al., KDD'09: sample each edge
+    // independently with probability p, census the sparsified graph,
+    // estimate T ≈ T_sampled / p³ — an unbiased estimator whose variance
+    // vanishes on triangle-rich graphs). The sampler must be
+    // DETERMINISTIC (oracle-reproducible and, at scale, re-executable
+    // per retry without drift), so membership is a fixed modular hash of
+    // the edge key — (u·2654435761 + v·40503) mod 1000 < 200, p = 1/5 —
+    // not rand(). All-integer arithmetic: the estimate ×125 = 1/p³ stays
+    // in the exact int64 lane, no float leaves the engine. Wedge work
+    // drops by p² (25×) and the census runs on edges the exact face
+    // never materializes — both faces oracle-green means the sampler and
+    // the census agree with an independent engine bit for bit.
+    "graph_triangles_sampled" -> ((s, dir) => {
+      val os = li(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = os.join(
+          os.select(col("ok"), col("sk").as("sk2")), "ok")
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").cast("long").as("u"), col("sk2").cast("long").as("v"))
+        .distinct()
+        .filter((col("u") * 2654435761L + col("v") * 40503L) % 1000L < 200L)
+      Graph.triangleStats(pairs, "u", "v")
+        .select(col("n_edges").as("n_edges_sampled"),
+          col("n_triangles").as("n_tri_sampled"),
+          (col("n_triangles") * 125L).as("n_tri_estimate"))
     }),
 
     // Bloom-filter runtime pruning (BloomPrune scaladoc): the probe side
@@ -1338,8 +1381,9 @@ object CoreQueries {
     "graph_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok,
         |              CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
-        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-        |      FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+        |e AS (SELECT a.sk AS u, b.sk AS v
+        |      FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        |      GROUP BY 1, 2 HAVING count(*) >= 4),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
         |        FROM (SELECT u AS node FROM e
         |              UNION ALL SELECT v FROM e) ends
@@ -1354,6 +1398,25 @@ object CoreQueries {
         |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles
         |FROM ns, es, tri""".stripMargin,
+
+    // Sampled-census mirror: the same deterministic modular-hash edge
+    // sampler (p = 1/5) and the same orientation-free triangle listing,
+    // so the DOULION face's sampler AND census are both independently
+    // reproduced. Integer-only: estimate = sampled × 125 = 1/p³.
+    "graph_triangles_sampled" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok,
+        |              CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+        |e AS (SELECT u, v FROM (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk) p
+        |      WHERE (u * 2654435761 + v * 40503) % 1000 < 200),
+        |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_sampled FROM e),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_sampled
+        |        FROM e e1
+        |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT n_edges_sampled, n_tri_sampled,
+        |       CAST(n_tri_sampled * 125 AS BIGINT) AS n_tri_estimate
+        |FROM es, tri""".stripMargin,
 
     // Bloom-prune mirror: the ORACLE is the plain unpruned join — the
     // Spark side must prove its Bloom pre-filter changes nothing.

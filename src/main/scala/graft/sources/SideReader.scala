@@ -87,6 +87,23 @@ object SideReader {
       "numPartitions" -> numPartitions.toString)
   }
 
+  /** Live-endpoint assembly (S5/S6): a [[Jdbc]] side from a parsed
+    * reference-config source block. TiDB speaks the MySQL wire protocol,
+    * so the URL is the standard MySQL JDBC form; the snapshot pin renders
+    * through [[TiDbSnapshot]]. This is the ONE seam a sandbox cannot
+    * execute live (no TiDB endpoint), so the full rendered option map —
+    * URL and `AS OF TIMESTAMP` dbtable text — is golden-text-pinned in
+    * `ParitySpec` ("config-to-endpoint assembly renders the exact live
+    * TiDB strings"): the strings a real endpoint would receive are fixed
+    * by construction even though no endpoint ever receives them here.
+    */
+  def fromConf(src: graft.conf.SourceConf, schema: String, table: String,
+      pkColumn: String, lowerBound: Long, upperBound: Long,
+      chunkSize: Long, snapshotTs: Option[String]): Jdbc =
+    Jdbc(s"jdbc:mysql://${src.host}:${src.port}/$schema", schema, table,
+      src.user, src.password, pkColumn, lowerBound, upperBound, chunkSize,
+      snapshotTs, TiDbSnapshot)
+
   def read(spark: SparkSession, side: Side, table: String): DataFrame =
     side match {
       case ParquetDir(dir) => graft.Tables.load(spark, dir, table)

@@ -269,7 +269,7 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     val ev = Tables.load(spark, sfDir, "events")
     val expected = ev.filter(col("event_id") % 9 === 0)
-      .select(col("event_id"), unix_millis(col("ts")))
+      .select(col("event_id"), graft.functions.Canonical.epochMs(col("ts")))
       .as[(Long, Long)].collect().toMap
     assert(r.length == expected.size)
     r.foreach { case (id, nd, ts) =>

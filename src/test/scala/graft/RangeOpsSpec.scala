@@ -19,9 +19,9 @@ class RangeOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
 
     val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
-      unix_millis(col("ts")).as("p_ms"))
+      graft.functions.Canonical.epochMs(col("ts")).as("p_ms"))
     val c = clicks.select(col("user_id"),
-      unix_millis(col("ts")).as("c_ms"),
+      graft.functions.Canonical.epochMs(col("ts")).as("c_ms"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val naive = p.join(c, Seq("user_id"), "left")
       .withColumn("hit", col("c_ms").isNotNull &&
@@ -51,7 +51,8 @@ class RangeOpsSpec extends SparkSpec {
   test("z-order files are disjoint z-ranges in curve order") {
     val files = ZOrder.layout(
       ev.select(col("event_id"), col("user_id"),
-        expr("unix_millis(ts) div 3600000").as("hr")),
+        (graft.functions.Canonical.epochMs(col("ts")) / 3600000L)
+          .cast("long").as("hr")),
       "user_id", "hr", "event_id", 8)
       .orderBy("file_id").collect()
     assert(files.length == 8)
