@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the third ANN scale path next to sign-LSH
+  * ([[Similarity.signLshTopK]]) and IVF ([[Similarity.ivfTopK]]), and the
+  * one that changes the MEMORY story: the embedding splits into `M`
+  * subspaces, each subspace gets its own small codebook (`Ks` centroids,
+  * one Lloyd refinement — same training shape as
+  * [[Similarity.refinedCentroids]], per subspace), and every vector
+  * compresses to M one-byte codes. At 100 TB that is the difference
+  * between "the index needs the fleet's RAM" (64 floats = 256 B/vector)
+  * and "the index rides along" (4 B/vector + a 32-row codebook) — PQ is
+  * how billion-vector indexes fit at all (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Candidate generation here is CODE-MATCH banding: a candidate is
+  * interesting when it shares ≥ `minMatch` of the query's M codes — an
+  * integer-exact analogue of LSH banding over the learned codebook
+  * (vectors quantizing identically in half their subspaces are close the
+  * way same-band LSH keys are). Matching is a narrow (sub, code)
+  * equi-join on the compressed code relation — corpus embeddings never
+  * shuffle — and the survivors get the EXACT rounded cosine from the
+  * codegen'd kernel, so lossy compression can only lose recall, never
+  * corrupt a score. (Classic ADC — summing per-subspace query-to-centroid
+  * dots — re-accumulates floats across subspaces, a new cross-engine
+  * parity surface for zero extra power at this corpus size; the integer
+  * code-match lane reuses the parity-proven pieces instead.)
+  *
+  * Distribution: ONLY the codebook is collected (M*Ks rows by
+  * construction — same bounded-collect contract as the IVF centroid
+  * array), and assignment/encoding unrolls it into a literal codegen
+  * PROJECTION — no join, no extra exchange; the training pass is one
+  * posexplode + decimal-mean aggregation per subspace.
+  *
+  * Determinism contract (same as the IVF family): codebook seeds are
+  * md5-ordered, assignment ranks by ROUND6 subspace dot with centroid-id
+  * tie-break (as a max over (sd, -cid) structs — identical total order),
+  * refinement means go through DECIMAL(27,10) — every step
+  * order-independent and oracle-mirrored bit for bit.
+  */
+object ProductQuant {
+
+  /** Subspace count — codes per vector. */
+  val M = 4
+
+  /** Centroids per subspace codebook (one byte of code space is 256;
+    * 8 keeps the fixture's posting lists non-degenerate).
+    */
+  val Ks = 8
+
+  /** md5-ordered deterministic seed vectors (mirror of
+    * Similarity.centroidSeed — duplicated because that one is private
+    * and this codebook seeds every subspace from the same full vectors).
+    */
+  private def seeds(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("cid"))
+      .limit(Ks)
+      .select(col("cid"), col("cemb"))
+
+  /** Nearest-centroid id as a pure projection: per centroid a left-fold
+    * dot of `emb[off+1..off+n]` against its literal values (same fold
+    * order as [[Similarity.dotN]]), round6'd, then argmax by
+    * (sd DESC, cid ASC) via max over (sd, -cid) structs.
+    */
+  private def assignCol(emb: Column, cents: Seq[(Long, Array[Double])],
+                        off: Int, bOff: Int, n: Int): Column = {
+    val entries = cents.map { case (cid, v) =>
+      val sd = round((1 to n).map(i =>
+        element_at(emb, off + i).cast("double") * lit(v(bOff + i - 1)))
+        .reduceLeft(_ + _), 6)
+      struct(sd.as("sd"), lit(-cid).as("ncid"))
+    }
+    -array_max(array(entries: _*)).getField("ncid")
+  }
+
+  /** The trained per-subspace codebook: (sub, cid, cv[subLen]) — Ks
+    * seed-assigned member means per subspace, DECIMAL-exact. M*Ks rows
+    * by construction (the PQ codebook is tiny or it isn't PQ).
+    */
+  def codebook(embeddings: DataFrame, dim: Int): DataFrame = {
+    require(dim % M == 0, s"dim $dim must split into $M subspaces")
+    val subLen = dim / M
+    val seedRows: Seq[(Long, Array[Double])] = seeds(embeddings).collect()
+      .toSeq.map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val perSub = (0 until M).map { s =>
+      val off = s * subLen
+      embeddings.select(lit(s).as("sub"),
+        assignCol(col("embedding"), seedRows, off, off, subLen).as("cid"),
+        posexplode(expr(s"slice(embedding, ${off + 1}, $subLen)"))
+          .as(Seq("pos", "v")))
+    }
+    perSub.reduce(_ unionByName _)
+      .groupBy("sub", "cid", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy("sub", "cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("sub"), col("cid"), expr("transform(pc, x -> x.c)").as("cv"))
+  }
+
+  /** Encode every vector as M (vec_id, sub, code) rows against the
+    * trained codebook — the 4-byte compressed index relation. The
+    * codebook is collected (bounded) and unrolled into the projection.
+    */
+  def encode(embeddings: DataFrame, cb: DataFrame, dim: Int): DataFrame = {
+    val subLen = dim / M
+    val bySub: Map[Int, Seq[(Long, Array[Double])]] = cb.collect().toSeq
+      .map(r => (r.getInt(0), (r.getLong(1),
+        r.getSeq[Double](2).toArray)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    (0 until M).map { s =>
+      val off = s * subLen
+      embeddings.select(col("vec_id"), lit(s).as("sub"),
+        assignCol(col("embedding"), bySub(s), off, 0, subLen).as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ top-k: code-match banding (≥ `minMatch` of M codes shared) then
+    * exact rerank. Output: (query_id, cand_id, n_match, score, rank).
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+             minMatch: Int = 1, dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val codes = encode(embeddings, codebook(embeddings, d), d)
+    val qCodes = codes.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"))
+    val cand = codes.join(broadcast(qCodes), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+    def emb(p: String): DataFrame =
+      embeddings.select(col("vec_id").as(s"${p}_id"),
+        col("embedding").as(s"${p}_emb"),
+        Similarity.normN(col("embedding"), d).as(s"${p}_nrm"))
+    graft.functions.CosineScore.register(embeddings.sparkSession)
+    val scored = cand
+      .join(emb("q"), "q_id").join(emb("c"), "c_id")
+      .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
+        col("n_match"),
+        expr("cosine_score(q_emb, c_emb, q_nrm, c_nrm)").as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -428,6 +428,43 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
   }
 
+  /** Deterministic per-stratum reservoir sample: EXACTLY `k` documents
+    * per group (vs [[stratifiedSample]]'s rate-based expected count) —
+    * the fixed-budget selection behind "pull 10k inspection docs per
+    * language" / "k eval prompts per domain" corpus QA, where a permille
+    * rate over skewed stratum sizes gives 3 docs from one language and
+    * 300k from another.
+    *
+    * Selection is the k smallest salted-hash priorities per group with
+    * doc_id as the total-order tiebreak — hash-based, never random, so a
+    * re-run over a grown corpus keeps every still-qualifying pick, and
+    * retries cannot drift (same replayability contract as the other
+    * sampling lanes).
+    *
+    * Scale posture: selection runs through the bounded-buffer
+    * [[graft.functions.TopKHeap]] AGGREGATE, not a window — Catalyst
+    * plans a partial top-k before the exchange, so each map task ships
+    * ≤ k candidate rows per group and no stratum is ever globally
+    * sorted. At 100 TB, sampling 10k docs from a 10-billion-doc stratum
+    * shuffles kilobytes, not the corpus.
+    */
+  def reservoirSample(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val pri = pmod(
+      conv(substring(md5(concat(lit("res:"), col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast(LongType), lit(1000000007L))
+    val topk = udaf(new graft.functions.TopKHeap(k))
+    docs
+      .select(col(groupCol), col("doc_id").cast(LongType).as("doc_id"),
+        pri.as("pri"))
+      // TopKHeap orders score DESC; the sample wants smallest priority
+      // first, so the score lane carries the negated priority.
+      .groupBy(groupCol)
+      .agg(topk((lit(0L) - col("pri")).as("score"), col("doc_id")).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).cast(LongType).as("rank"),
+        (lit(0L) - col("t.score")).as("priority"), col("t.id").as("doc_id"))
+  }
+
   /** Per-language top-`k` token bigrams — the collocation census a corpus
     * report runs (and the seed list for the boilerplate scan below).
     *

@@ -673,7 +673,90 @@ object PipelineQueries {
     // (stub) dims — pure integer arithmetic, mirrored exactly in SQL.
     "image_resize" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.features(s, docs(s, dir)), 64, 64)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Fixed-budget per-stratum sample (TextAnalysis.reservoirSample
+    // scaladoc): exactly 20 docs per language via bounded-buffer top-k on
+    // salted-hash priority — no window sort, no rate/size coupling. The
+    // oracle is the window form over the same priority lane.
+    "reservoir_sample" -> ((s, dir) =>
+      TextAnalysis.reservoirSample(docs(s, dir), "lang", 20)
+        .orderBy("lang", "rank")),
+
+    // Eval-contamination QA across the train/val/test boundary: near-dup
+    // pairs (the minhash lane) joined to both endpoints' split
+    // assignments, counted by split pair. Off-diagonal rows (split_lo <>
+    // split_hi) are leakage — a near-dup of a test doc sitting in train
+    // defeats the held-out evaluation, which is why cluster-aware
+    // splitting exists. Composes two already-oracle'd lanes; the count
+    // matrix is the auditable artifact a curation run signs off on.
+    "split_leakage_guard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, 0.5).select("doc_a", "doc_b")
+      val sp = TextAnalysis.splitAssign(d).select("doc_id", "split")
+      pairs
+        .join(sp.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "split_a"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "split_b"), "doc_b")
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
+    // PQ ANN (ProductQuant scaladoc): 4-subspace x 8-centroid learned
+    // codebook (one DECIMAL-exact Lloyd refinement), every vector
+    // compressed to 4 codes, integer code-match banding (shares >= 1 of
+    // 4 codes) for candidates, exact rounded-cosine rerank. Completes
+    // the LSH / IVF / PQ ANN-trilogy; the memory face of the 100 TB
+    // story (4 B/vector index vs 256 B of floats).
+    "ann_pq" -> ((s, dir) =>
+      ProductQuant.pqTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    // Recall gate for the PQ face — same exact-truth contract as
+    // ann_recall: lossy code-match banding may only LOSE neighbors, and
+    // this query measures exactly how many, per query.
+    "pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
+        .select("query_id", "cand_id")
+      val approx = ProductQuant.pqTopK(e, col("vec_id") < 50, 3)
+        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
+      truth.join(approx,
+          truth("query_id") === approx("a_qid") &&
+            truth("cand_id") === approx("a_cid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_truth"),
+          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("k_truth"), 6))
+        .orderBy("query_id")
+    }),
+
+    // Per-shard Bloom manifest (BloomManifest scaladoc): the membership
+    // index as a TABLE — (shard, word, bits) — built with map-side
+    // partial bit_or, nothing collected.
+    "shard_bloom_manifest" -> ((s, dir) =>
+      BloomManifest.manifest(docs(s, dir), "source", "doc_id")
+        .orderBy("shard", "word")),
+
+    // Probe face: a simulated incoming batch (every 3rd key a true
+    // member, the rest shifted out of the id space) checked against the
+    // manifest, per shard: n_present <= n_maybe <= n_probes IS the Bloom
+    // contract, and n_maybe - n_present the measured false-positive cost.
+    "shard_bloom_probe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.select(col("source"),
+        when(col("doc_id") % 3 === 0, col("doc_id"))
+          .otherwise(col("doc_id") + 1000000L).as("probe_key"))
+      val corpus = d.select(col("source"), col("doc_id").as("probe_key"))
+      val mf = BloomManifest.manifest(d, "source", "doc_id")
+      BloomManifest.probe(probes, corpus, mf, "source", "probe_key")
+        .orderBy("shard")
+    }))
 
   // ---------------------------------------------------------------- oracle
 
@@ -856,6 +939,57 @@ object PipelineQueries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM s)
        |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Full PQ pipeline as a standalone SELECT (mirror of
+    * ProductQuant.pqTopK): md5-ordered seeds, round6 subspace dots with
+    * (sd DESC, cid) assignment, DECIMAL(27,10) member means, code-match
+    * candidates, rounded-cosine rerank. Used verbatim for `ann_pq` AND
+    * composed as a subquery by the `pq_recall` gate.
+    */
+  private lazy val annPqOracle: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |subs AS (SELECT unnest(range(0, 4)) AS sub),
+       |sd0 AS (SELECT e.vec_id, s.sub, cent.cid,
+       |  round(list_sum(list_transform(range(1, 17),
+       |    i -> e.v[CAST(s.sub * 16 + i AS INTEGER)]
+       |         * cent.cv[CAST(s.sub * 16 + i AS INTEGER)])), 6) AS sd
+       |  FROM e, subs s, cent),
+       |a0 AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER
+       |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
+       |    FROM sd0) WHERE rn = 1),
+       |dims AS (SELECT unnest(range(1, 17)) AS pos),
+       |comp AS (SELECT a0.sub, a0.cid, d.pos,
+       |    CAST(SUM(CAST(e.v[CAST(a0.sub * 16 + d.pos AS INTEGER)]
+       |      AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM a0 JOIN e ON e.vec_id = a0.vec_id CROSS JOIN dims d
+       |  GROUP BY 1, 2, 3),
+       |cb AS (SELECT sub, cid, list(c ORDER BY pos) AS cv FROM comp
+       |       GROUP BY 1, 2),
+       |sd1 AS (SELECT e.vec_id, cb.sub, cb.cid,
+       |  round(list_sum(list_transform(range(1, 17),
+       |    i -> e.v[CAST(cb.sub * 16 + i AS INTEGER)]
+       |         * cb.cv[CAST(i AS INTEGER)])), 6) AS sd
+       |  FROM e, cb),
+       |codes AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER
+       |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
+       |    FROM sd1) WHERE rn = 1),
+       |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(count(*) AS BIGINT) AS n_match
+       |  FROM codes q JOIN codes c
+       |    ON q.sub = c.sub AND q.code = c.code AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 50 GROUP BY 1, 2 HAVING count(*) >= 1),
+       |sc AS (SELECT query_id, cand_id, n_match, round($cosSql, 6) AS score
+       |  FROM cand JOIN e q ON q.vec_id = query_id
+       |            JOIN e c ON c.vec_id = cand_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, n_match, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   private lazy val annIvfOracle: String =
     s"""WITH $embCte,
@@ -2073,5 +2207,126 @@ object PipelineQueries {
          |  unnest(range(0, octet_length(encode(text)) // 32)) AS i FROM documents)
          |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
          |  md5(substring(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
-         |FROM t WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM t WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Reservoir mirror: the WINDOW form — row_number over the identical
+    // salted priority lane — proves the bounded-buffer aggregate samples
+    // identically.
+    "reservoir_sample" ->
+      s"""WITH b AS (SELECT lang, doc_id,
+         |    ${h48("'res:' || CAST(doc_id AS VARCHAR)")} % 1000000007 AS pri
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id, pri,
+         |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id)
+         |      AS rank FROM b)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, pri AS priority, doc_id
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+
+    // Leakage mirror: the full minhash candidate chain (one source of
+    // truth with dedup_minhash) joined to the split-bucket CASE.
+    "split_leakage_guard" ->
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b),
+         |mh AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${h48("CAST(doc_id AS VARCHAR)")} % 1000 < 50 THEN 'test'
+         |       WHEN ${h48("CAST(doc_id AS VARCHAR)")} % 1000 < 100 THEN 'val'
+         |       ELSE 'train' END AS split
+         |  FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_lo,
+         |       greatest(sa.split, sb.split) AS split_hi,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM mh JOIN sp sa ON sa.doc_id = mh.doc_a
+         |        JOIN sp sb ON sb.doc_id = mh.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // PQ mirror: identical md5-ordered seeds, round6 subspace dots with
+    // (sd DESC, cid) assignment, DECIMAL(27,10) member means, code-match
+    // candidate counts, and the shared rounded-cosine rerank.
+    "ann_pq" -> annPqOracle,
+
+    // PQ recall gate: exact brute-force truth vs the PQ face (one source
+    // of truth — annPqOracle composed as a subquery, the ann_rank_fusion
+    // pattern).
+    "pq_recall" ->
+      s"""WITH $embCte,
+         |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |       FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM ts),
+         |truth AS (SELECT query_id, cand_id FROM tr WHERE rank <= 3),
+         |approx AS (SELECT query_id, cand_id FROM ($annPqOracle))
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k_truth,
+         |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    // Bloom-manifest mirror: identical salted positions, 60-bit words,
+    // bit_or assembly.
+    "shard_bloom_manifest" ->
+      s"""WITH pos AS (
+         |  SELECT source AS shard, ${h48("'bm0:' || CAST(doc_id AS VARCHAR)")} % 1020 AS pos FROM documents
+         |  UNION ALL
+         |  SELECT source, ${h48("'bm1:' || CAST(doc_id AS VARCHAR)")} % 1020 FROM documents
+         |  UNION ALL
+         |  SELECT source, ${h48("'bm2:' || CAST(doc_id AS VARCHAR)")} % 1020 FROM documents),
+         |w AS (SELECT shard, pos // 60 AS word,
+         |        bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER)) AS bits
+         |      FROM pos GROUP BY 1, 2)
+         |SELECT shard, CAST(word AS BIGINT) AS word, bits,
+         |       CAST(bit_count(bits) AS BIGINT) AS set_bits
+         |FROM w ORDER BY shard, word""".stripMargin,
+
+    // Probe mirror: same manifest chain, LEFT JOIN with clear-bit
+    // coalesce for absent words, EXISTS ground truth.
+    "shard_bloom_probe" ->
+      s"""WITH pos AS (
+         |  SELECT source AS shard, ${h48("'bm0:' || CAST(doc_id AS VARCHAR)")} % 1020 AS pos FROM documents
+         |  UNION ALL
+         |  SELECT source, ${h48("'bm1:' || CAST(doc_id AS VARCHAR)")} % 1020 FROM documents
+         |  UNION ALL
+         |  SELECT source, ${h48("'bm2:' || CAST(doc_id AS VARCHAR)")} % 1020 FROM documents),
+         |w AS (SELECT shard, pos // 60 AS word,
+         |        bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER)) AS bits
+         |      FROM pos GROUP BY 1, 2),
+         |pr AS (SELECT source AS shard,
+         |         CASE WHEN doc_id % 3 = 0 THEN doc_id
+         |              ELSE doc_id + 1000000 END AS key
+         |       FROM documents),
+         |ppos AS (
+         |  SELECT shard, key, ${h48("'bm0:' || CAST(key AS VARCHAR)")} % 1020 AS pos FROM pr
+         |  UNION ALL
+         |  SELECT shard, key, ${h48("'bm1:' || CAST(key AS VARCHAR)")} % 1020 FROM pr
+         |  UNION ALL
+         |  SELECT shard, key, ${h48("'bm2:' || CAST(key AS VARCHAR)")} % 1020 FROM pr),
+         |chk AS (
+         |  SELECT ppos.shard, ppos.key,
+         |    min(CASE WHEN coalesce(w.bits, 0)
+         |               & (CAST(1 AS BIGINT) << CAST(ppos.pos % 60 AS INTEGER)) <> 0
+         |             THEN 1 ELSE 0 END) AS maybe
+         |  FROM ppos LEFT JOIN w
+         |    ON w.shard = ppos.shard AND w.word = ppos.pos // 60
+         |  GROUP BY 1, 2),
+         |tr AS (SELECT DISTINCT source AS shard, doc_id AS key, 1 AS present
+         |       FROM documents)
+         |SELECT chk.shard, CAST(count(*) AS BIGINT) AS n_probes,
+         |       CAST(sum(chk.maybe) AS BIGINT) AS n_maybe,
+         |       CAST(sum(coalesce(tr.present, 0)) AS BIGINT) AS n_present
+         |FROM chk LEFT JOIN tr ON tr.shard = chk.shard AND tr.key = chk.key
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{ProductQuant, Similarity}
+import org.apache.spark.sql.functions._
+
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("codebook is bounded M*Ks with subspace-length centroids") {
+    val dim = Similarity.dimOf(emb)
+    val cb = ProductQuant.codebook(emb, dim)
+      .select(col("sub"), col("cid"), size(col("cv")).as("n"))
+      .as[(Int, Long, Int)].collect()
+    assert(cb.nonEmpty && cb.length <= ProductQuant.M * ProductQuant.Ks)
+    assert(cb.forall(_._3 == dim / ProductQuant.M))
+    // at most Ks centroids per subspace, unique ids within a subspace
+    cb.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= ProductQuant.Ks)
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+  }
+
+  test("every vector encodes to exactly M codes drawn from the codebook") {
+    val dim = Similarity.dimOf(emb)
+    val cb = ProductQuant.codebook(emb, dim)
+    val codes = ProductQuant.encode(emb, cb, dim)
+      .select("vec_id", "sub", "code").as[(Long, Int, Long)].collect()
+    val n = emb.count()
+    assert(codes.length == n * ProductQuant.M)
+    codes.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until ProductQuant.M))
+    }
+    val valid = cb.select("sub", "cid").as[(Int, Long)].collect().toSet
+    assert(codes.forall(c => valid((c._2, c._3))))
+  }
+
+  test("pqTopK reranks with the exact cosine and keeps the band contract") {
+    val r = SparkEntry.queries("ann_pq")(spark, sfDir)
+      .select("query_id", "cand_id", "n_match", "score", "rank")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (q, c, m, _, _) =>
+      assert(q != c && q < 50)
+      assert(m >= 1 && m <= ProductQuant.M)
+    }
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to byRank.length))
+      // scores non-increasing in rank
+      assert(byRank.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _         => true
+      })
+    }
+    // the rerank is EXACT: every emitted score equals the brute-force
+    // cosine for that pair
+    graft.functions.CosineScore.register(spark)
+    val dim = Similarity.dimOf(emb)
+    val pairs = r.map(t => (t._1, t._2)).toSeq.toDF("query_id", "cand_id")
+    def side(p: String) = emb.select(col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}_emb"),
+      Similarity.normN(col("embedding"), dim).as(s"${p}_nrm"))
+    val exact = pairs
+      .join(side("q"), col("query_id") === col("q_id"))
+      .join(side("c"), col("cand_id") === col("c_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("cosine_score(q_emb, c_emb, q_nrm, c_nrm)").as("score"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    r.foreach { case (q, c, _, s, _) => assert(exact((q, c)) == s) }
+  }
+}
