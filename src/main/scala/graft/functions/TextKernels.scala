@@ -171,6 +171,34 @@ object TextKernels {
       toks.length.toLong, top.toLong, nBigrams, dup))
   }
 
+  /** cdc_bounds(text, d): content-defined chunk CUT POINTS — every
+    * 1-based position whose character-8-gram h48 hash divides `d`
+    * (expected chunk length ≈ d chars). Content-defined boundaries are
+    * what make sub-document dedup insertion-robust: a byte inserted
+    * into a document shifts every FIXED window after it (all their
+    * hashes change — the [[graft.operators.TextAnalysis]] 200-char
+    * `doc_chunks` face), but re-synchronizes content-defined cuts
+    * within one chunk, so every chunk after the edit hashes identically
+    * again — the LBFS/rsync/backup-dedup boundary scheme applied to
+    * corpus curation. Same gram convention as [[winnowFp]]/[[winnowSet]]
+    * (8-gram capped at the string end, floor one gram); production CDC
+    * adds min/max chunk-size clamps — a relational `filter` over these
+    * cuts — which this kernel deliberately leaves to the caller so the
+    * boundary rule itself stays oracle-mirrorable in one expression.
+    */
+  def cdcBounds(text: UTF8String, d: Int): ArrayData = {
+    val s = text.toString
+    val n = math.max(s.length - 7, 1)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      if (h48(s.substring(i, math.min(i + 8, s.length))
+        .getBytes("UTF-8")) % d == 0) buf += i + 1
+      i += 1
+    }
+    ArrayData.toArrayData(buf.toArray)
+  }
+
   // ------------------------------------------------- expression nodes
 
   abstract class TextKernelExpr extends UnaryExpression {
@@ -228,6 +256,17 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  case class CdcBoundsExpr(child: Expression, d: Int) extends TextKernelExpr {
+    override def prettyName: String = "cdc_bounds"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      cdcBounds(t.asInstanceOf[UTF8String], d)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.cdcBounds($c, $d)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class WinnowFpExpr(child: Expression) extends TextKernelExpr {
     override def prettyName: String = "winnow_fp"
     override def dataType: DataType = LongType
@@ -270,6 +309,12 @@ object TextKernels {
     FunctionIdentifier("rep_signals") -> { (cs: Seq[Expression]) =>
       require(cs.length == 1, s"rep_signals(text) expects 1 arg, got ${cs.length}")
       RepSignalsExpr(cs.head)
+    },
+    FunctionIdentifier("cdc_bounds") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 2, s"cdc_bounds(text, d) expects 2 args, got ${cs.length}")
+      val d = literalInt(cs(1), "d")
+      require(d >= 2, s"cdc_bounds divisor must be >= 2, got $d")
+      CdcBoundsExpr(cs.head, d)
     })
 
   /** Full descriptors for [[graft.GraftExtensions]]' `injectFunction`. */

@@ -465,6 +465,39 @@ object TextAnalysis {
         (lit(0L) - col("t.score")).as("priority"), col("t.id").as("doc_id"))
   }
 
+  /** Content-defined chunking (TextKernels.cdcBounds scaladoc): every
+    * document splits at hash-determined cut points (expected chunk ≈
+    * `d` chars), so an edit re-synchronizes within one chunk and every
+    * chunk after it hashes identically again — the insertion-robust
+    * sub-document dedup unit the fixed-window `doc_chunks` face cannot
+    * provide. Output: (doc_id, chunk_idx, start, chunk_len, chunk_md5).
+    *
+    * Scale posture: the boundary scan is ONE codegen'd kernel call per
+    * document (no per-position explode — the cut list rides as a small
+    * array); span assembly is array arithmetic over that list; only the
+    * chunk hashes — never chunk text — need leave the row. Grouping by
+    * chunk_md5 downstream is the standard dedup shuffle on a 16-byte
+    * key.
+    */
+  def cdcChunks(docs: DataFrame, d: Int = 64): DataFrame = {
+    graft.functions.TextKernels.register(docs.sparkSession)
+    docs
+      .withColumn("b", expr(s"cdc_bounds(text, $d)"))
+      .withColumn("cuts", expr(
+        "concat(array(1), filter(b, x -> x > 1), array(length(text) + 1))"))
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          """transform(sequence(1, size(cuts) - 1),
+            |  j -> struct(element_at(cuts, j) AS start,
+            |              element_at(cuts, j + 1) - element_at(cuts, j) AS len))
+            |""".stripMargin)).as(Seq("pos", "span")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast(LongType).as("chunk_idx"),
+        col("span.start").cast(LongType).as("start"),
+        col("span.len").cast(LongType).as("chunk_len"),
+        md5(expr("substring(text, span.start, span.len)")).as("chunk_md5"))
+  }
+
   /** Per-language top-`k` token bigrams — the collocation census a corpus
     * report runs (and the seed list for the boilerplate scan below).
     *

@@ -756,7 +756,26 @@ object PipelineQueries {
       val mf = BloomManifest.manifest(d, "source", "doc_id")
       BloomManifest.probe(probes, corpus, mf, "source", "probe_key")
         .orderBy("shard")
-    }))
+    }),
+
+    // Content-defined chunking (TextAnalysis.cdcChunks scaladoc): chunk
+    // spans + md5 per document, cut where the 8-gram hash divides 64 —
+    // the insertion-robust sub-document dedup unit.
+    "cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
+
+    // The dedup face over those chunks: content shared by >= 2 documents
+    // (the fixture's planted duplicates chunk identically), keyed by the
+    // 16-byte chunk hash — chunk text never shuffles.
+    "cdc_shared_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(docs(s, dir))
+        .groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("min_doc_id"),
+          min(col("chunk_len")).as("chunk_len"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_md5")))
 
   // ---------------------------------------------------------------- oracle
 
@@ -2291,6 +2310,56 @@ object PipelineQueries {
          |SELECT shard, CAST(word AS BIGINT) AS word, bits,
          |       CAST(bit_count(bits) AS BIGINT) AS set_bits
          |FROM w ORDER BY shard, word""".stripMargin,
+
+    // CDC mirror: identical 8-gram h48 boundary rule, cut-list assembly,
+    // span arithmetic, chunk md5.
+    "cdc_chunks" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |  greatest(length(text) - 7, 1) AS n FROM documents),
+         |bnd AS (SELECT doc_id, text,
+         |  list_filter(range(1, n + 1),
+         |    i -> i > 1 AND ${h48("substring(text, CAST(i AS INTEGER), 8)")} % 64 = 0) AS b
+         |  FROM base),
+         |cuts AS (SELECT doc_id, text,
+         |  list_concat(list_concat([CAST(1 AS BIGINT)], b),
+         |    [CAST(length(text) + 1 AS BIGINT)]) AS c
+         |  FROM bnd),
+         |ch AS (SELECT doc_id, text, j,
+         |  c[CAST(j AS INTEGER)] AS start,
+         |  c[CAST(j + 1 AS INTEGER)] - c[CAST(j AS INTEGER)] AS len
+         |  FROM cuts, UNNEST(range(1, len(c))) AS t(j))
+         |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS chunk_len,
+         |  md5(substring(text, CAST(start AS INTEGER), CAST(len AS INTEGER)))
+         |    AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "cdc_shared_chunks" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |  greatest(length(text) - 7, 1) AS n FROM documents),
+         |bnd AS (SELECT doc_id, text,
+         |  list_filter(range(1, n + 1),
+         |    i -> i > 1 AND ${h48("substring(text, CAST(i AS INTEGER), 8)")} % 64 = 0) AS b
+         |  FROM base),
+         |cuts AS (SELECT doc_id, text,
+         |  list_concat(list_concat([CAST(1 AS BIGINT)], b),
+         |    [CAST(length(text) + 1 AS BIGINT)]) AS c
+         |  FROM bnd),
+         |ch AS (SELECT doc_id, text,
+         |  c[CAST(j AS INTEGER)] AS start,
+         |  c[CAST(j + 1 AS INTEGER)] - c[CAST(j AS INTEGER)] AS len
+         |  FROM cuts, UNNEST(range(1, len(c))) AS t(j)),
+         |sel AS (SELECT doc_id, len,
+         |  md5(substring(text, CAST(start AS INTEGER), CAST(len AS INTEGER)))
+         |    AS chunk_md5
+         |  FROM ch)
+         |SELECT chunk_md5,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+         |  CAST(min(len) AS BIGINT) AS chunk_len
+         |FROM sel GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin,
 
     // Probe mirror: same manifest chain, LEFT JOIN with clear-bit
     // coalesce for absent words, EXISTS ground truth.

@@ -85,6 +85,40 @@ class CurationOpsSpec extends SparkSpec {
       "mixed batch must contain absent keys")
   }
 
+  test("cdcChunks spans tile every document exactly and re-sync after edits") {
+    val r = TextAnalysis.cdcChunks(docs)
+      .select("doc_id", "chunk_idx", "start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    r.groupBy(_._1).foreach { case (doc, rows) =>
+      val byIdx = rows.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (1L to rows.length))
+      // chunks tile [1, len+1): consecutive, gap-free, full coverage
+      assert(byIdx.head._3 == 1L)
+      byIdx.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3)
+        case _           =>
+      }
+      assert(byIdx.last._3 + byIdx.last._4 == lens(doc) + 1)
+    }
+
+    // the CDC contract: an insertion near the front changes only a
+    // bounded prefix of chunk hashes — the tail re-synchronizes (this is
+    // exactly what fixed windows cannot do)
+    val spark2 = spark
+    import spark2.implicits._
+    val one = docs.filter(col("doc_id") === 1).select("text")
+      .as[String].head()
+    val edited = Seq((1L, one), (2L, "XYZQ" + one)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(edited)
+      .select("doc_id", "chunk_md5").as[(Long, String)].collect()
+    val orig = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val shifted = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert((orig & shifted).nonEmpty,
+      "tail chunks must re-synchronize after a prefix insertion")
+  }
+
   test("split_leakage_guard pair counts conserve the minhash pair set") {
     val total = SparkEntry.queries("split_leakage_guard")(spark, sfDir)
       .agg(sum("n_pairs")).as[Long].collect().head
