@@ -30,10 +30,13 @@ object Verify {
       s"oracle without query ${(ok -- qk).toSeq.sorted.mkString(",")}")
     // Order-canonical dump: the driver hashes the parquet's row sequence,
     // so a dump whose row order depends on partition concatenation order
-    // can flip red between runs even when the VALUES are exact (the r8
-    // bloom_prune_join red row — judge re-ran it twice bit-exact). Sort
+    // can flip red between runs even when the VALUES are exact. Sort
     // the single coalesced partition on every orderable output column so
-    // green never depends on task scheduling. Map-typed columns are not
+    // green never depends on task scheduling. (Note: this was NOT the
+    // r8/r9 bloom_prune_join root cause — that was an order-sensitive
+    // sum(double) in the hashed VALUES, fixed in r10 by the
+    // cast-before-sum exact decimal lane; canonicalize remains for
+    // genuine tie-order flakes.) Map-typed columns are not
     // orderable in Spark and are skipped; full-row duplicates tie under
     // the sort but identical rows hash identically regardless of order.
     def canonicalize(df: DataFrame): DataFrame = {

@@ -724,7 +724,12 @@ object CoreQueries {
       BloomPrune.prunedJoin(probe, build, "l_orderkey", "o_orderkey")
         .groupBy(col("l_returnflag"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
-          dec(sum(col("l_quantity"))).as("sum_qty"))
+          // Exact lane (the q1 idiom, green since r1): cast to DECIMAL(18,2)
+          // BEFORE summing so accumulation is exact integer arithmetic and
+          // therefore partition-order-insensitive; the final cast of the
+          // exact decimal to DOUBLE is deterministic. sum-then-cast on raw
+          // doubles was the r8/r9 hash-divergence surface.
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy("l_returnflag", "o_orderpriority")
     }))
 
@@ -1423,7 +1428,7 @@ object CoreQueries {
     "bloom_prune_join" ->
       """SELECT l_returnflag, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 150000.0
         |GROUP BY 1, 2
