@@ -51,47 +51,90 @@ object ProductQuant {
     */
   val Ks = 8
 
-  /** md5-ordered deterministic seed vectors (mirror of
-    * Similarity.centroidSeed — duplicated because that one is private
-    * and this codebook seeds every subspace from the same full vectors).
+  /** Codebook training-sample bound: the member means are learned from
+    * the md5-ordered top `SampleN` vectors, not the full corpus — at
+    * 100 TB codebook training is a bounded SAMPLE job (O(10·Ks)
+    * representatives per centroid suffice for Lloyd means), while
+    * ENCODING necessarily remains a full-corpus projection. The sample
+    * is a deterministic md5-order prefix so the oracle mirrors it as a
+    * plain ORDER BY ... LIMIT.
     */
-  private def seeds(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-        md5(col("vec_id").cast("string").cast("binary")).as("h"))
-      .orderBy(col("h"), col("cid"))
-      .limit(Ks)
-      .select(col("cid"), col("cemb"))
+  val SampleN = 10 * Ks
 
-  /** Nearest-centroid id as a pure projection: per centroid a left-fold
-    * dot of `emb[off+1..off+n]` against its literal values (same fold
-    * order as [[Similarity.dotN]]), round6'd, then argmax by
-    * (sd DESC, cid ASC) via max over (sd, -cid) structs.
+  /** md5-ordered deterministic training sample; the seed vectors are its
+    * first `Ks` rows (mirror of Similarity.centroidSeed's ordering —
+    * duplicated because that one is private and this codebook seeds
+    * every subspace from the same full vectors).
     */
-  private def assignCol(emb: Column, cents: Seq[(Long, Array[Double])],
-                        off: Int, bOff: Int, n: Int): Column = {
-    val entries = cents.map { case (cid, v) =>
+  private def sample(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(SampleN)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Per-centroid (sd, -cid) score structs: a left-fold dot of
+    * `emb[off+1..off+n]` against each centroid's literal values (same
+    * fold order as [[Similarity.dotN]]), round6'd. Ascending struct
+    * order on (sd, ncid) is exactly the (sd ASC, cid DESC) total order,
+    * so max = argmax by (sd DESC, cid ASC).
+    */
+  private def scoreStructs(emb: Column, cents: Seq[(Long, Array[Double])],
+                           off: Int, bOff: Int, n: Int): Seq[Column] =
+    cents.map { case (cid, v) =>
       val sd = round((1 to n).map(i =>
         element_at(emb, off + i).cast("double") * lit(v(bOff + i - 1)))
         .reduceLeft(_ + _), 6)
       struct(sd.as("sd"), lit(-cid).as("ncid"))
     }
-    -array_max(array(entries: _*)).getField("ncid")
+
+  /** Nearest-centroid id as a pure projection (argmax by sd DESC, cid
+    * ASC via max over (sd, -cid) structs).
+    */
+  private def assignCol(emb: Column, cents: Seq[(Long, Array[Double])],
+                        off: Int, bOff: Int, n: Int): Column =
+    -array_max(array(scoreStructs(emb, cents, off, bOff, n): _*))
+      .getField("ncid")
+
+  /** The `probes` nearest centroid ids, best first, as an array
+    * projection: reverse(array_sort) over the same (sd, -cid) structs
+    * yields (sd DESC, cid ASC) — element 1 is identical to [[assignCol]],
+    * element 2 the runner-up. Multi-probe banding (query side only)
+    * widens candidate generation by ≤ probes× with the same exact rerank.
+    */
+  private def assignTopCol(emb: Column, cents: Seq[(Long, Array[Double])],
+                           off: Int, bOff: Int, n: Int,
+                           probes: Int): Column = {
+    val sorted = reverse(array_sort(
+      array(scoreStructs(emb, cents, off, bOff, n): _*)))
+    array((1 to probes).map(i =>
+      -element_at(sorted, i).getField("ncid")): _*)
   }
 
   /** The trained per-subspace codebook: (sub, cid, cv[subLen]) — Ks
-    * seed-assigned member means per subspace, DECIMAL-exact. M*Ks rows
-    * by construction (the PQ codebook is tiny or it isn't PQ).
+    * seed-assigned member means per subspace, DECIMAL-exact, learned
+    * from the bounded `SampleN` training sample (see [[SampleN]]). M*Ks
+    * rows by construction (the PQ codebook is tiny or it isn't PQ).
     */
   def codebook(embeddings: DataFrame, dim: Int): DataFrame = {
     require(dim % M == 0, s"dim $dim must split into $M subspaces")
     val subLen = dim / M
-    val seedRows: Seq[(Long, Array[Double])] = seeds(embeddings).collect()
+    // One bounded collect (≤ SampleN rows by construction): seeds are the
+    // sample's md5-order prefix, and the training relation is rebuilt as
+    // a local DataFrame so the M per-subspace branches don't re-run the
+    // corpus TakeOrdered M times.
+    val sampRows: Seq[(Long, Array[Double])] = sample(embeddings).collect()
       .toSeq.map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toArray))
+    val seedRows = sampRows.take(Ks)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val samp = sampRows.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
     val perSub = (0 until M).map { s =>
       val off = s * subLen
-      embeddings.select(lit(s).as("sub"),
+      samp.select(lit(s).as("sub"),
         assignCol(col("embedding"), seedRows, off, off, subLen).as("cid"),
         posexplode(expr(s"slice(embedding, ${off + 1}, $subLen)"))
           .as(Seq("pos", "v")))
@@ -122,15 +165,42 @@ object ProductQuant {
     }.reduce(_ unionByName _)
   }
 
-  /** PQ top-k: code-match banding (≥ `minMatch` of M codes shared) then
-    * exact rerank. Output: (query_id, cand_id, n_match, score, rank).
+  /** Multi-probe query encoding: for each query vector the top-`probes`
+    * centroid codes per subspace — ≤ M·probes (q_id, sub, code) rows per
+    * query. Probe codes within a (query, sub) are distinct centroids, so
+    * a candidate's single code matches at most one probe per subspace
+    * and the n_match count stays ≤ M.
+    */
+  def encodeProbes(queries: DataFrame, cb: DataFrame, dim: Int,
+                   probes: Int): DataFrame = {
+    val subLen = dim / M
+    val bySub: Map[Int, Seq[(Long, Array[Double])]] = cb.collect().toSeq
+      .map(r => (r.getInt(0), (r.getLong(1),
+        r.getSeq[Double](2).toArray)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    (0 until M).map { s =>
+      val off = s * subLen
+      queries.select(col("vec_id").as("q_id"), lit(s).as("sub"),
+        explode(assignTopCol(col("embedding"), bySub(s), off, 0, subLen,
+          probes)).as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ top-k: multi-probe code-match banding (candidate shares ≥
+    * `minMatch` of M codes with any of the query's `probes` nearest
+    * centroids per subspace) then exact rerank. Output: (query_id,
+    * cand_id, n_match, score, rank).
     */
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-             minMatch: Int = 1, dim: Option[Int] = None): DataFrame = {
+             minMatch: Int = 1, dim: Option[Int] = None,
+             probes: Int = 2): DataFrame = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
-    val codes = encode(embeddings, codebook(embeddings, d), d)
-    val qCodes = codes.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("sub"), col("code"))
+    val cb = codebook(embeddings, d)
+    val codes = encode(embeddings, cb, d)
+    val qCodes =
+      if (probes <= 1) codes.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("sub"), col("code"))
+      else encodeProbes(embeddings.filter(queryPred), cb, d, probes)
     val cand = codes.join(broadcast(qCodes), Seq("sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("c_id"))

@@ -706,12 +706,14 @@ object PipelineQueries {
         .orderBy("split_lo", "split_hi")
     }),
 
-    // PQ ANN (ProductQuant scaladoc): 4-subspace x 8-centroid learned
-    // codebook (one DECIMAL-exact Lloyd refinement), every vector
-    // compressed to 4 codes, integer code-match banding (shares >= 1 of
-    // 4 codes) for candidates, exact rounded-cosine rerank. Completes
-    // the LSH / IVF / PQ ANN-trilogy; the memory face of the 100 TB
-    // story (4 B/vector index vs 256 B of floats).
+    // PQ ANN (ProductQuant scaladoc): 4-subspace x 8-centroid codebook
+    // learned from a bounded md5-ordered sample (SampleN=80 — codebook
+    // training is a sample job at 100 TB), every vector compressed to 4
+    // codes, multi-probe integer code-match banding (candidate shares
+    // >= 1 code with the query's nearest OR 2nd-nearest centroid per
+    // subspace — bounded 2x candidate growth) and exact rounded-cosine
+    // rerank. Completes the LSH / IVF / PQ ANN-trilogy; the memory face
+    // of the 100 TB story (4 B/vector index vs 256 B of floats).
     "ann_pq" -> ((s, dir) =>
       ProductQuant.pqTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
@@ -960,30 +962,34 @@ object PipelineQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Full PQ pipeline as a standalone SELECT (mirror of
-    * ProductQuant.pqTopK): md5-ordered seeds, round6 subspace dots with
-    * (sd DESC, cid) assignment, DECIMAL(27,10) member means, code-match
-    * candidates, rounded-cosine rerank. Used verbatim for `ann_pq` AND
-    * composed as a subquery by the `pq_recall` gate.
+    * ProductQuant.pqTopK): md5-ordered bounded training sample (LIMIT 80
+    * = SampleN; seeds are its first 8 rows), round6 subspace dots with
+    * (sd DESC, cid) assignment, DECIMAL(27,10) member means over the
+    * SAMPLE, full-corpus encode, multi-probe (rn <= 2) query codes,
+    * code-match candidates, rounded-cosine rerank. Used verbatim for
+    * `ann_pq` AND composed as a subquery by the `pq_recall` gate.
     */
   private lazy val annPqOracle: String =
     s"""WITH $embCte,
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+       |samp AS (SELECT vec_id, v FROM e
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 80),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM samp
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |subs AS (SELECT unnest(range(0, 4)) AS sub),
-       |sd0 AS (SELECT e.vec_id, s.sub, cent.cid,
+       |sd0 AS (SELECT samp.vec_id, s.sub, cent.cid,
        |  round(list_sum(list_transform(range(1, 17),
-       |    i -> e.v[CAST(s.sub * 16 + i AS INTEGER)]
+       |    i -> samp.v[CAST(s.sub * 16 + i AS INTEGER)]
        |         * cent.cv[CAST(s.sub * 16 + i AS INTEGER)])), 6) AS sd
-       |  FROM e, subs s, cent),
+       |  FROM samp, subs s, cent),
        |a0 AS (SELECT vec_id, sub, cid FROM (
        |    SELECT vec_id, sub, cid, row_number() OVER
        |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
        |    FROM sd0) WHERE rn = 1),
        |dims AS (SELECT unnest(range(1, 17)) AS pos),
        |comp AS (SELECT a0.sub, a0.cid, d.pos,
-       |    CAST(SUM(CAST(e.v[CAST(a0.sub * 16 + d.pos AS INTEGER)]
+       |    CAST(SUM(CAST(samp.v[CAST(a0.sub * 16 + d.pos AS INTEGER)]
        |      AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
-       |  FROM a0 JOIN e ON e.vec_id = a0.vec_id CROSS JOIN dims d
+       |  FROM a0 JOIN samp ON samp.vec_id = a0.vec_id CROSS JOIN dims d
        |  GROUP BY 1, 2, 3),
        |cb AS (SELECT sub, cid, list(c ORDER BY pos) AS cv FROM comp
        |       GROUP BY 1, 2),
@@ -996,11 +1002,15 @@ object PipelineQueries {
        |    SELECT vec_id, sub, cid, row_number() OVER
        |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
        |    FROM sd1) WHERE rn = 1),
+       |qcodes AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER
+       |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
+       |    FROM sd1 WHERE vec_id < 50) WHERE rn <= 2),
        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
        |    CAST(count(*) AS BIGINT) AS n_match
-       |  FROM codes q JOIN codes c
+       |  FROM qcodes q JOIN codes c
        |    ON q.sub = c.sub AND q.code = c.code AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 50 GROUP BY 1, 2 HAVING count(*) >= 1),
+       |  GROUP BY 1, 2 HAVING count(*) >= 1),
        |sc AS (SELECT query_id, cand_id, n_match, round($cosSql, 6) AS score
        |  FROM cand JOIN e q ON q.vec_id = query_id
        |            JOIN e c ON c.vec_id = cand_id),
