@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, MetadataBuilder}
 
 /** Per-shard Bloom-filter MANIFEST — the membership index that makes
   * incremental ingest skip shards at 100 TB.
@@ -46,11 +46,45 @@ object BloomManifest {
       lit((words * WordBits).toLong))
   }
 
+  /** Metadata key carrying the filter geometry on the `bits` column, so
+    * a manifest self-describes the `words` it was built with — probing
+    * or merging with a different `words` silently computes wrong bit
+    * positions and breaks the no-false-negatives contract, so consumers
+    * derive the value from here instead of trusting call sites to agree.
+    * Column metadata survives select/join lineage AND a parquet
+    * round-trip (Spark stores it in the file's schema property).
+    */
+  val WordsMetaKey = "bloom_words"
+
+  /** The `words` a manifest was built with, from its `bits` column
+    * metadata. `explicit` (when given) must agree — a mismatch is a
+    * construction error, not a runtime data condition.
+    */
+  def manifestWords(manifestDf: DataFrame,
+                    explicit: Option[Int] = None): Int = {
+    val fromMeta = manifestDf.schema.fields.find(_.name == "bits")
+      .filter(_.metadata.contains(WordsMetaKey))
+      .map(_.metadata.getLong(WordsMetaKey).toInt)
+    (fromMeta, explicit) match {
+      case (Some(m), Some(e)) =>
+        require(m == e,
+          s"manifest built with words=$m but probe/merge called with words=$e")
+        m
+      case (Some(m), None) => m
+      case (None, Some(e)) => e
+      case (None, None) => throw new IllegalArgumentException(
+        "manifest carries no bloom_words metadata and no explicit words " +
+          "was given — cannot derive probe geometry")
+    }
+  }
+
   /** The manifest relation: (shard, word, bits, set_bits) — one row per
-    * shard per word with at least one bit set.
+    * shard per word with at least one bit set. The `bits` column carries
+    * `words` as metadata (see [[WordsMetaKey]]).
     */
   def manifest(rows: DataFrame, shardCol: String, keyCol: String,
-               words: Int = 17): DataFrame =
+               words: Int = 17): DataFrame = {
+    val meta = new MetadataBuilder().putLong(WordsMetaKey, words).build()
     rows
       .select(col(shardCol).as("shard"),
         explode(array(positions(keyCol, words): _*)).as("pos"))
@@ -59,8 +93,31 @@ object BloomManifest {
           .as("mask"))
       .groupBy("shard", "word")
       .agg(expr("bit_or(mask)").as("bits"))
-      .select(col("shard"), col("word"), col("bits"),
+      .select(col("shard"), col("word"), col("bits").as("bits", meta),
         bit_count(col("bits")).cast(LongType).as("set_bits"))
+  }
+
+  /** Incremental maintenance — the additive twin of `dedup_incremental`:
+    * a new batch's delta manifest merges into the standing manifest by
+    * (shard, word) → bit_or, so ingest NEVER re-scans the standing
+    * corpus. bit_or is commutative/associative/idempotent, therefore
+    * merge(manifest(A), B) == manifest(A ∪ B) bit-for-bit — the oracle
+    * for the merge face is literally the full-rebuild SQL. `words` is
+    * derived from the standing manifest's metadata so the delta cannot
+    * be built in a different bit space.
+    */
+  def merge(standing: DataFrame, batch: DataFrame,
+            shardCol: String, keyCol: String): DataFrame = {
+    val words = manifestWords(standing)
+    val meta = new MetadataBuilder().putLong(WordsMetaKey, words).build()
+    standing.select(col("shard"), col("word"), col("bits"))
+      .unionByName(manifest(batch, shardCol, keyCol, words)
+        .select(col("shard"), col("word"), col("bits")))
+      .groupBy("shard", "word")
+      .agg(expr("bit_or(bits)").as("bits"))
+      .select(col("shard"), col("word"), col("bits").as("bits", meta),
+        bit_count(col("bits")).cast(LongType).as("set_bits"))
+  }
 
   /** Probe face: for each (shard, probe key), `maybe` = all 3 bits set
     * in that shard's manifest. Aggregated per shard alongside ground
@@ -71,10 +128,15 @@ object BloomManifest {
     * The probe join is (shard, word) equi — manifest-sized build side,
     * AQE broadcasts it when it fits; a missing manifest word is a clear
     * bit (coalesce 0), which is what makes sparse storage correct.
+    *
+    * `words` defaults to the manifest's own metadata (see
+    * [[manifestWords]]); passing an explicit value that disagrees throws
+    * instead of silently probing the wrong bit space.
     */
   def probe(probes: DataFrame, corpus: DataFrame, manifestDf: DataFrame,
             shardCol: String, keyCol: String,
-            words: Int = 17): DataFrame = {
+            wordsOpt: Option[Int] = None): DataFrame = {
+    val words = manifestWords(manifestDf, wordsOpt)
     val exploded = probes
       .select(col(shardCol).as("shard"), col(keyCol).as("key"),
         explode(array(positions(keyCol, words): _*)).as("pos"))

@@ -745,6 +745,23 @@ object PipelineQueries {
       BloomManifest.manifest(docs(s, dir), "source", "doc_id")
         .orderBy("shard", "word")),
 
+    // Incremental maintenance face (BloomManifest.merge scaladoc): the
+    // standing manifest is built from 4/5 of the corpus, the remaining
+    // 1/5 arrives as a new batch, and the merge is (shard, word) ->
+    // bit_or of standing + delta — no rescan of the standing corpus.
+    // The ORACLE is the full rebuild over the unioned corpus: bit_or
+    // associativity makes merge == rebuild bit-for-bit, so the
+    // equivalence itself is the correctness check (the additive twin of
+    // dedup_incremental).
+    "shard_bloom_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val standing = BloomManifest.manifest(
+        d.filter(col("doc_id") % 5 =!= 0), "source", "doc_id")
+      BloomManifest.merge(standing, d.filter(col("doc_id") % 5 === 0),
+          "source", "doc_id")
+        .orderBy("shard", "word")
+    }),
+
     // Probe face: a simulated incoming batch (every 3rd key a true
     // member, the rest shifted out of the id space) checked against the
     // manifest, per shard: n_present <= n_maybe <= n_probes IS the Bloom
@@ -2308,6 +2325,23 @@ object PipelineQueries {
     // Bloom-manifest mirror: identical salted positions, 60-bit words,
     // bit_or assembly.
     "shard_bloom_manifest" ->
+      s"""WITH pos AS (
+         |  SELECT source AS shard, ${h48("'bm0:' || CAST(doc_id AS VARCHAR)")} % 1020 AS pos FROM documents
+         |  UNION ALL
+         |  SELECT source, ${h48("'bm1:' || CAST(doc_id AS VARCHAR)")} % 1020 FROM documents
+         |  UNION ALL
+         |  SELECT source, ${h48("'bm2:' || CAST(doc_id AS VARCHAR)")} % 1020 FROM documents),
+         |w AS (SELECT shard, pos // 60 AS word,
+         |        bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER)) AS bits
+         |      FROM pos GROUP BY 1, 2)
+         |SELECT shard, CAST(word AS BIGINT) AS word, bits,
+         |       CAST(bit_count(bits) AS BIGINT) AS set_bits
+         |FROM w ORDER BY shard, word""".stripMargin,
+
+    // Merge-face mirror: the FULL REBUILD over the unioned corpus — the
+    // Spark side merged standing (4/5) + batch (1/5) manifests, and
+    // bit_or associativity demands bit-identity with this rebuild.
+    "shard_bloom_merge" ->
       s"""WITH pos AS (
          |  SELECT source AS shard, ${h48("'bm0:' || CAST(doc_id AS VARCHAR)")} % 1020 AS pos FROM documents
          |  UNION ALL

@@ -85,6 +85,28 @@ class CurationOpsSpec extends SparkSpec {
       "mixed batch must contain absent keys")
   }
 
+  test("bloom merge equals full rebuild and geometry mismatch throws") {
+    val standing = BloomManifest.manifest(
+      docs.filter(col("doc_id") % 5 =!= 0), "source", "doc_id")
+    val merged = BloomManifest.merge(standing,
+        docs.filter(col("doc_id") % 5 === 0), "source", "doc_id")
+      .select("shard", "word", "bits", "set_bits")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val rebuilt = BloomManifest.manifest(docs, "source", "doc_id")
+      .select("shard", "word", "bits", "set_bits")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == rebuilt, "merge(standing, batch) must == full rebuild")
+
+    // the manifest self-describes words; a disagreeing explicit value is
+    // a construction error, caught before any wrong-bit-space probe runs
+    assert(BloomManifest.manifestWords(standing) == 17)
+    val self = docs.select(col("source"), col("doc_id").as("probe_key"))
+    intercept[IllegalArgumentException] {
+      BloomManifest.probe(self, self, standing, "source", "probe_key",
+        wordsOpt = Some(34))
+    }
+  }
+
   test("cdcChunks spans tile every document exactly and re-sync after edits") {
     val r = TextAnalysis.cdcChunks(docs)
       .select("doc_id", "chunk_idx", "start", "chunk_len")
