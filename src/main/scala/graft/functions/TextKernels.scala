@@ -86,17 +86,42 @@ object TextKernels {
     sig
   }
 
-  /** winnow_fp(text): minimum h48 over all character 8-grams (windows
+  /** UTF-16 offset of every code-point boundary: offs(k) = char index
+    * of the k-th code point, offs(last) = s.length. Character-gram
+    * kernels iterate CODE POINTS — the unit Spark SQL `length`/
+    * `substring` (UTF8String.numChars/substringSQL) and DuckDB both
+    * count — so positions a kernel emits can feed back into SQL
+    * substring without mis-slicing surrogate-pair text (emoji etc.).
+    * For BMP-only text this is the identity mapping, so ASCII fixtures
+    * and oracles are unchanged.
+    */
+  private def cpOffsets(s: String): Array[Int] = {
+    val offs = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      offs(k) = ci
+      ci = s.offsetByCodePoints(ci, 1)
+      k += 1
+    }
+    offs(k) = s.length
+    offs
+  }
+
+  /** winnow_fp(text): minimum h48 over all code-point 8-grams (windows
     * capped at the string end), floor 1 window — the winnowing content
     * fingerprint.
     */
   def winnowFp(text: UTF8String): Long = {
     val s = text.toString
-    val n = math.max(s.length - 7, 1)
+    val offs = cpOffsets(s)
+    val cp = offs.length - 1
+    val n = math.max(cp - 7, 1)
     var minFp = Long.MaxValue
     var i = 0
     while (i < n) {
-      val fp = h48(s.substring(i, math.min(i + 8, s.length)).getBytes("UTF-8"))
+      val fp = h48(s.substring(offs(i), offs(math.min(i + 8, cp)))
+        .getBytes("UTF-8"))
       if (fp < minFp) minFp = fp
       i += 1
     }
@@ -114,11 +139,14 @@ object TextKernels {
     */
   def winnowSet(text: UTF8String, w: Int): ArrayData = {
     val s = text.toString
-    val n = math.max(s.length - 7, 1)
+    val offs = cpOffsets(s)
+    val cp = offs.length - 1
+    val n = math.max(cp - 7, 1)
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = h48(s.substring(i, math.min(i + 8, s.length)).getBytes("UTF-8"))
+      hs(i) = h48(s.substring(offs(i), offs(math.min(i + 8, cp)))
+        .getBytes("UTF-8"))
       i += 1
     }
     val nWin = math.max(n - w + 1, 1)
@@ -188,11 +216,18 @@ object TextKernels {
     */
   def cdcBounds(text: UTF8String, d: Int): ArrayData = {
     val s = text.toString
-    val n = math.max(s.length - 7, 1)
+    // Code-point iteration (see cpOffsets): the emitted 1-based cut
+    // positions feed Spark SQL substring()/length() in cdcChunks and the
+    // DuckDB oracle, both of which count code points — UTF-16-unit
+    // positions would mis-slice any document containing non-BMP
+    // characters (ADVICE r09).
+    val offs = cpOffsets(s)
+    val cp = offs.length - 1
+    val n = math.max(cp - 7, 1)
     val buf = new scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
     while (i < n) {
-      if (h48(s.substring(i, math.min(i + 8, s.length))
+      if (h48(s.substring(offs(i), offs(math.min(i + 8, cp)))
         .getBytes("UTF-8")) % d == 0) buf += i + 1
       i += 1
     }

@@ -141,6 +141,36 @@ class CurationOpsSpec extends SparkSpec {
       "tail chunks must re-synchronize after a prefix insertion")
   }
 
+  test("cdcChunks tiles non-BMP (surrogate-pair) documents by code points") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every 🦀 is one code point but two UTF-16 units: a UTF-16-unit
+    // kernel would emit cut positions in the wrong unit space and the
+    // SQL substring assembly would mis-slice or fail to tile
+    val body = (1 to 40).map(i => s"🦀 emoji text segment $i 🚀").mkString(" ")
+    val d = Seq((1L, body)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(d)
+      .select("chunk_idx", "start", "chunk_len")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val cpLen = body.codePointCount(0, body.length).toLong
+    assert(chunks.head._2 == 1L)
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 + a._3 == b._2)
+      case _           =>
+    }
+    assert(chunks.last._2 + chunks.last._3 == cpLen + 1,
+      "chunks must tile the code-point length, not the UTF-16 length")
+    // and code-point slicing by (start, chunk_len) reassembles the
+    // document exactly — the contract the SQL substring assembly relies on
+    def cpSlice(s: String, start1: Long, len: Long): String = {
+      val a = s.offsetByCodePoints(0, (start1 - 1).toInt)
+      val b = s.offsetByCodePoints(a, len.toInt)
+      s.substring(a, b)
+    }
+    val joined = chunks.map(c => cpSlice(body, c._2, c._3)).mkString
+    assert(joined == body)
+  }
+
   test("split_leakage_guard pair counts conserve the minhash pair set") {
     val total = SparkEntry.queries("split_leakage_guard")(spark, sfDir)
       .agg(sum("n_pairs")).as[Long].collect().head

@@ -52,6 +52,85 @@ class StreamingCdcSpec extends SparkSpec {
   }
 }
 
+class StreamingChunkerSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingChunker
+  import graft.streaming.StreamingChunker.{Chunk, Delta}
+
+  test("streaming CDC chunk replay is bit-identical to the batch face") {
+    implicit val sc = spark.sqlContext
+    // fixture docs (incl. multi-chunk ones) + a surrogate-pair doc, each
+    // split into 3 code-point-boundary deltas delivered over 3 batches
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).take(40).toSeq
+    val emoji = (9999L,
+      (1 to 60).map(i => s"🦀 streamed crab segment $i 🚀").mkString(" "))
+    val docs = base :+ emoji
+    def cpSplit3(s: String): Seq[String] = {
+      val cp = s.codePointCount(0, s.length)
+      val cuts = Seq(0, cp / 3, 2 * cp / 3, cp)
+      cuts.sliding(2).map { case Seq(a, b) =>
+        val ca = s.offsetByCodePoints(0, a)
+        s.substring(ca, s.offsetByCodePoints(ca, b - a))
+      }.toSeq
+    }
+    val waves: Seq[Seq[Delta]] = (0 until 3).map { w =>
+      docs.map { case (id, t) => Delta(id, w, cpSplit3(t)(w), fin = false) }
+    } :+ docs.map { case (id, _) => Delta(id, 3, "", fin = true) }
+
+    val mem = MemoryStream[Delta]
+    val q = StreamingChunker.chunkStream(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      val streamed = spark.table("cdc_stream").as[Chunk].collect()
+        .map(c => (c.doc_id, c.chunk_idx, c.start, c.chunk_len, c.chunk_md5))
+        .toSet
+      val batchChunks = graft.operators.TextAnalysis.cdcChunks(
+          docs.toDF("doc_id", "text"))
+        .select("doc_id", "chunk_idx", "start", "chunk_len", "chunk_md5")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(streamed == batchChunks,
+        "streamed chunk replay must equal the batch cdc_chunks face")
+      assert(streamed.map(_._1).contains(9999L))
+      assert(batchChunks.count(_._1 == 9999L) >= 2,
+        "emoji doc should produce multiple chunks to make the test real")
+    } finally q.stop()
+  }
+
+  test("mid-stream chunks are emitted before fin and state stays bounded") {
+    // pure-fold check of the same advance() the operator runs: a long doc
+    // appended in many small deltas must ship closed chunks as they
+    // confirm, with the open tail (state) never holding the whole doc
+    val text = (1 to 400).map(i => s"bounded tail check $i").mkString(" ")
+    val pieces = text.grouped(37).toSeq
+    var st = StreamingChunker.Tail(0L, 1L, "")
+    var emitted = Vector.empty[Chunk]
+    var maxTail = 0
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      val (next, out) = StreamingChunker.advance(
+        7L, st, Seq(Delta(7L, i.toLong, p, fin = false)), 64)
+      st = next
+      emitted ++= out
+      maxTail = math.max(maxTail, next.tail.length)
+    }
+    val (fin, last) = StreamingChunker.advance(
+      7L, st, Seq(Delta(7L, 9999L, "", fin = true)), 64)
+    emitted ++= last
+    assert(emitted.nonEmpty && emitted.size >= 3)
+    assert(maxTail < text.length,
+      "open-tail state must stay bounded below the document length")
+    assert(fin.tail.isEmpty)
+    // and the fold agrees with the single-shot fold over the whole text
+    val (_, oneShot) = StreamingChunker.advance(7L,
+      StreamingChunker.Tail(0L, 1L, ""),
+      Seq(Delta(7L, 0L, text, fin = false), Delta(7L, 1L, "", fin = true)), 64)
+    assert(emitted == oneShot.toVector)
+  }
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
