@@ -148,16 +148,28 @@ object ProductQuant {
       .select(col("sub"), col("cid"), expr("transform(pc, x -> x.c)").as("cv"))
   }
 
+  /** Codebook rows collected per subspace (M*Ks rows — the one bounded
+    * collect of the PQ pipeline; callers encoding both a corpus and a
+    * query side reuse the same collected map instead of re-running the
+    * codebook job per encode).
+    */
+  def collectCodebook(cb: DataFrame): Map[Int, Seq[(Long, Array[Double])]] =
+    cb.collect().toSeq
+      .map(r => (r.getInt(0), (r.getLong(1),
+        r.getSeq[Double](2).toArray)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+
   /** Encode every vector as M (vec_id, sub, code) rows against the
     * trained codebook — the 4-byte compressed index relation. The
     * codebook is collected (bounded) and unrolled into the projection.
     */
-  def encode(embeddings: DataFrame, cb: DataFrame, dim: Int): DataFrame = {
+  def encode(embeddings: DataFrame, cb: DataFrame, dim: Int): DataFrame =
+    encodeWith(embeddings, collectCodebook(cb), dim)
+
+  private def encodeWith(embeddings: DataFrame,
+                         bySub: Map[Int, Seq[(Long, Array[Double])]],
+                         dim: Int): DataFrame = {
     val subLen = dim / M
-    val bySub: Map[Int, Seq[(Long, Array[Double])]] = cb.collect().toSeq
-      .map(r => (r.getInt(0), (r.getLong(1),
-        r.getSeq[Double](2).toArray)))
-      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
     (0 until M).map { s =>
       val off = s * subLen
       embeddings.select(col("vec_id"), lit(s).as("sub"),
@@ -172,12 +184,13 @@ object ProductQuant {
     * and the n_match count stays ≤ M.
     */
   def encodeProbes(queries: DataFrame, cb: DataFrame, dim: Int,
-                   probes: Int): DataFrame = {
+                   probes: Int): DataFrame =
+    encodeProbesWith(queries, collectCodebook(cb), dim, probes)
+
+  private def encodeProbesWith(queries: DataFrame,
+                               bySub: Map[Int, Seq[(Long, Array[Double])]],
+                               dim: Int, probes: Int): DataFrame = {
     val subLen = dim / M
-    val bySub: Map[Int, Seq[(Long, Array[Double])]] = cb.collect().toSeq
-      .map(r => (r.getInt(0), (r.getLong(1),
-        r.getSeq[Double](2).toArray)))
-      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
     (0 until M).map { s =>
       val off = s * subLen
       queries.select(col("vec_id").as("q_id"), lit(s).as("sub"),
@@ -195,12 +208,14 @@ object ProductQuant {
              minMatch: Int = 1, dim: Option[Int] = None,
              probes: Int = 2): DataFrame = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
-    val cb = codebook(embeddings, d)
-    val codes = encode(embeddings, cb, d)
+    // ONE collect of the trained codebook feeds both encode sides — a
+    // second collect would re-run the whole training job.
+    val bySub = collectCodebook(codebook(embeddings, d))
+    val codes = encodeWith(embeddings, bySub, d)
     val qCodes =
       if (probes <= 1) codes.filter(queryPred)
         .select(col("vec_id").as("q_id"), col("sub"), col("code"))
-      else encodeProbes(embeddings.filter(queryPred), cb, d, probes)
+      else encodeProbesWith(embeddings.filter(queryPred), bySub, d, probes)
     val cand = codes.join(broadcast(qCodes), Seq("sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("c_id"))

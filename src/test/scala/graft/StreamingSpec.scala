@@ -131,6 +131,47 @@ class StreamingChunkerSpec extends SparkSpec {
   }
 }
 
+class StreamingManifestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingManifest
+  import graft.streaming.StreamingManifest.{KeyIngest, WordBits}
+
+  test("streamed manifest replay equals the batch-built manifest") {
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "doc_id").as[(String, Long)].collect().toSeq
+    // three waves with overlap: idempotent bit_or must absorb replays
+    val waves = Seq(
+      docs.take(docs.size / 2),
+      docs.drop(docs.size / 3), // overlaps wave 1
+      docs.take(10)) // pure replay
+    val mem = MemoryStream[KeyIngest]
+    val q = StreamingManifest.maintain(mem.toDS())
+      .writeStream.format("memory").queryName("mf_stream")
+      .outputMode("update").start()
+    try {
+      waves.foreach { w =>
+        mem.addData(w.map { case (s, k) => KeyIngest(s, k) }: _*)
+        q.processAllAvailable()
+      }
+      // the group's emissions form a monotonic bit_or chain, so the final
+      // bitmap is the OR-fold over them (collect order irrelevant)
+      val streamed = spark.table("mf_stream").as[WordBits].collect()
+        .groupBy(w => (w.shard, w.word))
+        .map { case ((shard, word), rows) =>
+          val bits = rows.map(_.bits).reduce(_ | _)
+          (shard, word, bits, java.lang.Long.bitCount(bits).toLong)
+        }.toSet
+      val batch = graft.operators.BloomManifest.manifest(
+          docs.toDF("source", "doc_id"), "source", "doc_id")
+        .select("shard", "word", "bits", "set_bits")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed manifest must equal the batch build bit-for-bit")
+    } finally q.stop()
+  }
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
