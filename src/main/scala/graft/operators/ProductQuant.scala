@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   * equi-join on the compressed code relation — corpus embeddings never
   * shuffle — and the survivors get the EXACT rounded cosine from the
   * codegen'd kernel, so lossy compression can only lose recall, never
-  * corrupt a score. (Classic ADC — summing per-subspace query-to-centroid
-  * dots — re-accumulates floats across subspaces, a new cross-engine
-  * parity surface for zero extra power at this corpus size; the integer
-  * code-match lane reuses the parity-proven pieces instead.)
+  * corrupt a score. Classic ADC — summing per-subspace query-to-centroid
+  * dots — naively re-accumulates floats across subspaces (a cross-engine
+  * parity hazard); [[adcTopK]] provides it anyway by fixing each subspace
+  * dot to integer micro-units before the sum, making the accumulation
+  * exact and order-free.
   *
   * Distribution: ONLY the codebook is collected (M*Ks rows by
   * construction — same bounded-collect contract as the IVF centroid
@@ -61,17 +62,33 @@ object ProductQuant {
     */
   val SampleN = 10 * Ks
 
+  /** ADC-lane codebook geometry: the two-stage shortlist+rerank face
+    * ([[adcTopK]]) needs a finer book than the code-match bander (code
+    * RECONSTRUCTION must rank, not just collide) — 8 subspaces × 16
+    * centroids, trained on the same 10·Ks-per-book sample rule.
+    */
+  val AdcM = 8
+  val AdcKs = 16
+  val AdcSampleN = 10 * AdcKs
+
+  /** ADC shortlist width: candidates surviving the code-only scan into
+    * the exact rerank. 150 of the fixture's ~3k vectors ≈ 5%; at scale
+    * this is the knob trading rerank I/O for recall (measured 0.90 at
+    * sf0.01 by `adc_recall`).
+    */
+  val AdcShortlist = 150
+
   /** md5-ordered deterministic training sample; the seed vectors are its
-    * first `Ks` rows (mirror of Similarity.centroidSeed's ordering —
+    * first `ks` rows (mirror of Similarity.centroidSeed's ordering —
     * duplicated because that one is private and this codebook seeds
     * every subspace from the same full vectors).
     */
-  private def sample(embeddings: DataFrame): DataFrame =
+  private def sample(embeddings: DataFrame, sampleN: Int): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("vec_id"))
-      .limit(SampleN)
+      .limit(sampleN)
       .select(col("vec_id"), col("embedding"))
 
   /** Per-centroid (sd, -cid) score structs: a left-fold dot of
@@ -81,11 +98,19 @@ object ProductQuant {
     * so max = argmax by (sd DESC, cid ASC).
     */
   private def scoreStructs(emb: Column, cents: Seq[(Long, Array[Double])],
-                           off: Int, bOff: Int, n: Int): Seq[Column] =
+                           off: Int, bOff: Int, n: Int,
+                           div: Option[Column] = None): Seq[Column] =
     cents.map { case (cid, v) =>
-      val sd = round((1 to n).map(i =>
+      val dot = (1 to n).map(i =>
         element_at(emb, off + i).cast("double") * lit(v(bOff + i - 1)))
-        .reduceLeft(_ + _), 6)
+        .reduceLeft(_ + _)
+      // `div` normalizes the DOT (dot(x,c)/‖x‖ == dot(x/‖x‖,c)) instead
+      // of the elements: materializing a normalized array and indexing
+      // into it 16×8 times makes CollapseProject inline the whole
+      // 64-term norm fold into every element reference — a 112 MiB task
+      // binary at sf0.1. One division per centroid keeps the plan small;
+      // the oracle mirrors the same raw-dot-then-divide float path.
+      val sd = round(div.map(dot / _).getOrElse(dot), 6)
       struct(sd.as("sd"), lit(-cid).as("ncid"))
     }
 
@@ -93,8 +118,9 @@ object ProductQuant {
     * ASC via max over (sd, -cid) structs).
     */
   private def assignCol(emb: Column, cents: Seq[(Long, Array[Double])],
-                        off: Int, bOff: Int, n: Int): Column =
-    -array_max(array(scoreStructs(emb, cents, off, bOff, n): _*))
+                        off: Int, bOff: Int, n: Int,
+                        div: Option[Column] = None): Column =
+    -array_max(array(scoreStructs(emb, cents, off, bOff, n, div): _*))
       .getField("ncid")
 
   /** The `probes` nearest centroid ids, best first, as an array
@@ -117,22 +143,36 @@ object ProductQuant {
     * from the bounded `SampleN` training sample (see [[SampleN]]). M*Ks
     * rows by construction (the PQ codebook is tiny or it isn't PQ).
     */
-  def codebook(embeddings: DataFrame, dim: Int): DataFrame = {
-    require(dim % M == 0, s"dim $dim must split into $M subspaces")
-    val subLen = dim / M
-    // One bounded collect (≤ SampleN rows by construction): seeds are the
+  def codebook(embeddings: DataFrame, dim: Int, m: Int = M, ks: Int = Ks,
+               sampleN: Int = SampleN,
+               l2Normalize: Boolean = false): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subLen = dim / m
+    // One bounded collect (≤ sampleN rows by construction): seeds are the
     // sample's md5-order prefix, and the training relation is rebuilt as
-    // a local DataFrame so the M per-subspace branches don't re-run the
-    // corpus TakeOrdered M times.
-    val sampRows: Seq[(Long, Array[Double])] = sample(embeddings).collect()
-      .toSeq.map(r => (r.getLong(0),
-        r.getSeq[Float](1).map(_.toDouble).toArray))
-    val seedRows = sampRows.take(Ks)
+    // a local DataFrame so the m per-subspace branches don't re-run the
+    // corpus TakeOrdered m times.
+    val raw: Seq[(Long, Array[Double])] =
+      sample(embeddings, sampleN).collect()
+        .toSeq.map(r => (r.getLong(0),
+          r.getSeq[Number](1).map(_.doubleValue).toArray))
+    // ADC lane: the codebook lives in L2-NORMALIZED space. The sample is
+    // tiny, so normalization happens here on the driver — a sequential
+    // left-fold sum of squares over the double-cast elements, the exact
+    // float path of the oracle's list_sum(list_transform(v, y -> y*y)).
+    val sampRows = if (!l2Normalize) raw else raw.map { case (id, v) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      (id, v.map(_ / n))
+    }
+    val seedRows = sampRows.take(ks)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val samp = sampRows.map { case (id, v) => (id, v.toSeq) }
       .toDF("vec_id", "embedding")
-    val perSub = (0 until M).map { s =>
+    val perSub = (0 until m).map { s =>
       val off = s * subLen
       samp.select(lit(s).as("sub"),
         assignCol(col("embedding"), seedRows, off, off, subLen).as("cid"),
@@ -169,8 +209,9 @@ object ProductQuant {
   private def encodeWith(embeddings: DataFrame,
                          bySub: Map[Int, Seq[(Long, Array[Double])]],
                          dim: Int): DataFrame = {
-    val subLen = dim / M
-    (0 until M).map { s =>
+    val m = bySub.size
+    val subLen = dim / m
+    (0 until m).map { s =>
       val off = s * subLen
       embeddings.select(col("vec_id"), lit(s).as("sub"),
         assignCol(col("embedding"), bySub(s), off, 0, subLen).as("code"))
@@ -190,13 +231,106 @@ object ProductQuant {
   private def encodeProbesWith(queries: DataFrame,
                                bySub: Map[Int, Seq[(Long, Array[Double])]],
                                dim: Int, probes: Int): DataFrame = {
-    val subLen = dim / M
-    (0 until M).map { s =>
+    val m = bySub.size
+    val subLen = dim / m
+    (0 until m).map { s =>
       val off = s * subLen
       queries.select(col("vec_id").as("q_id"), lit(s).as("sub"),
         explode(assignTopCol(col("embedding"), bySub(s), off, 0, subLen,
           probes)).as("code"))
     }.reduce(_ unionByName _)
+  }
+
+  /** ADC (asymmetric distance computation) top-k — the classic PQ
+    * scoring lane (Jégou et al. 2011 §IV), as the IVFADC-style TWO-STAGE
+    * it is in production: (1) a code-only SHORTLIST scan — the query's
+    * per-subspace dots against every centroid are precomputed into an
+    * AdcM·AdcKs-row lookup table, a candidate's approximate score is the
+    * SUM of its codes' LUT entries (the dot with its codebook
+    * reconstruction), and the top [[AdcShortlist]] survive; (2) an exact
+    * rounded-cosine rerank of the shortlist (the same kernel as pqTopK).
+    * The cross-subspace accumulation is taken in integer MICRO-UNITS
+    * (each round6 subspace dot fixed to a BIGINT before summing), so the
+    * float-order parity hazard that kept ADC out of round 9 is gone: the
+    * sum is exact and order-free on both engines.
+    *
+    * The codebook lives in L2-NORMALIZED space — a reconstruction DOT
+    * then approximates COSINE (the trilogy's metric) instead of the
+    * norm-dominated raw inner product. The bounded training sample is
+    * normalized driver-side at collect time; corpus/query scoring
+    * divides each subspace dot by the vector's norm rather than
+    * materializing normalized arrays (equal math, small plan — see the
+    * scoreStructs `div` note), with the parity-proven left-fold norm
+    * (Similarity.normN).
+    *
+    * Scale shape: stage 1 is where a 100 TB index is scanned at
+    * 8 B/vector — full embeddings are touched ONLY on the query side
+    * (the broadcast LUT); the corpus contributes nothing but its code
+    * relation, and the scan → broadcast-hash-join → partial-sum pipeline
+    * never shuffles a float vector. Stage 2 touches full vectors for
+    * only `AdcShortlist/corpus` of the data (5% at sf0.01, vanishing at
+    * scale) — [[AdcShortlist]] is the recall-vs-I/O knob, and
+    * `adc_recall` measures the cost (0.90 at sf0.01).
+    */
+  def adcTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+              dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val subLen = d / AdcM
+    // Normalized-space scoring WITHOUT materializing normalized arrays:
+    // carry the scalar norm and divide each subspace DOT by it
+    // (dot(x,c)/‖x‖ == dot(x/‖x‖,c)) — see the scoreStructs `div` note
+    // for why element-wise normalization explodes the plan.
+    val embN = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.normN(col("embedding"), d).as("nrm"))
+    val bySub = collectCodebook(
+      codebook(embeddings, d, AdcM, AdcKs, AdcSampleN, l2Normalize = true))
+    val codes = (0 until AdcM).map { s =>
+      val off = s * subLen
+      embN.select(col("vec_id"), lit(s).as("sub"),
+        assignCol(col("embedding"), bySub(s), off, 0, subLen,
+          Some(col("nrm"))).as("code"))
+    }.reduce(_ unionByName _)
+    // Query-side LUT: (q_id, sub, code, sd6) — AdcM·AdcKs rows per query,
+    // one explode over a literal struct array per subspace (no join, no
+    // exchange to build; broadcast to meet the code relation).
+    val lut = (0 until AdcM).map { s =>
+      val off = s * subLen
+      embN.filter(queryPred).select(
+        col("vec_id").as("q_id"), lit(s).as("sub"),
+        explode(array(bySub(s).map { case (cid, v) =>
+          val dot = (1 to subLen).map(i =>
+            element_at(col("embedding"), off + i).cast("double") *
+              lit(v(i - 1))).reduceLeft(_ + _)
+          val sd = round(dot / col("nrm"), 6)
+          struct(lit(cid).as("code"),
+            round(sd * lit(1000000)).cast("bigint").as("sd6"))
+        }: _*)).as("e"))
+        .select(col("q_id"), col("sub"),
+          col("e.code").as("code"), col("e.sd6").as("sd6"))
+    }.reduce(_ unionByName _)
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum("sd6").as("adc6"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc6").desc, col("vec_id"))))
+      .filter(col("srank") <= AdcShortlist)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("adc6"))
+    def emb(p: String): DataFrame =
+      embeddings.select(col("vec_id").as(s"${p}_id"),
+        col("embedding").as(s"${p}_emb"),
+        Similarity.normN(col("embedding"), d).as(s"${p}_nrm"))
+    graft.functions.CosineScore.register(embeddings.sparkSession)
+    shortlist
+      .join(emb("q"), "q_id").join(emb("c"), "c_id")
+      .select(col("q_id").as("query_id"), col("c_id").as("cand_id"),
+        col("adc6"),
+        expr("cosine_score(q_emb, c_emb, q_nrm, c_nrm)").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
   }
 
   /** PQ top-k: multi-probe code-match banding (candidate shares ≥

@@ -738,6 +738,37 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // ADC scoring lane (ProductQuant.adcTopK scaladoc) — the IVFADC
+    // two-stage: code-only shortlist scan (per-subspace query dots
+    // precomputed into a broadcast LUT, summed in integer micro-units —
+    // exact, order-free — over an 8x16 codebook on L2-normalized
+    // vectors), then exact rounded-cosine rerank of the top-150. Stage 1
+    // scans a 100 TB index at 8 B/vector; stage 2 touches full vectors
+    // for only the shortlist fraction.
+    "ann_pq_adc" -> ((s, dir) =>
+      ProductQuant.adcTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    // Recall gate for ADC — same exact-truth contract as pq_recall:
+    // shortlist truncation may only LOSE neighbors vs brute force, and
+    // this measures exactly how many, per query.
+    "adc_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
+        .select("query_id", "cand_id")
+      val approx = ProductQuant.adcTopK(e, col("vec_id") < 50, 3)
+        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
+      truth.join(approx,
+          truth("query_id") === approx("a_qid") &&
+            truth("cand_id") === approx("a_cid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_truth"),
+          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("k_truth"), 6))
+        .orderBy("query_id")
+    }),
+
     // Per-shard Bloom manifest (BloomManifest scaladoc): the membership
     // index as a TABLE — (shard, word, bits) — built with map-side
     // partial bit_or, nothing collected.
@@ -978,47 +1009,70 @@ object PipelineQueries {
        |SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM r
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Full PQ pipeline as a standalone SELECT (mirror of
-    * ProductQuant.pqTopK): md5-ordered bounded training sample (LIMIT 80
-    * = SampleN; seeds are its first 8 rows), round6 subspace dots with
-    * (sd DESC, cid) assignment, DECIMAL(27,10) member means over the
-    * SAMPLE, full-corpus encode, multi-probe (rn <= 2) query codes,
-    * code-match candidates, rounded-cosine rerank. Used verbatim for
-    * `ann_pq` AND composed as a subquery by the `pq_recall` gate.
+  /** Shared PQ CTE chain — bounded training sample through the encoded
+    * `codes` relation (and the full-corpus subspace-dot relation `sd1`
+    * it derives from) — composed by annPqOracle (code-match banding +
+    * exact rerank, over the raw `e`) AND the ADC oracle (code-only
+    * integer scoring, over the L2-normalized `en`). One source of truth
+    * for the trained codebook per oracle, exactly like the Spark side's
+    * single collectCodebook; `trainSrc` is the (vec_id, v) relation the
+    * codebook trains on, `corpusSrc` the one the corpus encodes from,
+    * and (m, subLen, ks, sampN) the codebook geometry (mirror of
+    * ProductQuant.M/Ks/SampleN and the AdcM/AdcKs/AdcSampleN pair). The
+    * ADC lane trains on the normalized `en` but encodes the RAW corpus
+    * with each subspace dot divided by the vector norm — the exact float
+    * path of ProductQuant's `div` scoring (normalized arrays are never
+    * materialized on either engine).
     */
-  private lazy val annPqOracle: String =
-    s"""WITH $embCte,
-       |samp AS (SELECT vec_id, v FROM e
-       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 80),
+  private def pqCodesCtes(trainSrc: String, m: Int = 4, subLen: Int = 16,
+                          ks: Int = 8, sampN: Int = 80,
+                          corpusSrc: String = "", normDot: Boolean = false)
+      : String = {
+    val cSrc = if (corpusSrc.isEmpty) trainSrc else corpusSrc
+    val sdExpr =
+      if (!normDot)
+        s"""round(list_sum(list_transform(range(1, ${subLen + 1}),
+           |    i -> e.v[CAST(cb.sub * $subLen + i AS INTEGER)]
+           |         * cb.cv[CAST(i AS INTEGER)])), 6)""".stripMargin
+      else
+        s"""round(list_sum(list_transform(range(1, ${subLen + 1}),
+           |    i -> e.v[CAST(cb.sub * $subLen + i AS INTEGER)]
+           |         * cb.cv[CAST(i AS INTEGER)]))
+           |  / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6)""".stripMargin
+    s"""samp AS (SELECT vec_id, v FROM $trainSrc
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampN),
        |cent AS (SELECT vec_id AS cid, v AS cv FROM samp
-       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-       |subs AS (SELECT unnest(range(0, 4)) AS sub),
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ks),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
        |sd0 AS (SELECT samp.vec_id, s.sub, cent.cid,
-       |  round(list_sum(list_transform(range(1, 17),
-       |    i -> samp.v[CAST(s.sub * 16 + i AS INTEGER)]
-       |         * cent.cv[CAST(s.sub * 16 + i AS INTEGER)])), 6) AS sd
+       |  round(list_sum(list_transform(range(1, ${subLen + 1}),
+       |    i -> samp.v[CAST(s.sub * $subLen + i AS INTEGER)]
+       |         * cent.cv[CAST(s.sub * $subLen + i AS INTEGER)])), 6) AS sd
        |  FROM samp, subs s, cent),
        |a0 AS (SELECT vec_id, sub, cid FROM (
        |    SELECT vec_id, sub, cid, row_number() OVER
        |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
        |    FROM sd0) WHERE rn = 1),
-       |dims AS (SELECT unnest(range(1, 17)) AS pos),
+       |dims AS (SELECT unnest(range(1, ${subLen + 1})) AS pos),
        |comp AS (SELECT a0.sub, a0.cid, d.pos,
-       |    CAST(SUM(CAST(samp.v[CAST(a0.sub * 16 + d.pos AS INTEGER)]
+       |    CAST(SUM(CAST(samp.v[CAST(a0.sub * $subLen + d.pos AS INTEGER)]
        |      AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
        |  FROM a0 JOIN samp ON samp.vec_id = a0.vec_id CROSS JOIN dims d
        |  GROUP BY 1, 2, 3),
        |cb AS (SELECT sub, cid, list(c ORDER BY pos) AS cv FROM comp
        |       GROUP BY 1, 2),
        |sd1 AS (SELECT e.vec_id, cb.sub, cb.cid,
-       |  round(list_sum(list_transform(range(1, 17),
-       |    i -> e.v[CAST(cb.sub * 16 + i AS INTEGER)]
-       |         * cb.cv[CAST(i AS INTEGER)])), 6) AS sd
-       |  FROM e, cb),
+       |  $sdExpr AS sd
+       |  FROM $cSrc AS e, cb),
        |codes AS (SELECT vec_id, sub, cid AS code FROM (
        |    SELECT vec_id, sub, cid, row_number() OVER
        |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
-       |    FROM sd1) WHERE rn = 1),
+       |    FROM sd1) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val annPqOracle: String =
+    s"""WITH $embCte,
+       |${pqCodesCtes("e")},
        |qcodes AS (SELECT vec_id, sub, cid AS code FROM (
        |    SELECT vec_id, sub, cid, row_number() OVER
        |      (PARTITION BY vec_id, sub ORDER BY sd DESC, cid) AS rn
@@ -1035,6 +1089,43 @@ object PipelineQueries {
        |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |  FROM sc)
        |SELECT query_id, cand_id, n_match, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** ADC mirror of ProductQuant.adcTopK (two-stage): the 8×16 codebook
+    * trains on the L2-normalized `en`, the corpus encodes from the RAW
+    * `e` with norm-divided subspace dots; the LUT is sd1 restricted to
+    * query vectors with each round6 subspace dot fixed to BIGINT
+    * micro-units; shortlist = top-150 by exact integer code-score; final
+    * ranks from the shared rounded-cosine rerank over the RAW vectors
+    * (the same cosSql every other ANN lane reranks with). Used verbatim
+    * for `ann_pq_adc` AND composed by `adc_recall`.
+    */
+  private lazy val annPqAdcOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |${pqCodesCtes("en", m = 8, subLen = 8, ks = 16, sampN = 160,
+                      corpusSrc = "e", normDot = true)},
+       |lut AS (SELECT vec_id AS q_id, sub, cid AS code,
+       |    CAST(round(sd * 1000000) AS BIGINT) AS sd6
+       |  FROM sd1 WHERE vec_id < 50),
+       |adc AS (SELECT l.q_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(SUM(l.sd6) AS BIGINT) AS adc6
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |    AND l.q_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
+       |  FROM adc),
+       |short AS (SELECT query_id, cand_id, adc6 FROM sr WHERE srank <= 150),
+       |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
+       |  FROM short s JOIN e q ON q.vec_id = s.query_id
+       |               JOIN e c ON c.vec_id = s.cand_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   private lazy val annIvfOracle: String =
@@ -2303,6 +2394,29 @@ object PipelineQueries {
     // (sd DESC, cid) assignment, DECIMAL(27,10) member means, code-match
     // candidate counts, and the shared rounded-cosine rerank.
     "ann_pq" -> annPqOracle,
+
+    // ADC mirror: the shared PQ codebook/codes CTEs, then the query-side
+    // LUT is sd1 (full-corpus round6 subspace dots) filtered to the query
+    // set and fixed to BIGINT micro-units; a candidate's score is the
+    // exact integer sum of its codes' LUT entries.
+    "ann_pq_adc" -> annPqAdcOracle,
+
+    // ADC recall gate: brute-force truth vs the ADC oracle composed as a
+    // subquery (the pq_recall pattern — one source of truth per lane).
+    "adc_recall" ->
+      s"""WITH $embCte,
+         |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |       FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM ts),
+         |truth AS (SELECT query_id, cand_id FROM tr WHERE rank <= 3),
+         |approx AS (SELECT query_id, cand_id FROM ($annPqAdcOracle))
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k_truth,
+         |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     // PQ recall gate: exact brute-force truth vs the PQ face (one source
     // of truth — annPqOracle composed as a subquery, the ann_rank_fusion

@@ -71,4 +71,39 @@ class ProductQuantSpec extends SparkSpec {
       .map(t => (t._1, t._2) -> t._3).toMap
     r.foreach { case (q, c, _, s, _) => assert(exact((q, c)) == s) }
   }
+
+  test("adcTopK two-stage: shortlist bound, exact rerank, cosine ranking") {
+    val r = ProductQuant.adcTopK(emb, col("vec_id") < 50, 3)
+      .select("query_id", "cand_id", "adc6", "score", "rank")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (q, c, _, _, rk) =>
+      assert(q != c && q < 50 && rk >= 1 && rk <= 3)
+    }
+    // final ranks order by the EXACT cosine (rerank), not the adc code
+    // score; ranks are dense from 1 per query
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to byRank.length))
+      assert(byRank.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _         => true
+      })
+    }
+    // every emitted score equals the brute-force cosine for that pair
+    graft.functions.CosineScore.register(spark)
+    val dim = Similarity.dimOf(emb)
+    val pairs = r.map(t => (t._1, t._2)).toSeq.toDF("query_id", "cand_id")
+    def side(p: String) = emb.select(col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}_emb"),
+      Similarity.normN(col("embedding"), dim).as(s"${p}_nrm"))
+    val exact = pairs
+      .join(side("q"), col("query_id") === col("q_id"))
+      .join(side("c"), col("cand_id") === col("c_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("cosine_score(q_emb, c_emb, q_nrm, c_nrm)").as("score"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    r.foreach { case (q, c, _, s, _) => assert(exact((q, c)) == s) }
+  }
 }
