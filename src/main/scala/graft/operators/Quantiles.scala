@@ -42,6 +42,75 @@ object Quantiles {
           .as("p90"))
   }
 
+  /** Quantile SKETCH by deterministic hash-Bernoulli sampling, with an
+    * exact rank-error audit — the approximate path [[groupStats]]'
+    * scaladoc promises for the scale where full per-group sorting stops
+    * being the right plan. A row enters the sample iff the 48-bit md5 of
+    * its id falls under `permille/1000` of the hash space; quantiles are
+    * then the same integer-rank discrete selection as [[groupStats]],
+    * taken over the sample.
+    *
+    * Why THIS sketch and not KLL/GK: the sample is a pure hash predicate,
+    * so it is (a) deterministic and order-free — identical under any
+    * partitioning, shuffle order, or engine, which a compaction-based
+    * sketch is not (its state depends on merge order — an oracle-parity
+    * and replay hazard); (b) MERGEABLE by construction — the sample of a
+    * union is the union of samples, so shard sketches combine by
+    * concatenation and an incremental batch just appends (the same
+    * additive contract as the Bloom manifest); (c) auditable — the
+    * estimate is a real data row, so its TRUE rank is one count over the
+    * base relation away.
+    *
+    * Scale posture: the sampling pass is a narrow scan-speed filter (no
+    * shuffle); the per-group sort only ever sees `permille/1000` of the
+    * data — the knob that keeps million-row groups sortable in memory.
+    * The audit join broadcasts the tiny estimate relation (one row per
+    * group×quantile) back over the base — an accuracy-report pass a
+    * production pipeline runs on a schedule, not per query. Expected
+    * rank error is O(sqrt(n/permille·1000))/n; the output states the
+    * measured error in exact integer ppm so the gate pins it.
+    *
+    * Output, one row per (group, q): cnt, n_sample, est_v (the sampled
+    * discrete q-quantile), true_rank (exact rank of that row in the
+    * group's (v, id) total order), target_rank = ceil(q·cnt/100), and
+    * err_ppm = |true_rank − target_rank|·1e6 div cnt. All-integer end to
+    * end — no float enters the hashed surface.
+    */
+  def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, permille: Int = 200,
+                      qs: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(permille >= 1 && permille <= 1000, "permille in [1, 1000]")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100))
+    // 2^48 · permille / 1000 — exact integer threshold on the 48-bit
+    // hash lane (fits a long for every permille ≤ 1000).
+    val thresh = ((BigInt(1) << 48) * permille / 1000).toLong
+    val base = df.select(col(groupCol).as("g"),
+      col(idCol).cast("long").as("id"), col(valueCol).cast("long").as("v"))
+    val samp = base.filter(
+      graft.functions.Canonical.hex48(
+        md5(concat(lit("qs:"), col("id").cast("string")))) < lit(thresh))
+    val wv = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val est = samp
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .filter(col("__rn") === expr("(q * __ns + 99) div 100"))
+      .select(col("g"), col("q"), col("__ns").as("n_sample"),
+        col("v").as("est_v"), col("id").as("est_id"))
+    base.join(broadcast(est), Seq("g"))
+      .groupBy("g", "q", "n_sample", "est_v", "est_id")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("v") < col("est_v") ||
+          (col("v") === col("est_v") && col("id") <= col("est_id")), 1L)
+          .otherwise(0L)).as("true_rank"))
+      .select(col("g").as(groupCol), col("q"), col("cnt"), col("n_sample"),
+        col("est_v"), col("true_rank"),
+        expr("(q * cnt + 99) div 100").as("target_rank"),
+        expr("abs(true_rank - ((q * cnt + 99) div 100)) * 1000000 div cnt")
+          .as("err_ppm"))
+  }
+
   /** Robust per-group outlier detection by Median Absolute Deviation —
     * the distribution-free QA pass a curation pipeline runs on every
     * numeric signal (doc length, token count, event value): flag rows

@@ -233,6 +233,17 @@ object EventQueries {
           max("cents").as("max_cents"), sum("cents").as("sum_cents"))
         .orderBy("bin")),
 
+    // Mergeable quantile sketch (hash-Bernoulli sample at 200‰) with the
+    // exact rank-error audit — the approximate quantile lane next to the
+    // exact length_quantiles, deterministic and order-free by
+    // construction (see Quantiles.sampleQuantiles scaladoc).
+    "events_quantile_sketch" -> ((s, dir) =>
+      graft.operators.Quantiles.sampleQuantiles(
+        ev(s, dir).select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "event_id", "cents")
+        .orderBy("event_type", "q")),
+
     // Behavioral co-occurrence: Jaccard (integer micro-units) between the
     // user sets of every event-type pair — the audience-overlap diagnostic
     // behind mixture/dedup decisions. The self-join keys on user_id (the
@@ -774,6 +785,31 @@ object EventQueries {
         |       CAST(max(cents) AS BIGINT) AS max_cents,
         |       CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Quantile-sketch mirror: identical 48-bit hash gate (2^48·200/1000 =
+    // 56294995342131), identical integer rank selection and audit.
+    "events_quantile_sketch" ->
+      """WITH base AS (SELECT event_type AS g, CAST(event_id AS BIGINT) AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |samp AS (SELECT * FROM base
+        |  WHERE CAST(('0x' || substr(md5('qs:' || CAST(id AS VARCHAR)), 1, 12))
+        |        AS BIGINT) < 56294995342131),
+        |r AS (SELECT g, v, id,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS ns FROM samp),
+        |e AS (SELECT g, q, ns AS n_sample, v AS est_v, id AS est_id
+        |  FROM r, (VALUES (50), (90)) AS qq(q)
+        |  WHERE rn = (q * ns + 99) // 100),
+        |a AS (SELECT b.g, e.q, e.n_sample, e.est_v, e.est_id,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN b.v < e.est_v
+        |                    OR (b.v = e.est_v AND b.id <= e.est_id)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS true_rank
+        |  FROM base b JOIN e ON b.g = e.g GROUP BY 1, 2, 3, 4, 5)
+        |SELECT g AS event_type, q, cnt, n_sample, est_v, true_rank,
+        |  (q * cnt + 99) // 100 AS target_rank,
+        |  abs(true_rank - (q * cnt + 99) // 100) * 1000000 // cnt AS err_ppm
+        |FROM a ORDER BY event_type, q""".stripMargin,
 
     "events_range_join" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,

@@ -810,6 +810,54 @@ class QuantilesSpec extends SparkSpec {
     assert(out == Set(("g1", 10L, 1L, 10L, 5L, 9L), ("g2", 3L, 1L, 3L, 2L, 3L)))
   }
 
+  test("sampleQuantiles audits its own rank error and is partition-invariant") {
+    val d = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val out = Quantiles.sampleQuantiles(d, "event_type", "event_id", "cents")
+      .orderBy("event_type", "q")
+    val rows = out.collect()
+    // every (group, q) present once, audit arithmetic internally consistent
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, ns) = (r.getLong(2), r.getLong(3))
+      val (trueRank, targetRank, err) =
+        (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(ns < cnt && ns > 0)
+      assert(err == math.abs(trueRank - targetRank) * 1000000L / cnt)
+      // sampling rank error concentrates at O(1/sqrt(n_sample)); 3 sigma
+      // of the binomial bound keeps the check meaningful at sf0.001's
+      // ~40-row samples without flaking
+      val bound = (3.0e6 / math.sqrt(ns.toDouble)).toLong
+      assert(err <= bound, s"rank error $err ppm > $bound ppm: $r")
+    }
+    // hash-sample determinism: same result at a different partitioning
+    val re = Quantiles.sampleQuantiles(
+      d.repartition(7, col("event_id")), "event_type", "event_id", "cents")
+      .orderBy("event_type", "q").collect()
+    assert(re.toSeq == rows.toSeq)
+  }
+
+  test("sampleQuantiles merges: sample of a union is the union of samples") {
+    // The mergeability contract: sketching two batches separately and
+    // unioning the SAMPLES gives bit-identical estimates to sketching
+    // the union — the property that makes shard-local sketches
+    // combinable without a rescan.
+    val d = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val a = d.filter(col("event_id") % 2 === 0)
+    val b = d.filter(col("event_id") % 2 =!= 0)
+    val whole = Quantiles.sampleQuantiles(d, "event_type", "event_id", "cents")
+      .select("event_type", "q", "est_v").orderBy("event_type", "q").collect()
+    // union-of-batches face: the operator over a.union(b) must equal the
+    // operator over d (the sample predicate is a pure row hash)
+    val merged = Quantiles.sampleQuantiles(
+      a.unionByName(b), "event_type", "event_id", "cents")
+      .select("event_type", "q", "est_v").orderBy("event_type", "q").collect()
+    assert(merged.toSeq == whole.toSeq)
+  }
+
   test("quantile plan shuffles once on the group key") {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"),
