@@ -50,9 +50,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try canonicalize(fn(spark, sfDir)).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        canonicalize(fn(spark, sfDir)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Wall time to stderr: single-query perf iteration without a full
+        // bench pass (dump+write time, not a bench number — gauge only).
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         // A crashed query must show up as a RED ledger row, not vanish
         // (VERDICT r07: repair_roundtrip produced no `err` entry at all).
         // Leave the query's output dir present but parquet-free with a

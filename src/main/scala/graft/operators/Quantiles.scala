@@ -70,45 +70,88 @@ object Quantiles {
     * rank error is O(sqrt(n/permille·1000))/n; the output states the
     * measured error in exact integer ppm so the gate pins it.
     *
-    * Output, one row per (group, q): cnt, n_sample, est_v (the sampled
-    * discrete q-quantile), true_rank (exact rank of that row in the
-    * group's (v, id) total order), target_rank = ceil(q·cnt/100), and
-    * err_ppm = |true_rank − target_rank|·1e6 div cnt. All-integer end to
-    * end — no float enters the hashed surface.
+    * Output, one row per (group, q) — EVERY group of the base relation,
+    * sampled or not: cnt, n_sample (0 when the group drew no sample),
+    * est_v (the sampled discrete q-quantile; NULL for an unsampled
+    * group — the explicit "no estimate" sentinel, never a silently
+    * missing row), true_rank (exact rank of that row in the group's
+    * (v, id) total order; NULL when unsampled), target_rank =
+    * ceil(q·cnt/100), and err_ppm = |true_rank − target_rank|·1e6 div
+    * cnt (NULL when unsampled). All-integer end to end — no float
+    * enters the hashed surface. The id is hashed AS A STRING of the
+    * original column (no numeric round-trip), so string-keyed tables
+    * sample correctly instead of silently hashing NULL.
     */
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
                       valueCol: String, permille: Int = 200,
                       qs: Seq[Int] = Seq(50, 90)): DataFrame = {
-    require(permille >= 1 && permille <= 1000, "permille in [1, 1000]")
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100))
+    val base = normalized(df, groupCol, idCol, valueCol)
+    val est = quantilesFromSample(
+      sampleOf(base, permille), qs)
+    val grp = base.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val audit = base.join(broadcast(est), Seq("g"))
+      .groupBy("g", "q", "n_sample", "est_v", "est_id")
+      .agg(sum(when(col("v") < col("est_v") ||
+          (col("v") === col("est_v") && col("id") <= col("est_id")), 1L)
+          .otherwise(0L)).as("true_rank"))
+    grp
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .join(broadcast(audit), Seq("g", "q"), "left")
+      .select(col("g").as(groupCol), col("q"), col("cnt"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        col("est_v"), col("true_rank"),
+        expr("(q * cnt + 99) div 100").as("target_rank"),
+        when(col("est_v").isNull, lit(null).cast("long"))
+          .otherwise(
+            expr("abs(true_rank - ((q * cnt + 99) div 100)) * 1000000 div cnt"))
+          .as("err_ppm"))
+  }
+
+  private def normalized(df: DataFrame, groupCol: String, idCol: String,
+                         valueCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("v"))
+
+  private def sampleOf(base: DataFrame, permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000, "permille in [1, 1000]")
     // 2^48 · permille / 1000 — exact integer threshold on the 48-bit
     // hash lane (fits a long for every permille ≤ 1000).
     val thresh = ((BigInt(1) << 48) * permille / 1000).toLong
-    val base = df.select(col(groupCol).as("g"),
-      col(idCol).cast("long").as("id"), col(valueCol).cast("long").as("v"))
-    val samp = base.filter(
+    base.filter(
       graft.functions.Canonical.hex48(
         md5(concat(lit("qs:"), col("id").cast("string")))) < lit(thresh))
+  }
+
+  /** The shard-local SAMPLE relation — (g, id, v) rows passing the pure
+    * row-hash gate. This IS the sketch state: shard sketches merge by
+    * plain UNION of their sample relations (the gate is a per-row hash,
+    * so sample(A ∪ B) = sample(A) ∪ sample(B) exactly), and an
+    * incremental batch just appends its own sample — no rescan of
+    * standing data. [[quantilesFromSample]] extracts estimates from any
+    * such union; `quantile_sketch_merge` proves the algebra against a
+    * one-pass oracle.
+    */
+  def sampleRelation(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, permille: Int = 200): DataFrame =
+    sampleOf(normalized(df, groupCol, idCol, valueCol), permille)
+
+  /** Discrete q-quantile estimates from a (g, id, v) sample relation
+    * (one row per (g, q) that has ≥1 sample row): n_sample, est_v,
+    * est_id — the same integer ceil-rank selection as [[groupStats]],
+    * taken over the sample.
+    */
+  def quantilesFromSample(sample: DataFrame,
+                          qs: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100))
     val wv = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
-    val est = samp
+    sample
       .withColumn("__rn", row_number().over(wv))
       .withColumn("__ns", count(lit(1)).over(Window.partitionBy("g")))
       .withColumn("q", explode(array(qs.map(lit(_)): _*)))
       .filter(col("__rn") === expr("(q * __ns + 99) div 100"))
       .select(col("g"), col("q"), col("__ns").as("n_sample"),
         col("v").as("est_v"), col("id").as("est_id"))
-    base.join(broadcast(est), Seq("g"))
-      .groupBy("g", "q", "n_sample", "est_v", "est_id")
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(when(col("v") < col("est_v") ||
-          (col("v") === col("est_v") && col("id") <= col("est_id")), 1L)
-          .otherwise(0L)).as("true_rank"))
-      .select(col("g").as(groupCol), col("q"), col("cnt"), col("n_sample"),
-        col("est_v"), col("true_rank"),
-        expr("(q * cnt + 99) div 100").as("target_rank"),
-        expr("abs(true_rank - ((q * cnt + 99) div 100)) * 1000000 div cnt")
-          .as("err_ppm"))
   }
 
   /** Robust per-group outlier detection by Median Absolute Deviation —

@@ -244,6 +244,27 @@ object EventQueries {
         "event_type", "event_id", "cents")
         .orderBy("event_type", "q")),
 
+    // Sketch-merge face (Quantiles.sampleRelation scaladoc): two
+    // shard-local sample relations (event_id parity split), merged by
+    // UNION, quantiles re-extracted — oracled against the one-pass
+    // sketch over the whole table, so the green row IS the proof that
+    // sample-union == union-sample.
+    "quantile_sketch_merge" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      val shardA = graft.operators.Quantiles.sampleRelation(
+        base.filter(col("event_id") % 2 === 0),
+        "event_type", "event_id", "cents")
+      val shardB = graft.operators.Quantiles.sampleRelation(
+        base.filter(col("event_id") % 2 =!= 0),
+        "event_type", "event_id", "cents")
+      graft.operators.Quantiles
+        .quantilesFromSample(shardA.unionByName(shardB))
+        .select(col("g").as("event_type"), col("q"), col("n_sample"),
+          col("est_v"), col("est_id"))
+        .orderBy("event_type", "q")
+    }),
+
     // Behavioral co-occurrence: Jaccard (integer micro-units) between the
     // user sets of every event-type pair — the audience-overlap diagnostic
     // behind mixture/dedup decisions. The self-join keys on user_id (the
@@ -787,7 +808,10 @@ object EventQueries {
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Quantile-sketch mirror: identical 48-bit hash gate (2^48·200/1000 =
-    // 56294995342131), identical integer rank selection and audit.
+    // 56294995342131), identical integer rank selection and audit, and
+    // the same EVERY-group contract — a group with no sampled rows still
+    // emits its (g, q) rows with n_sample 0 and NULL estimate (the r10
+    // advice left-join fix, mirrored).
     "events_quantile_sketch" ->
       """WITH base AS (SELECT event_type AS g, CAST(event_id AS BIGINT) AS id,
         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
@@ -801,15 +825,46 @@ object EventQueries {
         |  FROM r, (VALUES (50), (90)) AS qq(q)
         |  WHERE rn = (q * ns + 99) // 100),
         |a AS (SELECT b.g, e.q, e.n_sample, e.est_v, e.est_id,
-        |    CAST(count(*) AS BIGINT) AS cnt,
         |    CAST(sum(CASE WHEN b.v < e.est_v
         |                    OR (b.v = e.est_v AND b.id <= e.est_id)
         |             THEN 1 ELSE 0 END) AS BIGINT) AS true_rank
-        |  FROM base b JOIN e ON b.g = e.g GROUP BY 1, 2, 3, 4, 5)
-        |SELECT g AS event_type, q, cnt, n_sample, est_v, true_rank,
-        |  (q * cnt + 99) // 100 AS target_rank,
-        |  abs(true_rank - (q * cnt + 99) // 100) * 1000000 // cnt AS err_ppm
-        |FROM a ORDER BY event_type, q""".stripMargin,
+        |  FROM base b JOIN e ON b.g = e.g GROUP BY 1, 2, 3, 4, 5),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM base
+        |        GROUP BY 1),
+        |gq AS (SELECT g, cnt, q FROM grp, (VALUES (50), (90)) AS qq(q))
+        |SELECT gq.g AS event_type, gq.q, gq.cnt,
+        |  CAST(COALESCE(a.n_sample, 0) AS BIGINT) AS n_sample,
+        |  a.est_v, a.true_rank,
+        |  (gq.q * gq.cnt + 99) // 100 AS target_rank,
+        |  CASE WHEN a.est_v IS NULL THEN NULL
+        |       ELSE abs(a.true_rank - (gq.q * gq.cnt + 99) // 100)
+        |            * 1000000 // gq.cnt END AS err_ppm
+        |FROM gq LEFT JOIN a ON a.g = gq.g AND a.q = gq.q
+        |ORDER BY event_type, gq.q""".stripMargin,
+
+    // Merge-algebra proof for the quantile sketch (the r10 verdict item:
+    // hll_rollup/cms_rollup/shard_bloom_merge prove their sketches'
+    // algebra relationally; this does the same for the sample sketch):
+    // the Spark side builds TWO shard-local sample relations (events
+    // split by event_id parity), merges them by plain UNION, and
+    // extracts quantiles; the oracle is the ONE-PASS sketch over the
+    // whole table. Equality IS the mergeability claim — the hash gate
+    // decides membership per row, so sample(A ∪ B) = sample(A) ∪
+    // sample(B) exactly.
+    "quantile_sketch_merge" ->
+      """WITH base AS (SELECT event_type AS g, CAST(event_id AS BIGINT) AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |samp AS (SELECT * FROM base
+        |  WHERE CAST(('0x' || substr(md5('qs:' || CAST(id AS VARCHAR)), 1, 12))
+        |        AS BIGINT) < 56294995342131),
+        |r AS (SELECT g, v, id,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS ns FROM samp)
+        |SELECT g AS event_type, q, CAST(ns AS BIGINT) AS n_sample,
+        |       v AS est_v, id AS est_id
+        |FROM r, (VALUES (50), (90)) AS qq(q)
+        |WHERE rn = (q * ns + 99) // 100
+        |ORDER BY event_type, q""".stripMargin,
 
     "events_range_join" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,

@@ -749,6 +749,38 @@ object PipelineQueries {
       ProductQuant.adcTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    // IVFADC (ProductQuant.ivfadcTopK scaladoc) — the composed
+    // two-quantizer index: a 16-list coarse IVF routes the ADC code
+    // scan to the query's 4 probed lists, so stage 1 touches ~1/4 of
+    // the code relation instead of every code row (the r10 verdict's
+    // "true IVFADC" item; Jégou 2011 §V). Scoring, shortlist rule, and
+    // exact rerank are shared with ann_pq_adc — one definition.
+    "ann_ivfadc" -> ((s, dir) =>
+      ProductQuant.ivfadcTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    // Recall gate for IVFADC — exact-truth contract: probing can only
+    // LOSE lists vs the flat ADC scan, and this measures exactly what
+    // that costs, per query, at equal shortlist (0.55 mean at sf0.01 —
+    // see the ivfadcTopK scaladoc's measured curve and why the nearly
+    // uniform fixture bounds it near the probed fraction).
+    "ivfadc_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
+        .select("query_id", "cand_id")
+      val approx = ProductQuant.ivfadcTopK(e, col("vec_id") < 50, 3)
+        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
+      truth.join(approx,
+          truth("query_id") === approx("a_qid") &&
+            truth("cand_id") === approx("a_cid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_truth"),
+          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("k_truth"), 6))
+        .orderBy("query_id")
+    }),
+
     // Recall gate for ADC — same exact-truth contract as pq_recall:
     // shortlist truncation may only LOSE neighbors vs brute force, and
     // this measures exactly how many, per query.
@@ -1118,7 +1150,62 @@ object PipelineQueries {
        |sr AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
        |  FROM adc),
-       |short AS (SELECT query_id, cand_id, adc6 FROM sr WHERE srank <= 150),
+       |short AS (SELECT query_id, cand_id, adc6 FROM sr
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
+       |  FROM short s JOIN e q ON q.vec_id = s.query_id
+       |               JOIN e c ON c.vec_id = s.cand_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** IVFADC mirror (ProductQuant.ivfadcTopK): the ADC codebook/codes
+    * CTEs composed with a COARSE quantizer — 16 md5-seeded centroids
+    * L2-normalized in SQL exactly as the Spark side normalizes its
+    * collected sample, assignment/probing by round6 norm-divided dot
+    * (= cosine), and the ADC scoring join restricted to candidates whose
+    * list the query probes. Shortlist/rerank identical to the flat ADC
+    * oracle (shared scalar-subquery shortlist rule).
+    */
+  private lazy val annIvfadcOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |${pqCodesCtes("en", m = 8, subLen = 8, ks = 16, sampN = 160,
+                      corpusSrc = "e", normDot = true)},
+       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |csim AS (SELECT e.vec_id, ccent.ccid,
+       |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
+       |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, ccent),
+       |cassign AS (SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |cprobe AS (SELECT vec_id AS q_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim WHERE vec_id < 50) WHERE rn <= 4),
+       |lut AS (SELECT vec_id AS q_id, sub, cid AS code,
+       |    CAST(round(sd * 1000000) AS BIGINT) AS sd6
+       |  FROM sd1 WHERE vec_id < 50),
+       |adc AS (SELECT p.q_id AS query_id, a.vec_id AS cand_id,
+       |    CAST(SUM(l.sd6) AS BIGINT) AS adc6
+       |  FROM cassign a JOIN cprobe p ON p.ccid = a.ccid
+       |    AND p.q_id <> a.vec_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
+       |  FROM adc),
+       |short AS (SELECT query_id, cand_id, adc6 FROM sr
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
        |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
        |  FROM short s JOIN e q ON q.vec_id = s.query_id
        |               JOIN e c ON c.vec_id = s.cand_id),
@@ -2400,6 +2487,27 @@ object PipelineQueries {
     // set and fixed to BIGINT micro-units; a candidate's score is the
     // exact integer sum of its codes' LUT entries.
     "ann_pq_adc" -> annPqAdcOracle,
+
+    // IVFADC mirror: coarse quantizer CTEs composed over the shared ADC
+    // codebook chain; scoring join restricted to probed lists.
+    "ann_ivfadc" -> annIvfadcOracle,
+
+    // IVFADC recall gate: brute-force truth vs the IVFADC oracle as a
+    // subquery (the adc_recall pattern — one source of truth per lane).
+    "ivfadc_recall" ->
+      s"""WITH $embCte,
+         |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |       FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM ts),
+         |truth AS (SELECT query_id, cand_id FROM tr WHERE rank <= 3),
+         |approx AS (SELECT query_id, cand_id FROM ($annIvfadcOracle))
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k_truth,
+         |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     // ADC recall gate: brute-force truth vs the ADC oracle composed as a
     // subquery (the pq_recall pattern — one source of truth per lane).

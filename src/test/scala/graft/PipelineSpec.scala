@@ -817,19 +817,31 @@ class QuantilesSpec extends SparkSpec {
     val out = Quantiles.sampleQuantiles(d, "event_type", "event_id", "cents")
       .orderBy("event_type", "q")
     val rows = out.collect()
-    // every (group, q) present once, audit arithmetic internally consistent
     assert(rows.nonEmpty)
+    // EVERY (group, q) of the base relation is present — sampled or not
+    // (the left-join contract: an unsampled group emits NULL est_v, not
+    // a missing row)
+    val allGroups = d.select("event_type").distinct()
+      .as[String].collect().toSet
+    assert(rows.map(_.getString(0)).toSet == allGroups)
+    assert(rows.length == allGroups.size * 2)
     rows.foreach { r =>
       val (cnt, ns) = (r.getLong(2), r.getLong(3))
-      val (trueRank, targetRank, err) =
-        (r.getLong(5), r.getLong(6), r.getLong(7))
-      assert(ns < cnt && ns > 0)
-      assert(err == math.abs(trueRank - targetRank) * 1000000L / cnt)
-      // sampling rank error concentrates at O(1/sqrt(n_sample)); 3 sigma
-      // of the binomial bound keeps the check meaningful at sf0.001's
-      // ~40-row samples without flaking
-      val bound = (3.0e6 / math.sqrt(ns.toDouble)).toLong
-      assert(err <= bound, s"rank error $err ppm > $bound ppm: $r")
+      assert(ns <= cnt && cnt > 0)
+      if (r.isNullAt(4)) {
+        // unsampled group: the whole estimate lane is the NULL sentinel
+        assert(ns == 0 && r.isNullAt(5) && r.isNullAt(7))
+      } else {
+        assert(ns > 0)
+        val (trueRank, targetRank, err) =
+          (r.getLong(5), r.getLong(6), r.getLong(7))
+        assert(err == math.abs(trueRank - targetRank) * 1000000L / cnt)
+        // sampling rank error concentrates at O(1/sqrt(n_sample)); 3
+        // sigma of the binomial bound keeps the check meaningful at
+        // sf0.001's ~40-row samples without flaking
+        val bound = (3.0e6 / math.sqrt(ns.toDouble)).toLong
+        assert(err <= bound, s"rank error $err ppm > $bound ppm: $r")
+      }
     }
     // hash-sample determinism: same result at a different partitioning
     val re = Quantiles.sampleQuantiles(
@@ -838,24 +850,50 @@ class QuantilesSpec extends SparkSpec {
     assert(re.toSeq == rows.toSeq)
   }
 
-  test("sampleQuantiles merges: sample of a union is the union of samples") {
-    // The mergeability contract: sketching two batches separately and
-    // unioning the SAMPLES gives bit-identical estimates to sketching
-    // the union — the property that makes shard-local sketches
-    // combinable without a rescan.
+  test("sampleQuantiles merges: shard SAMPLE relations union into the sketch") {
+    // The mergeability contract, exercised through the merge FACE (the
+    // r10 advice: test the shard-sample concatenation the scaladoc
+    // claims, not just operator-over-union): two shard-local sample
+    // relations combined by plain union yield bit-identical estimates
+    // to the one-pass sketch — no rescan of either shard.
     val d = Tables.load(spark, sfDir, "events")
       .select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
     val a = d.filter(col("event_id") % 2 === 0)
     val b = d.filter(col("event_id") % 2 =!= 0)
-    val whole = Quantiles.sampleQuantiles(d, "event_type", "event_id", "cents")
-      .select("event_type", "q", "est_v").orderBy("event_type", "q").collect()
-    // union-of-batches face: the operator over a.union(b) must equal the
-    // operator over d (the sample predicate is a pure row hash)
-    val merged = Quantiles.sampleQuantiles(
-      a.unionByName(b), "event_type", "event_id", "cents")
-      .select("event_type", "q", "est_v").orderBy("event_type", "q").collect()
-    assert(merged.toSeq == whole.toSeq)
+    val whole = Quantiles.quantilesFromSample(
+        Quantiles.sampleRelation(d, "event_type", "event_id", "cents"))
+      .orderBy("g", "q").collect()
+    val merged = Quantiles.quantilesFromSample(
+        Quantiles.sampleRelation(a, "event_type", "event_id", "cents")
+          .unionByName(
+            Quantiles.sampleRelation(b, "event_type", "event_id", "cents")))
+      .orderBy("g", "q").collect()
+    assert(merged.toSeq == whole.toSeq && whole.nonEmpty)
+  }
+
+  test("sampleQuantiles keeps groups too small to sample, with NULL estimate") {
+    // 40 one-row groups at permille=200: most draw no sample. The
+    // expected sampled id set is computed from the SAME hash predicate
+    // the operator uses, so the test is deterministic and pins the
+    // left-join behavior for both populations.
+    val d = (1L to 40L).map(i => (s"g$i", i, i * 10)).toDF("g", "id", "v")
+    val sampledIds = Quantiles.sampleRelation(d, "g", "id", "v")
+      .select("id").as[Long].collect().toSet
+    assert(sampledIds.size < 40, "fixture unexpectedly fully sampled")
+    val out = Quantiles.sampleQuantiles(d, "g", "id", "v")
+      .collect()
+    assert(out.length == 40 * 2)
+    out.foreach { r =>
+      val id = r.getString(0).drop(1).toLong
+      if (sampledIds(id)) {
+        assert(r.getLong(3) == 1L && !r.isNullAt(4) &&
+          r.getLong(4) == id * 10)
+      } else {
+        assert(r.getLong(3) == 0L && r.isNullAt(4) && r.isNullAt(5) &&
+          r.isNullAt(7))
+      }
+    }
   }
 
   test("quantile plan shuffles once on the group key") {

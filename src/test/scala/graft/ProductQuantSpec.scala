@@ -106,4 +106,56 @@ class ProductQuantSpec extends SparkSpec {
       .map(t => (t._1, t._2) -> t._3).toMap
     r.foreach { case (q, c, _, s, _) => assert(exact((q, c)) == s) }
   }
+
+  test("ivfadc stage 1 scans strictly less than the flat ADC code relation") {
+    val nQueries = emb.filter(col("vec_id") < 50).count()
+    val corpus = emb.count()
+    // flat ADC stage-1 pre-agg size: every code row meets every query's
+    // LUT entry once (minus self-pairs)
+    val flatPairs = (corpus - 1) * nQueries * ProductQuant.AdcM
+    val ivfadcPairs = ProductQuant
+      .ivfadcStage1(emb, col("vec_id") < 50, 16, 4).count()
+    assert(ivfadcPairs > 0)
+    // 4 probes of 16 lists: expect ~1/4 of the flat scan; assert the
+    // headline claim conservatively (strictly under half)
+    assert(ivfadcPairs * 2 < flatPairs,
+      s"ivfadc stage-1 $ivfadcPairs pairs vs flat $flatPairs")
+    // every stage-1 row carries exactly the composed-index shape
+    val row = ProductQuant.ivfadcStage1(emb, col("vec_id") < 50, 16, 4)
+      .select("ccid", "sub", "code", "q_id", "vec_id").limit(1).collect()
+    assert(row.length == 1)
+  }
+
+  test("ivfadc shares the ADC scoring definition and more probes help") {
+    // Shared-definition check: wherever an IVFADC pick coincides with a
+    // flat ADC pick, the exact rerank SCORE is identical (one scoring
+    // definition, not two implementations drifting). Full agreement is
+    // NOT expected — probing legitimately changes the candidate pool
+    // (ivfadcTopK scaladoc's measured curve).
+    val ivf = ProductQuant.ivfadcTopK(emb, col("vec_id") < 50, 3)
+      .select("query_id", "cand_id", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val flat = ProductQuant.adcTopK(emb, col("vec_id") < 50, 3)
+      .select("query_id", "cand_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val shared = ivf.filter { case (q, c, _) => flat.contains((q, c)) }
+    assert(shared.nonEmpty)
+    shared.foreach { case (q, c, s) => assert(flat((q, c)) == s) }
+    // Probing monotonicity against exact truth: widening the probe set
+    // can only add candidates, and measured recall rises with it.
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 50, 3)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    def recallAt(np: Int): Double = {
+      val got = ProductQuant
+        .ivfadcTopK(emb, col("vec_id") < 50, 3, nProbe = np)
+        .select("query_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val (r2, r4) = (recallAt(2), recallAt(4))
+    assert(r4 >= r2, s"recall fell with more probes: np2=$r2 np4=$r4")
+  }
 }

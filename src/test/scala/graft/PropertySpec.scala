@@ -179,6 +179,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom manifest merge: arbitrary k-way splits in any order rebuild " +
+    "the full manifest") {
+    // The full algebra the scaladoc claims (bit_or is commutative,
+    // associative, idempotent), pinned beyond the 2-way ledger proof
+    // (`shard_bloom_merge`): for an arbitrary assignment of rows to k
+    // batches and an arbitrary merge ORDER, folding merge over the
+    // batches equals the one-shot rebuild bit-for-bit — and re-merging
+    // an already-included batch changes nothing.
+    val gen = for {
+      k <- Gen.choose(2, 5)
+      assign <- Gen.listOfN(120, Gen.choose(0, k - 1))
+      shuf <- Gen.choose(0, 1000)
+    } yield (k, assign, shuf)
+    samples(gen, 5).foreach { case (k, assign, shuf) =>
+      val rows = assign.zipWithIndex
+        .map { case (b, i) => (s"s${i % 3}", i.toLong, b) }
+        .toDF("shard", "doc_id", "batch")
+      def rel(df: org.apache.spark.sql.DataFrame) =
+        df.select("shard", "word", "bits", "set_bits")
+          .as[(String, Long, Long, Long)].collect().toSet
+      val full = rel(BloomManifest.manifest(rows, "shard", "doc_id"))
+      val order = new scala.util.Random(shuf).shuffle((0 until k).toList)
+      val parts = order.map(b => rows.filter(col("batch") === b))
+      val merged = parts.tail.foldLeft(
+        BloomManifest.manifest(parts.head, "shard", "doc_id")) {
+        (acc, b) => BloomManifest.merge(acc, b, "shard", "doc_id")
+      }
+      assert(rel(merged) == full, s"k=$k order=$order")
+      // idempotency: a batch folded twice is absorbed
+      assert(rel(BloomManifest.merge(merged, parts.head, "shard", "doc_id"))
+        == full)
+    }
+  }
+
   test("discrete quantiles match a sort-based reference") {
     val groups: Gen[Seq[(String, Long)]] =
       Gen.listOfN(120, Gen.zip(Gen.oneOf("g0", "g1", "g2"),
