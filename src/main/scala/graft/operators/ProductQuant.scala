@@ -281,6 +281,18 @@ object ProductQuant {
   def encode(embeddings: DataFrame, cb: DataFrame, dim: Int): DataFrame =
     encodeWith(embeddings, collectCodebook(cb), dim)
 
+  /** Encode against an already-collected codebook — the INGEST face:
+    * codes are a pure per-row function of the frozen book, so a new
+    * batch encodes independently and appends, never re-encoding (or
+    * re-training on) standing data — the additive contract
+    * `pq_incremental_encode` proves against a one-pass oracle. At
+    * 100 TB this is the difference between per-batch ingest cost and
+    * a full index rebuild per batch.
+    */
+  def encodeWithBook(embeddings: DataFrame,
+                     bySub: Map[Int, Seq[(Long, Array[Double])]],
+                     dim: Int): DataFrame = encodeWith(embeddings, bySub, dim)
+
   private def encodeWith(embeddings: DataFrame,
                          bySub: Map[Int, Seq[(Long, Array[Double])]],
                          dim: Int): DataFrame =
@@ -465,6 +477,47 @@ object ProductQuant {
     val qrel = qprobe.join(lut, "q_id")
     enc.join(broadcast(qrel), Seq("ccid", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
+  }
+
+  /** Coarse-quantizer assignment face: (vec_id, ccid) — every vector's
+    * inverted list under the `nCoarse` md5-seeded L2-normalized
+    * centroids (round6 cosine argmax, centroid-id tie-break). The same
+    * assignment [[ivfadcStage1]] computes inline; exposed so physical-
+    * design audits ([[ivfListBalance]]) and external partition-layout
+    * jobs share one definition.
+    */
+  def coarseAssign(embeddings: DataFrame, nCoarse: Int = 16,
+                   dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
+      .select(col("vec_id"),
+        assignCol(col("embedding"), coarse, 0, 0, d,
+          Some(col("nrm"))).as("ccid"))
+  }
+
+  /** Inverted-list balance audit — the physical-design decision report
+    * a team reads BEFORE writing the IVFADC index `PARTITIONED BY ccid`
+    * at 100 TB: per-list member count, integer-permille corpus share,
+    * and skew (share × nCoarse — 1000 = perfectly balanced). A list at
+    * skew ≫ 1000 is the straggler partition that dominates probe
+    * latency; the remedies are the repo's skew kit (salt the list, or
+    * split it and probe both halves). One shuffle on ccid; the corpus
+    * total rides the pmod-keyed one-row broadcast (no driver action).
+    */
+  def ivfListBalance(embeddings: DataFrame, nCoarse: Int = 16,
+                     dim: Option[Int] = None): DataFrame = {
+    val t = embeddings.agg(count(lit(1)).as("__total"))
+      .withColumn("__one", pmod(col("__total"), lit(1L)))
+    coarseAssign(embeddings, nCoarse, dim)
+      .groupBy("ccid").agg(count(lit(1)).as("n_vectors"))
+      .withColumn("__one", pmod(col("n_vectors"), lit(1L)))
+      .join(broadcast(t), "__one")
+      .select(col("ccid"), col("n_vectors"),
+        expr("n_vectors * 1000 div __total").as("share_permille"),
+        expr(s"n_vectors * $nCoarse * 1000 div __total").as("skew_permille"))
   }
 
   /** IVFADC — the composed two-quantizer index (Jégou et al. 2011 §V,

@@ -781,6 +781,32 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // Additive ANN-index ingest (ProductQuant.encodeWithBook scaladoc):
+    // the codebook trains on the STANDING corpus only (vec_id < 400),
+    // then standing and delta batches encode in two INDEPENDENT passes
+    // against the frozen book and union. The oracle is the one-pass
+    // encode of the whole corpus with the same standing-trained book —
+    // the green row proves ingest never re-encodes or re-trains on
+    // standing data (codes are a pure per-row function of the book).
+    "pq_incremental_encode" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val standing = e.filter(col("vec_id") < 400)
+      val delta = e.filter(col("vec_id") >= 400)
+      val book = ProductQuant.collectCodebook(
+        ProductQuant.codebook(standing, d))
+      ProductQuant.encodeWithBook(standing, book, d)
+        .unionByName(ProductQuant.encodeWithBook(delta, book, d))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // Inverted-list balance audit (ProductQuant.ivfListBalance
+    // scaladoc): per-list member count, permille share, and skew — the
+    // physical-design report read before writing the IVFADC index
+    // partitioned by list at 100 TB.
+    "ivf_list_balance" -> ((s, dir) =>
+      ProductQuant.ivfListBalance(emb(s, dir)).orderBy("ccid")),
+
     // Recall gate for ADC — same exact-truth contract as pq_recall:
     // shortlist truncation may only LOSE neighbors vs brute force, and
     // this measures exactly how many, per query.
@@ -2491,6 +2517,43 @@ object PipelineQueries {
     // IVFADC mirror: coarse quantizer CTEs composed over the shared ADC
     // codebook chain; scoring join restricted to probed lists.
     "ann_ivfadc" -> annIvfadcOracle,
+
+    // Incremental-encode mirror: ONE-PASS encode of the full corpus
+    // against the standing-trained codebook — equality with the Spark
+    // side's two-batch union is the additive-ingest proof.
+    "pq_incremental_encode" ->
+      s"""WITH $embCte,
+         |standing AS (SELECT vec_id, v FROM e WHERE vec_id < 400),
+         |${pqCodesCtes("standing", corpusSrc = "e")}
+         |SELECT vec_id, CAST(sub AS INTEGER) AS sub, code FROM codes
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // List-balance mirror: the IVFADC coarse assignment (normalized
+    // centroids, round6 cosine rank) grouped per list with integer
+    // permille share/skew.
+    "ivf_list_balance" ->
+      s"""WITH $embCte,
+         |en AS (SELECT vec_id, list_transform(v, x ->
+         |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+         |  FROM e),
+         |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |csim AS (SELECT e.vec_id, ccent.ccid,
+         |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+         |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
+         |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+         |  FROM e, ccent),
+         |cassign AS (SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |g AS (SELECT ccid, CAST(count(*) AS BIGINT) AS n_vectors
+         |      FROM cassign GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e)
+         |SELECT ccid, n_vectors,
+         |  n_vectors * 1000 // total AS share_permille,
+         |  n_vectors * 16 * 1000 // total AS skew_permille
+         |FROM g, t ORDER BY ccid""".stripMargin,
 
     // IVFADC recall gate: brute-force truth vs the IVFADC oracle as a
     // subquery (the adc_recall pattern — one source of truth per lane).

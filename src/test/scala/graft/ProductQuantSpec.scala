@@ -126,6 +126,35 @@ class ProductQuantSpec extends SparkSpec {
     assert(row.length == 1)
   }
 
+  test("ivf list balance partitions the corpus exactly, integer arithmetic") {
+    val corpus = emb.count()
+    val out = ProductQuant.ivfListBalance(emb).collect()
+    assert(out.map(_.getLong(1)).sum == corpus)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) == r.getLong(1) * 1000 / corpus)
+      assert(r.getLong(3) == r.getLong(1) * 16 * 1000 / corpus)
+    }
+    // assignment is a partition: one list per vector
+    val a = ProductQuant.coarseAssign(emb)
+    assert(a.count() == corpus)
+    assert(a.select("vec_id").distinct().count() == corpus)
+  }
+
+  test("encodeWithBook: delta batches encode independently against a frozen book") {
+    val dim = Similarity.dimOf(emb)
+    val standing = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val book = ProductQuant.collectCodebook(
+      ProductQuant.codebook(standing, dim))
+    val onePass = ProductQuant.encodeWithBook(emb, book, dim)
+      .orderBy("vec_id", "sub").collect()
+    val unioned = ProductQuant.encodeWithBook(standing, book, dim)
+      .unionByName(ProductQuant.encodeWithBook(delta, book, dim))
+      .orderBy("vec_id", "sub").collect()
+    assert(onePass.nonEmpty && onePass.toSeq == unioned.toSeq)
+  }
+
   test("ivfadc shares the ADC scoring definition and more probes help") {
     // Shared-definition check: wherever an IVFADC pick coincides with a
     // flat ADC pick, the exact rerank SCORE is identical (one scoring
