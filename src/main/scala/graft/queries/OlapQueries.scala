@@ -61,6 +61,18 @@ object OlapQueries {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Sargable event-time window [from, until): literals cast to the
+    * column's own timestamp_ntz type so the comparison pushes into the
+    * parquet scan's PushedFilters and row-group min/max stats prune
+    * whole groups. The `year(ts) = N` form these replaced evaluates
+    * post-scan — at 100 TB that is the difference between reading one
+    * year and reading every year (results are identical, so the DuckDB
+    * mirrors keep their calendar predicates; `ScanAuditSpec` pins the
+    * pushdown).
+    */
+  private def tsRange(c: Column, from: String, until: String): Column =
+    c >= lit(from).cast("timestamp_ntz") && c < lit(until).cast("timestamp_ntz")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q4 order-priority checking: EXISTS ⇒ LEFT SEMI with a
@@ -68,7 +80,7 @@ object OlapQueries {
     // probe side carries the date through the join instead of re-scanning
     // lineitem per order. At 100 TB both sides shuffle once on orderkey.
     "q4_order_priority" -> ((s, dir) => {
-      val ord = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val ord = t(s, dir, "orders").filter(tsRange(col("o_orderdate"), "1996-01-01", "1997-01-01"))
       val li = t(s, dir, "lineitem")
       ord.join(li,
           col("o_orderkey") === col("l_orderkey") &&
@@ -85,7 +97,7 @@ object OlapQueries {
     // the parquet scan; no shuffle survives except the final 1-row agg).
     "q6_revenue_delta" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")) === 1997 &&
+        .filter(tsRange(col("l_shipdate"), "1997-01-01", "1998-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(
           sum((col("l_extendedprice").cast("decimal(18,2)") *
@@ -103,7 +115,7 @@ object OlapQueries {
       val n2 = t(s, dir, "nation").filter(col("n_name").isin(names: _*))
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .filter(tsRange(col("l_shipdate"), "1996-01-01", "1998-01-01"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -134,7 +146,7 @@ object OlapQueries {
         .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders")
-            .filter(year(col("o_orderdate")).isin(1996, 1997)),
+            .filter(tsRange(col("o_orderdate"), "1996-01-01", "1998-01-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -160,8 +172,7 @@ object OlapQueries {
     "q10_returned_items" -> ((s, dir) =>
       t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders")
-            .filter(year(col("o_orderdate")) === 1997 &&
-              month(col("o_orderdate")) <= 3),
+            .filter(tsRange(col("o_orderdate"), "1997-01-01", "1997-04-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
@@ -197,8 +208,7 @@ object OlapQueries {
     // broadcasts; the month filter prunes the fact scan.
     "q14_promo_revenue" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")) === 1997 &&
-          month(col("l_shipdate")) === 9)
+        .filter(tsRange(col("l_shipdate"), "1997-09-01", "1997-10-01"))
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", revenue)
@@ -218,8 +228,7 @@ object OlapQueries {
     // LIMIT would get wrong on ties.
     "q15_top_supplier" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")) === 1997 &&
-          quarter(col("l_shipdate")) === 1)
+        .filter(tsRange(col("l_shipdate"), "1997-01-01", "1997-04-01"))
         .groupBy(col("l_suppkey"))
         .agg(sum(revenue).as("rev_dec"))
       val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
@@ -332,7 +341,7 @@ object OlapQueries {
           count(lit(1)).as("cnt_pos"))
         .withColumn("k", pmod(col("cnt_pos"), lit(1L)))
       val recent = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) >= 2000)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
         .select("o_custkey")
       cust
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")

@@ -1,0 +1,82 @@
+package graft
+
+/** Scan-level plan audit — the `.explain` discipline, mechanized: at
+  * 100 TB the difference between a query that works and one that melts
+  * the cluster is usually visible in three scan properties, so they are
+  * pinned as tests instead of re-read by hand each round:
+  *
+  *  - selective predicates must reach the parquet scan as
+  *    `PushedFilters` (a filter evaluated post-scan reads everything);
+  *  - projections must prune `ReadSchema` (a 7-column aggregate that
+  *    reads all 16 lineitem columns is wrong at any scale);
+  *  - the hot aggregation path must sit inside WholeStageCodegen;
+  *  - the single-scan PQ/ADC encode must STAY single-scan (the r10
+  *    regression class: the encode union re-scanned the corpus once
+  *    per subspace — 8 scans — without any correctness signal).
+  */
+class ScanAuditSpec extends SparkSpec {
+
+  /** Post-EXECUTION plan: before an action, AQE's executedPlan prints
+    * the unfinalized skeleton (no codegen stages, scan details elided);
+    * collect() — which runs THIS queryExecution, unlike count(), which
+    * plans a new one — finalizes it, and toString then carries `*(n)`
+    * whole-stage markers and the real scan metadata.
+    */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("selective filters reach the parquet scan as pushed filters") {
+    val p = planOf("q6_revenue_delta")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).toSeq
+    assert(pushed.nonEmpty, "no non-empty PushedFilters in plan")
+    // the sargable rewrite (OlapQueries.tsRange) must land the shipdate
+    // RANGE in the scan, not just null checks — Spark truncates the
+    // printed filter list, so match the column inside the bracket
+    assert(pushed.exists(s =>
+      s.contains("GreaterThan") || s.contains("LessThan") ||
+        s.contains("EqualTo")),
+      s"no comparison predicate pushed to scan: $pushed")
+    assert(p.contains("l_shipdate"), "shipdate absent from pushed scan")
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val p = planOf("q1_pricing_summary")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    // the pricing summary touches 7 lineitem columns; the scan must not
+    // drag the wide text columns along
+    assert(scans.exists(_.contains("l_quantity")))
+    assert(!scans.exists(_.contains("l_comment")),
+      s"unpruned lineitem scan:\n${scans.mkString("\n")}")
+  }
+
+  test("hot aggregation runs inside whole-stage codegen") {
+    // toString abbreviates WholeStageCodegen stages as `*(n)` operator
+    // prefixes — the aggregation pipeline must carry them
+    val p = planOf("q1_pricing_summary")
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("HashAggregate")),
+      s"q1 aggregation fell out of whole-stage codegen:\n$p")
+  }
+
+  test("PQ/ADC encode stays single-scan (no per-subspace corpus re-scan)") {
+    // codes(1) + query LUT(1) + rerank sides(2) + shortlist count(1):
+    // five embedding scans is the designed shape; the r10 per-subspace
+    // union form planned 18+. A sixth scan means an encode path
+    // regressed to scan-per-subspace.
+    // the adaptive plan's toString appends an "== Initial Plan ==" copy
+    // of the whole tree — count scans in the FINAL section only
+    def scansIn(name: String): Int = {
+      val p = planOf(name).split("== Initial Plan ==").head
+      "Scan parquet".r.findAllIn(p).size
+    }
+    val scans = scansIn("ann_pq_adc")
+    assert(scans <= 5, s"ann_pq_adc plans $scans parquet scans (want <= 5)")
+    val scans2 = scansIn("ann_ivfadc")
+    assert(scans2 <= 6,
+      s"ann_ivfadc plans $scans2 parquet scans (want <= 6)")
+  }
+}
