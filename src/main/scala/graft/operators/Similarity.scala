@@ -166,9 +166,11 @@ object Similarity {
   val MaxBroadcastVecs: Int = 1000000
 
   /** Exact replica of Spark's round(double, 6): BigDecimal.valueOf
-    * (canonical Double.toString) + HALF_UP.
+    * (canonical Double.toString) + HALF_UP. Package-visible: the
+    * residual-PQ trainer assigns its bounded sample to coarse cells on
+    * the driver with the same rounding the engine uses.
     */
-  private def round6(x: Double): Double =
+  private[operators] def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 

@@ -572,8 +572,12 @@ object EventQueries {
     // the SAME registers that answer the per-set cardinalities — how many
     // customers ordered in both 1995 and 1996, without a distinct-join.
     "hll_overlap" -> ((s, dir) => {
+      // sargable two-year window (OlapQueries.tsRange rationale): the
+      // range pushes to the scan; the per-row year() stays only in the
+      // set-label projection where it prunes nothing
       val o = Tables.load(s, dir, "orders")
-        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
       Sketches.hllOverlap(o, "o_custkey",
         when(year(col("o_orderdate")) === 1995, "A").otherwise("B"))
     }),

@@ -781,6 +781,57 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // Residual IVFADC (ProductQuant.ivfadcResidualTopK scaladoc) — the
+    // full Jégou §V encoding: the fine quantizer compresses x̂ − ĉ and
+    // a candidate's score reconstructs as coarse dot + residual LUT
+    // sum, exact in integer micro-units end to end.
+    "ann_ivfadc_residual" -> ((s, dir) =>
+      ProductQuant.ivfadcResidualTopK(emb(s, dir), col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    // Recall gate for residual IVFADC — exact-truth contract, same
+    // probing loss as the non-residual face at fixture scale (the
+    // shortlist rule keeps every probed candidate, so the residual
+    // fidelity gain only shows once shortlist < probed pool — at scale).
+    "ivfadc_residual_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
+        .select("query_id", "cand_id")
+      val approx = ProductQuant
+        .ivfadcResidualTopK(e, col("vec_id") < 50, 3)
+        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
+      truth.join(approx,
+          truth("query_id") === approx("a_qid") &&
+            truth("cand_id") === approx("a_cid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_truth"),
+          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("k_truth"), 6))
+        .orderBy("query_id")
+    }),
+
+    // Quantization-distortion gauge: both ADC lanes emit their integer
+    // approximate score NEXT TO the exact rerank cosine, so the mean
+    // absolute error between them (micro-units, integer arithmetic) is
+    // one aggregation away — the measured form of the residual-PQ
+    // claim: compressing x̂ − ĉ reconstructs dot(q̂,·) closer than
+    // compressing x̂ (Jégou 2011 §V's motivation), visible even where
+    // recall ties.
+    "adc_distortion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val f = ProductQuant.adcTopK(e, col("vec_id") < 50, 3)
+        .select(lit("flat").as("lane"), col("adc6"), col("score"))
+      val r = ProductQuant.ivfadcResidualTopK(e, col("vec_id") < 50, 3)
+        .select(lit("residual").as("lane"), col("adc6"), col("score"))
+      f.unionByName(r)
+        .groupBy("lane")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(abs(adc6 - cast(round(score * 1000000) as bigint)))" +
+            " div count(1)").as("mean_err_micro"))
+        .orderBy("lane")
+    }),
+
     // Additive ANN-index ingest (ProductQuant.encodeWithBook scaladoc):
     // the codebook trains on the STANDING corpus only (vec_id < 400),
     // then standing and delta batches encode in two INDEPENDENT passes
@@ -1226,6 +1277,68 @@ object PipelineQueries {
        |    AND p.q_id <> a.vec_id
        |  JOIN codes c ON c.vec_id = a.vec_id
        |  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
+       |  FROM adc),
+       |short AS (SELECT query_id, cand_id, adc6 FROM sr
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
+       |  FROM short s JOIN e q ON q.vec_id = s.query_id
+       |               JOIN e c ON c.vec_id = s.cand_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Residual-IVFADC mirror (ProductQuant.ivfadcResidualTopK): the
+    * coarse CTEs as in the non-residual face, then `rall` materializes
+    * every vector's residual (normalized vector minus assigned coarse
+    * centroid) and the SHARED pq chain trains/encodes over residuals.
+    * A candidate's score = its probed cell's coarse dot (micro-units)
+    * + the sum of its residual codes' fine-LUT entries — exact integer
+    * reconstruction of dot(q̂, ĉ + f(codes)).
+    */
+  private lazy val annIvfadcResOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |csim AS (SELECT e.vec_id, ccent.ccid,
+       |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
+       |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, ccent),
+       |cassign AS (SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |rall AS (SELECT en.vec_id, list_transform(range(1, len(en.v) + 1),
+       |    i -> en.v[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)]) AS v
+       |  FROM en JOIN cassign a ON a.vec_id = en.vec_id
+       |          JOIN ccent cc ON cc.ccid = a.ccid),
+       |${pqCodesCtes("rall", m = 8, subLen = 8, ks = 16, sampN = 160)},
+       |cprobe AS (SELECT q_id, ccid, CAST(round(s * 1000000) AS BIGINT)
+       |    AS sd6c FROM (
+       |    SELECT vec_id AS q_id, ccid, s, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim WHERE vec_id < 50) WHERE rn <= 4),
+       |lutf AS (SELECT e.vec_id AS q_id, cb.sub, cb.cid AS code,
+       |    CAST(round(round(list_sum(list_transform(range(1, 9),
+       |      i -> e.v[CAST(cb.sub * 8 + i AS INTEGER)]
+       |           * cb.cv[CAST(i AS INTEGER)]))
+       |      / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6)
+       |      * 1000000) AS BIGINT) AS sd6f
+       |  FROM e, cb WHERE e.vec_id < 50),
+       |adc AS (SELECT p.q_id AS query_id, a.vec_id AS cand_id,
+       |    CAST(MIN(p.sd6c) + SUM(l.sd6f) AS BIGINT) AS adc6
+       |  FROM cassign a JOIN cprobe p ON p.ccid = a.ccid
+       |    AND p.q_id <> a.vec_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lutf l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
        |  GROUP BY 1, 2),
        |sr AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
@@ -2517,6 +2630,38 @@ object PipelineQueries {
     // IVFADC mirror: coarse quantizer CTEs composed over the shared ADC
     // codebook chain; scoring join restricted to probed lists.
     "ann_ivfadc" -> annIvfadcOracle,
+
+    // Residual-IVFADC mirror (annIvfadcResOracle scaladoc).
+    "ann_ivfadc_residual" -> annIvfadcResOracle,
+
+    // Residual-IVFADC recall gate: brute-force truth vs the residual
+    // oracle as a subquery (one source of truth per lane).
+    "ivfadc_residual_recall" ->
+      s"""WITH $embCte,
+         |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, round($cosSql, 6) AS score
+         |       FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank FROM ts),
+         |truth AS (SELECT query_id, cand_id FROM tr WHERE rank <= 3),
+         |approx AS (SELECT query_id, cand_id FROM ($annIvfadcResOracle))
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k_truth,
+         |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    // Distortion-gauge mirror: both lanes' oracle chains composed as
+    // subqueries, integer mean-abs-error per lane.
+    "adc_distortion" ->
+      s"""WITH u AS (
+         |  SELECT 'flat' AS lane, adc6, score FROM ($annPqAdcOracle)
+         |  UNION ALL
+         |  SELECT 'residual' AS lane, adc6, score FROM ($annIvfadcResOracle))
+         |SELECT lane, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(ABS(adc6 - CAST(round(score * 1000000) AS BIGINT)))
+         |       AS BIGINT) // count(*) AS mean_err_micro
+         |FROM u GROUP BY lane ORDER BY lane""".stripMargin,
 
     // Incremental-encode mirror: ONE-PASS encode of the full corpus
     // against the standing-trained codebook — equality with the Spark
