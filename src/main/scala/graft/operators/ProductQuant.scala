@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   *
   * Distribution: ONLY the codebook is collected (M*Ks rows by
   * construction — same bounded-collect contract as the IVF centroid
-  * array), and assignment/encoding unrolls it into a literal codegen
-  * PROJECTION — no join, no extra exchange; the training pass is one
-  * posexplode + decimal-mean aggregation per subspace.
+  * array), and assignment/encoding carries it as a literal DATA column
+  * iterated by higher-order functions in ONE corpus-scan projection
+  * (see [[centsLit]] for why data beats unrolled literals) — no join,
+  * no extra exchange; the training pass is one posexplode +
+  * decimal-mean aggregation over the bounded sample.
   *
   * Determinism contract (same as the IVF family): codebook seeds are
   * md5-ordered, assignment ranks by ROUND6 subspace dot with centroid-id
@@ -370,8 +372,13 @@ object ProductQuant {
     */
   private def adcParts(embeddings: DataFrame, d: Int)
       : (DataFrame, Map[Int, Seq[(Long, Array[Double])]]) = {
-    val embN = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.normN(col("embedding"), d).as("nrm"))
+    // spread BEFORE the encode projection: a single-file fixture scan
+    // arrives as ONE partition and would serialize the per-row
+    // HOF-interpreted codebook scoring on one core (Tables.spread
+    // scaladoc — a no-op at real scale)
+    val embN = graft.Tables.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
     val bySub = collectCodebook(
       codebook(embeddings, d, AdcM, AdcKs, AdcSampleN, l2Normalize = true))
     (embN, bySub)
@@ -461,10 +468,16 @@ object ProductQuant {
     // together. At rest this relation is what you'd write PARTITIONED BY
     // ccid, making stage 1 partition-pruned to the probed lists; here
     // the probe filter is the broadcast hash join below.
+    // ccid rides a value-preserving coalesce (argmax is never null) so
+    // the downstream ccid equi-join cannot INFER an IsNotNull filter:
+    // inferred on a nullable expression column, the optimizer pushes it
+    // below the Generate REWRITTEN to the full 16-centroid argmax tree
+    // and re-evaluates it per corpus row in an interpreted Filter
+    // (measured ~2x on this face before the guard).
     val enc = explodeVia(embN,
       Seq(col("vec_id"),
-        assignCol(col("embedding"), coarse, 0, 0, d,
-          Some(col("nrm"))).as("ccid")),
+        coalesce(assignCol(col("embedding"), coarse, 0, 0, d,
+          Some(col("nrm"))), lit(-1L)).as("ccid")),
       allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
       Seq("sub", "code"))
     // Query relation: nProbe coarse ids × the AdcM·AdcKs LUT, joined
@@ -599,8 +612,10 @@ object ProductQuant {
                          dim: Option[Int] = None): DataFrame = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val subLen = d / AdcM
-    val embN = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.normN(col("embedding"), d).as("nrm"))
+    // spread before the heavy residual-encode projection (adcParts note)
+    val embN = graft.Tables.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
     val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
     val cmap: Map[Long, Array[Double]] = coarse.toMap
     // Driver-side residual training sample (bounded AdcSampleN rows):
@@ -625,9 +640,12 @@ object ProductQuant {
       codebook(resDf, d, AdcM, AdcKs, AdcSampleN, l2Normalize = false))
     val cmapLit = typedLit(cmap.map { case (k2, v) => (k2, v.toSeq) })
     // ONE corpus scan: coarse cell + all AdcM residual codes per row.
+    // same not-null guard as ivfadcStage1's enc: a nullable ccid would
+    // let the join infer an IsNotNull filter that re-evaluates the
+    // coarse argmax per row once pushed through this projection
     val withC = embN.select(col("vec_id"), col("embedding"), col("nrm"),
-      assignCol(col("embedding"), coarse, 0, 0, d,
-        Some(col("nrm"))).as("ccid"))
+      coalesce(assignCol(col("embedding"), coarse, 0, 0, d,
+        Some(col("nrm"))), lit(-1L)).as("ccid"))
     val enc = withC.select(col("vec_id"), col("ccid"),
       posexplode(array((0 until AdcM).map { s =>
         -array_max(resScoreStructs(col("embedding"), col("nrm"),
@@ -691,7 +709,9 @@ object ProductQuant {
     // ONE collect of the trained codebook feeds both encode sides — a
     // second collect would re-run the whole training job.
     val bySub = collectCodebook(codebook(embeddings, d))
-    val codes = encodeWith(embeddings, bySub, d)
+    // spread before the encode projection (adcParts note); encodeWith
+    // itself stays spread-free so the streaming ingest face can reuse it
+    val codes = encodeWith(graft.Tables.spread(embeddings), bySub, d)
     val qCodes =
       if (probes <= 1) codes.filter(queryPred)
         .select(col("vec_id").as("q_id"), col("sub"), col("code"))

@@ -375,3 +375,43 @@ class OrchestrateSpec extends SparkSpec {
     assert(serial == par)
   }
 }
+
+case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{ProductQuant, Similarity}
+  import org.apache.spark.sql.functions.col
+
+  test("ANN index ingest is a stateless streaming projection: replay == batch") {
+    // The stream twin of `pq_incremental_encode`, with NO wrapper code:
+    // encodeWithBook is a pure projection over a frozen codebook, so
+    // the SAME batch face runs under Structured Streaming in append
+    // mode — no state store, no watermark — and two micro-batches must
+    // produce bit-identical codes to the one-pass batch encode.
+    implicit val sc = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val d = Similarity.dimOf(emb)
+    val book = ProductQuant.collectCodebook(
+      ProductQuant.codebook(emb.filter(col("vec_id") < 300), d))
+    val rows = emb.as[VecRow].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[VecRow]
+    val q = ProductQuant.encodeWithBook(mem.toDF(), book, d)
+      .writeStream.format("memory").queryName("pq_stream_ingest")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val got = spark.table("pq_stream_ingest")
+        .as[(Long, Int, Long)].collect().toSet
+      val want = ProductQuant.encodeWithBook(emb, book, d)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+}
