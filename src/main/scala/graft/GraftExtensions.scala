@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.CosineScore.descriptor)
     graft.functions.TextKernels.descriptors.foreach(ext.injectFunction)
+    graft.functions.PqKernels.descriptors.foreach(ext.injectFunction)
   }
 }

@@ -193,22 +193,53 @@ object ProductQuant {
         scoreStructs(emb, cents, off, bOff, n, div))), 1, probes),
       x => -x.getField("ncid"))
 
+  /** The codebook as the foldable literal pair the native
+    * [[graft.functions.PqKernels]] expressions consume: per-subspace
+    * centroid VECTORS (array<array<array<double>>>) and IDS
+    * (array<array<bigint>>), in matching order.
+    */
+  private def bookLits(bySub: Map[Int, Seq[(Long, Array[Double])]])
+      : (Column, Column) = {
+    val m = bySub.size
+    (typedLit((0 until m).map(s => bySub(s).map(_._2.toSeq))),
+      typedLit((0 until m).map(s => bySub(s).map(_._1))))
+  }
+
   /** All M per-subspace codes of one vector as ONE array projection —
     * the single-scan encode every consumer posexplodes into (sub, code)
     * rows. The r10 shape unioned M per-subspace projections of the SAME
     * relation (`(0 until m).map(emb.select(...)).reduce(unionByName)`),
     * i.e. M full corpus scans each re-evaluating the shared norm fold —
     * correct, but the one plan that would not survive a 100× corpus
-    * (VERDICT r10 #2). One projection computes every subspace argmax in
-    * a single pass; codegen subexpression elimination evaluates the
-    * shared `div` norm once per row.
+    * (VERDICT r10 #2). Since r11 the per-row argmax is the NATIVE
+    * codegen'd `pq_encode` kernel ([[graft.functions.PqKernels]]) —
+    * one tight primitive loop per row inside WholeStageCodegen, same
+    * round6/tie-break semantics as the HOF form the query-side paths
+    * still use (callers must [[graft.functions.PqKernels.register]]).
     */
   private def allCodesCol(emb: Column,
                           bySub: Map[Int, Seq[(Long, Array[Double])]],
-                          subLen: Int, div: Option[Column] = None): Column =
-    array((0 until bySub.size).map { s =>
-      assignCol(emb, bySub(s), s * subLen, 0, subLen, div)
-    }: _*)
+                          subLen: Int, div: Option[Column] = None): Column = {
+    val (cvs, cids) = bookLits(bySub)
+    call_function("pq_encode", emb,
+      div.getOrElse(lit(Double.NaN)), cvs, cids)
+  }
+
+  /** Coarse cell id via the native `pq_encode` kernel — an m=1
+    * "codebook" of the full-length normalized coarse centroids, so the
+    * single array element IS the round6-cosine argmax. The
+    * value-preserving coalesce makes the column non-nullable
+    * (element_at is nullable in Catalyst), so downstream ccid
+    * equi-joins cannot infer an IsNotNull filter that would re-evaluate
+    * the assignment per row below the Generate (the r11 plan
+    * regression this family already fixed once).
+    */
+  private def coarseAssignCol(emb: Column, nrm: Column,
+                              coarse: Seq[(Long, Array[Double])]): Column =
+    coalesce(element_at(
+      call_function("pq_encode", emb, nrm,
+        typedLit(Seq(coarse.map(_._2.toSeq))),
+        typedLit(Seq(coarse.map(_._1)))), 1), lit(-1L))
 
   /** posexplode an expensive array as the GENERATOR child directly.
     * (A variant that materialized the array in a child Project so the
@@ -297,10 +328,12 @@ object ProductQuant {
 
   private def encodeWith(embeddings: DataFrame,
                          bySub: Map[Int, Seq[(Long, Array[Double])]],
-                         dim: Int): DataFrame =
+                         dim: Int): DataFrame = {
+    graft.functions.PqKernels.register(embeddings.sparkSession)
     explodeVia(embeddings, Seq(col("vec_id")),
       allCodesCol(col("embedding"), bySub, dim / bySub.size),
       Seq("sub", "code"))
+  }
 
   /** Multi-probe query encoding: for each query vector the top-`probes`
     * centroid codes per subspace — ≤ M·probes (q_id, sub, code) rows per
@@ -376,6 +409,7 @@ object ProductQuant {
     // arrives as ONE partition and would serialize the per-row
     // HOF-interpreted codebook scoring on one core (Tables.spread
     // scaladoc — a no-op at real scale)
+    graft.functions.PqKernels.register(embeddings.sparkSession)
     val embN = graft.Tables.spread(embeddings)
       .select(col("vec_id"), col("embedding"),
         Similarity.normN(col("embedding"), d).as("nrm"))
@@ -476,8 +510,7 @@ object ProductQuant {
     // (measured ~2x on this face before the guard).
     val enc = explodeVia(embN,
       Seq(col("vec_id"),
-        coalesce(assignCol(col("embedding"), coarse, 0, 0, d,
-          Some(col("nrm"))), lit(-1L)).as("ccid")),
+        coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
       allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
       Seq("sub", "code"))
     // Query relation: nProbe coarse ids × the AdcM·AdcKs LUT, joined
@@ -501,14 +534,14 @@ object ProductQuant {
     */
   def coarseAssign(embeddings: DataFrame, nCoarse: Int = 16,
                    dim: Option[Int] = None): DataFrame = {
+    graft.functions.PqKernels.register(embeddings.sparkSession)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
-    embeddings
+    graft.Tables.spread(embeddings)
       .select(col("vec_id"), col("embedding"),
         Similarity.normN(col("embedding"), d).as("nrm"))
       .select(col("vec_id"),
-        assignCol(col("embedding"), coarse, 0, 0, d,
-          Some(col("nrm"))).as("ccid"))
+        coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid"))
   }
 
   /** Inverted-list balance audit — the physical-design decision report
@@ -567,26 +600,6 @@ object ProductQuant {
     adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
   }
 
-  /** Per-centroid (sd, -cid) structs scoring the RESIDUAL x̂ − ĉ of a
-    * row against residual-codebook centroids: each term is
-    * (x_i/‖x‖ − ĉ_i)·f_i, left-fold, round6 — ĉ looked up per row from
-    * the coarse-centroid map literal by the row's `ccid`. The oracle
-    * mirrors the identical element math through its materialized
-    * residual relation.
-    */
-  private def resScoreStructs(emb: Column, nrm: Column, cvec: Column,
-                              cents: Seq[(Long, Array[Double])],
-                              off: Int, n: Int): Column =
-    transform(centsLit(cents), c => {
-      val dot = aggregate(
-        zip_with(
-          zip_with(slice(emb, off + 1, n), slice(cvec, off + 1, n),
-            (x, cc) => x.cast("double") / nrm - cc),
-          c.getField("_2"), (r, f) => r * f),
-        lit(0.0), (acc, t) => acc + t)
-      struct(round(dot, 6).as("sd"), (-c.getField("_1")).as("ncid"))
-    })
-
   /** Residual IVFADC — the FULL Jégou et al. 2011 §V encoding, on top
     * of [[ivfadcTopK]]'s list-routing: the fine product quantizer
     * compresses the residual x̂ − ĉ (normalized vector minus its coarse
@@ -638,20 +651,18 @@ object ProductQuant {
     val resDf = resRows.toDF("vec_id", "embedding")
     val bySubF = collectCodebook(
       codebook(resDf, d, AdcM, AdcKs, AdcSampleN, l2Normalize = false))
-    val cmapLit = typedLit(cmap.map { case (k2, v) => (k2, v.toSeq) })
-    // ONE corpus scan: coarse cell + all AdcM residual codes per row.
-    // same not-null guard as ivfadcStage1's enc: a nullable ccid would
-    // let the join infer an IsNotNull filter that re-evaluates the
-    // coarse argmax per row once pushed through this projection
+    // ONE corpus scan: coarse cell + all AdcM residual codes per row,
+    // both through the native kernels (coarseAssignCol scaladoc; the
+    // residual argmax is `pq_encode_res` with the coarse centroids as
+    // foldable literals resolved per row by ccid).
+    val (cvsF, cidsF) = bookLits(bySubF)
     val withC = embN.select(col("vec_id"), col("embedding"), col("nrm"),
-      coalesce(assignCol(col("embedding"), coarse, 0, 0, d,
-        Some(col("nrm"))), lit(-1L)).as("ccid"))
-    val enc = withC.select(col("vec_id"), col("ccid"),
-      posexplode(array((0 until AdcM).map { s =>
-        -array_max(resScoreStructs(col("embedding"), col("nrm"),
-          element_at(cmapLit, col("ccid")), bySubF(s), s * subLen, subLen))
-          .getField("ncid")
-      }: _*)).as(Seq("sub", "code")))
+      coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid"))
+    val enc = explodeVia(withC, Seq(col("vec_id"), col("ccid")),
+      call_function("pq_encode_res", col("embedding"), col("nrm"),
+        col("ccid"), typedLit(coarse.map(_._1)),
+        typedLit(coarse.map(_._2.toSeq)), cvsF, cidsF),
+      Seq("sub", "code"))
     // Query relation: probed cells WITH their coarse dot (micro-units)
     // × the fine LUT (q̂ against residual centroids — the flat-ADC LUT
     // shape, fold-then-divide, reused verbatim).
