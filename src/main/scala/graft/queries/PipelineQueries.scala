@@ -386,6 +386,33 @@ object PipelineQueries {
         Dedup.minhashNearDups(docs(s, dir), 0.5).select("doc_a", "doc_b"))
         .orderBy("doc_id")),
 
+    // Representative selection — the KEEP policy on top of the cluster
+    // collapse: production dedup keeps the best member of each near-dup
+    // cluster (here: most tokens, lowest doc_id on ties — the "longest
+    // member" rule), not an arbitrary one, and reports what the drop
+    // saves. One aggregation over the labeled members: argmax by
+    // max(struct(n_tokens, -doc_id)) — integer-exact, order-free — and
+    // dropped_tokens = cluster total minus the kept member, i.e. the
+    // per-cluster dedup savings a curation run signs off on before
+    // deleting anything.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comp = Dedup.components(
+        Dedup.minhashNearDups(d, 0.5).select("doc_a", "doc_b"))
+      val toks = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      comp.join(toks, "doc_id")
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("kp"),
+          sum("n_tokens").as("total_tokens"))
+        .select(col("canonical_id"), col("n_members"),
+          (-col("kp.nid")).as("keep_id"),
+          col("kp.n_tokens").as("keep_tokens"),
+          (col("total_tokens") - col("kp.n_tokens")).as("dropped_tokens"))
+        .orderBy("canonical_id")
+    }),
+
     // The composed one-materialization pipeline (VERDICT r04 missing #2):
     // the shingle kernel — the dominant narrow cost shared by the minhash
     // and exact-jaccard paths — is materialized ONCE (written/read as a
@@ -1292,6 +1319,39 @@ object PipelineQueries {
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared MinHash-cluster LABEL chain: shingles → signatures → bands
+    * → verified near-dup pairs → recursive reachability closure →
+    * per-node min label, ending in CTE `lab(doc_id, canonical_id)` —
+    * one source of truth for `dedup_clusters` and the
+    * representative-selection face composed on top of it.
+    */
+  private lazy val clusterLabelCtes: String =
+    s"""WITH RECURSIVE $toksCte,
+       |$shinglesCte,
+       |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+       |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b),
+       |mh AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+       |          UNION SELECT doc_b, doc_a FROM mh),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |lab AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach
+       |        GROUP BY a)""".stripMargin
+
   /** Residual-IVFADC mirror (ProductQuant.ivfadcResidualTopK): the
     * coarse CTEs as in the non-residual face, then `rall` materializes
     * every vector's residual (normalized vector minus assigned coarse
@@ -2146,31 +2206,29 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $toksCte,
-         |$shinglesCte,
-         |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
-         |sig AS (SELECT doc_id, s, ${sigExprs.mkString(",\n  ")} FROM hbase),
-         |bands AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = doc_a
-         |  JOIN sh sb ON sb.doc_id = doc_b),
-         |mh AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
-         |          UNION SELECT doc_b, doc_a FROM mh),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-         |SELECT a AS doc_id, min(b) AS canonical_id FROM reach
-         |GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""$clusterLabelCtes
+         |SELECT doc_id, canonical_id FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Representative-selection mirror: the shared cluster-label chain,
+    // token counts, and a (n_tokens DESC, doc_id) window pick — the
+    // same total order as the Spark side's max(struct(n_tokens, -id)).
+    "dedup_keep_best" ->
+      s"""$clusterLabelCtes,
+         |tok AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |m AS (SELECT l.canonical_id, t.doc_id, t.n_tokens
+         |      FROM lab l JOIN tok t USING (doc_id)),
+         |pick AS (SELECT canonical_id, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY n_tokens DESC, doc_id) AS rn FROM m),
+         |agg AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total FROM m GROUP BY 1)
+         |SELECT a.canonical_id, a.n_members, p.doc_id AS keep_id,
+         |  p.n_tokens AS keep_tokens, a.total - p.n_tokens AS dropped_tokens
+         |FROM agg a JOIN pick p
+         |  ON p.canonical_id = a.canonical_id AND p.rn = 1
+         |ORDER BY a.canonical_id""".stripMargin,
 
     "doc_chunks" ->
       """WITH base AS (
