@@ -138,4 +138,87 @@ object Lexicon {
         least(col("doc_freq"), lit(cap.toLong)).as("postings_len"),
         col("postings"))
   }
+
+  /** BPE MERGE TRAINING — the iterated loop [[bpePairs]] is one step of:
+    * per round, learn the highest-weighted adjacent symbol pair over the
+    * word vocabulary and APPLY the merge to every word's symbol list,
+    * so later rounds see merged symbols ("t","h" → "th" → "th","e" →
+    * "the"). Output, one row per round: the learned (left_sym,
+    * right_sym), its weighted count, and the corpus symbol count after
+    * applying it — the compression curve a tokenizer-induction run
+    * reports.
+    *
+    * Merges are restricted to HETEROGENEOUS pairs (left ≠ right): the
+    * (x,x) case needs sequential left-to-right tie-breaking inside runs
+    * ("aaa" merges once, not twice), which a stateless splice cannot
+    * express; with left ≠ right no position can be both a merge start
+    * and a merge continuation, so the parallel per-position rewrite
+    * (emit merged at the pair start, drop the pair's second slot, copy
+    * the rest) is exactly the sequential semantics — on both engines.
+    *
+    * Scale posture: the loop runs over the VOCABULARY relation (corpus
+    * collapses to distinct words first — bpePairs' posture), each round
+    * is one aggregation for the top pair (a bounded ONE-ROW collect,
+    * the codebook contract) + one HOF rewrite projection, with
+    * localCheckpoint bounding lineage per round (the components()
+    * cadence). `rounds` is driver-bounded; at 100 TB the vocabulary is
+    * millions of rows and each round is seconds.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "driver-bounded merge loop")
+    val spark = docs.sparkSession
+    var syms = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val topRows = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
+          .as("p"))
+        .select(col("freq"), col("p.l").as("l"), col("p.r").as("r"))
+        .filter(col("l") =!= col("r"))
+        .groupBy("l", "r").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      // heterogeneous pairs can run dry on small vocabularies (every
+      // word fully merged) — stop with the merges learned so far
+      // instead of erroring mid-loop
+      if (topRows.isEmpty) exhausted = true
+      else {
+        val top = topRows(0)
+        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        val (lL, lR, lLR) = (lit(l), lit(r), lit(l + r))
+        syms = syms.withColumn("syms",
+            filter(
+              transform(sequence(lit(1), size(col("syms"))), i =>
+                when(i < size(col("syms")) &&
+                    element_at(col("syms"), i) === lL &&
+                    element_at(col("syms"), i + lit(1)) === lR, lLR)
+                  .when(i > lit(1) &&
+                    element_at(col("syms"), i - lit(1)) === lL &&
+                    element_at(col("syms"), i) === lR,
+                    lit(null).cast("string"))
+                  .otherwise(element_at(col("syms"), i))),
+              x => x.isNotNull))
+          .localCheckpoint()
+        val after = syms
+          .agg(sum(size(col("syms")).cast("long") * col("freq")).as("a"))
+          .collect()(0).getLong(0)
+        out += ((step, l, r, cnt, after))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.result()
+      .toDF("step", "left_sym", "right_sym", "pair_count", "symbols_after")
+  }
 }

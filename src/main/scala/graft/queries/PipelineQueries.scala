@@ -79,6 +79,16 @@ object PipelineQueries {
     "bpe_pairs" -> ((s, dir) =>
       Lexicon.bpePairs(docs(s, dir), 50).orderBy("rank")),
 
+    // BPE merge TRAINING (Lexicon.bpeTrainMerges scaladoc): three
+    // learn-top-pair / apply-merge rounds over the word vocabulary —
+    // later rounds see merged symbols, so this is the real tokenizer
+    // induction loop, not the one-step pair census above. The oracle
+    // unrolls the same three rounds as stateless CTE stages (valid
+    // because learned merges are heterogeneous — see the scaladoc's
+    // left≠right argument).
+    "bpe_train_merges" -> ((s, dir) =>
+      Lexicon.bpeTrainMerges(docs(s, dir), 3).orderBy("step")),
+
     // Capped posting lists: token -> doc frequency + first-20 doc_ids —
     // the retrieval index relation behind BM25 / contamination lookups.
     "inverted_index" -> ((s, dir) =>
@@ -1319,6 +1329,38 @@ object PipelineQueries {
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** One BPE learn/apply round as CTEs p$k/m$k/s$k/a$k over the prior
+    * round's symbol relation s${k-1}: heterogeneous-pair census, top-1
+    * merge selection, stateless per-position splice (valid because
+    * l ≠ r — Lexicon.bpeTrainMerges scaladoc), weighted symbol count.
+    */
+  private def bpeRoundCtes(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (SELECT syms[CAST(u.i AS INTEGER)] AS l,
+       |         syms[CAST(u.i + 1 AS INTEGER)] AS r,
+       |         CAST(SUM(freq) AS BIGINT) AS cnt
+       |       FROM $prev, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+       |       WHERE syms[CAST(u.i AS INTEGER)]
+       |             <> syms[CAST(u.i + 1 AS INTEGER)]
+       |       GROUP BY 1, 2),
+       |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+       |s$k AS (SELECT freq, list_filter(list_transform(
+       |         range(1, len(syms) + 1), i ->
+       |         CASE WHEN i < len(syms)
+       |                   AND syms[CAST(i AS INTEGER)] = m.l
+       |                   AND syms[CAST(i + 1 AS INTEGER)] = m.r
+       |              THEN m.l || m.r
+       |              WHEN i > 1
+       |                   AND syms[CAST(i - 1 AS INTEGER)] = m.l
+       |                   AND syms[CAST(i AS INTEGER)] = m.r
+       |              THEN NULL
+       |              ELSE syms[CAST(i AS INTEGER)] END),
+       |         x -> x IS NOT NULL) AS syms
+       |       FROM $prev, m$k m),
+       |a$k AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS after
+       |        FROM s$k)""".stripMargin
+  }
+
   /** Shared MinHash-cluster LABEL chain: shingles → signatures → bands
     * → verified near-dup pairs → recursive reachability closure →
     * per-node min label, ending in CTE `lab(doc_id, canonical_id)` —
@@ -1662,6 +1704,30 @@ object PipelineQueries {
         |        ORDER BY pair_count DESC, pair) AS rank FROM c)
         |SELECT CAST(rank AS INTEGER) AS rank, pair, pair_count
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // BPE-training mirror: 3 unrolled learn/apply rounds — pair census
+    // over symbol lists (heterogeneous pairs only), top-1 by (count
+    // DESC, l, r), stateless per-position splice, weighted symbol
+    // census after each round.
+    "bpe_train_merges" ->
+      s"""WITH wd AS (SELECT t AS word FROM documents,
+         |             UNNEST(string_split(text, ' ')) AS z(t)
+         |             WHERE len(t) >= 2),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY 1),
+         |s0 AS (SELECT freq, list_transform(range(1, len(word) + 1),
+         |         i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM v),
+         |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT CAST(1 AS INTEGER) AS step, m1.l AS left_sym,
+         |       m1.r AS right_sym, m1.cnt AS pair_count,
+         |       (SELECT after FROM a1) AS symbols_after FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), m2.l, m2.r, m2.cnt,
+         |       (SELECT after FROM a2) FROM m2
+         |UNION ALL
+         |SELECT CAST(3 AS INTEGER), m3.l, m3.r, m3.cnt,
+         |       (SELECT after FROM a3) FROM m3
+         |ORDER BY step""".stripMargin,
 
     "inverted_index" ->
       """WITH td AS (SELECT DISTINCT t AS token, doc_id FROM documents,

@@ -415,3 +415,37 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe training learns CHAINED merges and stops when pairs run dry") {
+    // Crafted vocabulary: "the" x10, "th" x5.
+    //  round 1: (t,h) weight 15 beats (h,e) weight 10 -> th
+    //  round 2: the only heterogeneous pair left is (th,e) weight 10 —
+    //           the previously-merged symbol participates, proving the
+    //           rounds COMPOSE (the one-step pair census cannot do this)
+    //  round 3: no heterogeneous pairs remain -> graceful early stop
+    val docs = (Seq.fill(10)("the") ++ Seq.fill(5)("th")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = graft.operators.Lexicon.bpeTrainMerges(docs, 3)
+      .orderBy("step").collect()
+    assert(out.length == 2)
+    assert((out(0).getInt(0), out(0).getString(1), out(0).getString(2),
+      out(0).getLong(3), out(0).getLong(4)) == ((1, "t", "h", 15L, 25L)))
+    assert((out(1).getInt(0), out(1).getString(1), out(1).getString(2),
+      out(1).getLong(3), out(1).getLong(4)) == ((2, "th", "e", 10L, 15L)))
+  }
+
+  test("bpe merge application is left-to-right equivalent for l != r") {
+    // "abab" with merge (a,b): both occurrences merge independently
+    // (positions 1 and 3 — never overlapping when l != r), so the word
+    // compresses 4 -> 2 symbols in one round.
+    val docs = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    val out = graft.operators.Lexicon.bpeTrainMerges(docs, 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "a" && out(0).getString(2) == "b")
+    // one word, freq 3, 2 symbols after -> weighted count 6
+    assert(out(0).getLong(4) == 6L)
+  }
+}
