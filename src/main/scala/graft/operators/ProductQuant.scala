@@ -363,37 +363,6 @@ object ProductQuant {
       .select(col("q_id"), col("e.sub").as("sub"), col("e.code").as("code"))
   }
 
-  /** ADC (asymmetric distance computation) top-k — the classic PQ
-    * scoring lane (Jégou et al. 2011 §IV), as the IVFADC-style TWO-STAGE
-    * it is in production: (1) a code-only SHORTLIST scan — the query's
-    * per-subspace dots against every centroid are precomputed into an
-    * AdcM·AdcKs-row lookup table, a candidate's approximate score is the
-    * SUM of its codes' LUT entries (the dot with its codebook
-    * reconstruction), and the top [[adcShortlist]] survive; (2) an exact
-    * rounded-cosine rerank of the shortlist (the same kernel as pqTopK).
-    * The cross-subspace accumulation is taken in integer MICRO-UNITS
-    * (each round6 subspace dot fixed to a BIGINT before summing), so the
-    * float-order parity hazard that kept ADC out of round 9 is gone: the
-    * sum is exact and order-free on both engines.
-    *
-    * The codebook lives in L2-NORMALIZED space — a reconstruction DOT
-    * then approximates COSINE (the trilogy's metric) instead of the
-    * norm-dominated raw inner product. The bounded training sample is
-    * normalized driver-side at collect time; corpus/query scoring
-    * divides each subspace dot by the vector's norm rather than
-    * materializing normalized arrays (equal math, small plan — see the
-    * scoreStructs `div` note), with the parity-proven left-fold norm
-    * (Similarity.normN).
-    *
-    * Scale shape: stage 1 is where a 100 TB index is scanned at
-    * 8 B/vector — full embeddings are touched ONLY on the query side
-    * (the broadcast LUT); the corpus contributes nothing but its code
-    * relation, and the scan → broadcast-hash-join → partial-sum pipeline
-    * never shuffles a float vector. Stage 2 touches full vectors for
-    * only the [[adcShortlist]] fraction of the data (~5% by rule, floor at
-    * small corpora) — the shortlist rule is the recall-vs-I/O knob, and
-    * `adc_recall` measures the cost (0.90 at sf0.01).
-    */
   /** Shared ADC fine-quantizer parts — ONE definition feeding the flat
     * ADC face ([[adcTopK]]), the IVF-composed face ([[ivfadcTopK]]), and
     * through them both recall gates: (corpus-with-norm relation, the
@@ -462,6 +431,37 @@ object ProductQuant {
       .filter(col("rank") <= k)
   }
 
+  /** ADC (asymmetric distance computation) top-k — the classic PQ
+    * scoring lane (Jégou et al. 2011 §IV), as the IVFADC-style TWO-STAGE
+    * it is in production: (1) a code-only SHORTLIST scan — the query's
+    * per-subspace dots against every centroid are precomputed into an
+    * AdcM·AdcKs-row lookup table, a candidate's approximate score is the
+    * SUM of its codes' LUT entries (the dot with its codebook
+    * reconstruction), and the top [[adcShortlist]] survive; (2) an exact
+    * rounded-cosine rerank of the shortlist (the same kernel as pqTopK).
+    * The cross-subspace accumulation is taken in integer MICRO-UNITS
+    * (each round6 subspace dot fixed to a BIGINT before summing), so the
+    * float-order parity hazard that kept ADC out of round 9 is gone: the
+    * sum is exact and order-free on both engines.
+    *
+    * The codebook lives in L2-NORMALIZED space — a reconstruction DOT
+    * then approximates COSINE (the trilogy's metric) instead of the
+    * norm-dominated raw inner product. The bounded training sample is
+    * normalized driver-side at collect time; corpus/query scoring
+    * divides each subspace dot by the vector's norm rather than
+    * materializing normalized arrays (equal math, small plan — see the
+    * scoreStructs `div` note), with the parity-proven left-fold norm
+    * (Similarity.normN).
+    *
+    * Scale shape: stage 1 is where a 100 TB index is scanned at
+    * 8 B/vector — full embeddings are touched ONLY on the query side
+    * (the broadcast LUT); the corpus contributes nothing but its code
+    * relation, and the scan → broadcast-hash-join → partial-sum pipeline
+    * never shuffles a float vector. Stage 2 touches full vectors for
+    * only the [[adcShortlist]] fraction of the data (~5% by rule, floor at
+    * small corpora) — the shortlist rule is the recall-vs-I/O knob, and
+    * `adc_recall` measures the cost (0.90 at sf0.01).
+    */
   def adcTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               dim: Option[Int] = None): DataFrame = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
@@ -623,6 +623,7 @@ object ProductQuant {
   def ivfadcResidualTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                          nCoarse: Int = 16, nProbe: Int = 4,
                          dim: Option[Int] = None): DataFrame = {
+    graft.functions.PqKernels.register(embeddings.sparkSession)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val subLen = d / AdcM
     // spread before the heavy residual-encode projection (adcParts note)
