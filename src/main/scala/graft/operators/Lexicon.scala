@@ -165,8 +165,36 @@ object Lexicon {
     * millions of rows and each round is seconds.
     */
   def bpeTrainMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 16, "driver-bounded merge loop")
     val spark = docs.sparkSession
+    val (out, _) = bpeTrainLoop(docs, rounds)
+    import spark.implicits._
+    out.toDF("step", "left_sym", "right_sym", "pair_count", "symbols_after")
+  }
+
+  /** The trained VOCABULARY face: segment the corpus with the merges
+    * [[bpeTrainMerges]] learns and rank the resulting symbol census —
+    * what the corpus tokenizes into AFTER induction (merged symbols
+    * outrank their constituent characters exactly where the merges paid
+    * off). Same loop, same bounded collects; output (rank, symbol,
+    * weighted_count) top-`k` by (count DESC, symbol).
+    */
+  def bpeVocab(docs: DataFrame, rounds: Int = 3, k: Int = 50): DataFrame = {
+    val (_, syms) = bpeTrainLoop(docs, rounds)
+    val census = syms
+      .select(col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(sum("freq").as("weighted_count"))
+    val w = Window.orderBy(col("weighted_count").desc, col("symbol"))
+    census.orderBy(col("weighted_count").desc, col("symbol")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "symbol", "weighted_count")
+  }
+
+  /** Shared learn/apply loop: per-round merges (step, l, r, count,
+    * symbols_after) plus the FINAL (freq, syms) vocabulary relation.
+    */
+  private def bpeTrainLoop(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 16, "driver-bounded merge loop")
     var syms = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -217,8 +245,6 @@ object Lexicon {
         step += 1
       }
     }
-    import spark.implicits._
-    out.result()
-      .toDF("step", "left_sym", "right_sym", "pair_count", "symbols_after")
+    (out.result(), syms)
   }
 }

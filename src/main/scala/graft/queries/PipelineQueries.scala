@@ -89,6 +89,13 @@ object PipelineQueries {
     "bpe_train_merges" -> ((s, dir) =>
       Lexicon.bpeTrainMerges(docs(s, dir), 3).orderBy("step")),
 
+    // The trained-vocabulary face (Lexicon.bpeVocab scaladoc): the
+    // symbol census AFTER the three learned merges — merged symbols
+    // outrank their constituent characters exactly where the merges
+    // paid off.
+    "bpe_vocab" -> ((s, dir) =>
+      Lexicon.bpeVocab(docs(s, dir), 3, 50).orderBy("rank")),
+
     // Capped posting lists: token -> doc frequency + first-20 doc_ids —
     // the retrieval index relation behind BM25 / contamination lookups.
     "inverted_index" -> ((s, dir) =>
@@ -1728,6 +1735,24 @@ object PipelineQueries {
          |SELECT CAST(3 AS INTEGER), m3.l, m3.r, m3.cnt,
          |       (SELECT after FROM a3) FROM m3
          |ORDER BY step""".stripMargin,
+
+    // Vocabulary-face mirror: the same three unrolled rounds, then a
+    // weighted symbol census over the final symbol relation s3.
+    "bpe_vocab" ->
+      s"""WITH wd AS (SELECT t AS word FROM documents,
+         |             UNNEST(string_split(text, ' ')) AS z(t)
+         |             WHERE len(t) >= 2),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY 1),
+         |s0 AS (SELECT freq, list_transform(range(1, len(word) + 1),
+         |         i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM v),
+         |${(1 to 3).map(bpeRoundCtes).mkString(",\n")},
+         |c AS (SELECT u.s AS symbol, CAST(SUM(freq) AS BIGINT) AS weighted_count
+         |      FROM s3, UNNEST(syms) AS u(s) GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (
+         |        ORDER BY weighted_count DESC, symbol) AS rank FROM c)
+         |SELECT CAST(rank AS INTEGER) AS rank, symbol, weighted_count
+         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "inverted_index" ->
       """WITH td AS (SELECT DISTINCT t AS token, doc_id FROM documents,
