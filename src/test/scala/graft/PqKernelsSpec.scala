@@ -72,6 +72,48 @@ class PqKernelsSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("pq_encode matches the reference on randomized vectors and codebooks") {
+    // Seeded fuzz over the argmax/round6/tie-break surface: random
+    // codebooks (including DUPLICATE centroid vectors, which force the
+    // cid tie-break) and random float vectors, against the same
+    // independent reference as the fixed cases.
+    PqKernels.register(spark)
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val fuzzCvs: Seq[Seq[Seq[Double]]] = Seq.fill(2)({
+        val base = Seq.fill(3)(Seq.fill(4)(
+          math.rint(rnd.nextDouble() * 200 - 100) / 100.0))
+        base :+ base.head // duplicate forces (sd tie, cid) ordering
+      })
+      val fuzzIds: Seq[Seq[Long]] =
+        Seq.fill(2)(rnd.shuffle((1L to 4L).toList).toSeq)
+      def ref(v: Array[Double], div: Double): Seq[Long] =
+        (0 to 1).map { s =>
+          fuzzCvs(s).zip(fuzzIds(s)).map { case (cv, cid) =>
+            var acc = 0.0
+            (0 until 4).foreach(i => acc += v(s * 4 + i) * cv(i))
+            (r6(if (div.isNaN) acc else acc / div), cid)
+          }.minBy { case (sd, cid) => (-sd, cid) }._2
+        }
+      val vecs = Seq.fill(8)(Array.fill(8)(
+        (rnd.nextFloat() * 2 - 1).toDouble))
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+        .toDF("id", "v")
+      val div = if (trial % 2 == 0) Double.NaN else 1.5
+      val got = df.select(col("id"),
+          call_function("pq_encode", col("v"), lit(div),
+            typedLit(fuzzCvs), typedLit(fuzzIds)).as("codes"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      got.foreach { case (i, codes) =>
+        // the kernel sees FLOATS promoted to double; mirror that in
+        // the reference input
+        val vf = vecs(i.toInt).map(x => x.toFloat.toDouble)
+        assert(codes == ref(vf, div), s"trial=$trial vec=$i div=$div")
+      }
+    }
+  }
+
   test("pq_encode_res equals pq_encode on explicitly residualized input") {
     PqKernels.register(spark)
     val coarseIds = Seq(4L, 6L)
