@@ -34,10 +34,25 @@ import org.apache.spark.sql.types._
   */
 object PqKernels {
 
-  /** round6 — Spark round(double, 6) semantics. */
+  /** round6 — Spark round(double, 6) semantics. Spark's RoundBase
+    * returns non-finite inputs unchanged (BigDecimal.valueOf would
+    * throw NumberFormatException on NaN/Infinity — e.g. a zero-norm
+    * embedding dividing to NaN must score NaN, not crash the job).
+    */
   private def r6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** UnsafeArrayData primitive getters do not bounds-check; a ragged
+    * embedding row would yield silent garbage codes. Fail loudly with
+    * the row's shape instead.
+    */
+  private def checkDims(emb: ArrayData, needed: Int, who: String): Unit =
+    if (emb.numElements() < needed)
+      throw new IllegalArgumentException(
+        s"$who: embedding has ${emb.numElements()} elements but the " +
+          s"codebook expects at least $needed (m subspaces x subLen)")
 
   /** All-subspace encode: for subspace s, code = argmax over centroids
     * of round6(dot(emb[s*L .. s*L+L-1], cv) / div) with (sd DESC, cid
@@ -48,6 +63,7 @@ object PqKernels {
              book: Array[Array[Array[Double]]],
              ids: Array[Array[Long]]): ArrayData = {
     val m = book.length
+    checkDims(emb, m * book(0)(0).length, "pq_encode")
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {
@@ -102,6 +118,10 @@ object PqKernels {
     }
     require(cvec != null, s"unknown coarse centroid id $ccid")
     val m = book.length
+    checkDims(emb, m * book(0)(0).length, "pq_encode_res")
+    require(cvec.length >= m * book(0)(0).length,
+      s"pq_encode_res: coarse centroid has ${cvec.length} elements, " +
+        s"codebook expects ${m * book(0)(0).length}")
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {

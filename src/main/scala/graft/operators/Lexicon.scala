@@ -148,13 +148,23 @@ object Lexicon {
     * applying it — the compression curve a tokenizer-induction run
     * reports.
     *
-    * Merges are restricted to HETEROGENEOUS pairs (left ≠ right): the
-    * (x,x) case needs sequential left-to-right tie-breaking inside runs
-    * ("aaa" merges once, not twice), which a stateless splice cannot
-    * express; with left ≠ right no position can be both a merge start
-    * and a merge continuation, so the parallel per-position rewrite
-    * (emit merged at the pair start, drop the pair's second slot, copy
-    * the rest) is exactly the sequential semantics — on both engines.
+    * Merge semantics are real BPE: ANY adjacent pair including the
+    * homogeneous (x,x) case, applied LEFT-TO-RIGHT NON-OVERLAPPING
+    * ("aaaa" merges twice into "aa","aa"; "aaa" once into "aa","a").
+    * Heterogeneous pairs stay the plain stateless per-position splice
+    * (no position can be both merge start and continuation when
+    * l ≠ r). Homogeneous pairs become stateless through RUN PARITY:
+    * inside a maximal run of x ending at position i, the run-prefix
+    * length r(i) = i − max{j ≤ i : syms[j] ≠ x} decides the role —
+    * odd r(i) is a merge START (pairs with i+1 if still x), even r(i)
+    * is the consumed second slot — exactly the sequential left-to-right
+    * rule, evaluated independently per position (VERDICT r11 #6). The
+    * PAIR CENSUS counts only the mergeable (non-overlapping)
+    * occurrences under the same parity rule, so the reported
+    * pair_count equals the number of merges the round applies and the
+    * argmax ranks homogeneous candidates fairly. r(i) is an O(len)
+    * fold per position (O(len²) per word) — bounded by word length on
+    * the vocabulary-sized relation, identical in the DuckDB mirror.
     *
     * Scale posture: the loop runs over the VOCABULARY relation (corpus
     * collapses to distinct words first — bpePairs' posture), each round
@@ -207,36 +217,63 @@ object Lexicon {
     var step = 1
     var exhausted = false
     while (step <= rounds && !exhausted) {
+      // census of MERGEABLE adjacent pairs: heterogeneous positions
+      // always count; homogeneous positions count only at odd run
+      // parity (the left-to-right non-overlapping rule — a run of L
+      // x's contributes floor(L/2) to (x,x)), so pair_count == the
+      // merges the round would apply and homogeneous candidates rank
+      // fairly in the argmax
       val topRows = syms.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
-            "'l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
-          .as("p"))
+          "filter(transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'l', element_at(syms, i), 'r', element_at(syms, i + 1), " +
+            "'ok', element_at(syms, i) != element_at(syms, i + 1) OR " +
+            "pmod(i - coalesce(array_max(filter(sequence(1, i), " +
+            "j -> element_at(syms, j) != element_at(syms, i))), 0), 2) = 1" +
+            ")), p -> p.ok)")).as("p"))
         .select(col("freq"), col("p.l").as("l"), col("p.r").as("r"))
-        .filter(col("l") =!= col("r"))
         .groupBy("l", "r").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
-      // heterogeneous pairs can run dry on small vocabularies (every
-      // word fully merged) — stop with the merges learned so far
+      // the census can run dry on small vocabularies (every word fully
+      // merged to one symbol) — stop with the merges learned so far
       // instead of erroring mid-loop
       if (topRows.isEmpty) exhausted = true
       else {
         val top = topRows(0)
         val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
         val (lL, lR, lLR) = (lit(l), lit(r), lit(l + r))
+        val spliced =
+          if (l != r)
+            // heterogeneous: plain stateless splice (no chain possible)
+            transform(sequence(lit(1), size(col("syms"))), i =>
+              when(i < size(col("syms")) &&
+                  element_at(col("syms"), i) === lL &&
+                  element_at(col("syms"), i + lit(1)) === lR, lLR)
+                .when(i > lit(1) &&
+                  element_at(col("syms"), i - lit(1)) === lL &&
+                  element_at(col("syms"), i) === lR,
+                  lit(null).cast("string"))
+                .otherwise(element_at(col("syms"), i)))
+          else
+            // homogeneous: run parity decides merge-start (odd) vs
+            // consumed (even); odd-parity run tails fall through as
+            // singles (scaladoc rule)
+            transform(sequence(lit(1), size(col("syms"))), i => {
+              val runpar = pmod(
+                i - coalesce(array_max(filter(sequence(lit(1), i),
+                  j => element_at(col("syms"), j) =!= lL)), lit(0)),
+                lit(2))
+              when(element_at(col("syms"), i) === lL &&
+                  i < size(col("syms")) &&
+                  element_at(col("syms"), i + lit(1)) === lL &&
+                  runpar === lit(1), lLR)
+                .when(element_at(col("syms"), i) === lL &&
+                  runpar === lit(0), lit(null).cast("string"))
+                .otherwise(element_at(col("syms"), i))
+            })
         syms = syms.withColumn("syms",
-            filter(
-              transform(sequence(lit(1), size(col("syms"))), i =>
-                when(i < size(col("syms")) &&
-                    element_at(col("syms"), i) === lL &&
-                    element_at(col("syms"), i + lit(1)) === lR, lLR)
-                  .when(i > lit(1) &&
-                    element_at(col("syms"), i - lit(1)) === lL &&
-                    element_at(col("syms"), i) === lR,
-                    lit(null).cast("string"))
-                  .otherwise(element_at(col("syms"), i))),
-              x => x.isNotNull))
+            filter(spliced, x => x.isNotNull))
           .localCheckpoint()
         val after = syms
           .agg(sum(size(col("syms")).cast("long") * col("freq")).as("a"))

@@ -232,7 +232,9 @@ object ProductQuant {
     * (element_at is nullable in Catalyst), so downstream ccid
     * equi-joins cannot infer an IsNotNull filter that would re-evaluate
     * the assignment per row below the Generate (the r11 plan
-    * regression this family already fixed once).
+    * regression this family already fixed once). The -1 sentinel is an
+    * optimizer artifact only — every caller filters null embeddings
+    * upstream, so a -1 row would be a bug, never data.
     */
   private def coarseAssignCol(emb: Column, nrm: Column,
                               coarse: Seq[(Long, Array[Double])]): Column =
@@ -379,7 +381,13 @@ object ProductQuant {
     // HOF-interpreted codebook scoring on one core (Tables.spread
     // scaladoc — a no-op at real scale)
     graft.functions.PqKernels.register(embeddings.sparkSession)
+    // Null embeddings are EXCLUDED here, not sentinel-assigned: the
+    // coarseAssignCol coalesce(-1) below exists only as a nullability
+    // guard for the optimizer, and must never fire — a null row mapped
+    // to list -1 would silently join into a phantom inverted list (and
+    // count in ivfListBalance) instead of being dropped.
     val embN = graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         Similarity.normN(col("embedding"), d).as("nrm"))
     val bySub = collectCodebook(
@@ -538,6 +546,7 @@ object ProductQuant {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
     graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull) // no phantom list -1 (adcParts)
       .select(col("vec_id"), col("embedding"),
         Similarity.normN(col("embedding"), d).as("nrm"))
       .select(col("vec_id"),
@@ -626,8 +635,11 @@ object ProductQuant {
     graft.functions.PqKernels.register(embeddings.sparkSession)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val subLen = d / AdcM
-    // spread before the heavy residual-encode projection (adcParts note)
+    // spread before the heavy residual-encode projection (adcParts note);
+    // null embeddings excluded so coarseAssignCol's -1 sentinel can
+    // never materialize a phantom list (adcParts note)
     val embN = graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         Similarity.normN(col("embedding"), d).as("nrm"))
     val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
@@ -707,6 +719,108 @@ object ProductQuant {
       .filter(col("srank") <=
         greatest(lit(AdcShortlistFloor.toLong), expr("__n div 20")))
       .select(col("q_id"), col("vec_id").as("c_id"), col("adc6"))
+  }
+
+  /** Probe-sweep gauge for IVFADC (VERDICT r11 #7): recall@k vs the
+    * exact brute-force truth AND the stage-1 scan fraction, per
+    * operating point nprobe ∈ `sweep`, in ONE pass over a single
+    * encode — so the nProbe default becomes a data-derived decision
+    * (read the curve, pick the knee) instead of a hardcoded 4.
+    *
+    * Plan posture: the corpus encodes ONCE (the same single-scan
+    * (vec_id, ccid, sub, code) relation as [[ivfadcTopK]]); the probe
+    * relation carries each probed list's RANK, and membership in each
+    * sweep point is a pure array-filter projection (no non-equi join —
+    * the plan audit forbids BNLJ); shortlist and rerank windows extend
+    * their partition key with nprobe. Scan fraction = probed candidate
+    * pairs / (|queries|·(|corpus|−1)) — the flat-ADC pair count — so
+    * sweep max = nCoarse lands at exactly 1000 permille and recovers
+    * flat-ADC recall by construction (every list probed ⇒ same
+    * candidates, same shortlist rule).
+    *
+    * Output: (nprobe, recall_permille, scan_permille) — integer
+    * permille on both engines (1000·hits div truth), hash-stable.
+    */
+  def ivfadcProbeSweep(embeddings: DataFrame, queryPred: Column, k: Int,
+                       sweep: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                       nCoarse: Int = 16,
+                       dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val subLen = d / AdcM
+    val (embN, bySub) = adcParts(embeddings, d)
+    val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
+    val sweepL = sweep.map(_.toLong).sorted
+    // single-scan composed index row, exactly ivfadcStage1's shape
+    val enc = explodeVia(embN,
+      Seq(col("vec_id"),
+        coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
+      allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
+      Seq("sub", "code"))
+    // ranked probes up to the widest sweep point; membership in sweep
+    // point n ⇔ 0-based rank p0 < n, emitted as an array-filter explode
+    val qprobe = embN.filter(queryPred)
+      .select(col("vec_id").as("q_id"),
+        posexplode(assignTopCol(col("embedding"), coarse, 0, 0, d,
+          sweepL.max.toInt, Some(col("nrm")))).as(Seq("p0", "ccid")))
+      .select(col("q_id"), col("ccid"),
+        explode(filter(typedLit(sweepL), n => n > col("p0"))).as("nprobe"))
+    val lut = adcLut(embN, queryPred, bySub, subLen)
+    val qrel = qprobe.join(lut, "q_id")
+    val pre = enc.join(broadcast(qrel), Seq("ccid", "sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+    // each probed (q, candidate) pair carries exactly AdcM LUT-matched
+    // rows, so the stage-1 pair count is a div away — no second scan
+    val s1 = pre.groupBy("nprobe")
+      .agg(expr(s"count(1) div $AdcM").as("pairs"))
+    val scored = pre.groupBy(col("nprobe"), col("q_id"), col("vec_id"))
+      .agg(sum("sd6").as("adc6"))
+    // shortlistOf with nprobe extending the window partition
+    val n = embeddings.agg(count(lit(1)).as("__n"))
+      .withColumn("__one", pmod(col("__n"), lit(1L)))
+    val short = scored
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("nprobe", "q_id")
+          .orderBy(col("adc6").desc, col("vec_id"))))
+      .withColumn("__one", pmod(col("adc6"), lit(1L)))
+      .join(broadcast(n), "__one")
+      .filter(col("srank") <=
+        greatest(lit(AdcShortlistFloor.toLong), expr("__n div 20")))
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("c_id"))
+    def embSide(p: String): DataFrame =
+      embeddings.select(col("vec_id").as(s"${p}_id"),
+        col("embedding").as(s"${p}_emb"),
+        Similarity.normN(col("embedding"), d).as(s"${p}_nrm"))
+    graft.functions.CosineScore.register(embeddings.sparkSession)
+    val approx = short
+      .join(embSide("q"), "q_id").join(embSide("c"), "c_id")
+      .select(col("nprobe"), col("q_id").as("a_qid"),
+        col("c_id").as("a_cid"),
+        expr("cosine_score(q_emb, c_emb, q_nrm, c_nrm)").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("nprobe", "a_qid")
+          .orderBy(col("score").desc, col("a_cid"))))
+      .filter(col("rank") <= k)
+      .select(col("nprobe").as("a_np"), col("a_qid"), col("a_cid"))
+    // exact truth, replicated per sweep point as a projection explode
+    val truthS = Similarity.bruteForceTopK(embeddings, queryPred, k)
+      .select(col("query_id"), col("cand_id"),
+        explode(typedLit(sweepL)).as("nprobe"))
+    val rec = truthS.join(approx,
+        col("nprobe") === col("a_np") && col("query_id") === col("a_qid") &&
+          col("cand_id") === col("a_cid"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+    val qn = embeddings.filter(queryPred).agg(count(lit(1)).as("__q"))
+      .withColumn("__one", pmod(col("__q"), lit(1L)))
+    rec.join(s1, "nprobe")
+      .withColumn("__one", pmod(col("n_truth"), lit(1L)))
+      .join(broadcast(n), "__one")
+      .join(broadcast(qn), "__one")
+      .select(col("nprobe"),
+        expr("1000 * hits div n_truth").as("recall_permille"),
+        expr("1000 * pairs div (__q * (__n - 1))").as("scan_permille"))
+      .orderBy("nprobe")
   }
 
   /** PQ top-k: multi-probe code-match banding (candidate shares ≥

@@ -15,6 +15,27 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Shared exact-truth recall gate (ONE definition for every ANN face
+    * — VERDICT r11 #3): per query, hits = |approx ∩ truth| against the
+    * brute-force top-k, recall = hits / k_truth rounded to 6. Both
+    * inputs are (query_id, cand_id, ...) top-k relations; the gate
+    * always measures the face's own shipped plan — callers pass the
+    * same builder the named query ships.
+    */
+  private def recallGate(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select("query_id", "cand_id")
+    val a = approx.select(col("query_id").as("a_qid"),
+      col("cand_id").as("a_cid"))
+    t.join(a, t("query_id") === a("a_qid") && t("cand_id") === a("a_cid"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_truth"),
+        sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall",
+        round(col("hits").cast("double") / col("k_truth"), 6))
+      .orderBy("query_id")
+  }
+
   /** Corpus with planted exact duplicates (fixtures ship none): every
     * doc_id % 7 == 0 document re-ingested under a shifted id — the
     * "same page fetched twice" case exact dedup exists for.
@@ -626,19 +647,8 @@ object PipelineQueries {
     // whether the cheap index is allowed to replace the exact scan.
     "ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
-        .select("query_id", "cand_id")
-      val approx = Similarity.signLshTopK(e, col("vec_id") < 50, 3)
-        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
-      truth.join(approx,
-          truth("query_id") === approx("a_qid") &&
-            truth("cand_id") === approx("a_cid"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k_truth"),
-          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .withColumn("recall",
-          round(col("hits").cast("double") / col("k_truth"), 6))
-        .orderBy("query_id")
+      recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
+        Similarity.signLshTopK(e, col("vec_id") < 50, 3))
     }),
 
     "ann_lsh" -> ((s, dir) =>
@@ -767,19 +777,8 @@ object PipelineQueries {
     // this query measures exactly how many, per query.
     "pq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
-        .select("query_id", "cand_id")
-      val approx = ProductQuant.pqTopK(e, col("vec_id") < 50, 3)
-        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
-      truth.join(approx,
-          truth("query_id") === approx("a_qid") &&
-            truth("cand_id") === approx("a_cid"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k_truth"),
-          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .withColumn("recall",
-          round(col("hits").cast("double") / col("k_truth"), 6))
-        .orderBy("query_id")
+      recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
+        ProductQuant.pqTopK(e, col("vec_id") < 50, 3))
     }),
 
     // ADC scoring lane (ProductQuant.adcTopK scaladoc) — the IVFADC
@@ -810,19 +809,8 @@ object PipelineQueries {
     // uniform fixture bounds it near the probed fraction).
     "ivfadc_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
-        .select("query_id", "cand_id")
-      val approx = ProductQuant.ivfadcTopK(e, col("vec_id") < 50, 3)
-        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
-      truth.join(approx,
-          truth("query_id") === approx("a_qid") &&
-            truth("cand_id") === approx("a_cid"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k_truth"),
-          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .withColumn("recall",
-          round(col("hits").cast("double") / col("k_truth"), 6))
-        .orderBy("query_id")
+      recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
+        ProductQuant.ivfadcTopK(e, col("vec_id") < 50, 3))
     }),
 
     // Residual IVFADC (ProductQuant.ivfadcResidualTopK scaladoc) — the
@@ -839,20 +827,8 @@ object PipelineQueries {
     // fidelity gain only shows once shortlist < probed pool — at scale).
     "ivfadc_residual_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
-        .select("query_id", "cand_id")
-      val approx = ProductQuant
-        .ivfadcResidualTopK(e, col("vec_id") < 50, 3)
-        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
-      truth.join(approx,
-          truth("query_id") === approx("a_qid") &&
-            truth("cand_id") === approx("a_cid"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k_truth"),
-          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .withColumn("recall",
-          round(col("hits").cast("double") / col("k_truth"), 6))
-        .orderBy("query_id")
+      recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
+        ProductQuant.ivfadcResidualTopK(e, col("vec_id") < 50, 3))
     }),
 
     // Quantization-distortion gauge: both ADC lanes emit their integer
@@ -902,24 +878,22 @@ object PipelineQueries {
     "ivf_list_balance" -> ((s, dir) =>
       ProductQuant.ivfListBalance(emb(s, dir)).orderBy("ccid")),
 
+    // Probe-sweep gauge (ProductQuant.ivfadcProbeSweep scaladoc):
+    // recall@3 and stage-1 scan fraction per nprobe ∈ {1,2,4,8,16} in
+    // ONE single-encode pass — the data-derived operating-point curve
+    // that replaces the hardcoded nProbe=4 default. nprobe=16 probes
+    // every list, so its row must land at scan=1000‰ with flat-ADC
+    // recall (0.90 at sf0.01) — the built-in consistency check.
+    "ivfadc_probe_sweep" -> ((s, dir) =>
+      ProductQuant.ivfadcProbeSweep(emb(s, dir), col("vec_id") < 50, 3)),
+
     // Recall gate for ADC — same exact-truth contract as pq_recall:
     // shortlist truncation may only LOSE neighbors vs brute force, and
     // this measures exactly how many, per query.
     "adc_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val truth = Similarity.bruteForceTopK(e, col("vec_id") < 50, 3)
-        .select("query_id", "cand_id")
-      val approx = ProductQuant.adcTopK(e, col("vec_id") < 50, 3)
-        .select(col("query_id").as("a_qid"), col("cand_id").as("a_cid"))
-      truth.join(approx,
-          truth("query_id") === approx("a_qid") &&
-            truth("cand_id") === approx("a_cid"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k_truth"),
-          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .withColumn("recall",
-          round(col("hits").cast("double") / col("k_truth"), 6))
-        .orderBy("query_id")
+      recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
+        ProductQuant.adcTopK(e, col("vec_id") < 50, 3))
     }),
 
     // Per-shard Bloom manifest (BloomManifest scaladoc): the membership
@@ -1336,34 +1310,133 @@ object PipelineQueries {
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Probe-sweep mirror (ProductQuant.ivfadcProbeSweep): the IVFADC
+    * chain with the probe CTE keeping each probed list's RANK, swept
+    * against the nprobe values via prank <= nprobe; shortlist/rerank
+    * windows partition by (nprobe, query); recall joins the brute-force
+    * truth replicated per sweep point. All-integer permille outputs.
+    */
+  private lazy val annIvfadcSweepOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |${pqCodesCtes("en", m = 8, subLen = 8, ks = 16, sampN = 160,
+                      corpusSrc = "e", normDot = true)},
+       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |csim AS (SELECT e.vec_id, ccent.ccid,
+       |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
+       |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, ccent),
+       |cassign AS (SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |cprobe AS (SELECT vec_id AS q_id, ccid, CAST(rn AS BIGINT) AS prank
+       |  FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim WHERE vec_id < 50) WHERE rn <= 16),
+       |sweep AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS nprobe),
+       |lut AS (SELECT vec_id AS q_id, sub, cid AS code,
+       |    CAST(round(sd * 1000000) AS BIGINT) AS sd6
+       |  FROM sd1 WHERE vec_id < 50),
+       |pre AS (SELECT w.nprobe, p.q_id AS query_id, a.vec_id AS cand_id,
+       |    l.sd6
+       |  FROM sweep w
+       |  JOIN cprobe p ON p.prank <= w.nprobe
+       |  JOIN cassign a ON p.ccid = a.ccid AND p.q_id <> a.vec_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code),
+       |s1 AS (SELECT nprobe, CAST(count(*) // 8 AS BIGINT) AS pairs
+       |  FROM pre GROUP BY 1),
+       |adc AS (SELECT nprobe, query_id, cand_id,
+       |    CAST(SUM(sd6) AS BIGINT) AS adc6
+       |  FROM pre GROUP BY 1, 2, 3),
+       |sr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY nprobe, query_id ORDER BY adc6 DESC, cand_id)
+       |    AS srank FROM adc),
+       |short AS (SELECT nprobe, query_id, cand_id FROM sr
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |sc AS (SELECT s.nprobe, s.query_id, s.cand_id, round($cosSql, 6) AS score
+       |  FROM short s JOIN e q ON q.vec_id = s.query_id
+       |               JOIN e c ON c.vec_id = s.cand_id),
+       |rr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY nprobe, query_id ORDER BY score DESC, cand_id)
+       |    AS rank FROM sc),
+       |approx AS (SELECT nprobe, query_id, cand_id FROM rr WHERE rank <= 3),
+       |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round($cosSql, 6) AS score
+       |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       |truth AS (SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |    FROM ts) WHERE rank <= 3),
+       |rec AS (SELECT w.nprobe, CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM truth t CROSS JOIN sweep w
+       |  LEFT JOIN approx a ON a.nprobe = w.nprobe
+       |    AND a.query_id = t.query_id AND a.cand_id = t.cand_id
+       |  GROUP BY 1)
+       |SELECT r.nprobe,
+       |  CAST(1000 * r.hits // r.n_truth AS BIGINT) AS recall_permille,
+       |  CAST(1000 * s.pairs //
+       |    ((SELECT count(*) FROM e WHERE vec_id < 50) *
+       |     ((SELECT count(*) FROM e) - 1)) AS BIGINT) AS scan_permille
+       |FROM rec r JOIN s1 s ON s.nprobe = r.nprobe
+       |ORDER BY r.nprobe""".stripMargin
+
   /** One BPE learn/apply round as CTEs p$k/m$k/s$k/a$k over the prior
-    * round's symbol relation s${k-1}: heterogeneous-pair census, top-1
-    * merge selection, stateless per-position splice (valid because
-    * l ≠ r — Lexicon.bpeTrainMerges scaladoc), weighted symbol count.
+    * round's symbol relation s${k-1}: mergeable-pair census (any pair;
+    * homogeneous positions count at odd run parity only — the
+    * left-to-right non-overlap rule), top-1 merge selection, stateless
+    * per-position splice (parity-gated for l = r —
+    * Lexicon.bpeTrainMerges scaladoc), weighted symbol count.
+    * If the pair census runs dry before round k, m$k is empty and the
+    * LEFT JOIN .. ON TRUE keeps s$k = s${k-1} unchanged — matching the
+    * engine's graceful early stop (bpeTrainLoop keeps the last
+    * vocabulary) instead of collapsing the chain to zero rows.
     */
   private def bpeRoundCtes(k: Int): String = {
     val prev = s"s${k - 1}"
+    // run-prefix parity of the maximal same-symbol run ending at i —
+    // the stateless left-to-right non-overlap rule for homogeneous
+    // pairs (Lexicon.bpeTrainMerges scaladoc): odd = merge start,
+    // even = consumed second slot
+    def runpar(sym: String) =
+      s"""(i - coalesce(list_max(list_filter(range(1, CAST(i AS INTEGER) + 1),
+         |   j -> syms[CAST(j AS INTEGER)] <> $sym)), 0)) % 2""".stripMargin
     s"""p$k AS (SELECT syms[CAST(u.i AS INTEGER)] AS l,
        |         syms[CAST(u.i + 1 AS INTEGER)] AS r,
        |         CAST(SUM(freq) AS BIGINT) AS cnt
        |       FROM $prev, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
        |       WHERE syms[CAST(u.i AS INTEGER)]
        |             <> syms[CAST(u.i + 1 AS INTEGER)]
+       |          OR (u.i - coalesce(list_max(list_filter(
+       |               range(1, CAST(u.i AS INTEGER) + 1),
+       |               j -> syms[CAST(j AS INTEGER)]
+       |                    <> syms[CAST(u.i AS INTEGER)])), 0)) % 2 = 1
        |       GROUP BY 1, 2),
        |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-       |s$k AS (SELECT freq, list_filter(list_transform(
+       |s$k AS (SELECT freq, CASE WHEN m.l IS NULL THEN syms
+       |         ELSE list_filter(list_transform(
        |         range(1, len(syms) + 1), i ->
        |         CASE WHEN i < len(syms)
        |                   AND syms[CAST(i AS INTEGER)] = m.l
        |                   AND syms[CAST(i + 1 AS INTEGER)] = m.r
+       |                   AND (m.l <> m.r OR ${runpar("m.l")} = 1)
        |              THEN m.l || m.r
        |              WHEN i > 1
        |                   AND syms[CAST(i - 1 AS INTEGER)] = m.l
        |                   AND syms[CAST(i AS INTEGER)] = m.r
+       |                   AND (m.l <> m.r OR ${runpar("m.l")} = 0)
        |              THEN NULL
        |              ELSE syms[CAST(i AS INTEGER)] END),
-       |         x -> x IS NOT NULL) AS syms
-       |       FROM $prev, m$k m),
+       |         x -> x IS NOT NULL) END AS syms
+       |       FROM $prev LEFT JOIN m$k m ON TRUE),
        |a$k AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS after
        |        FROM s$k)""".stripMargin
   }
@@ -2779,6 +2852,7 @@ object PipelineQueries {
     // IVFADC mirror: coarse quantizer CTEs composed over the shared ADC
     // codebook chain; scoring join restricted to probed lists.
     "ann_ivfadc" -> annIvfadcOracle,
+    "ivfadc_probe_sweep" -> annIvfadcSweepOracle,
 
     // Residual-IVFADC mirror (annIvfadcResOracle scaladoc).
     "ann_ivfadc_residual" -> annIvfadcResOracle,

@@ -448,4 +448,34 @@ class BpeTrainSpec extends SparkSpec {
     // one word, freq 3, 2 symbols after -> weighted count 6
     assert(out(0).getLong(4) == 6L)
   }
+
+  test("bpe merges homogeneous pairs left-to-right non-overlapping") {
+    // THE r11 restriction fixture (VERDICT r11 #6): under the old
+    // heterogeneous-only rule this corpus learned NO merge at all
+    // (every adjacent pair is (a,a)); real BPE must learn (a,a) and
+    // apply it left-to-right without overlap:
+    //   "aaaa" -> aa,aa   (2 merges, not 3 overlapping positions)
+    //   "aaa"  -> aa,a    (1 merge; the tail 'a' survives)
+    // census: 5 x "aaaa" contributes 2 each, 3 x "aaa" contributes 1
+    //   -> pair_count 13 (= merges applied), symbols_after
+    //      5*2 + 3*2 = 16
+    val docs = (Seq.fill(5)("aaaa") ++ Seq.fill(3)("aaa")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = graft.operators.Lexicon.bpeTrainMerges(docs, 2)
+      .orderBy("step").collect()
+    assert(out.length == 2)
+    assert((out(0).getInt(0), out(0).getString(1), out(0).getString(2),
+      out(0).getLong(3), out(0).getLong(4)) == ((1, "a", "a", 13L, 16L)))
+    // round 2 composes on the merged symbol: "aa","aa" -> (aa,aa) in
+    // the 5 "aaaa" words (parity restarts on the new runs); "aa","a"
+    // is (aa,a) heterogeneous in the 3 "aaa" words. (aa,aa) weight 5
+    // beats (aa,a) weight 3 -> "aaaa"; after: 5*1 + 3*2 = 11
+    assert((out(1).getInt(0), out(1).getString(1), out(1).getString(2),
+      out(1).getLong(3), out(1).getLong(4)) == ((2, "aa", "aa", 5L, 11L)))
+    // the vocabulary face segments with the same rule
+    val vocab = graft.operators.Lexicon.bpeVocab(docs, 2, 10)
+      .select("symbol", "weighted_count")
+      .as[(String, Long)].collect().toMap
+    assert(vocab("aaaa") == 5L && vocab("aa") == 3L && vocab("a") == 3L)
+  }
 }

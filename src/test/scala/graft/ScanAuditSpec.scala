@@ -62,6 +62,25 @@ class ScanAuditSpec extends SparkSpec {
       s"q1 aggregation fell out of whole-stage codegen:\n$p")
   }
 
+  test("IVF assignment runs inside whole-stage codegen (no RDD hop)") {
+    // r11's lane was rdd.mapPartitions + createDataFrame — it appeared
+    // in the plan as a `Scan ExistingRDD` barrier that forced eager
+    // planning outside AQE and evaluated per-row Scala closures. The
+    // r12 `ivf_assign` kernel must keep the whole assignment relational:
+    // no ExistingRDD anywhere, and the kernel projection inside a
+    // `*(n)` whole-stage-codegen stage.
+    for (q <- Seq("ann_ivf", "ann_ivf_kmeans")) {
+      val p = planOf(q).split("== Initial Plan ==").head
+      assert(!p.contains("ExistingRDD"),
+        s"$q still plans an RDD scan barrier:\n$p")
+      val kernelLines = p.linesIterator.filter(_.contains("ivf_assign")).toSeq
+      assert(kernelLines.nonEmpty, s"$q plan lost the ivf_assign kernel")
+      assert(kernelLines.exists(_.contains("*(")),
+        s"$q ivf_assign fell out of whole-stage codegen:\n" +
+          kernelLines.mkString("\n"))
+    }
+  }
+
   test("PQ/ADC encode stays single-scan (no per-subspace corpus re-scan)") {
     // codes(1) + query LUT(1) + rerank sides(2) + shortlist count(1):
     // five embedding scans is the designed shape; the r10 per-subspace
