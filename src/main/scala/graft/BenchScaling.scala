@@ -1,0 +1,94 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve harness (VERDICT r11 #4): run the headline query
+  * families at sf0.001 / sf0.01 / sf0.1 in one interleaved pass and
+  * report each family's TIME-GROWTH EXPONENT per data decade —
+  * e = ln(t_hi/t_lo) / ln(sf_hi/sf_lo), so linear scaling reads 1.0,
+  * constant overhead reads ~0, and anything clearly above the data
+  * growth is a plan that is secretly superlinear and would surface at
+  * 100 TB long after the sf0.1 gate went green. The top decade
+  * (0.01→0.1) is the signal; the bottom one is fixed-overhead
+  * dominated at these sizes and reported for context only.
+  *
+  * Families: the five the r11 verdict names (row_diff, dedup_minhash,
+  * ann_ivfadc, graph_triangles, pipeline_curate) plus the two classic
+  * scan-bound baselines (q1_pricing_summary, hashdiff_lineitem) as the
+  * known-linear control group.
+  *
+  * Bench protocol shared with [[Bench]]: min-of-reps with the rep loop
+  * OUTER (interleaved passes — a contended minute corrupts one sample
+  * of many queries, not all samples of one), warm-up counts outside
+  * timings, bounded stdout + full sidecar file.
+  */
+object BenchScaling {
+
+  private val Families = Seq("q1_pricing_summary", "hashdiff_lineitem",
+    "row_diff", "dedup_minhash", "ann_ivfadc", "graph_triangles",
+    "pipeline_curate")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
+    val sfs = Seq(0.001, 0.01, 0.1).map(sf => (s"$base/sf$sf", sf))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sfs.foreach { case (dir, _) =>
+      Tables.all.foreach(t => Tables.load(spark, dir, t).count())
+    }
+    val samples =
+      scala.collection.mutable.LinkedHashMap.empty[(String, Double), List[Double]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (1 to reps).foreach { _ =>
+      for ((dir, sf) <- sfs; name <- Families if !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples((name, sf)) = samples.getOrElse((name, sf), Nil) :+ dt
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName} at sf$sf: ${
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
+        }
+      }
+    }
+    def ms(v: Double) = f"$v%.3f"
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val fams = Families.filterNot(errors.contains).map { name =>
+      val best = sfs.map { case (_, sf) => sf -> samples((name, sf)).min }.toMap
+      def expo(lo: Double, hi: Double): Double =
+        math.log(best(hi) / best(lo)) / math.log(hi / lo)
+      jstr(name) + ":{" +
+        sfs.map { case (_, sf) => jstr(s"sf$sf") + ":" + ms(best(sf)) }
+          .mkString(",") +
+        s""","exp_low_decade":${ms(expo(0.001, 0.01))}""" +
+        s""","exp_top_decade":${ms(expo(0.01, 0.1))}}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val out =
+      s"""{"metric":"scaling_exponent","families":$fams,"reps":$reps,""" +
+        s""""errors":$errJson,"note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
+        s"""1.0 = linear in data, ~0 = overhead-bound"}"""
+    val sidecar =
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r12.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sidecar), out + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"scaling: sidecar write failed: ${e.getMessage}")
+    }
+    println(out)
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}

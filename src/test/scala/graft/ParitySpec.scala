@@ -284,4 +284,134 @@ class CliSpec extends SparkSpec {
   test("unknown subcommand exits 2") {
     assert(Cli.run(Array("bogus"), spark) == 2)
   }
+
+  private def confWith(outputDir: String, checkSql: Option[String] = None)
+      : String = {
+    val f = Files.createTempFile("graft_conf", ".toml")
+    val sql = checkSql.getOrElse(
+      "SELECT schema_name, table_name FROM graft_manifest WHERE " +
+        "table_rows > 500 AND pk_kind = 'NONCLUSTERED' ORDER BY table_name")
+    Files.writeString(f,
+      s"""master_ip = "a"
+         |master_port = "4000"
+         |master_user = "u"
+         |master_password = "p"
+         |slave_ip = "b"
+         |slave_port = "4000"
+         |slave_user = "u"
+         |slave_password = "p"
+         |check_sql = "$sql"
+         |thread_count = "2"
+         |chunk_size = "500"
+         |output_dir = "$outputDir"
+         |""".stripMargin)
+    f.toString
+  }
+
+  test("compare runs standalone from generated task configs (entry point C)") {
+    val out = Files.createTempDirectory("graft_cmp").toString
+    val conf = confWith(out)
+    // without generated configs: refused with exit 1 (step3:90-93)
+    assert(Cli.run(Array("compare", conf, sfDir, "20240101_000000"), spark) == 1)
+    // generate, then compare WITHOUT re-discovery
+    assert(Cli.run(Array("generate", conf, sfDir, "r9"), spark) == 0)
+    assert(Cli.run(Array("compare", conf, sfDir, "20240101_000000"), spark) == 0)
+    // summaries land in the directory-per-run layout the ingester reads
+    for (t <- Seq("orders", "lineitem", "events"))
+      assert(new java.io.File(s"$out/${t}_20240101_000000/summary.txt").exists(),
+        s"missing summary for $t")
+    // report re-aggregates the artifacts standalone, equivalent -> 0
+    assert(Cli.run(Array("report", conf), spark) == 0)
+  }
+
+  test("compare against a missing task-config dir is refused (exit 1)") {
+    val conf = confWith("/no/such/graft/dir")
+    assert(Cli.run(Array("compare", conf, sfDir, "x"), spark) == 1)
+  }
+
+  test("report with no summaries is informational, exit 0 (step3:182-184)") {
+    val conf = confWith(Files.createTempDirectory("graft_empty").toString)
+    assert(Cli.run(Array("report", conf), spark) == 0)
+  }
+
+  private def doctorOut(args: Array[String]): (Int, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(buf)) {
+      Cli.run(args, spark)
+    }
+    (code, buf.toString("UTF-8"))
+  }
+
+  test("run-all --yes --detach persists report, pid and status artifacts") {
+    val out = Files.createTempDirectory("graft_det").toString
+    val conf = confWith(out)
+    assert(Cli.run(Array("run-all", conf, sfDir, "--yes", "--detach"),
+      spark) == 0)
+    val w = Cli.detachedWorker.get
+    try {
+      w.join(180000)
+      assert(!w.isAlive, "detached worker did not finish")
+      val files = new java.io.File(out).list().toSet
+      assert(files.exists(_.startsWith("final_report_")),
+        s"no final_report in $files")
+      assert(files.contains(".graft.pid"))
+      val status = files.find(_.startsWith(".graft.status_")).get
+      assert(Files.readString(
+        java.nio.file.Paths.get(out, status)).trim == "0")
+      // the persisted report is the rendered merged table
+      val rep = files.find(_.startsWith("final_report_")).get
+      assert(Files.readString(java.nio.file.Paths.get(out, rep))
+        .contains("TOTAL"))
+    } finally Cli.detachedWorker = None
+  }
+
+  test("run-all interactive gate cancels on any answer but y (run_all.sh:76-83)") {
+    val out = Files.createTempDirectory("graft_gate").toString
+    val conf = confWith(out)
+    sys.props("graft.forceInteractive") = "true"
+    try {
+      val declined = Console.withIn(
+        new java.io.StringReader("n\n")) {
+        Cli.run(Array("run-all", conf, sfDir), spark)
+      }
+      assert(declined == 0)
+      // cancelled BEFORE any artifact: not even the run lock appears
+      assert(Option(new java.io.File(out).list()).forall(_.isEmpty))
+      val accepted = Console.withIn(
+        new java.io.StringReader("y\n")) {
+        Cli.run(Array("run-all", conf, sfDir), spark)
+      }
+      assert(accepted == 0)
+      assert(new java.io.File(out, ".graft.lock").exists())
+    } finally sys.props.remove("graft.forceInteractive")
+  }
+
+  test("doctor maps each README failure class to a distinct check") {
+    val out = Files.createTempDirectory("graft_doc").toString
+    // class 1 — connection refused: source does not exist
+    val (c1, o1) = doctorOut(Array("doctor", confWith(out), "/no/such/src"))
+    assert(c1 == 1 && o1.contains("FAIL source reachable")
+      && o1.contains("can't connect"))
+    // class 2 — access denied: reachable but expected tables unreadable
+    val emptyDir = Files.createTempDirectory("graft_nodata").toString
+    val (c2, o2) = doctorOut(Array("doctor", confWith(out), emptyDir))
+    assert(c2 == 1 && o2.contains("PASS source reachable")
+      && o2.contains("FAIL source access") && o2.contains("access denied"))
+    // class 3 — wrong catalog: check_sql does not bind
+    val badSql = confWith(out, Some(
+      "SELECT schema_name, table_name FROM no_such_catalog"))
+    val (c3, o3) = doctorOut(Array("doctor", badSql, sfDir))
+    assert(c3 == 1 && o3.contains("FAIL catalog query (check_sql)"))
+    // class 4 — empty result: legal, WARN only, exit 0
+    val narrow = confWith(out, Some(
+      "SELECT schema_name, table_name FROM graft_manifest WHERE " +
+        "table_rows > 999999999999"))
+    val (c4, o4) = doctorOut(Array("doctor", narrow, sfDir))
+    assert(c4 == 0 && o4.contains("WARN discovery matched no tables"))
+    // class 0 — malformed config
+    val junk = Files.createTempFile("graft_junk", ".toml")
+    Files.writeString(junk, "not_a_key_anyone_needs = 1\n")
+    val (c0, o0) = doctorOut(Array("doctor", junk.toString, sfDir))
+    assert(c0 == 1 && o0.contains("FAIL config parses"))
+  }
 }
