@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Three paths:
   *  - [[bruteForceTopK]] / [[nearDupPairs]]: exact cosine — the
-  *    correctness baseline. All-pairs pairing is a broadcast hash join
-  *    on a data-derived constant key (the corpus STREAMS; only the
-  *    bounded query/pair side broadcasts, behind an explicit hard
-  *    [[MaxBroadcastVecs]] guard — it IS the brute-force contract);
-  *    everything else bounds candidates structurally.
+  *    correctness baseline. The corpus STREAMS through the codegen'd
+  *    [[graft.functions.CosineAll]] kernel (one static call per corpus
+  *    row against all broadcast candidates — no join, no RDD hop);
+  *    only the bounded query/pair side broadcasts, behind an explicit
+  *    hard [[MaxBroadcastVecs]] guard — it IS the brute-force
+  *    contract. Everything else bounds candidates structurally.
   *  - [[signLshTopK]] / [[nearDupPairsBucketed]]: sign-LSH bucketed ANN —
   *    the 100 TB path. Bucket = sign bits of the leading dimensions (a
   *    deterministic degenerate random-hyperplane LSH: hyperplanes =
@@ -195,49 +196,41 @@ object Similarity {
     val rows = embeddings.select(col("vec_id"), col("embedding"))
       .limit(cap + 1).collect()
     require(rows.length <= cap,
-      s"brute-force corpus exceeds $cap vectors; use signLshTopK/ivfTopK " +
+      s"bounded vector set exceeds $cap vectors; use signLshTopK/ivfTopK " +
         "(distributed candidate generation) at this scale")
     rows.map(toVec).sortBy(_.id)
   }
 
-  /** Score every (stream row, corpus row) pair RELATIONALLY — since
-    * r12 the all-pairs pairing is a broadcast hash join on a
-    * DATA-DERIVED constant key (pmod(id,1)=0, the shared 1-row-attach
-    * device: a pure-literal key would constant-fold the condition away
-    * and plan the BroadcastNestedLoopJoin the engine-wide plan audit
-    * forbids) and scoring is the codegen'd `cosine_score` kernel. This
-    * replaces the r11 `rdd.mapPartitions` lane (the tail item of
-    * VERDICT r11 #2): bit-identical rows (same normN/dot fold order),
-    * but the CORPUS now STREAMS through the join instead of being
-    * collected to the driver — only the bounded `stream` side
-    * broadcasts, behind a hard [[MaxBroadcastVecs]] error (the
-    * brute-force contract: error, never truncation — silently dropping
-    * pairs would corrupt results). `pairOriented` keeps only
-    * left < cand (near-dup pairs); otherwise all non-self candidates
-    * (top-k input).
+  /** Score every (stream row, corpus row) pair via the native
+    * [[graft.functions.CosineAll]] kernel: the bounded `stream` side is
+    * collected and broadcast (hard [[MaxBroadcastVecs]] error at
+    * collect — the brute-force contract: error, never truncation), the
+    * CORPUS streams, and each corpus row pays ONE static call scoring
+    * it against every broadcast candidate inside WholeStageCodegen —
+    * no join, no per-pair row assembly, no RDD hop. (History: the r11
+    * `rdd.mapPartitions` lane collected the corpus and re-created a
+    * DataFrame — an ExistingRDD barrier outside AQE; an interim r12
+    * pmod-keyed broadcast-hash-join form was fully relational but paid
+    * join-row assembly per pair plus guard/probe actions — measured
+    * 2-3× on the gauges. This kernel keeps the join form's posture at
+    * the JVM lane's speed.) `pairOriented` keeps only left < cand
+    * (near-dup pairs); otherwise all non-self candidates (top-k
+    * input). Scoring runs on corpus partitions — spread, so a
+    * single-file fixture doesn't serialize the pass on one core.
     */
   private def kernelScores(stream: DataFrame, embeddings: DataFrame,
                            pairOriented: Boolean): DataFrame = {
-    require(fitsBroadcast(stream, MaxBroadcastVecs),
-      s"brute-force query/pair side exceeds $MaxBroadcastVecs vectors; " +
-        "use signLshTopK/ivfTopK (distributed candidate generation) at " +
-        "this scale")
-    val d = dimOf(embeddings)
-    def side(df: DataFrame, p: String): DataFrame =
-      withNorm(df, d).select(col("vec_id").as(s"${p}_id"),
-        col("embedding").as(s"${p}_emb"), col("nrm").as(s"${p}_nrm"))
-        .withColumn("__one", pmod(col(s"${p}_id"), lit(1L)))
-    // the CORPUS side is the probe side of the BHJ — scoring runs on
-    // its partitions, so a single-file fixture scan must spread or the
-    // whole Q×N pass serializes on one core (Tables.spread scaladoc;
-    // no-op at real scale)
-    val cand = side(graft.Tables.spread(embeddings), "c")
-      .join(broadcast(side(stream, "q")), "__one")
-      .filter(if (pairOriented) col("q_id") < col("c_id")
-              else col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        col("c_id"), col("c_emb"), col("c_nrm"))
-    scorePairs(cand, None)
+    val spark = embeddings.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      collectVecs(stream, MaxBroadcastVecs).map(v => (v.id, v.v, v.norm)))
+    import org.apache.spark.sql.GraftColumns
+    val scoresArr = GraftColumns.of(graft.functions.CosineAllExpr(
+      GraftColumns.expressionOf(col("vec_id")),
+      GraftColumns.expressionOf(col("embedding")))(pairOriented, bc))
+    graft.Tables.spread(embeddings)
+      .select(col("vec_id").as("c_id"), explode(scoresArr).as("p"))
+      .select(col("p.left_id").as("left_id"), col("c_id").as("cand_id"),
+        col("p.score").as("score"))
   }
 
   /** Exact cosine top-k: for each query vector (query predicate selects a
@@ -245,7 +238,7 @@ object Similarity {
     * candidate id asc).
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = graft.Tables.spread(embeddings).filter(queryPred)
+    val q = embeddings.filter(queryPred) // broadcast side: no spread needed
     val scored = kernelScores(q, embeddings, pairOriented = false)
       .withColumnRenamed("left_id", "query_id")
     topK(scored, k)
@@ -268,7 +261,7 @@ object Similarity {
     */
   def hardNegatives(embeddings: DataFrame, queryPred: Column,
                     k: Int): DataFrame = {
-    val q = graft.Tables.spread(embeddings).filter(queryPred)
+    val q = embeddings.filter(queryPred) // broadcast side: no spread needed
     val scored = kernelScores(q, embeddings, pairOriented = false)
       .withColumnRenamed("left_id", "query_id")
     val labels = embeddings.select(col("vec_id"), col("label"))
@@ -607,7 +600,7 @@ object Similarity {
     * (guarded broadcast); [[nearDupPairsBucketed]] is the scale path.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
-    kernelScores(graft.Tables.spread(embeddings), embeddings, pairOriented = true)
+    kernelScores(embeddings, embeddings, pairOriented = true)
       .withColumnRenamed("left_id", "id_a")
       .withColumnRenamed("cand_id", "id_b")
       .filter(col("score") >= threshold)

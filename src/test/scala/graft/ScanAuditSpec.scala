@@ -79,14 +79,14 @@ class ScanAuditSpec extends SparkSpec {
         s"$q ivf_assign fell out of whole-stage codegen:\n" +
           kernelLines.mkString("\n"))
     }
-    // the brute-force lane (r12): all-pairs via the pmod-keyed
-    // BroadcastHashJoin + cosine_score kernel — relational end to end
+    // the brute-force lane (r12): the corpus streams through the
+    // cosine_all kernel (one static call per corpus row vs the
+    // broadcast candidate set) — no join, no RDD scan barrier
     val bf = planOf("knn_cosine").split("== Initial Plan ==").head
     assert(!bf.contains("ExistingRDD"),
       s"knn_cosine still plans an RDD scan barrier:\n$bf")
-    assert(bf.contains("cosine_score"), "knn_cosine lost the scoring kernel")
-    assert(bf.contains("BroadcastHashJoin"),
-      s"knn_cosine all-pairs join is not a broadcast hash join:\n$bf")
+    val bfKernel = bf.linesIterator.filter(_.contains("cosine_all")).toSeq
+    assert(bfKernel.nonEmpty, "knn_cosine lost the cosine_all kernel")
   }
 
   test("PQ/ADC encode stays single-scan (no per-subspace corpus re-scan)") {
