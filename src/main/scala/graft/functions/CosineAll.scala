@@ -88,14 +88,18 @@ object CosineAll {
   }
 }
 
-/** `CosineAllExpr(id, emb)(pairOriented, bc)` →
+/** `CosineAllExpr(id, emb, pairOriented, bcId)(bc)` →
   * array<struct<left_id: bigint, score: double>> — see [[CosineAll]].
-  * The broadcast and orientation flag are NON-child constructor state
-  * (second parameter list keeps the children list clean for
-  * withNewChildrenInternal).
+  * The broadcast is NON-child constructor state in the second
+  * parameter list (keeps the children list clean); `bcId` mirrors
+  * `bc.id` in the FIRST list on purpose — case-class equality (and so
+  * Catalyst canonicalization / common-subexpression elimination)
+  * ignores second-list params, and without the discriminator two
+  * kernels over the same children but DIFFERENT candidate sets would
+  * compare equal and could be merged.
   */
-case class CosineAllExpr(id: Expression, emb: Expression)(
-    val pairOriented: Boolean,
+case class CosineAllExpr(id: Expression, emb: Expression,
+                         pairOriented: Boolean, bcId: Long)(
     val bc: Broadcast[Array[CosineAll.Cand]])
     extends Expression {
 
@@ -156,5 +160,5 @@ case class CosineAllExpr(id: Expression, emb: Expression)(
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(id = newChildren(0), emb = newChildren(1))(pairOriented, bc)
+    copy(id = newChildren(0), emb = newChildren(1))(bc)
 }

@@ -226,7 +226,7 @@ object Similarity {
     import org.apache.spark.sql.GraftColumns
     val scoresArr = GraftColumns.of(graft.functions.CosineAllExpr(
       GraftColumns.expressionOf(col("vec_id")),
-      GraftColumns.expressionOf(col("embedding")))(pairOriented, bc))
+      GraftColumns.expressionOf(col("embedding")), pairOriented, bc.id)(bc))
     graft.Tables.spread(embeddings)
       .select(col("vec_id").as("c_id"), explode(scoresArr).as("p"))
       .select(col("p.left_id").as("left_id"), col("c_id").as("cand_id"),
