@@ -228,6 +228,97 @@ object Dedup {
         round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
   }
 
+  /** Banding-parameter sweep for the MinHash+LSH family — the dedup
+    * twin of [[ProductQuant.ivfadcProbeSweep]]: for each (bands,
+    * rows_per_band) split of ONE k-lane signature, the candidate-pair
+    * volume (the exact-verification workload that banding buys) against
+    * the verified true-pair recall — so the (b, r) operating point is
+    * read off a measured curve instead of hardcoded. ONE pass: the
+    * corpus shingles and signs once, every config's band keys ride one
+    * array explode, and candidates for all configs come from one
+    * (cfg, band_id, band_key) self-join — never an all-pairs anything.
+    *
+    * Truth = the exact-Jaccard-verified candidates of the LOOSEST
+    * banding (k bands × 1 row): an r-row band collision means each of
+    * its lanes collides individually, so EVERY config's candidate set
+    * is a subset of the 1-row banding's and truth is a superset of
+    * every config's verified output by construction. The residual
+    * corpus-wide miss is P[no lane of k collides] ≤ (1−t)^k — 2.4e-4
+    * at t=0.5, k=12 — stated, not hidden. The bands=k row therefore
+    * reads recall_permille=1000: the built-in self-check, exactly like
+    * the probe sweep's nprobe=16 row.
+    *
+    * Output per config: (bands, rows_per_band, n_candidates, n_truth,
+    * hits, recall_permille, precision_permille) — all-integer, hash-
+    * stable; precision is verified-true candidates over candidates,
+    * i.e. the fraction of verification work that pays off.
+    */
+  def minhashBandSweep(docs: DataFrame, threshold: Double = 0.5,
+                       configs: Seq[(Int, Int)] =
+                         Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1)))
+      : DataFrame = {
+    val ks = configs.map { case (b, r) => b * r }.distinct
+    require(ks.length == 1, s"configs must split one signature: $configs")
+    val k = ks.head
+    val loosest = configs.indexWhere(_._2 == 1)
+    require(loosest >= 0, "configs must include the (k, 1) loosest banding")
+    val sk = shingleKernel(docs)
+    val sig = minhashSignature(col("hb"), k)
+    val bandStructs = configs.zipWithIndex.flatMap { case ((bc, r), ci) =>
+      (0 until bc).map { b =>
+        struct(lit(ci).as("cfg"), lit(b).as("band_id"),
+          unhex(md5(concat_ws(",",
+            sig.slice(b * r, (b + 1) * r).map(_.cast("string")): _*)))
+            .as("band_key"))
+      }
+    }
+    val bandsRel = sk
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.cfg").as("cfg"),
+        col("bd.band_id").as("band_id"), col("bd.band_key").as("band_key"))
+    val cand = bandsRel.as("a")
+      .join(bandsRel.as("b"), Seq("cfg", "band_id", "band_key"))
+      .select(col("cfg"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val sh = sk.select(col("doc_id"), col("sh"))
+    val truth = cand.filter(col("cfg") === loosest)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val truthS = truth.select(col("doc_a"), col("doc_b"),
+      explode(typedLit(configs.indices.toList)).as("cfg"))
+    val hits = truthS.join(cand, Seq("cfg", "doc_a", "doc_b"), "left_semi")
+      .groupBy("cfg").agg(count(lit(1)).as("hits"))
+    val nCand = cand.groupBy("cfg").agg(count(lit(1)).as("n_candidates"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      .withColumn("__one", pmod(col("n_truth"), lit(1L)))
+    // cfg spine from the band relation (present even when a strict
+    // config yields zero candidates), so every config emits a row
+    bandsRel.select(col("cfg")).distinct()
+      .join(nCand, Seq("cfg"), "left")
+      .join(hits, Seq("cfg"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("__one", pmod(col("hits"), lit(1L)))
+      .join(broadcast(nTruth), "__one")
+      .select(
+        element_at(typedLit(configs.map(_._1)), col("cfg") + 1).as("bands"),
+        element_at(typedLit(configs.map(_._2)), col("cfg") + 1)
+          .as("rows_per_band"),
+        col("n_candidates"), col("n_truth"), col("hits"),
+        expr("CASE WHEN n_truth = 0 THEN 0L " +
+          "ELSE 1000 * hits div n_truth END").as("recall_permille"),
+        expr("CASE WHEN n_candidates = 0 THEN 0L " +
+          "ELSE 1000 * hits div n_candidates END").as("precision_permille"))
+      .orderBy("bands")
+  }
+
   /** Incremental near-dup mining: a NEW batch against an EXISTING corpus
     * index — the production shape at 100 TB, where re-mining the whole
     * corpus per ingest is off the table. The index side's band relation

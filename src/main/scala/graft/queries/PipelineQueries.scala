@@ -393,6 +393,14 @@ object PipelineQueries {
     "minhash_accuracy" -> ((s, dir) =>
       Dedup.minhashEval(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Banding-parameter sweep (Dedup.minhashBandSweep scaladoc): the
+    // recall-vs-verification-work curve per (bands, rows_per_band)
+    // split of one 12-lane signature, in ONE shingle+sign pass — the
+    // dedup-family twin of ivfadc_probe_sweep. The bands=12 row is the
+    // self-check: truth is its own verified candidate set, recall 1000.
+    "minhash_band_sweep" -> ((s, dir) =>
+      Dedup.minhashBandSweep(docs(s, dir))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
     // Banded candidates + popcount verify; lossless for d=1 < 2 bands,
@@ -1056,6 +1064,72 @@ object PipelineQueries {
   private val bandSelects: Seq[String] = (0 until 4).map { b =>
     val lanes = (b * 4 until (b + 1) * 4).map(i => s"CAST(m$i AS VARCHAR)")
     s"SELECT doc_id, $b AS band_id, md5(${lanes.mkString(" || ',' || ")}) AS band_key FROM sig"
+  }
+
+  /** Banding-sweep mirror (Dedup.minhashBandSweep): one 12-lane
+    * signature, per-config band keys unioned with a cfg tag, candidates
+    * for all configs from one grouped self-join, truth = the verified
+    * loosest-config (12×1) candidates — a superset of every config's
+    * verified output by the lane-subset property. All-integer permille.
+    */
+  private lazy val bandSweepOracle: String = {
+    val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+    val sig12 = (0 until 12).map { i =>
+      val a = 2L * i + 3
+      val b = (i + 1) * 1099511628211L
+      s"COALESCE(list_min(list_transform(hb, h -> (h * $a + $b) & ${Dedup.Mask48})), -1) AS m$i"
+    }
+    val bandSel = configs.zipWithIndex.flatMap { case ((bc, r), ci) =>
+      (0 until bc).map { b =>
+        val lanes = (b * r until (b + 1) * r).map(i => s"CAST(m$i AS VARCHAR)")
+        s"SELECT doc_id, $ci AS cfg, $b AS band_id, " +
+          s"md5(${lanes.mkString(" || ',' || ")}) AS band_key FROM sig"
+      }
+    }
+    val loosest = configs.indexWhere(_._2 == 1)
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |hbase AS (SELECT doc_id, s, list_transform(s, x -> ${h48("x")}) AS hb FROM sh),
+       |sig AS (SELECT doc_id, s, ${sig12.mkString(",\n  ")} FROM hbase),
+       |bands AS (${bandSel.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.cfg = b.cfg AND a.band_id = b.band_id
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |truth AS (SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b
+       |  WHERE c.cfg = $loosest
+       |    AND len(list_intersect(sa.s, sb.s)) * 1.0
+       |        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+       |ntruth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |cfgs AS (SELECT unnest(range(0, ${configs.length})) AS cfg),
+       |ncand AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |hit AS (SELECT c.cfg, CAST(count(*) AS BIGINT) AS hits
+       |  FROM cand c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |  GROUP BY 1),
+       |agg AS (SELECT w.cfg,
+       |    COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |    nt.n_truth,
+       |    COALESCE(h.hits, 0) AS hits
+       |  FROM cfgs w
+       |  LEFT JOIN ncand nc ON nc.cfg = w.cfg
+       |  LEFT JOIN hit h ON h.cfg = w.cfg
+       |  CROSS JOIN ntruth nt)
+       |SELECT
+       |  CAST([${configs.map(_._1).mkString(", ")}][CAST(cfg + 1 AS INTEGER)]
+       |    AS INTEGER) AS bands,
+       |  CAST([${configs.map(_._2).mkString(", ")}][CAST(cfg + 1 AS INTEGER)]
+       |    AS INTEGER) AS rows_per_band,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  CAST(CASE WHEN n_truth = 0 THEN 0
+       |    ELSE 1000 * hits // n_truth END AS BIGINT) AS recall_permille,
+       |  CAST(CASE WHEN n_candidates = 0 THEN 0
+       |    ELSE 1000 * hits // n_candidates END AS BIGINT)
+       |    AS precision_permille
+       |FROM agg ORDER BY bands""".stripMargin
   }
 
   /** Double-promoted cosine between two aliased vector columns (mirror of
@@ -2221,6 +2295,8 @@ object PipelineQueries {
         |  CAST(ntile(10) OVER (ORDER BY len(string_split(text, ' ')), doc_id)
         |       AS INTEGER) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "minhash_band_sweep" -> bandSweepOracle,
 
     "minhash_accuracy" ->
       s"""WITH $toksCte,
