@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,77 @@ object Lexicon {
       .select("rank", "symbol", "weighted_count")
   }
 
+  /** The per-position merge splice for pair (l, r) over the `syms`
+    * array column — ONE definition shared by the training loop and the
+    * frozen-merge [[bpeApply]] replay (scaladoc rule: plain stateless
+    * splice for l ≠ r, run-parity-gated for l = r).
+    */
+  private def spliceCol(l: String, r: String): Column = {
+    val (lL, lR, lLR) = (lit(l), lit(r), lit(l + r))
+    val spliced =
+      if (l != r)
+        // heterogeneous: plain stateless splice (no chain possible)
+        transform(sequence(lit(1), size(col("syms"))), i =>
+          when(i < size(col("syms")) &&
+              element_at(col("syms"), i) === lL &&
+              element_at(col("syms"), i + lit(1)) === lR, lLR)
+            .when(i > lit(1) &&
+              element_at(col("syms"), i - lit(1)) === lL &&
+              element_at(col("syms"), i) === lR,
+              lit(null).cast("string"))
+            .otherwise(element_at(col("syms"), i)))
+      else
+        // homogeneous: run parity decides merge-start (odd) vs
+        // consumed (even); odd-parity run tails fall through as
+        // singles (scaladoc rule)
+        transform(sequence(lit(1), size(col("syms"))), i => {
+          val runpar = pmod(
+            i - coalesce(array_max(filter(sequence(lit(1), i),
+              j => element_at(col("syms"), j) =!= lL)), lit(0)),
+            lit(2))
+          when(element_at(col("syms"), i) === lL &&
+              i < size(col("syms")) &&
+              element_at(col("syms"), i + lit(1)) === lL &&
+              runpar === lit(1), lLR)
+            .when(element_at(col("syms"), i) === lL &&
+              runpar === lit(0), lit(null).cast("string"))
+            .otherwise(element_at(col("syms"), i))
+        })
+    filter(spliced, x => x.isNotNull)
+  }
+
+  /** Tokenizer APPLY face: segment a corpus against a FROZEN ordered
+    * merge list — the ingest/inference twin of
+    * [[ProductQuant.encodeWithBook]]: merges train ONCE on standing
+    * data ([[bpeTrainMerges]]) and every new batch segments
+    * independently, with no re-training and no rescan of standing
+    * data. Each merge replays the exact train-time splice (including
+    * the homogeneous run-parity rule), so applying the trained merges
+    * to the training corpus itself reproduces the trainer's final
+    * symbol relation bit for bit. Output, one row per distinct word:
+    * (word, freq, segmented, n_syms).
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.lengthCompare(16) <= 0, "driver-bounded merge list")
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (l, r) =>
+      // checkpoint per merge, as in the trainer: chained splices nest
+      // the prior round's HOF tree multiple times per reference and
+      // would grow the expression multiplicatively
+      words = words.withColumn("syms", spliceCol(l, r)).localCheckpoint()
+    }
+    words.select(col("word"), col("freq"),
+      array_join(col("syms"), " ").as("segmented"),
+      size(col("syms")).cast("long").as("n_syms"))
+  }
+
   /** Shared learn/apply loop: per-round merges (step, l, r, count,
     * symbols_after) plus the FINAL (freq, syms) vocabulary relation.
     */
@@ -242,38 +313,7 @@ object Lexicon {
       else {
         val top = topRows(0)
         val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        val (lL, lR, lLR) = (lit(l), lit(r), lit(l + r))
-        val spliced =
-          if (l != r)
-            // heterogeneous: plain stateless splice (no chain possible)
-            transform(sequence(lit(1), size(col("syms"))), i =>
-              when(i < size(col("syms")) &&
-                  element_at(col("syms"), i) === lL &&
-                  element_at(col("syms"), i + lit(1)) === lR, lLR)
-                .when(i > lit(1) &&
-                  element_at(col("syms"), i - lit(1)) === lL &&
-                  element_at(col("syms"), i) === lR,
-                  lit(null).cast("string"))
-                .otherwise(element_at(col("syms"), i)))
-          else
-            // homogeneous: run parity decides merge-start (odd) vs
-            // consumed (even); odd-parity run tails fall through as
-            // singles (scaladoc rule)
-            transform(sequence(lit(1), size(col("syms"))), i => {
-              val runpar = pmod(
-                i - coalesce(array_max(filter(sequence(lit(1), i),
-                  j => element_at(col("syms"), j) =!= lL)), lit(0)),
-                lit(2))
-              when(element_at(col("syms"), i) === lL &&
-                  i < size(col("syms")) &&
-                  element_at(col("syms"), i + lit(1)) === lL &&
-                  runpar === lit(1), lLR)
-                .when(element_at(col("syms"), i) === lL &&
-                  runpar === lit(0), lit(null).cast("string"))
-                .otherwise(element_at(col("syms"), i))
-            })
-        syms = syms.withColumn("syms",
-            filter(spliced, x => x.isNotNull))
+        syms = syms.withColumn("syms", spliceCol(l, r))
           .localCheckpoint()
         val after = syms
           .agg(sum(size(col("syms")).cast("long") * col("freq")).as("a"))

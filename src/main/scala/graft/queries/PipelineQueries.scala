@@ -104,11 +104,27 @@ object PipelineQueries {
     // learn-top-pair / apply-merge rounds over the word vocabulary —
     // later rounds see merged symbols, so this is the real tokenizer
     // induction loop, not the one-step pair census above. The oracle
-    // unrolls the same three rounds as stateless CTE stages (valid
-    // because learned merges are heterogeneous — see the scaladoc's
-    // left≠right argument).
+    // unrolls the same three rounds as stateless CTE stages (any
+    // adjacent pair; homogeneous merges via the run-parity rule —
+    // Lexicon.bpeTrainMerges scaladoc).
     "bpe_train_merges" -> ((s, dir) =>
       Lexicon.bpeTrainMerges(docs(s, dir), 3).orderBy("step")),
+
+    // Tokenizer APPLY face (Lexicon.bpeApply scaladoc): merges train on
+    // the standing 4/5 of the corpus ONLY; the held-out 1/5 segments
+    // against the frozen merge list — the encodeWithBook twin (ingest
+    // never re-trains or rescans standing data). The oracle re-derives
+    // the standing merges with the shared round CTEs, then replays the
+    // shared splice over the delta words.
+    "bpe_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Lexicon
+        .bpeTrainMerges(d.filter(col("doc_id") % 5 =!= 0), 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Lexicon.bpeApply(d.filter(col("doc_id") % 5 === 0), merges)
+        .orderBy("word")
+    }),
 
     // The trained-vocabulary face (Lexicon.bpeVocab scaladoc): the
     // symbol census AFTER the three learned merges — merged symbols
@@ -1474,15 +1490,41 @@ object PipelineQueries {
     * engine's graceful early stop (bpeTrainLoop keeps the last
     * vocabulary) instead of collapsing the chain to zero rows.
     */
+  /** Run-prefix parity of the maximal same-symbol run ending at i —
+    * the stateless left-to-right non-overlap rule for homogeneous
+    * pairs (Lexicon.bpeTrainMerges scaladoc): odd = merge start,
+    * even = consumed second slot.
+    */
+  private def bpeRunpar(sym: String): String =
+    s"""(i - coalesce(list_max(list_filter(range(1, CAST(i AS INTEGER) + 1),
+       |   j -> syms[CAST(j AS INTEGER)] <> $sym)), 0)) % 2""".stripMargin
+
+  /** One merge-splice CTE: `out` = `src` with merge relation `m`
+    * (one row (l, r) or empty) applied to `syms`; `carry` lists the
+    * pass-through columns. ONE definition for the trainer rounds AND
+    * the frozen-merge apply chain (mirror of Lexicon.spliceCol).
+    */
+  private def bpeSpliceCte(out: String, src: String, m: String,
+                           carry: String): String =
+    s"""$out AS (SELECT $carry, CASE WHEN m.l IS NULL THEN syms
+       |         ELSE list_filter(list_transform(
+       |         range(1, len(syms) + 1), i ->
+       |         CASE WHEN i < len(syms)
+       |                   AND syms[CAST(i AS INTEGER)] = m.l
+       |                   AND syms[CAST(i + 1 AS INTEGER)] = m.r
+       |                   AND (m.l <> m.r OR ${bpeRunpar("m.l")} = 1)
+       |              THEN m.l || m.r
+       |              WHEN i > 1
+       |                   AND syms[CAST(i - 1 AS INTEGER)] = m.l
+       |                   AND syms[CAST(i AS INTEGER)] = m.r
+       |                   AND (m.l <> m.r OR ${bpeRunpar("m.l")} = 0)
+       |              THEN NULL
+       |              ELSE syms[CAST(i AS INTEGER)] END),
+       |         x -> x IS NOT NULL) END AS syms
+       |       FROM $src LEFT JOIN $m m ON TRUE)""".stripMargin
+
   private def bpeRoundCtes(k: Int): String = {
     val prev = s"s${k - 1}"
-    // run-prefix parity of the maximal same-symbol run ending at i —
-    // the stateless left-to-right non-overlap rule for homogeneous
-    // pairs (Lexicon.bpeTrainMerges scaladoc): odd = merge start,
-    // even = consumed second slot
-    def runpar(sym: String) =
-      s"""(i - coalesce(list_max(list_filter(range(1, CAST(i AS INTEGER) + 1),
-         |   j -> syms[CAST(j AS INTEGER)] <> $sym)), 0)) % 2""".stripMargin
     s"""p$k AS (SELECT syms[CAST(u.i AS INTEGER)] AS l,
        |         syms[CAST(u.i + 1 AS INTEGER)] AS r,
        |         CAST(SUM(freq) AS BIGINT) AS cnt
@@ -1495,22 +1537,7 @@ object PipelineQueries {
        |                    <> syms[CAST(u.i AS INTEGER)])), 0)) % 2 = 1
        |       GROUP BY 1, 2),
        |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-       |s$k AS (SELECT freq, CASE WHEN m.l IS NULL THEN syms
-       |         ELSE list_filter(list_transform(
-       |         range(1, len(syms) + 1), i ->
-       |         CASE WHEN i < len(syms)
-       |                   AND syms[CAST(i AS INTEGER)] = m.l
-       |                   AND syms[CAST(i + 1 AS INTEGER)] = m.r
-       |                   AND (m.l <> m.r OR ${runpar("m.l")} = 1)
-       |              THEN m.l || m.r
-       |              WHEN i > 1
-       |                   AND syms[CAST(i - 1 AS INTEGER)] = m.l
-       |                   AND syms[CAST(i AS INTEGER)] = m.r
-       |                   AND (m.l <> m.r OR ${runpar("m.l")} = 0)
-       |              THEN NULL
-       |              ELSE syms[CAST(i AS INTEGER)] END),
-       |         x -> x IS NOT NULL) END AS syms
-       |       FROM $prev LEFT JOIN m$k m ON TRUE),
+       |${bpeSpliceCte(s"s$k", prev, s"m$k", "freq")},
        |a$k AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS after
        |        FROM s$k)""".stripMargin
   }
@@ -1882,6 +1909,32 @@ object PipelineQueries {
          |SELECT CAST(3 AS INTEGER), m3.l, m3.r, m3.cnt,
          |       (SELECT after FROM a3) FROM m3
          |ORDER BY step""".stripMargin,
+
+    // Apply-face mirror: the trainer's three rounds over the STANDING
+    // 4/5 of the corpus derive m1..m3, then the shared splice CTE
+    // replays them in order over the held-out words.
+    "bpe_apply" ->
+      s"""WITH wd AS (SELECT t AS word FROM documents,
+         |             UNNEST(string_split(text, ' ')) AS z(t)
+         |             WHERE len(t) >= 2 AND doc_id % 5 <> 0),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY 1),
+         |s0 AS (SELECT freq, list_transform(range(1, len(word) + 1),
+         |         i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM v),
+         |${(1 to 3).map(bpeRoundCtes).mkString(",\n")},
+         |dw AS (SELECT t AS word FROM documents,
+         |             UNNEST(string_split(text, ' ')) AS z(t)
+         |             WHERE len(t) >= 2 AND doc_id % 5 = 0),
+         |dv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM dw GROUP BY 1),
+         |d0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1),
+         |         i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM dv),
+         |${bpeSpliceCte("d1", "d0", "m1", "word, freq")},
+         |${bpeSpliceCte("d2", "d1", "m2", "word, freq")},
+         |${bpeSpliceCte("d3", "d2", "m3", "word, freq")}
+         |SELECT word, freq, array_to_string(syms, ' ') AS segmented,
+         |       CAST(len(syms) AS BIGINT) AS n_syms
+         |FROM d3 ORDER BY word""".stripMargin,
 
     // Vocabulary-face mirror: the same three unrolled rounds, then a
     // weighted symbol census over the final symbol relation s3.

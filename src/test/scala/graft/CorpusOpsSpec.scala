@@ -478,4 +478,29 @@ class BpeTrainSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(vocab("aaaa") == 5L && vocab("aa") == 3L && vocab("a") == 3L)
   }
+
+  test("bpe apply replays frozen merges on training and unseen words") {
+    // train: "the"x10, "th"x5, "aaaa"x4 -> merges (t,h,15), (th,e,10),
+    // (a,a,8) in that order
+    val train = (Seq.fill(10)("the") ++ Seq.fill(5)("th") ++
+      Seq.fill(4)("aaaa")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = graft.operators.Lexicon.bpeTrainMerges(train, 3)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("t", "h"), ("th", "e"), ("a", "a")))
+    // self-application reproduces the trainer's final segmentation
+    val self = graft.operators.Lexicon.bpeApply(train, merges)
+      .select("word", "segmented").as[(String, String)].collect().toMap
+    assert(self == Map("the" -> "the", "th" -> "th", "aaaa" -> "aa aa"))
+    // unseen words segment with the same ordered replay: "thath" merges
+    // (t,h) twice then nothing; "aaa" merges (a,a) once, parity tail
+    val delta = Seq((100L, "thath aaa")).toDF("doc_id", "text")
+    val out = graft.operators.Lexicon.bpeApply(delta, merges)
+      .select("word", "segmented", "n_syms")
+      .as[(String, String, Long)].collect()
+      .map { case (w, s, n) => w -> ((s, n)) }.toMap
+    assert(out("thath") == (("th a th", 3L)))
+    assert(out("aaa") == (("aa a", 2L)))
+  }
 }
