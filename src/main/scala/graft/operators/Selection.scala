@@ -195,4 +195,67 @@ object Selection {
       round(col("h"), 6).as("h_nats"),
       round(exp(col("h")), 6).as("ppl"))
   }
+
+  /** Per-document cross-entropy and perplexity under an INTERPOLATED
+    * corpus bigram LM — the sequential upgrade of [[unigramPpl]] (CCNet's
+    * actual filter is a 5-gram KenLM; the interpolated bigram corpus LM
+    * is its engine-portable, oracle-exact analogue one order up). A
+    * document of common words in an uncommon ORDER now scores high where
+    * the unigram signal is blind to ordering.
+    *
+    * Model: p(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/total with
+    * λ = 0.8 (Jelinek–Mercer interpolation; the unigram back-off term
+    * keeps every in-vocabulary continuation nonzero, so no OOV floor is
+    * needed — both censuses are fit on the scored corpus itself).
+    * H(d) = −mean over the document's adjacent pairs of ln p(w2|w1);
+    * ppl = e^H. One-token documents have no pairs and drop out (the
+    * oracle's empty range mirrors this).
+    *
+    * Scale posture (100 TB): the bigram census is vocabulary²-bounded
+    * but corpus-sparse; like the unigram census it carries no broadcast
+    * hint — locally AQE broadcasts it, at scale it shuffle-joins on the
+    * pair key, the right plan at both scales. Pairs come from one
+    * arrays_zip of two slices of the same split — no self-join, no
+    * positional window, no second scan of the text.
+    *
+    * Determinism: identical contract to [[unigramPpl]] — ln quantizes to
+    * integer nano-nats ONCE per DISTINCT pair (the census row), and each
+    * document sums longs, exact under any shuffle order.
+    */
+  def bigramPpl(docs: DataFrame): DataFrame = {
+    // Both interpolation weights are SPELLED literals (0.8 / 0.2), not
+    // derived (1.0 - 0.8 is one ulp off the double nearest 0.2) — the
+    // oracle writes the same two literals and must get the same bits.
+    val lambda = 0.8
+    val backoff = 0.2
+    val base = graft.Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bi = base
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("z"))
+      .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val cu0 = base.select(explode(col("w")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cu"))
+    val total = cu0.agg(sum(col("cu")).as("tt"))
+      .withColumn("__one", pmod(col("tt"), lit(1L)))
+    val probs = c2.join(c1, "w1").join(cu0, "w2")
+      .withColumn("__one", pmod(col("c2"), lit(1L)))
+      .join(broadcast(total), "__one").drop("__one")
+      .withColumn("llp_nano",
+        round(log(lit(lambda) * (col("c2").cast("double") / col("c1")) +
+          lit(backoff) * (col("cu").cast("double") / col("tt")))
+          * lit(1e9)).cast(LongType))
+      .select("w1", "w2", "llp_nano")
+    bi.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("llp_nano")).as("__s"))
+      .withColumn("h",
+        -(col("__s").cast("double") / (col("n_bigrams").cast("double") * 1e9)))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("h"), 6).as("h_nats"),
+        round(exp(col("h")), 6).as("ppl"))
+  }
 }

@@ -627,6 +627,12 @@ object PipelineQueries {
     "unigram_ppl" -> ((s, dir) =>
       Selection.unigramPpl(docs(s, dir)).orderBy("doc_id")),
 
+    // Interpolated corpus-BIGRAM-LM perplexity — the sequential quality
+    // signal (word-order-aware where unigram_ppl is blind to order);
+    // λ=0.8 Jelinek–Mercer back-off onto the unigram census.
+    "bigram_ppl" -> ((s, dir) =>
+      Selection.bigramPpl(docs(s, dir)).orderBy("doc_id")),
+
     // BM25 retrieval ranking for the corpus's top-5 tokens as the query;
     // log-free rational idf + micro-unit per-term scores keep the
     // cross-term sum integer-exact (see TextAnalysis.bm25TopK).
@@ -1771,6 +1777,32 @@ object PipelineQueries {
         |      FROM t JOIN u USING (tok) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, round(h, 6) AS h_nats, round(exp(h), 6) AS ppl
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Bigram-LM mirror: adjacent pairs from 1-indexed list slices (no
+    // window), λ-interpolated probability quantized to nano-nats once
+    // per DISTINCT pair, exact long sums per document. The 0.8/0.2
+    // weights are spelled as literals on both engines (Selection
+    // .bigramPpl determinism note).
+    "bigram_ppl" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w[CAST(i AS INTEGER)] AS w1,
+        |             w[CAST(i + 1 AS INTEGER)] AS w2
+        |      FROM d, unnest(range(1, len(w))) AS u(i)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |cu AS (SELECT tok AS w2, CAST(count(*) AS BIGINT) AS cu
+        |       FROM (SELECT unnest(w) AS tok FROM d) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cu) AS BIGINT) AS tt FROM cu),
+        |p AS (SELECT w1, w2,
+        |        CAST(round(ln(0.8 * (CAST(c2.c2 AS DOUBLE) / c1.c1)
+        |                   + 0.2 * (CAST(cu.cu AS DOUBLE) / tt.tt))
+        |             * 1000000000) AS BIGINT) AS llp_nano
+        |      FROM c2 JOIN c1 USING (w1) JOIN cu USING (w2) CROSS JOIN tt),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |             -(sum(llp_nano) * 1.0 / (count(*) * 1000000000)) AS h
+        |      FROM b JOIN p USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(h, 6) AS h_nats, round(exp(h), 6) AS ppl
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id,

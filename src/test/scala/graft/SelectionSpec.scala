@@ -88,4 +88,27 @@ class SelectionSpec extends SparkSpec {
     // doc of only the modal token: ppl = total/cnt(common) = 12/9 exactly
     assert(math.abs(out(1L) - 12.0 / 9.0) < 1e-6)
   }
+
+  test("bigramPpl: order-aware — scrambled word order raises perplexity") {
+    // Two docs share the exact unigram census (c:3, d:3 — unigramPpl
+    // ties them) but doc 2 uses the pairs (dd, cc) the corpus sees only
+    // once; only the bigram LM separates them: p(cd)=p(dc)=0.74 vs
+    // p(dd)=p(cc)=0.26 under λ=0.8 with pu=0.5.
+    val docs = Seq(
+      (1L, "c d c d c d"),
+      (2L, "d c d d c c")).toDF("doc_id", "text")
+    val out = Selection.bigramPpl(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl"))).toMap
+    assert(out(1L)._1 == 5L && out(2L)._1 == 5L)
+    // doc 1 is all 0.74-pairs: ppl = 1/0.74 exactly
+    assert(math.abs(out(1L)._2 - 1.0 / 0.74) < 1e-5)
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("bigramPpl: one-token documents drop out (no pairs to score)") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens here")).toDF("doc_id", "text")
+    val ids = Selection.bigramPpl(docs).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
 }
