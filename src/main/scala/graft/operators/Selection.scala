@@ -258,4 +258,58 @@ object Selection {
         round(col("h"), 6).as("h_nats"),
         round(exp(col("h")), 6).as("ppl"))
   }
+
+  /** Per-source KL divergence of the token distribution against the
+    * whole corpus — KL(P_source ‖ P_corpus) in nats — the lexical
+    * drift/mix gauge over the `source` dimension (which crawl snapshots
+    * or ingest feeds are lexically atypical; the signal DoReMi-style
+    * mixture re-weighting and CCNet's per-domain filtering read). KL is
+    * well-defined with no smoothing: every source token is in the corpus
+    * census by construction (P_corpus has full support over P_source).
+    *
+    * Per source: token count, distinct-token count, and kl_nats. Also
+    * emits `top_tok` — the argmax contributing token (ties to the
+    * lexicographically smallest) — so a drifted source is directly
+    * attributable, not just flagged.
+    *
+    * Scale posture (100 TB): two censuses (source×token and token), one
+    * shuffle-join on the token key (no broadcast hint — AQE broadcasts
+    * locally, shuffle-joins at scale), exact long sums per source.
+    * Determinism: each (source, token) term quantizes to integer
+    * nano-nats ONCE in the joined census; the per-source sum is an exact
+    * long aggregate; the argmax is a row_number window over the census
+    * with the (term_nano desc, tok asc) total order made explicit.
+    */
+  def sourceTokenKl(docs: DataFrame): DataFrame = {
+    val toks = graft.Tables.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cs = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val totS = cs.groupBy("source").agg(sum(col("cs")).as("tots"))
+    val cc = cs.groupBy("tok").agg(sum(col("cs")).as("cc"))
+    val tt = totS.agg(sum(col("tots")).as("tt"))
+      .withColumn("__one", pmod(col("tt"), lit(1L)))
+    val terms = cs.join(totS, "source").join(cc, "tok")
+      .withColumn("__one", pmod(col("cs"), lit(1L)))
+      .join(broadcast(tt), "__one").drop("__one")
+      .withColumn("term_nano",
+        round((col("cs").cast("double") / col("tots")) *
+          log((col("cs").cast("double") / col("tots")) /
+            (col("cc").cast("double") / col("tt"))) * lit(1e9))
+          .cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("term_nano").desc, col("tok").asc)
+    val top = terms
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("source"), col("tok").as("top_tok"))
+    terms.groupBy("source")
+      .agg(max(col("tots")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term_nano")).as("__kl"))
+      .join(top, "source")
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        round(col("__kl").cast("double") / lit(1e9), 6).as("kl_nats"),
+        col("top_tok"))
+      .orderBy("source")
+  }
 }

@@ -633,6 +633,11 @@ object PipelineQueries {
     "bigram_ppl" -> ((s, dir) =>
       Selection.bigramPpl(docs(s, dir)).orderBy("doc_id")),
 
+    // Per-source lexical drift: KL(P_source ‖ P_corpus) over the token
+    // distribution, with the argmax contributing token — the mix gauge
+    // DoReMi-style re-weighting reads.
+    "source_token_kl" -> ((s, dir) => Selection.sourceTokenKl(docs(s, dir))),
+
     // BM25 retrieval ranking for the corpus's top-5 tokens as the query;
     // log-free rational idf + micro-unit per-term scores keep the
     // cross-term sum integer-exact (see TextAnalysis.bm25TopK).
@@ -1803,6 +1808,35 @@ object PipelineQueries {
         |      FROM b JOIN p USING (w1, w2) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, round(h, 6) AS h_nats, round(exp(h), 6) AS ppl
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Source-drift mirror: per-(source,token) KL term quantized to
+    // nano-nats once in the joined census, exact long sum per source,
+    // argmax token via the same (term desc, tok asc) window order.
+    "source_token_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+        |       FROM t GROUP BY 1, 2),
+        |tots AS (SELECT source, CAST(sum(cs) AS BIGINT) AS tots
+        |         FROM cs GROUP BY 1),
+        |cc AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS cc FROM cs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tots) AS BIGINT) AS tt FROM tots),
+        |terms AS (SELECT source, tok, tots,
+        |    CAST(round((CAST(cs AS DOUBLE) / tots)
+        |         * ln((CAST(cs AS DOUBLE) / tots) / (CAST(cc AS DOUBLE) / tt))
+        |         * 1000000000) AS BIGINT) AS term_nano
+        |  FROM cs JOIN tots USING (source) JOIN cc USING (tok) CROSS JOIN tt),
+        |top AS (SELECT source, tok AS top_tok FROM (
+        |    SELECT source, tok, row_number() OVER (
+        |      PARTITION BY source ORDER BY term_nano DESC, tok ASC) AS r
+        |    FROM terms) WHERE r = 1),
+        |g AS (SELECT source, max(tots) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_distinct,
+        |             CAST(sum(term_nano) AS BIGINT) AS kl
+        |      FROM terms GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct,
+        |       round(CAST(kl AS DOUBLE) / 1000000000, 6) AS kl_nats, top_tok
+        |FROM g JOIN top USING (source) ORDER BY source""".stripMargin,
 
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id,

@@ -111,4 +111,21 @@ class SelectionSpec extends SparkSpec {
     val ids = Selection.bigramPpl(docs).collect().map(_.getLong(0)).toSet
     assert(ids == Set(2L))
   }
+
+  test("sourceTokenKl: corpus-typical source ~0, drifted source > it, argmax attributes") {
+    // Sources A and B have the corpus-typical mix; C is dominated by a
+    // token that is rare corpus-wide — C must carry the largest KL and
+    // its top contributing token must be the drift term itself.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "A"),
+      (2L, "alpha beta gamma alpha beta", "B"),
+      (3L, "drift drift drift drift gamma", "C")).toDF("doc_id", "text", "source")
+    val out = Selection.sourceTokenKl(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("kl_nats"), r.getAs[String]("top_tok"))).toMap
+    assert(out("A")._1 == out("B")._1) // identical distributions tie
+    assert(out("C")._1 > out("A")._1)
+    assert(out("C")._2 == "drift")
+    assert(out.keySet == Set("A", "B", "C"))
+  }
 }
