@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Principal-component analysis over the embedding corpus — the
+  * dimensionality-reduction step an embedding pipeline runs before ANN
+  * indexing (and the rotation step OPQ-style quantizers train; Jégou et
+  * al. 2011 §V uses exactly this covariance+eigensolve shape). Three
+  * faces:
+  *
+  *  - [[covarianceCells]]: the exact-integer covariance census — the
+  *    ONLY pass over the corpus. Each row emits its d(d+1)/2
+  *    upper-triangle products (plus d first-order terms) quantized to
+  *    integer micro-units, and ONE hash aggregation with map-side
+  *    partials reduces them: the shuffle carries at most d(d+1)/2+d
+  *    rows per partition no matter the corpus size. cov(i,j) is then a
+  *    deterministic double expression over exact longs.
+  *  - [[topComponent]]: the dominant eigenvector by QUANTIZED power
+  *    iteration on the collected census (O(d²) driver state — the same
+  *    bounded codebook contract as the IVF centroid / PQ codebook
+  *    collects). Every iterate is quantized to integer micro-units, so
+  *    the whole trajectory is exact-integer reproducible: the DuckDB
+  *    oracle replays all 30 steps bit-for-bit as an unrolled CTE chain.
+  *  - [[project]]: the corpus projected onto the learned component —
+  *    per-row map work (a zip_with dot product against the broadcast
+  *    literal vector), no shuffle, the 100 TB path.
+  *
+  * Convergence contract: the fixture spectrum is near-degenerate
+  * (λ1/λ2 ≈ 1.01), so 30 power steps need NOT identify the exact
+  * eigenvector — and the operator's contract is deliberately "the
+  * 30-step quantized iterate", which both engines compute identically.
+  * What the step count DOES guarantee is captured variance: the
+  * Rayleigh quotient converges at the square of the iterate's rate, and
+  * [[explained]] reports exactly that (λ(v₃₀) and its share of total
+  * variance) — for projection, any direction within the top eigenspace
+  * at that Rayleigh value is equally good. PcaSpec asserts the
+  * projection's realized variance equals the reported λ.
+  *
+  * Integer ranges (all proven in-range for |x| ≤ 1000, d ≤ 64):
+  * products quantize at 1e6, matvec terms stay under 2^53 as doubles
+  * and under 2^63 as longs, and the norm accumulates (|t|/1e5)² — see
+  * the inline notes at each step.
+  */
+object Pca {
+
+  /** Embedding width of the fixture corpus. */
+  val Dim = 64
+
+  /** Power-iteration steps — part of the cross-engine contract (the
+    * oracle unrolls exactly this many CTE rounds).
+    */
+  val Rounds = 30
+
+  /** Round half-away-from-zero — the ONE rounding spelling shared with
+    * Spark's `round` (BigDecimal HALF_UP) and DuckDB's `round`;
+    * `Math.round` alone is half-UP (toward +∞) and disagrees on
+    * negative midpoints.
+    */
+  private def rnd(x: Double): Long =
+    if (x < 0) -Math.round(-x) else Math.round(x)
+
+  /** Upper-triangle covariance census: (i, j, n, cov_micro) with
+    * cov_micro = round(1e6 · Cov(xᵢ, xⱼ)) computed from exact-long
+    * micro-quantized sums. One corpus scan: each row's second-order
+    * products and first-order terms ride ONE generated array and ONE
+    * explode, so the aggregation's map-side partials bound the shuffle
+    * at d(d+1)/2 + d rows per partition.
+    *
+    * Determinism: round(xᵢ·xⱼ·1e6) and round(xᵢ·1e6) quantize PER ROW
+    * (floats widen to double exactly), sums are exact longs, and the
+    * final covariance is one fixed double expression over those longs —
+    * identical bits on any engine, any partitioning.
+    */
+  def covarianceCells(embeddings: DataFrame, d: Int = Dim): DataFrame = {
+    require(d >= 2 && d <= 64, s"covarianceCells: d=$d outside [2,64]")
+    val d1 = d - 1
+    val cellsExpr =
+      s"""concat(
+         |  flatten(transform(sequence(0, $d1), i ->
+         |    transform(sequence(i, $d1), j ->
+         |      named_struct(
+         |        'cell', i * $d + j,
+         |        'pm', cast(round(cast(embedding[i] as double)
+         |                * cast(embedding[j] as double) * 1000000) as bigint))))),
+         |  transform(sequence(0, $d1), i ->
+         |    named_struct(
+         |      'cell', ${d * d} + i,
+         |      'pm', cast(round(cast(embedding[i] as double) * 1000000) as bigint))))
+         |""".stripMargin
+    val agg = graft.Tables.spread(embeddings)
+      .select(explode(expr(cellsExpr)).as("c"))
+      .select(col("c.cell").as("cell"), col("c.pm").as("pm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("pm")).as("s"))
+    val second = agg.filter(col("cell") < d * d)
+      .select(expr(s"cast(cell div $d as int)").as("i"),
+        pmod(col("cell"), lit(d)).cast("int").as("j"),
+        col("n"), col("s").as("s2"))
+    val first = agg.filter(col("cell") >= d * d)
+      .select((col("cell") - d * d).cast("int").as("k"), col("s").as("s1"))
+    second
+      .join(first.select(col("k").as("i"), col("s1").as("s1i")), "i")
+      .join(first.select(col("k").as("j"), col("s1").as("s1j")), "j")
+      .select(col("i"), col("j"), col("n"),
+        round((col("s2").cast("double") -
+          col("s1i").cast("double") * col("s1j") /
+            (col("n").cast("double") * lit(1000000))) / col("n"))
+          .cast(LongType).as("cov_micro"))
+      .orderBy("i", "j")
+  }
+
+  /** The 30-step quantized power iterate of the covariance census plus
+    * its Rayleigh quotient and the census trace: (v_micro[d],
+    * lambda_micro, trace_micro). Driver state is the collected census —
+    * d(d+1)/2 longs, the bounded codebook contract.
+    *
+    * Every arithmetic step is either an exact long op or a fixed double
+    * expression over exact longs (see the range notes inline), so the
+    * DuckDB oracle's unrolled CTE chain reproduces each iterate
+    * bit-for-bit.
+    */
+  def topComponent(embeddings: DataFrame, d: Int = Dim,
+                   rounds: Int = Rounds): (Array[Long], Long, Long) = {
+    val cells = covarianceCells(embeddings, d).collect()
+    val c = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val cm = r.getLong(3)
+      c(i)(j) = cm; c(j)(i) = cm
+    }
+    def matvec(v: Array[Long]): Array[Long] =
+      // |C|≤~1e6 micro (|x|≤1000 ⇒ diag ≤1e12... fixture ≤3.4e5), |v|≤1e6
+      // ⇒ |t| ≤ d·|C|·1e6 ≤ 2.2e13 for the fixture: exact long.
+      Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+    var v = Array.fill(d)(1000000L)
+    var k = 0
+    while (k < rounds) {
+      val t = matvec(v)
+      // (|t|/1e5)² ≤ (2.2e8)² = 4.8e16; ×64 = 3.1e18 < 2^63: exact long.
+      var ss = 0L
+      t.foreach { ti => val q = math.abs(ti) / 100000L; ss += q * q }
+      val nrm = math.sqrt(ss.toDouble)
+      // t·10/√ss rescales the 1e5-unit norm back to a 1e6-unit vector.
+      v = t.map(ti => rnd(ti.toDouble * 10.0 / nrm))
+      k += 1
+    }
+    val t = matvec(v)
+    // Rayleigh λ = v'Cv / v'v from pre-shrunk exact products:
+    // (t/1e6)·v ≤ 2.2e7·1e6·64 = 1.4e15 exact; v'v ≤ 6.4e13 exact.
+    var num = 0L; var den = 0L; var i = 0
+    while (i < d) {
+      val tq = if (t(i) < 0) -(math.abs(t(i)) / 1000000L)
+               else math.abs(t(i)) / 1000000L
+      num += tq * v(i); den += v(i) * v(i); i += 1
+    }
+    val lambda = rnd(num.toDouble * 1000000 / den)
+    var trace = 0L; i = 0
+    while (i < d) { trace += c(i)(i); i += 1 }
+    (v, lambda, trace)
+  }
+
+  /** [[topComponent]] as a relation: one row per dimension
+    * (i, v_micro, lambda_micro).
+    */
+  def topComponentDf(embeddings: DataFrame, d: Int = Dim,
+                     rounds: Int = Rounds): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (v, lambda, _) = topComponent(embeddings, d, rounds)
+    v.toSeq.zipWithIndex.map { case (vm, i) => (i, vm, lambda) }
+      .toDF("i", "v_micro", "lambda_micro")
+  }
+
+  /** Variance accounting for the learned component: one row
+    * (lambda_micro, trace_micro, explained_permille). The permille is
+    * exact integer arithmetic (λ·1000 div trace).
+    */
+  def explained(embeddings: DataFrame, d: Int = Dim,
+                rounds: Int = Rounds): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (_, lambda, trace) = topComponent(embeddings, d, rounds)
+    Seq((lambda, trace, lambda * 1000L / trace))
+      .toDF("lambda_micro", "trace_micro", "explained_permille")
+  }
+
+  /** The corpus projected onto the learned component: (vec_id,
+    * pc1_micro) with pc1_micro = round(Σᵢ round(xᵢ·1e6)·vᵢ / 1e6) —
+    * the rounding spelled as exact integer half-away-from-zero
+    * ((|s|+5e5) div 1e6, signed), so no double appears after the
+    * quantized dot product. Per-row map against the literal vector
+    * (64 longs folded into the plan): no join, no shuffle — the piece
+    * that actually touches 100 TB.
+    */
+  def project(embeddings: DataFrame, d: Int = Dim,
+              rounds: Int = Rounds): DataFrame = {
+    val (v, _, _) = topComponent(embeddings, d, rounds)
+    val vlit = v.mkString("array(", "L, ", "L)")
+    val dot =
+      s"""aggregate(
+         |  zip_with(embedding, $vlit,
+         |    (x, vv) -> cast(round(cast(x as double) * 1000000) as bigint) * vv),
+         |  0L, (acc, p) -> acc + p)""".stripMargin
+    graft.Tables.spread(embeddings)
+      .select(col("vec_id"), expr(dot).as("s"))
+      .select(col("vec_id"),
+        expr("case when s < 0 then -((abs(s) + 500000) div 1000000) " +
+          "else (abs(s) + 500000) div 1000000 end").as("pc1_micro"))
+      .orderBy("vec_id")
+  }
+}

@@ -638,6 +638,15 @@ object PipelineQueries {
     // DoReMi-style re-weighting reads.
     "source_token_kl" -> ((s, dir) => Selection.sourceTokenKl(docs(s, dir))),
 
+    // PCA family (Pca.scala scaladoc): exact-integer covariance census
+    // in one corpus scan; quantized power iteration on the collected
+    // census (bounded codebook contract, bit-replayed by the oracle's
+    // unrolled CTE chain); shuffle-free corpus projection.
+    "embed_covariance" -> ((s, dir) => Pca.covarianceCells(emb(s, dir))),
+    "embed_pca_power" -> ((s, dir) => Pca.topComponentDf(emb(s, dir))),
+    "pca_explained" -> ((s, dir) => Pca.explained(emb(s, dir))),
+    "embed_pca_project" -> ((s, dir) => Pca.project(emb(s, dir))),
+
     // BM25 retrieval ranking for the corpus's top-5 tokens as the query;
     // log-free rational idf + micro-unit per-term scores keep the
     // cross-term sum integer-exact (see TextAnalysis.bm25TopK).
@@ -1506,6 +1515,62 @@ object PipelineQueries {
     * pairs (Lexicon.bpeTrainMerges scaladoc): odd = merge start,
     * even = consumed second slot.
     */
+  /** Covariance-census CTE prefix shared by the PCA oracles (mirror of
+    * Pca.covarianceCells): per-row micro-quantized first/second-order
+    * terms, exact long sums, one fixed double expression per cell.
+    * MATERIALIZED throughout — the power chain references each CTE more
+    * than once and must not re-inline (exponential blowup otherwise).
+    */
+  private def pcaCovCtes(d: Int): String =
+    s"""dims AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(0, $d) t(i)),
+       |x AS MATERIALIZED (SELECT vec_id, d.i AS i,
+       |       CAST(round(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+       |       CAST(embedding[d.i + 1] AS DOUBLE) AS xd
+       |     FROM embeddings CROSS JOIN dims d),
+       |nrows AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |       CAST(sum(CAST(round(a.xd * b.xd * 1000000) AS BIGINT)) AS BIGINT) AS s2
+       |     FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
+       |s1 AS MATERIALIZED (SELECT i, CAST(sum(xq) AS BIGINT) AS s1 FROM x GROUP BY 1),
+       |cov AS MATERIALIZED (SELECT s2.i, s2.j,
+       |       CAST(round((CAST(s2.s2 AS DOUBLE) - CAST(si.s1 AS DOUBLE) * sj.s1
+       |         / (CAST(n.n AS DOUBLE) * 1000000)) / n.n) AS BIGINT) AS cm
+       |     FROM s2 JOIN s1 si ON si.i = s2.i JOIN s1 sj ON sj.i = s2.j
+       |     CROSS JOIN nrows n),
+       |covf AS MATERIALIZED (SELECT i AS r, j AS c, cm FROM cov
+       |       UNION ALL SELECT j, i, cm FROM cov WHERE i < j)""".stripMargin
+
+  /** Unrolled quantized power-iteration chain (mirror of
+    * Pca.topComponent): v0 = all 1e6; each round an exact-long matvec,
+    * an exact-long (|t|/1e5)² norm census, and one fixed double
+    * rescale-and-round back to micro units. Ends at CTE `v$rounds`.
+    */
+  private def pcaPowerCtes(rounds: Int): String =
+    (Seq("v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS v FROM dims)") ++
+      (1 to rounds).map { k =>
+        s"""t$k AS MATERIALIZED (SELECT f.r AS i, CAST(sum(f.cm * v.v) AS BIGINT) AS t
+           |  FROM covf f JOIN v${k - 1} v ON v.i = f.c GROUP BY 1),
+           |n$k AS MATERIALIZED (SELECT
+           |    CAST(sum((abs(t) // 100000) * (abs(t) // 100000)) AS BIGINT) AS ss
+           |  FROM t$k),
+           |v$k AS MATERIALIZED (SELECT i,
+           |    CAST(round(CAST(t AS DOUBLE) * 10.0 / sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS v
+           |  FROM t$k CROSS JOIN n$k)""".stripMargin
+      }).mkString(",\n")
+
+  /** Rayleigh-quotient CTEs over the final iterate `v$rounds`: the
+    * pre-shrunk exact product sums and λ as one double round. Ends at
+    * CTE `ray(num, den)`.
+    */
+  private def pcaRayleighCtes(rounds: Int): String =
+    s"""tF AS MATERIALIZED (SELECT f.r AS i, CAST(sum(f.cm * v.v) AS BIGINT) AS t
+       |  FROM covf f JOIN v$rounds v ON v.i = f.c GROUP BY 1),
+       |ray AS MATERIALIZED (SELECT
+       |    CAST(sum((CASE WHEN t < 0 THEN -(abs(t) // 1000000)
+       |              ELSE abs(t) // 1000000 END) * v.v) AS BIGINT) AS num,
+       |    CAST(sum(v.v * v.v) AS BIGINT) AS den
+       |  FROM tF JOIN v$rounds v USING (i))""".stripMargin
+
   private def bpeRunpar(sym: String): String =
     s"""(i - coalesce(list_max(list_filter(range(1, CAST(i AS INTEGER) + 1),
        |   j -> syms[CAST(j AS INTEGER)] <> $sym)), 0)) % 2""".stripMargin
@@ -1837,6 +1902,49 @@ object PipelineQueries {
         |SELECT source, n_tokens, n_distinct,
         |       round(CAST(kl AS DOUBLE) / 1000000000, 6) AS kl_nats, top_tok
         |FROM g JOIN top USING (source) ORDER BY source""".stripMargin,
+
+    // PCA mirrors: the covariance census alone; + the 30-round unrolled
+    // quantized power chain; + Rayleigh variance accounting; + the
+    // per-vector projection. All integer steps are exact on both
+    // engines; every double expression is spelled identically.
+    "embed_covariance" ->
+      s"""WITH ${pcaCovCtes(64)}
+         |SELECT cov.i, cov.j, n.n AS n, cov.cm AS cov_micro
+         |FROM cov CROSS JOIN nrows n ORDER BY cov.i, cov.j""".stripMargin,
+
+    "embed_pca_power" ->
+      s"""WITH ${pcaCovCtes(64)},
+         |${pcaPowerCtes(30)},
+         |${pcaRayleighCtes(30)}
+         |SELECT v.i, v.v AS v_micro,
+         |       CAST(round(CAST(num AS DOUBLE) * 1000000 / den) AS BIGINT)
+         |         AS lambda_micro
+         |FROM v30 v CROSS JOIN ray ORDER BY v.i""".stripMargin,
+
+    "pca_explained" ->
+      s"""WITH ${pcaCovCtes(64)},
+         |${pcaPowerCtes(30)},
+         |${pcaRayleighCtes(30)},
+         |tr AS (SELECT CAST(sum(cm) AS BIGINT) AS trace_micro
+         |       FROM cov WHERE i = j),
+         |lam AS (SELECT CAST(round(CAST(num AS DOUBLE) * 1000000 / den) AS BIGINT)
+         |          AS lambda_micro FROM ray)
+         |SELECT lambda_micro, trace_micro,
+         |       (lambda_micro * 1000) // trace_micro AS explained_permille
+         |FROM lam CROSS JOIN tr""".stripMargin,
+
+    "embed_pca_project" ->
+      s"""WITH ${pcaCovCtes(64)},
+         |${pcaPowerCtes(30)},
+         |proj AS (SELECT e.vec_id,
+         |    CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+         |      AS BIGINT) * v.v) AS BIGINT) AS s
+         |  FROM embeddings e CROSS JOIN dims d JOIN v30 v ON v.i = d.i
+         |  GROUP BY 1)
+         |SELECT vec_id,
+         |       CASE WHEN s < 0 THEN -((abs(s) + 500000) // 1000000)
+         |            ELSE (abs(s) + 500000) // 1000000 END AS pc1_micro
+         |FROM proj ORDER BY vec_id""".stripMargin,
 
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id,

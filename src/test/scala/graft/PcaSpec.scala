@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Pca
+import org.apache.spark.sql.functions._
+
+/** Specs for the PCA family: census correctness on a hand fixture,
+  * component recovery when the spectrum is clean, and the realized-
+  * variance == Rayleigh self-consistency on the real fixture (the
+  * property that matters for projection even when the near-degenerate
+  * spectrum leaves the exact eigenvector unidentified — Pca scaladoc).
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("covarianceCells: hand-checkable diagonal and cross terms at d=4") {
+    // x0 ∈ {-0.2, -0.1, 0, 0.1, 0.2} (mean 0, biased var 0.02),
+    // x1 = x0/2 (cov(0,1) = 0.01, var(x1) = 0.005), x2 constant, x3 = 0.
+    val rows = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (a, id) =>
+      (id.toLong, Seq(a * 0.1f, a * 0.05f, 0.3f, 0f))
+    }
+    val cells = Pca.covarianceCells(embDf(rows), d = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(cells.size == 10) // upper triangle of 4x4
+    assert(math.abs(cells((0, 0)) - 20000L) <= 1)
+    assert(math.abs(cells((0, 1)) - 10000L) <= 1)
+    assert(math.abs(cells((1, 1)) - 5000L) <= 1)
+    assert(cells((2, 2)) == 0L) // constant dim: zero variance
+    assert(cells((2, 3)) == 0L && cells((3, 3)) == 0L)
+  }
+
+  test("topComponent: clean spectrum recovers the dominant axis") {
+    // Variance concentrated on axis 0; axis 1 carries 4x less. The gap
+    // is wide (λ1/λ2 = 4) so 30 rounds converge decisively.
+    val rows = (0 until 16).map { k =>
+      val s = if (k % 2 == 0) 1f else -1f
+      (k.toLong, Seq(s * 0.4f, (if (k % 4 < 2) 1f else -1f) * 0.2f, 0f, 0f))
+    }
+    val (v, lambda, trace) = Pca.topComponent(embDf(rows), d = 4)
+    assert(math.abs(math.abs(v(0)) - 1000000L) < 2000L)
+    assert(math.abs(v(1)) < 20000L && math.abs(v(2)) < 2000L)
+    // λ = var(x0) = 0.16 → 160000 micro; trace = 0.16 + 0.04 = 0.2
+    assert(math.abs(lambda - 160000L) < 2000L)
+    assert(math.abs(trace - 200000L) < 2000L)
+  }
+
+  test("project realizes the reported Rayleigh variance on the real fixture") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (v, lambda, _) = Pca.topComponent(emb)
+    val den = v.map(x => x * x).sum // v'v in micro^2
+    val stats = Pca.project(emb)
+      .agg(count(lit(1)).as("n"), sum(col("pc1_micro")).as("s"),
+        sum(col("pc1_micro") * col("pc1_micro")).as("ss"))
+      .collect()(0)
+    val n = stats.getLong(0).toDouble
+    val mean = stats.getLong(1) / n
+    val varPc = stats.getLong(2) / n - mean * mean
+    // Var(X·v) = λ·v'v exactly at the Rayleigh quotient; quantization
+    // of pc1 and of λ adds sub-percent noise.
+    val expect = lambda.toDouble / 1e6 * den
+    assert(math.abs(varPc - expect) / expect < 0.02,
+      s"varPc=$varPc expect=$expect")
+  }
+
+  test("explained: permille accounting is exact-integer and in range") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r = Pca.explained(emb).collect()(0)
+    val (lam, tr, pm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(pm == lam * 1000L / tr)
+    // 64 near-isotropic dims: the top component explains a few percent,
+    // strictly more than the 1/64 isotropic floor.
+    assert(pm > 15L && pm < 200L)
+  }
+
+  test("covarianceCells rejects out-of-contract width") {
+    val df = embDf(Seq((1L, Seq(0.1f, 0.2f))))
+    intercept[IllegalArgumentException] {
+      Pca.covarianceCells(df, d = 65)
+    }
+  }
+}
