@@ -199,6 +199,40 @@ object Lexicon {
       .select("rank", "symbol", "weighted_count")
   }
 
+  /** Tokenizer EVAL face: per-language fertility of the trained
+    * tokenizer — tokens/char (`fertility_micro`) and tokens/word
+    * (`tpw_micro`) in exact integer micro-units, over the ≥2-char word
+    * census the trainer itself tokenizes. THE standard gauge for
+    * whether a tokenizer trained on a mixed corpus taxes some language
+    * disproportionately (a language whose fertility sits above the
+    * corpus mean pays more sequence length per character of text).
+    *
+    * Scale posture: segmentation cost rides the DISTINCT-word census
+    * exactly once ([[bpeApply]] — vocabulary-sized, not corpus-sized);
+    * the per-(lang, word) weights join back on the word key and reduce
+    * to one row per language. Both ratios are integer division over
+    * exact long sums — no doubles anywhere.
+    */
+  def fertilityByLang(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val merges = bpeTrainMerges(docs, rounds)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = bpeApply(docs, merges).select(col("word"), col("n_syms"))
+    val lw = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freql"))
+    lw.join(seg, "word")
+      .groupBy("lang")
+      .agg(sum(col("freql")).as("n_words"),
+        sum(col("freql") * length(col("word"))).as("n_chars"),
+        sum(col("freql") * col("n_syms")).as("n_syms"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_syms"),
+        expr("n_syms * 1000000 div n_chars").as("fertility_micro"),
+        expr("n_syms * 1000000 div n_words").as("tpw_micro"))
+      .orderBy("lang")
+  }
+
   /** The per-position merge splice for pair (l, r) over the `syms`
     * array column — ONE definition shared by the training loop and the
     * frozen-merge [[bpeApply]] replay (scaladoc rule: plain stateless

@@ -133,6 +133,16 @@ object PipelineQueries {
     "bpe_vocab" -> ((s, dir) =>
       Lexicon.bpeVocab(docs(s, dir), 3, 50).orderBy("rank")),
 
+    // Tokenizer EVAL face: per-language fertility of the trained
+    // tokenizer — tokens per char and tokens per word in exact integer
+    // micro-units. The standard gauge for whether a tokenizer trained
+    // on a mixed corpus taxes some language disproportionately (its
+    // fertility exceeds the corpus mean). Segmentation cost rides the
+    // DISTINCT-word census once (bpeApply); the per-language weights
+    // join back on the word key.
+    "bpe_fertility" -> ((s, dir) =>
+      Lexicon.fertilityByLang(docs(s, dir), 3)),
+
     // Capped posting lists: token -> doc frequency + first-20 doc_ids —
     // the retrieval index relation behind BM25 / contamination lookups.
     "inverted_index" -> ((s, dir) =>
@@ -2127,6 +2137,38 @@ object PipelineQueries {
          |        ORDER BY weighted_count DESC, symbol) AS rank FROM c)
          |SELECT CAST(rank AS INTEGER) AS rank, symbol, weighted_count
          |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // Fertility mirror: full-corpus trainer rounds derive m1..m3, the
+    // shared splice chain segments the distinct-word census (carrying
+    // word), and per-language weights join back on the word key; both
+    // ratios are exact integer division in micro-units.
+    "bpe_fertility" ->
+      s"""WITH wd AS (SELECT t AS word FROM documents,
+         |             UNNEST(string_split(text, ' ')) AS z(t)
+         |             WHERE len(t) >= 2),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY 1),
+         |s0 AS (SELECT freq, list_transform(range(1, len(word) + 1),
+         |         i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM v),
+         |${(1 to 3).map(bpeRoundCtes).mkString(",\n")},
+         |d0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1),
+         |         i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM v),
+         |${bpeSpliceCte("d1", "d0", "m1", "word, freq")},
+         |${bpeSpliceCte("d2", "d1", "m2", "word, freq")},
+         |${bpeSpliceCte("d3", "d2", "m3", "word, freq")},
+         |lw AS (SELECT lang, t AS word, CAST(count(*) AS BIGINT) AS freql
+         |       FROM documents, UNNEST(string_split(text, ' ')) AS z(t)
+         |       WHERE len(t) >= 2 GROUP BY 1, 2),
+         |g AS (SELECT lang,
+         |        CAST(sum(freql) AS BIGINT) AS n_words,
+         |        CAST(sum(freql * len(word)) AS BIGINT) AS n_chars,
+         |        CAST(sum(freql * len(syms)) AS BIGINT) AS n_syms
+         |      FROM lw JOIN d3 USING (word) GROUP BY 1)
+         |SELECT lang, n_words, n_chars, n_syms,
+         |       (n_syms * 1000000) // n_chars AS fertility_micro,
+         |       (n_syms * 1000000) // n_words AS tpw_micro
+         |FROM g ORDER BY lang""".stripMargin,
 
     "inverted_index" ->
       """WITH td AS (SELECT DISTINCT t AS token, doc_id FROM documents,
