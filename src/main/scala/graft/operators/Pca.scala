@@ -73,8 +73,18 @@ object Pca {
     * final covariance is one fixed double expression over those longs —
     * identical bits on any engine, any partitioning.
     */
-  def covarianceCells(embeddings: DataFrame, d: Int = Dim): DataFrame = {
-    require(d >= 2 && d <= 64, s"covarianceCells: d=$d outside [2,64]")
+  def covarianceCells(embeddings: DataFrame, d: Int = Dim): DataFrame =
+    covarianceFromCensus(covarianceCensus(embeddings, d), d)
+
+  /** The raw additive census behind [[covarianceCells]]: (cell, n, s)
+    * partial sums. ADDITIVE by construction — the census of a union is
+    * the cell-wise sum of the censuses — which is the incremental-
+    * ingest contract: a delta batch censuses alone and merges with the
+    * standing census without rescanning standing data
+    * ([[mergeCensus]]; `pca_census_merge` proves merge == rebuild).
+    */
+  def covarianceCensus(embeddings: DataFrame, d: Int = Dim): DataFrame = {
+    require(d >= 2 && d <= 64, s"covarianceCensus: d=$d outside [2,64]")
     val d1 = d - 1
     val cellsExpr =
       s"""concat(
@@ -89,16 +99,26 @@ object Pca {
          |      'cell', ${d * d} + i,
          |      'pm', cast(round(cast(embedding[i] as double) * 1000000) as bigint))))
          |""".stripMargin
-    val agg = graft.Tables.spread(embeddings)
+    graft.Tables.spread(embeddings)
       .select(explode(expr(cellsExpr)).as("c"))
       .select(col("c.cell").as("cell"), col("c.pm").as("pm"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum(col("pm")).as("s"))
-    val second = agg.filter(col("cell") < d * d)
+  }
+
+  /** Cell-wise sum of censuses — exact long adds, any batch order. */
+  def mergeCensus(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("cell")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+
+  /** Finish a census into (i, j, n, cov_micro) rows. */
+  def covarianceFromCensus(census: DataFrame, d: Int = Dim): DataFrame = {
+    val second = census.filter(col("cell") < d * d)
       .select(expr(s"cast(cell div $d as int)").as("i"),
         pmod(col("cell"), lit(d)).cast("int").as("j"),
         col("n"), col("s").as("s2"))
-    val first = agg.filter(col("cell") >= d * d)
+    val first = census.filter(col("cell") >= d * d)
       .select((col("cell") - d * d).cast("int").as("k"), col("s").as("s1"))
     second
       .join(first.select(col("k").as("i"), col("s1").as("s1i")), "i")
@@ -123,24 +143,80 @@ object Pca {
     */
   def topComponent(embeddings: DataFrame, d: Int = Dim,
                    rounds: Int = Rounds): (Array[Long], Long, Long) = {
+    val c = censusMatrix(embeddings, d)
+    val v = powerLoop(c, d, rounds, Array.fill(d)(1000000L), None)
+    var trace = 0L; var i = 0
+    while (i < d) { trace += c(i)(i); i += 1 }
+    (v, rayleigh(c, d, v), trace)
+  }
+
+  /** The SECOND component: the same quantized power iteration with each
+    * matvec orthogonalized against the first component before
+    * normalization (deflation by projection — integer-exact like every
+    * other step, so the oracle replays it). The alternating-sign start
+    * vector guarantees a component off v₁ generically. Returns
+    * (v2_micro, λ2_micro, v1·v2 div 1e6 — the residual cross-term, ~0).
+    */
+  def secondComponent(embeddings: DataFrame, d: Int = Dim,
+                      rounds: Int = Rounds): (Array[Long], Long, Long) = {
+    val c = censusMatrix(embeddings, d)
+    val v1 = powerLoop(c, d, rounds, Array.fill(d)(1000000L), None)
+    val w0 = Array.tabulate(d)(i => if (i % 2 == 0) 1000000L else -1000000L)
+    val v2 = powerLoop(c, d, rounds, w0, Some(v1))
+    var cross = 0L; var i = 0
+    while (i < d) { cross += v1(i) * v2(i); i += 1 }
+    val crossq = if (cross < 0) -(math.abs(cross) / 1000000L)
+                 else math.abs(cross) / 1000000L
+    (v2, rayleigh(c, d, v2), crossq)
+  }
+
+  /** Collected symmetric census matrix — d(d+1)/2 longs of driver
+    * state, the bounded codebook contract.
+    */
+  private def censusMatrix(embeddings: DataFrame, d: Int): Array[Array[Long]] = {
     val cells = covarianceCells(embeddings, d).collect()
     val c = Array.ofDim[Long](d, d)
     cells.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1); val cm = r.getLong(3)
       c(i)(j) = cm; c(j)(i) = cm
     }
-    def matvec(v: Array[Long]): Array[Long] =
-      // |C|≤~1e6 micro (|x|≤1000 ⇒ diag ≤1e12... fixture ≤3.4e5), |v|≤1e6
-      // ⇒ |t| ≤ d·|C|·1e6 ≤ 2.2e13 for the fixture: exact long.
-      Array.tabulate(d) { i =>
-        var s = 0L; var j = 0
-        while (j < d) { s += c(i)(j) * v(j); j += 1 }
-        s
-      }
-    var v = Array.fill(d)(1000000L)
+    c
+  }
+
+  // |C|≤~1e6 micro (|x|≤1000 ⇒ diag ≤1e12... fixture ≤3.4e5), |v|≤1e6
+  // ⇒ |t| ≤ d·|C|·1e6 ≤ 2.2e13 for the fixture: exact long.
+  private def matvec(c: Array[Array[Long]], d: Int,
+                     v: Array[Long]): Array[Long] =
+    Array.tabulate(d) { i =>
+      var s = 0L; var j = 0
+      while (j < d) { s += c(i)(j) * v(j); j += 1 }
+      s
+    }
+
+  /** Truncate-toward-zero shrink by 1e6 — spelled sign·(|x| div 1e6)
+    * on both engines, because `div`/`//` negative semantics differ.
+    */
+  private def shrink6(x: Long): Long =
+    if (x < 0) -(math.abs(x) / 1000000L) else math.abs(x) / 1000000L
+
+  private def powerLoop(c: Array[Array[Long]], d: Int, rounds: Int,
+                        v0: Array[Long],
+                        ortho: Option[Array[Long]]): Array[Long] = {
+    var v = v0
     var k = 0
     while (k < rounds) {
-      val t = matvec(v)
+      var t = matvec(c, d, v)
+      ortho.foreach { u =>
+        // Project out u: t' = t − α·u with α = (t·u)/(u'u) from
+        // pre-shrunk exact products (num ≤ 2.2e7·1e6·64 = 1.4e15,
+        // den = u'u ≤ 6.4e13 — exact), α rounded to an integer ONCE
+        // (α is t-scale / u-scale ~ 1e7; integer rounding is ≤5e-8
+        // relative), then an exact long subtraction (α·u ≤ 1.4e15).
+        var num = 0L; var den = 0L; var i = 0
+        while (i < d) { num += shrink6(t(i)) * u(i); den += u(i) * u(i); i += 1 }
+        val alpha = rnd(num.toDouble * 1000000 / den)
+        t = Array.tabulate(d)(i => t(i) - alpha * u(i))
+      }
       // (|t|/1e5)² ≤ (2.2e8)² = 4.8e16; ×64 = 3.1e18 < 2^63: exact long.
       var ss = 0L
       t.foreach { ti => val q = math.abs(ti) / 100000L; ss += q * q }
@@ -149,19 +225,18 @@ object Pca {
       v = t.map(ti => rnd(ti.toDouble * 10.0 / nrm))
       k += 1
     }
-    val t = matvec(v)
-    // Rayleigh λ = v'Cv / v'v from pre-shrunk exact products:
-    // (t/1e6)·v ≤ 2.2e7·1e6·64 = 1.4e15 exact; v'v ≤ 6.4e13 exact.
+    v
+  }
+
+  /** Rayleigh λ = v'Cv / v'v from pre-shrunk exact products:
+    * (t/1e6)·v ≤ 2.2e7·1e6·64 = 1.4e15 exact; v'v ≤ 6.4e13 exact.
+    */
+  private def rayleigh(c: Array[Array[Long]], d: Int,
+                       v: Array[Long]): Long = {
+    val t = matvec(c, d, v)
     var num = 0L; var den = 0L; var i = 0
-    while (i < d) {
-      val tq = if (t(i) < 0) -(math.abs(t(i)) / 1000000L)
-               else math.abs(t(i)) / 1000000L
-      num += tq * v(i); den += v(i) * v(i); i += 1
-    }
-    val lambda = rnd(num.toDouble * 1000000 / den)
-    var trace = 0L; i = 0
-    while (i < d) { trace += c(i)(i); i += 1 }
-    (v, lambda, trace)
+    while (i < d) { num += shrink6(t(i)) * v(i); den += v(i) * v(i); i += 1 }
+    rnd(num.toDouble * 1000000 / den)
   }
 
   /** [[topComponent]] as a relation: one row per dimension
@@ -174,6 +249,19 @@ object Pca {
     val (v, lambda, _) = topComponent(embeddings, d, rounds)
     v.toSeq.zipWithIndex.map { case (vm, i) => (i, vm, lambda) }
       .toDF("i", "v_micro", "lambda_micro")
+  }
+
+  /** [[secondComponent]] as a relation: one row per dimension
+    * (i, v_micro, lambda_micro, cross_micro) — cross_micro is the
+    * v₁·v₂ residual (div 1e6), pinned ~0 by the deflation.
+    */
+  def secondComponentDf(embeddings: DataFrame, d: Int = Dim,
+                        rounds: Int = Rounds): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (v2, lambda2, cross) = secondComponent(embeddings, d, rounds)
+    v2.toSeq.zipWithIndex.map { case (vm, i) => (i, vm, lambda2, cross) }
+      .toDF("i", "v_micro", "lambda_micro", "cross_micro")
   }
 
   /** Variance accounting for the learned component: one row

@@ -657,6 +657,22 @@ object PipelineQueries {
     "pca_explained" -> ((s, dir) => Pca.explained(emb(s, dir))),
     "embed_pca_project" -> ((s, dir) => Pca.project(emb(s, dir))),
 
+    // Second component by integer-exact DEFLATED power iteration (each
+    // matvec orthogonalized against v1 before normalization); the
+    // cross_micro column pins v1·v2 ~ 0.
+    "embed_pca_power2" -> ((s, dir) => Pca.secondComponentDf(emb(s, dir))),
+
+    // Incremental-ingest face of the covariance census: standing 4/5
+    // and delta 1/5 census separately, merge cell-wise, finish — must
+    // equal the direct full-corpus covariance (merge == rebuild, the
+    // Sketches merge-face contract applied to PCA).
+    "pca_census_merge" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Pca.covarianceFromCensus(Pca.mergeCensus(Seq(
+        Pca.covarianceCensus(e.filter(col("vec_id") % 5 =!= 0)),
+        Pca.covarianceCensus(e.filter(col("vec_id") % 5 === 0)))))
+    }),
+
     // BM25 retrieval ranking for the corpus's top-5 tokens as the query;
     // log-free rational idf + micro-unit per-term scores keep the
     // cross-term sum integer-exact (see TextAnalysis.bm25TopK).
@@ -1581,6 +1597,38 @@ object PipelineQueries {
        |    CAST(sum(v.v * v.v) AS BIGINT) AS den
        |  FROM tF JOIN v$rounds v USING (i))""".stripMargin
 
+  /** Deflated power chain for the SECOND component (mirror of
+    * Pca.powerLoop with ortho = v1): alternating-sign start, each
+    * round's matvec orthogonalized against the first chain's final
+    * iterate `v$vrounds` via the integer-exact α before the usual
+    * quantized normalization. Ends at CTE `w$rounds`.
+    */
+  private def pcaPower2Ctes(rounds: Int, vrounds: Int): String = {
+    val shrinkT = "CASE WHEN t < 0 THEN -(abs(t) // 1000000) " +
+      "ELSE abs(t) // 1000000 END"
+    (Seq("w0 AS MATERIALIZED (SELECT i, CAST(CASE WHEN i % 2 = 0 THEN 1000000 " +
+      "ELSE -1000000 END AS BIGINT) AS v FROM dims)") ++
+      (1 to rounds).map { k =>
+        s"""t2_$k AS MATERIALIZED (SELECT f.r AS i, CAST(sum(f.cm * v.v) AS BIGINT) AS t
+           |  FROM covf f JOIN w${k - 1} v ON v.i = f.c GROUP BY 1),
+           |o2_$k AS MATERIALIZED (SELECT
+           |    CAST(sum(($shrinkT) * u.v) AS BIGINT) AS num,
+           |    CAST(sum(u.v * u.v) AS BIGINT) AS den
+           |  FROM t2_$k JOIN v$vrounds u USING (i)),
+           |a2_$k AS MATERIALIZED (SELECT
+           |    CAST(round(CAST(num AS DOUBLE) * 1000000 / den) AS BIGINT) AS alpha
+           |  FROM o2_$k),
+           |d2_$k AS MATERIALIZED (SELECT t.i, t.t - a.alpha * u.v AS t
+           |  FROM t2_$k t JOIN v$vrounds u USING (i) CROSS JOIN a2_$k a),
+           |n2_$k AS MATERIALIZED (SELECT
+           |    CAST(sum((abs(t) // 100000) * (abs(t) // 100000)) AS BIGINT) AS ss
+           |  FROM d2_$k),
+           |w$k AS MATERIALIZED (SELECT i,
+           |    CAST(round(CAST(t AS DOUBLE) * 10.0 / sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS v
+           |  FROM d2_$k CROSS JOIN n2_$k)""".stripMargin
+      }).mkString(",\n")
+  }
+
   private def bpeRunpar(sym: String): String =
     s"""(i - coalesce(list_max(list_filter(range(1, CAST(i AS INTEGER) + 1),
        |   j -> syms[CAST(j AS INTEGER)] <> $sym)), 0)) % 2""".stripMargin
@@ -1942,6 +1990,36 @@ object PipelineQueries {
          |SELECT lambda_micro, trace_micro,
          |       (lambda_micro * 1000) // trace_micro AS explained_permille
          |FROM lam CROSS JOIN tr""".stripMargin,
+
+    // Second-component mirror: the full v-chain, then the deflated
+    // w-chain, then λ2 Rayleigh + the v1·v2 residual cross-term.
+    "embed_pca_power2" ->
+      s"""WITH ${pcaCovCtes(64)},
+         |${pcaPowerCtes(30)},
+         |${pcaPower2Ctes(30, 30)},
+         |tF2 AS MATERIALIZED (SELECT f.r AS i, CAST(sum(f.cm * v.v) AS BIGINT) AS t
+         |  FROM covf f JOIN w30 v ON v.i = f.c GROUP BY 1),
+         |ray2 AS MATERIALIZED (SELECT
+         |    CAST(sum((CASE WHEN t < 0 THEN -(abs(t) // 1000000)
+         |              ELSE abs(t) // 1000000 END) * v.v) AS BIGINT) AS num,
+         |    CAST(sum(v.v * v.v) AS BIGINT) AS den
+         |  FROM tF2 JOIN w30 v USING (i)),
+         |cr AS (SELECT CAST(sum(a.v * b.v) AS BIGINT) AS cx
+         |       FROM v30 a JOIN w30 b USING (i))
+         |SELECT w.i, w.v AS v_micro,
+         |       CAST(round(CAST(num AS DOUBLE) * 1000000 / den) AS BIGINT)
+         |         AS lambda_micro,
+         |       CASE WHEN cx < 0 THEN -(abs(cx) // 1000000)
+         |            ELSE abs(cx) // 1000000 END AS cross_micro
+         |FROM w30 w CROSS JOIN ray2 CROSS JOIN cr ORDER BY w.i""".stripMargin,
+
+    // Merge-face mirror: the ORACLE computes the direct full-corpus
+    // covariance; the engine arrives via two partial censuses merged
+    // cell-wise — equality proves merge == rebuild.
+    "pca_census_merge" ->
+      s"""WITH ${pcaCovCtes(64)}
+         |SELECT cov.i, cov.j, n.n AS n, cov.cm AS cov_micro
+         |FROM cov CROSS JOIN nrows n ORDER BY cov.i, cov.j""".stripMargin,
 
     "embed_pca_project" ->
       s"""WITH ${pcaCovCtes(64)},

@@ -74,6 +74,42 @@ class PcaSpec extends SparkSpec {
     assert(pm > 15L && pm < 200L)
   }
 
+  test("secondComponent: deflation finds the runner-up axis, orthogonal to v1") {
+    // Same clean fixture as the top-component test: axis 0 carries
+    // var 0.16, axis 1 var 0.04 — v2 must land on axis 1 with λ2 ≈
+    // 40000 micro, and the residual cross-term must vanish.
+    val rows = (0 until 16).map { k =>
+      val s = if (k % 2 == 0) 1f else -1f
+      (k.toLong, Seq(s * 0.4f, (if (k % 4 < 2) 1f else -1f) * 0.2f, 0f, 0f))
+    }
+    val (v2, lambda2, cross) = Pca.secondComponent(embDf(rows), d = 4)
+    assert(math.abs(math.abs(v2(1)) - 1000000L) < 2000L)
+    assert(math.abs(v2(0)) < 20000L && math.abs(v2(2)) < 2000L)
+    assert(math.abs(lambda2 - 40000L) < 2000L)
+    assert(math.abs(cross) <= 1000L)
+  }
+
+  test("second component on the real fixture: lambda2 <= lambda1, near-orthogonal") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (_, l1, _) = Pca.topComponent(emb)
+    val (_, l2, cross) = Pca.secondComponent(emb)
+    assert(l2 <= l1 && l2 > 0)
+    // cross is v1·v2 div 1e6; unit-scale vectors have v'v ~ 1e12, so
+    // |cross| ≤ 1e4 means cos angle ≤ ~1e-2.
+    assert(math.abs(cross) < 10000L)
+  }
+
+  test("census merge == rebuild (incremental-ingest contract)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val merged = Pca.covarianceFromCensus(Pca.mergeCensus(Seq(
+      Pca.covarianceCensus(emb.filter(col("vec_id") % 5 =!= 0)),
+      Pca.covarianceCensus(emb.filter(col("vec_id") % 5 === 0)))))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val direct = Pca.covarianceCells(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(merged == direct)
+  }
+
   test("covarianceCells rejects out-of-contract width") {
     val df = embDf(Seq((1L, Seq(0.1f, 0.2f))))
     intercept[IllegalArgumentException] {
