@@ -106,4 +106,35 @@ class ScanAuditSpec extends SparkSpec {
     assert(scans2 <= 6,
       s"ann_ivfadc plans $scans2 parquet scans (want <= 6)")
   }
+
+  test("PCA census is one pruned scan; projection plans no join and no second scan") {
+    // covariance census: ONE corpus pass, embedding column only, and
+    // the d(d+1)/2+d cell aggregation must carry a partial_ stage
+    // (map-side combine is what bounds the shuffle at census size).
+    val cov = {
+      val df = operators.Pca.covarianceCells(
+        Tables.load(spark, sfDir, "embeddings"))
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    assert("Scan parquet".r.findAllIn(cov).size == 1,
+      s"covariance census re-scans the corpus:\n$cov")
+    val covScan = cov.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(covScan.exists(_.contains("embedding")) &&
+      !covScan.exists(_.contains("label")),
+      s"census scan not pruned to the embedding column:\n$covScan")
+    assert(cov.contains("partial_"),
+      s"census aggregation lost map-side partials:\n$cov")
+    // the projection face: the returned plan must be scan → kernel
+    // projection → sort. No join (the vector is a literal), no second
+    // corpus scan (the census pass happened at build time, not in THIS
+    // plan), no RDD barrier.
+    val proj = planOf("embed_pca_project").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(proj).size == 1,
+      s"projection plans extra scans:\n$proj")
+    assert(!proj.toLowerCase.contains("join"),
+      s"projection plans a join against the component vector:\n$proj")
+    assert(!proj.contains("ExistingRDD"),
+      s"projection plans an RDD barrier:\n$proj")
+  }
 }
