@@ -277,6 +277,51 @@ object Pca {
       .toDF("lambda_micro", "trace_micro", "explained_permille")
   }
 
+  /** Per-dimension z-score standardization (whitening without
+    * rotation) — the feature-normalization step before any
+    * distance-based downstream (ANN, clustering, dedup): zᵢ =
+    * (xᵢ − μᵢ)/σᵢ in integer MILLI units, plus the per-vector count of
+    * |z| > 3σ cells (`n_out3` — the cheap per-row outlier gauge).
+    *
+    * μ and σ come from ONE collected census (the same d-bounded driver
+    * state as [[topComponent]]), quantized once to micro units; the
+    * standardization itself is a per-row map against two literal
+    * arrays — no join, no shuffle, the 100 TB path. Zero-variance
+    * dimensions are rejected loudly (a constant column has no z-score;
+    * silently emitting ±inf would poison every downstream distance).
+    */
+  def standardize(embeddings: DataFrame, d: Int = Dim): DataFrame = {
+    val census = covarianceCensus(embeddings, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = census(0)._1
+    val s1 = Array.tabulate(d)(i => census(d * d + i)._2)
+    val mu = s1.map(s => rnd(s.toDouble / n))
+    val sg = Array.tabulate(d) { i =>
+      val s2 = census(i * d + i)._2
+      // the SAME finished-cell expression as covarianceFromCensus
+      val cm = rnd((s2.toDouble - s1(i).toDouble * s1(i) /
+        (n.toDouble * 1000000)) / n)
+      rnd(math.sqrt(cm.toDouble * 1000000))
+    }
+    require(sg.forall(_ > 0L),
+      s"standardize: zero-variance dimension(s) ${sg.indexWhere(_ <= 0L)}")
+    val muLit = mu.mkString("array(", "L, ", "L)")
+    val sgLit = sg.mkString("array(", "L, ", "L)")
+    val zArr =
+      s"""zip_with(zip_with(embedding, $muLit,
+         |  (x, m) -> cast(round(cast(x as double) * 1000000) as bigint) - m),
+         |  $sgLit,
+         |  (nm, sg) -> cast(round(cast(nm as double) * 1000 / sg) as bigint))
+         |""".stripMargin
+    graft.Tables.spread(embeddings)
+      .select(col("vec_id"), expr(zArr).as("__z"))
+      .select(col("vec_id"),
+        expr("array_join(__z, ' ')").as("z"),
+        expr("cast(size(filter(__z, a -> abs(a) > 3000)) as bigint)")
+          .as("n_out3"))
+      .orderBy("vec_id")
+  }
+
   /** The corpus projected onto the learned component: (vec_id,
     * pc1_micro) with pc1_micro = round(Σᵢ round(xᵢ·1e6)·vᵢ / 1e6) —
     * the rounding spelled as exact integer half-away-from-zero

@@ -662,6 +662,11 @@ object PipelineQueries {
     // cross_micro column pins v1·v2 ~ 0.
     "embed_pca_power2" -> ((s, dir) => Pca.secondComponentDf(emb(s, dir))),
 
+    // Per-dimension z-score standardization from the census μ/σ —
+    // per-row map against literal arrays, plus the |z|>3σ outlier
+    // count per vector.
+    "embed_standardize" -> ((s, dir) => Pca.standardize(emb(s, dir))),
+
     // Incremental-ingest face of the covariance census: standing 4/5
     // and delta 1/5 census separately, merge cell-wise, finish — must
     // equal the direct full-corpus covariance (merge == rebuild, the
@@ -2012,6 +2017,27 @@ object PipelineQueries {
          |       CASE WHEN cx < 0 THEN -(abs(cx) // 1000000)
          |            ELSE abs(cx) // 1000000 END AS cross_micro
          |FROM w30 w CROSS JOIN ray2 CROSS JOIN cr ORDER BY w.i""".stripMargin,
+
+    // Standardization mirror: μ = round(s1/n) micro, σ = round(√(cov·1e6))
+    // micro from the census diagonal, z in milli via the identical
+    // double expression; the per-vector string aggregates in i order.
+    "embed_standardize" ->
+      s"""WITH ${pcaCovCtes(64)},
+         |mu AS (SELECT i, CAST(round(CAST(s1 AS DOUBLE) / n.n) AS BIGINT) AS mu
+         |       FROM s1 CROSS JOIN nrows n),
+         |sg AS (SELECT i, CAST(round(sqrt(CAST(cm AS DOUBLE) * 1000000)) AS BIGINT) AS sg
+         |       FROM cov WHERE i = j),
+         |z AS (SELECT e.vec_id, d.i,
+         |        CAST(round(CAST(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE)
+         |          * 1000000) AS BIGINT) - mu.mu AS DOUBLE) * 1000 / sg.sg)
+         |          AS BIGINT) AS zm
+         |      FROM embeddings e CROSS JOIN dims d
+         |      JOIN mu ON mu.i = d.i JOIN sg ON sg.i = d.i)
+         |SELECT vec_id,
+         |       string_agg(CAST(zm AS VARCHAR), ' ' ORDER BY i) AS z,
+         |       CAST(sum(CASE WHEN abs(zm) > 3000 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_out3
+         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Merge-face mirror: the ORACLE computes the direct full-corpus
     // covariance; the engine arrives via two partial censuses merged

@@ -116,4 +116,32 @@ class PcaSpec extends SparkSpec {
       Pca.covarianceCells(df, d = 65)
     }
   }
+
+  test("standardize: z-scores center, scale, and flag the planted outlier") {
+    // dim 0: values 0.1/0.3 alternating (μ=0.2, σ=0.1) except one
+    // far-out row at 0.9 which must carry z > 3σ; dim 1 constant-ish
+    // with variance (else the operator rejects).
+    val base = (0 until 20).map { k =>
+      (k.toLong, Seq(if (k % 2 == 0) 0.1f else 0.3f,
+        if (k % 2 == 0) -0.5f else 0.5f))
+    }
+    val rows = base :+ (99L, Seq(0.9f, 0.5f))
+    val out = Pca.standardize(embDf(rows), d = 2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(99L)._2 == 1L) // only dim 0 is beyond 3σ for the outlier
+    assert(base.forall { case (id, _) => out(id.toLong)._2 == 0L })
+    // z of the planted row on dim 0 is strongly positive; a below-mean
+    // row is negative — read back from the milli string
+    val z99 = out(99L)._1.split(" ").map(_.toLong)
+    val z0 = out(0L)._1.split(" ").map(_.toLong)
+    assert(z99(0) > 3000L && z0(0) < 0L)
+  }
+
+  test("standardize rejects a zero-variance dimension loudly") {
+    val rows = (0 until 8).map(k => (k.toLong, Seq(k * 0.1f, 0.5f)))
+    val ex = intercept[IllegalArgumentException] {
+      Pca.standardize(embDf(rows), d = 2)
+    }
+    assert(ex.getMessage.contains("zero-variance"))
+  }
 }
