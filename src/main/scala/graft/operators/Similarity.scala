@@ -565,6 +565,69 @@ object Similarity {
       .select(col("cid"), expr("transform(pc, x -> x.c)").as("cv"))
   }
 
+  /** Multi-round spherical k-means (Lloyd) TRAINING CURVE — the full
+    * quantizer-training loop behind [[ivfTopKKmeans]]'s single step,
+    * exposed as a relation: per round and per cluster, the member count
+    * and the cohesion Σ round(cos(x, centroid), 6)·1e6 (exact long —
+    * the spherical-k-means objective in micro units). Spherical Lloyd
+    * (Dhillon & Modha 2001) is the cosine-space standard; assignment
+    * maximizes cosine (the same codegen'd `ivf_assign` kernel and
+    * (score DESC, cid ASC) order as every IVF face) and the update is
+    * the member MEAN with DECIMAL(27,10)-exact component sums, so every
+    * round is bit-reproducible and the oracle unrolls the whole loop.
+    *
+    * Scale posture: each round is ONE corpus pass against broadcast
+    * literal centroids plus a census-sized aggregation; the only driver
+    * state is the nCentroids×dim codebook (the training loop IS
+    * codebook training). Clusters that lose all members die (their cid
+    * simply stops appearing) — the standard small-k hazard, visible in
+    * the curve rather than papered over.
+    */
+  def kmeansTrainCurve(embeddings: DataFrame, nCentroids: Int = 16,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"kmeansTrainCurve: rounds=$rounds")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var cents = collectVecs(centroidSeed(embeddings, nCentroids), nCentroids)
+    val perRound = Seq.newBuilder[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      val assigned = ivfAssignTo(cents, embeddings, 1, "c")
+      val centsDf = broadcast(cents.toSeq
+        .map(c => (c.id, c.v.toSeq, c.norm)).toDF("cid", "cv", "cnrm"))
+      val scored = assigned.join(centsDf, "cid")
+        .withColumn("score", round(
+          expr("aggregate(zip_with(c_emb, cv, (a, b) -> cast(a as double) * b)," +
+            " cast(0 as double), (acc, p) -> acc + p)") /
+            (col("c_nrm") * col("cnrm")), 6))
+        .withColumn("micro",
+          round(col("score") * lit(1000000)).cast("long"))
+      perRound += scored.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum(col("micro")).as("cohesion_micro"))
+        .withColumn("round", lit(r))
+        .select("round", "cid", "n_members", "cohesion_micro")
+      if (r < rounds) {
+        val comp = assigned
+          .select(col("cid"), posexplode(col("c_emb"))).toDF("cid", "pos", "v")
+          .groupBy("cid", "pos")
+          .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+            count(lit(1))).as("c"))
+        cents = comp.groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("cid"), expr("transform(pc, x -> x.c)").as("cv"))
+          .collect()
+          .map { row =>
+            val v = row.getSeq[Double](1).toArray
+            var n2 = 0d; var i = 0
+            while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+            Vec(row.getLong(0), v, math.sqrt(n2))
+          }.sortBy(_.id)
+      }
+      r += 1
+    }
+    perRound.result().reduce(_ unionByName _).orderBy("round", "cid")
+  }
+
   /** [[ivfTopK]] with the one-iteration k-means quantizer: lists and
     * probes assign against [[refinedCentroids]] (collected/broadcast —
     * nCentroids rows by construction); pair scoring stays on the original

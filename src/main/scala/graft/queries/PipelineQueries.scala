@@ -773,6 +773,12 @@ object PipelineQueries {
       Similarity.signLshTopKBanded(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    // The FULL quantizer-training loop as a relation: 3 spherical-Lloyd
+    // rounds, per-round per-cluster member counts and micro-unit
+    // cohesion — the training curve (Similarity.kmeansTrainCurve).
+    "kmeans_train_curve" -> ((s, dir) =>
+      Similarity.kmeansTrainCurve(emb(s, dir), 16, 3)),
+
     "dedup_jaccard_capped" -> ((s, dir) =>
       Dedup.jaccardNearDups(docs(s, dir), 0.5, maxBucket = Some(5))
         .orderBy("doc_a", "doc_b")),
@@ -1775,6 +1781,50 @@ object PipelineQueries {
        |  FROM sc)
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Unrolled spherical-Lloyd mirror (Similarity.kmeansTrainCurve):
+    * per round an assignment (cosine, (s DESC, cid) order), a stats
+    * census over round(round(s,6)·1e6), and a DECIMAL-exact mean
+    * update feeding the next round's centroid relation.
+    */
+  private def kmeansCurveOracle(rounds: Int): String = {
+    val dims = "kdims AS (SELECT unnest(range(1, (SELECT len(embedding) " +
+      "FROM embeddings LIMIT 1) + 1)) AS pos)"
+    val body = (1 to rounds).map { r =>
+      val update =
+        if (r == rounds) ""
+        else s""",
+          |comp$r AS MATERIALIZED (
+          |  SELECT a.cid, d.pos,
+          |         CAST(SUM(CAST(e.v[CAST(d.pos AS INTEGER)] AS DECIMAL(27,10))) AS DOUBLE)
+          |           / COUNT(*) AS c
+          |  FROM a$r a JOIN e ON e.vec_id = a.vec_id CROSS JOIN kdims d
+          |  GROUP BY a.cid, d.pos),
+          |cent${r + 1} AS MATERIALIZED (
+          |  SELECT cid, list(c ORDER BY pos) AS cv FROM comp$r GROUP BY cid)""".stripMargin
+      s"""sim$r AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid, ${cosOf("e.v", "c.cv")} AS s
+         |  FROM e, cent$r c),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, cid, s FROM (
+         |    SELECT vec_id, cid, s,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim$r) WHERE rn = 1),
+         |st$r AS (
+         |  SELECT $r AS round, cid, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(CAST(round(round(s, 6) * 1000000) AS BIGINT)) AS BIGINT)
+         |           AS cohesion_micro
+         |  FROM a$r GROUP BY 2)$update""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |cent1 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$dims,
+       |$body
+       |SELECT * FROM (${(1 to rounds).map(r => s"SELECT * FROM st$r")
+        .mkString(" UNION ALL ")})
+       |ORDER BY round, cid""".stripMargin
+  }
 
   private lazy val annIvfOracle: String =
     s"""WITH $embCte,
@@ -3071,6 +3121,8 @@ object PipelineQueries {
     "ann_lsh" -> annLshOracle,
 
     "ann_ivf" -> annIvfOracle,
+
+    "kmeans_train_curve" -> kmeansCurveOracle(3),
 
     // RRF mirror: both full index pipelines as subqueries, identical
     // per-term integer flooring.

@@ -450,6 +450,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansTrainCurve: cohesion ascends and the clean two-cluster fixture separates") {
+    // Two tight cosine clusters with jitter: Lloyd must end with every
+    // member at cos ~1 to its centroid, and the spherical objective
+    // (total cohesion) must not decrease round over round (the Lloyd
+    // ascent property; micro-quantization noise is bounded by n).
+    val rows = (0L until 60L).map { i =>
+      if (i % 2 == 0) (i, Array(1f, (i % 7).toFloat / 100f, 0f, 0f))
+      else (i, Array(0f, 0f, 1f, (i % 5).toFloat / 100f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val curve = Similarity.kmeansTrainCurve(emb, nCentroids = 4, rounds = 3)
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(rs => (rs.map(_.getLong(2)).sum,
+        rs.map(_.getLong(3)).sum)).toMap
+    // every round covers the whole corpus exactly once
+    assert(curve.values.forall(_._1 == 60L))
+    val coh = (1 to 3).map(r => curve(r)._2)
+    assert(coh(1) >= coh(0) - 60L && coh(2) >= coh(1) - 60L,
+      s"cohesion regressed: $coh")
+    // converged: mean cosine within 1% of perfect
+    assert(coh(2) > 60L * 990000L, s"final cohesion too low: ${coh(2)}")
+  }
+
   test("ivfTopKFrom over a materialized index equals ivfTopK") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val idx = Similarity.ivfIndex(emb).persist() // caller-owned, as per contract
