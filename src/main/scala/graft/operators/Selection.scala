@@ -312,4 +312,42 @@ object Selection {
         col("top_tok"))
       .orderBy("source")
   }
+
+  /** Heaps'-law vocabulary-growth curve: the corpus in `buckets`
+    * doc-id-ordered increments, and per increment the cumulative token
+    * count, the NEW distinct types it contributes (types whose first
+    * occurrence lands in it), and the cumulative vocabulary — the
+    * "what does the next data increment buy" gauge for dataset-growth
+    * planning (Heaps/Herdan: V(n) ~ K·nᵝ; a flattening curve means
+    * more data adds occurrences, not coverage).
+    *
+    * Scale posture: one token census keyed by token (min-bucket +
+    * count — vocabulary-sized, one shuffle), one buckets-sized window
+    * for the cumulative sums. Everything is exact integer counts; the
+    * bucket rule `least(buckets-1, id·buckets div (max+1))` is integer
+    * arithmetic off the 1-row max, broadcast via the pmod-one key.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"vocabGrowth: buckets=$buckets")
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+      .withColumn("__one", pmod(col("mx"), lit(1L)))
+    val toks = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("__one", pmod(col("doc_id"), lit(1L)))
+      .join(broadcast(mx), "__one").drop("__one")
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          expr(s"doc_id * $buckets div (mx + 1)")).cast("int"))
+    val occ = toks.groupBy("bucket").agg(count(lit(1)).as("n_occ"))
+    val types = toks.groupBy("tok").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_types_new"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    occ.join(types, Seq("bucket"), "left")
+      .withColumn("n_types_new", coalesce(col("n_types_new"), lit(0L)))
+      .withColumn("n_tokens_cum", sum(col("n_occ")).over(w))
+      .withColumn("n_types_cum", sum(col("n_types_new")).over(w))
+      .select("bucket", "n_occ", "n_tokens_cum", "n_types_new", "n_types_cum")
+      .orderBy("bucket")
+  }
 }

@@ -648,6 +648,11 @@ object PipelineQueries {
     // DoReMi-style re-weighting reads.
     "source_token_kl" -> ((s, dir) => Selection.sourceTokenKl(docs(s, dir))),
 
+    // Heaps'-law vocabulary growth: the corpus in 10 doc-id-ordered
+    // increments; per increment, cumulative tokens, NEW types, and
+    // cumulative vocabulary (Selection.vocabGrowth scaladoc).
+    "vocab_growth" -> ((s, dir) => Selection.vocabGrowth(docs(s, dir), 10)),
+
     // PCA family (Pca.scala scaladoc): exact-integer covariance census
     // in one corpus scan; quantized power iteration on the collected
     // census (bounded codebook contract, bit-replayed by the oracle's
@@ -2015,6 +2020,28 @@ object PipelineQueries {
         |SELECT source, n_tokens, n_distinct,
         |       round(CAST(kl AS DOUBLE) / 1000000000, 6) AS kl_nats, top_tok
         |FROM g JOIN top USING (source) ORDER BY source""".stripMargin,
+
+    // Heaps-curve mirror: identical integer bucket rule off the 1-row
+    // max, min-bucket-per-token census, cumulative window sums.
+    "vocab_growth" ->
+      """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents),
+        |tb AS (SELECT CAST(least(9, doc_id * 10 // (mx.mx + 1)) AS INTEGER)
+        |         AS bucket, tok
+        |       FROM t CROSS JOIN mx),
+        |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_occ
+        |        FROM tb GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types_new, bucket FROM (
+        |         SELECT tok, min(bucket) AS bucket FROM tb GROUP BY tok)
+        |       GROUP BY bucket)
+        |SELECT occ.bucket, occ.n_occ,
+        |       CAST(sum(occ.n_occ) OVER (ORDER BY occ.bucket
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens_cum,
+        |       CAST(coalesce(ty.n_types_new, 0) AS BIGINT) AS n_types_new,
+        |       CAST(sum(coalesce(ty.n_types_new, 0)) OVER (ORDER BY occ.bucket
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_cum
+        |FROM occ LEFT JOIN ty USING (bucket) ORDER BY occ.bucket""".stripMargin,
 
     // PCA mirrors: the covariance census alone; + the 30-round unrolled
     // quantized power chain; + Rayleigh variance accounting; + the

@@ -112,6 +112,26 @@ class SelectionSpec extends SparkSpec {
     assert(ids == Set(2L))
   }
 
+  test("vocabGrowth: cumulative counts reconcile and repeated text stops adding types") {
+    // Buckets 0-1 introduce the whole vocabulary; the later docs only
+    // repeat it, so n_types_new must go to zero while tokens keep
+    // accumulating — the Heaps flattening the gauge exists to show.
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (3L, "delta epsilon"),
+      (6L, "alpha beta delta"),
+      (9L, "gamma gamma epsilon")).toDF("doc_id", "text")
+    val out = Selection.vocabGrowth(docs, buckets = 4).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bucket rule: id*4 div 10 -> 0,1,2,3
+    assert(out.keySet == Set(0, 1, 2, 3))
+    assert(out(0) == ((3L, 3L, 3L, 3L)))
+    assert(out(1) == ((2L, 5L, 2L, 5L)))
+    assert(out(2)._3 == 0L && out(3)._3 == 0L) // nothing new after b1
+    assert(out(3)._2 == 11L && out(3)._4 == 5L) // totals reconcile
+  }
+
   test("sourceTokenKl: corpus-typical source ~0, drifted source > it, argmax attributes") {
     // Sources A and B have the corpus-typical mix; C is dominated by a
     // token that is rare corpus-wide — C must carry the largest KL and
