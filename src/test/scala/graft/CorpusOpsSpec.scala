@@ -505,14 +505,15 @@ class BpeTrainSpec extends SparkSpec {
   }
 
   test("bpe fertility: the trained-for language compresses, the unseen one pays") {
-    // Trainer learns (t,h) then (th,e) from the 'en' mass; 'zz' words
-    // share no pairs with the merges, so every character stays a token:
+    // TWO rounds learn (t,h) then (th,e) from the 'en' mass and stop
+    // before the rare 'zz' pairs would merge, so every 'zz' character
+    // stays a token:
     //   en: "the"x10 -> 1 sym each: syms 10, chars 30, words 10
     //   zz: "qk xv"x2 -> 2 syms per 2-char word: syms 8, chars 8, words 4
     val docs = (Seq.fill(10)(("the", "en")) ++ Seq.fill(2)(("qk xv", "zz")))
       .zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
       .toDF("doc_id", "text", "lang")
-    val out = graft.operators.Lexicon.fertilityByLang(docs, 3).collect()
+    val out = graft.operators.Lexicon.fertilityByLang(docs, 2).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))).toMap
