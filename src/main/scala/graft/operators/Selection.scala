@@ -313,6 +313,53 @@ object Selection {
       .orderBy("source")
   }
 
+  /** Zipf power-law gauge: OLS slope (and fit quality) of the
+    * rank-frequency census in log-log space over the top `topR` ranks —
+    * natural text sits near slope −1 with a tight fit; a corpus whose
+    * slope or r² drifts (template spam flattens it, deduplication
+    * residue steepens it) is flagged by ONE number per snapshot.
+    *
+    * Scale posture: the census is vocabulary-sized; the top-`topR`
+    * selection is a TakeOrdered (never a global sort), and the window
+    * that assigns ranks runs over `topR` rows only. Determinism: each
+    * point's (ln rank, ln cnt) quantizes to integer MICRO once, the
+    * OLS sums are exact longs (ln cnt ≤ ~30 even at 10¹² tokens ⇒
+    * y ≤ 3e7 micro, n·Σy² ≤ topR²·9e14 — long-safe for topR ≤ 100),
+    * and slope/r² are single double expressions over those longs. A
+    * zero y-variance census (all top counts equal) yields NULL r²
+    * rather than a cross-engine infinity.
+    */
+  def zipfSlope(docs: DataFrame, topR: Int = 100): DataFrame = {
+    require(topR >= 3 && topR <= 100, s"zipfSlope: topR=$topR")
+    val census = graft.Tables.spread(docs)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val top = census.orderBy(col("cnt").desc, col("tok")).limit(topR)
+    val W = org.apache.spark.sql.expressions.Window
+    val pts = top
+      .withColumn("rnk", row_number().over(
+        W.orderBy(col("cnt").desc, col("tok"))))
+      .select(
+        round(log(col("rnk").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n"),
+        round(col("num").cast("double") * lit(1000) / col("denx"))
+          .cast("long").as("slope_milli"),
+        when(col("deny") === 0, lit(null).cast("long"))
+          .otherwise(round(col("num").cast("double") * col("num") * lit(1000)
+            / (col("denx").cast("double") * col("deny"))).cast("long"))
+          .as("r2_permille"))
+  }
+
   /** Heaps'-law vocabulary-growth curve: the corpus in `buckets`
     * doc-id-ordered increments, and per increment the cumulative token
     * count, the NEW distinct types it contributes (types whose first

@@ -648,6 +648,10 @@ object PipelineQueries {
     // DoReMi-style re-weighting reads.
     "source_token_kl" -> ((s, dir) => Selection.sourceTokenKl(docs(s, dir))),
 
+    // Zipf power-law gauge: OLS slope + r² of the top-100
+    // rank-frequency census in log-log space (Selection.zipfSlope).
+    "zipf_slope" -> ((s, dir) => Selection.zipfSlope(docs(s, dir), 100)),
+
     // Heaps'-law vocabulary growth: the corpus in 10 doc-id-ordered
     // increments; per increment, cumulative tokens, NEW types, and
     // cumulative vocabulary (Selection.vocabGrowth scaladoc).
@@ -2020,6 +2024,31 @@ object PipelineQueries {
         |SELECT source, n_tokens, n_distinct,
         |       round(CAST(kl AS DOUBLE) / 1000000000, 6) AS kl_nats, top_tok
         |FROM g JOIN top USING (source) ORDER BY source""".stripMargin,
+
+    // Zipf mirror: identical micro-quantized log-log points, exact-long
+    // OLS sums, identical double expressions; NULL r² on zero variance.
+    "zipf_slope" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+        |      FROM c),
+        |p AS (SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+        |             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+        |      FROM r WHERE rnk <= 100),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x*y) AS BIGINT) AS sxy,
+        |             CAST(sum(x*x) AS BIGINT) AS sxx,
+        |             CAST(sum(y*y) AS BIGINT) AS syy FROM p),
+        |f AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS denx,
+        |             n*syy - sy*sy AS deny FROM s)
+        |SELECT n,
+        |  CAST(round(CAST(num AS DOUBLE) * 1000 / denx) AS BIGINT) AS slope_milli,
+        |  CASE WHEN deny = 0 THEN NULL
+        |       ELSE CAST(round(CAST(num AS DOUBLE) * num * 1000
+        |            / (CAST(denx AS DOUBLE) * deny)) AS BIGINT)
+        |  END AS r2_permille
+        |FROM f""".stripMargin,
 
     // Heaps-curve mirror: identical integer bucket rule off the 1-row
     // max, min-bucket-per-token census, cumulative window sums.

@@ -112,6 +112,25 @@ class SelectionSpec extends SparkSpec {
     assert(ids == Set(2L))
   }
 
+  test("zipfSlope: a planted power law reads back near -1 with a tight fit") {
+    // token k repeated floor(96/k) times -> cnt ~ 96/k, an exact
+    // rank-frequency power law up to integer flooring.
+    val text = (1 to 24).flatMap(k => Seq.fill(96 / k)(f"t$k%02d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Selection.zipfSlope(docs, topR = 24).collect()(0)
+    assert(r.getLong(0) == 24L)
+    val slope = r.getLong(1)
+    assert(slope > -1150L && slope < -850L, s"slope_milli=$slope")
+    assert(r.getLong(2) > 950L) // r² permille: near-perfect log-log line
+  }
+
+  test("zipfSlope: a flat census has slope 0 and NULL r2, not an infinity") {
+    val docs = Seq((1L, "aa bb cc dd aa bb cc dd")).toDF("doc_id", "text")
+    val r = Selection.zipfSlope(docs, topR = 4).collect()(0)
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(2))
+  }
+
   test("vocabGrowth: cumulative counts reconcile and repeated text stops adding types") {
     // Buckets 0-1 introduce the whole vocabulary; the later docs only
     // repeat it, so n_types_new must go to zero while tokens keep
