@@ -694,14 +694,7 @@ object Similarity {
   def semdedup(embeddings: DataFrame, threshold: Double,
                nCentroids: Int = 16): DataFrame = {
     val idx = ivfIndex(embeddings, nCentroids)
-    def side(p: String): DataFrame = idx.select(
-      col("cid"), col("c_id").as(s"${p}_id"), col("c_emb").as(s"${p}_emb"),
-      col("c_nrm").as(s"${p}_nrm"))
-    val cand = side("q").join(side("c").withColumnRenamed("cid", "cid2"),
-        col("cid") === col("cid2") && col("q_id") < col("c_id"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        col("c_id"), col("c_emb"), col("c_nrm"))
-    val votes = scorePairs(cand, Some(threshold))
+    val votes = scorePairs(clusterPairs(idx), Some(threshold))
       .groupBy(col("cand_id").as("vec_id"))
       .agg(count(lit(1)).as("n_dups"))
     idx.select(col("c_id").as("vec_id"), col("cid"))
@@ -709,5 +702,67 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("n_dups").isNotNull.as("dropped"))
+  }
+
+  /** Within-cluster candidate pairs of an [[ivfIndex]] relation (the
+    * SemDeDup pair bound) — shared by [[semdedup]] and
+    * [[semdedupSweep]] so the sweep measures exactly the pairs the
+    * face scores.
+    */
+  private def clusterPairs(idx: DataFrame): DataFrame = {
+    def side(p: String): DataFrame = idx.select(
+      col("cid"), col("c_id").as(s"${p}_id"), col("c_emb").as(s"${p}_emb"),
+      col("c_nrm").as(s"${p}_nrm"))
+    side("q").join(side("c").withColumnRenamed("cid", "cid2"),
+        col("cid") === col("cid2") && col("q_id") < col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id"), col("c_emb"), col("c_nrm"))
+  }
+
+  /** SemDeDup threshold OPERATING-POINT sweep — the dedup-rate curve
+    * the 0.4 default hides: for each cosine threshold (milli), how
+    * many within-cluster pairs clear it, how many vectors would drop
+    * (max incoming pair score ≥ t), and how many survive. ONE pair
+    * scoring pass (the same [[clusterPairs]] relation the face
+    * scores); the sweep itself runs off two BOUNDED histograms — pair
+    * scores and per-vector maxima, both bucketed at milli resolution —
+    * joined to the threshold list via the pmod-one key, so no
+    * corpus-sized relation is touched more than once. The
+    * `minhash_band_sweep` / `ivfadc_probe_sweep` pattern applied to
+    * the curation face.
+    */
+  def semdedupSweep(embeddings: DataFrame,
+                    thresholdsMilli: Seq[Long] = Seq(300L, 400L, 500L, 600L, 700L),
+                    nCentroids: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val scored = scorePairs(clusterPairs(ivfIndex(embeddings, nCentroids)), None)
+      .withColumn("micro", round(col("score") * lit(1000000)).cast("long"))
+      // milli bucket with FLOOR semantics for negatives: micro >= t*1000
+      // iff bucket >= t (thresholds are whole millis)
+      .withColumn("b", expr("cast(floor(micro / 1000.0) as bigint)"))
+    val pairHist = scored.groupBy("b").agg(count(lit(1)).as("np"))
+      .withColumn("__one", pmod(col("b"), lit(1L)))
+    val maxHist = scored.groupBy("cand_id").agg(max(col("b")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nd"))
+      .withColumn("__one", pmod(col("b"), lit(1L)))
+    val nv = embeddings.agg(count(lit(1)).as("n_vectors"))
+      .withColumn("__one", pmod(col("n_vectors"), lit(1L)))
+    val thr = thresholdsMilli.toDF("threshold_milli")
+      .withColumn("__one", pmod(col("threshold_milli"), lit(1L)))
+    val pairs = thr.join(pairHist, Seq("__one"), "left")
+      .groupBy("threshold_milli", "__one")
+      .agg(sum(when(col("b") >= col("threshold_milli"), col("np"))
+        .otherwise(0L)).as("n_pairs"))
+    val drops = thr.join(maxHist, Seq("__one"), "left")
+      .groupBy("threshold_milli", "__one")
+      .agg(sum(when(col("b") >= col("threshold_milli"), col("nd"))
+        .otherwise(0L)).as("n_dropped"))
+    pairs.join(drops, Seq("threshold_milli", "__one"))
+      .join(broadcast(nv), "__one").drop("__one")
+      .select(col("threshold_milli"), col("n_vectors"), col("n_pairs"),
+        col("n_dropped"),
+        (col("n_vectors") - col("n_dropped")).as("n_survivors"))
+      .orderBy("threshold_milli")
   }
 }

@@ -699,6 +699,12 @@ object PipelineQueries {
     "semdedup" -> ((s, dir) =>
       Similarity.semdedup(emb(s, dir), 0.4).orderBy("vec_id")),
 
+    // SemDeDup threshold operating-point sweep: per cosine threshold,
+    // cleared pairs / dropped vectors / survivors in one pair-scoring
+    // pass — the dedup-rate curve behind the 0.4 default (the
+    // band_sweep / probe_sweep pattern on the curation face).
+    "semdedup_sweep" -> ((s, dir) => Similarity.semdedupSweep(emb(s, dir))),
+
     "knn_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
@@ -2215,6 +2221,39 @@ object PipelineQueries {
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM m LEFT JOIN d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    // Sweep mirror: the same cluster-pair relation, per-threshold
+    // counts over micro-quantized scores and per-vector maxima.
+    "semdedup_sweep" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sim AS (
+         |  SELECT e.vec_id, cent.cid, ${cosOf("e.v", "cent.cv")} AS s
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sim) WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cid, e.v FROM assign a
+         |      JOIN e ON e.vec_id = a.vec_id),
+         |p AS (SELECT y.vec_id AS vid,
+         |        CAST(round(round(${cosOf("x.v", "y.v")}, 6) * 1000000) AS BIGINT)
+         |          AS micro
+         |      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |mx AS (SELECT vid, max(micro) AS mx FROM p GROUP BY vid),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+         |thr AS (SELECT CAST(unnest([300, 400, 500, 600, 700]) AS BIGINT)
+         |          AS threshold_milli)
+         |SELECT t.threshold_milli, nv.n_vectors,
+         |  CAST((SELECT count(*) FROM p
+         |        WHERE micro >= t.threshold_milli * 1000) AS BIGINT) AS n_pairs,
+         |  CAST((SELECT count(*) FROM mx
+         |        WHERE mx >= t.threshold_milli * 1000) AS BIGINT) AS n_dropped,
+         |  nv.n_vectors - CAST((SELECT count(*) FROM mx
+         |        WHERE mx >= t.threshold_milli * 1000) AS BIGINT) AS n_survivors
+         |FROM thr t CROSS JOIN nv ORDER BY t.threshold_milli""".stripMargin,
 
     "lang_confusion" ->
       s"""WITH li AS ($langIdSql)

@@ -450,6 +450,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semdedupSweep: monotone curve whose 400-milli row equals the shipped face") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val sweep = Similarity.semdedupSweep(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // raising the threshold can only shed pairs and drops
+    val ts = sweep.keys.toSeq.sorted
+    ts.sliding(2).foreach { case Seq(a, b) =>
+      assert(sweep(a)._1 >= sweep(b)._1 && sweep(a)._2 >= sweep(b)._2)
+    }
+    // the sweep's 0.4 operating point must equal the semdedup face
+    val dropped = Similarity.semdedup(emb, 0.4)
+      .filter(col("dropped")).count()
+    assert(sweep(400L)._2 == dropped,
+      s"sweep says ${sweep(400L)._2} dropped at 0.4, face says $dropped")
+    assert(sweep(400L)._3 == emb.count() - dropped)
+  }
+
   test("kmeansTrainCurve: cohesion ascends and the clean two-cluster fixture separates") {
     // Two tight cosine clusters with jitter: Lloyd must end with every
     // member at cos ~1 to its centroid, and the spherical objective
