@@ -25,7 +25,12 @@ object BenchScaling {
 
   private val Families = Seq("q1_pricing_summary", "hashdiff_lineitem",
     "row_diff", "dedup_minhash", "ann_ivfadc", "graph_triangles",
-    "pipeline_curate")
+    "pipeline_curate",
+    // r12 second-half families: the PCA census (per-row O(d²) work),
+    // the Lloyd loop (3 corpus passes), the bigram LM (pair-key
+    // shuffle join), and the SemDeDup sweep (cluster-bounded pairs).
+    "embed_covariance", "kmeans_train_curve", "bigram_ppl",
+    "semdedup_sweep")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
