@@ -110,6 +110,53 @@ class PcaSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("covariance census fuzz: exact match against an independent reference") {
+    // Seeded random float corpora vs a from-scratch driver computation
+    // of the same integer contract (round half-away-from-zero per-row
+    // products, exact long sums, the one finishing double expression).
+    val rnd = new scala.util.Random(20260814L)
+    def r0(x: Double): Long =
+      if (x < 0) -Math.round(-x) else Math.round(x)
+    (1 to 3).foreach { trial =>
+      val d = Seq(3, 5, 8)(trial - 1)
+      val n = 20 + trial * 7
+      val vecs = Seq.fill(n)(Array.fill(d)(rnd.nextFloat() * 2 - 1))
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+      val got = Pca.covarianceCells(df, d).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+      val s1 = Array.tabulate(d)(i =>
+        vecs.map(v => r0(v(i).toDouble * 1000000)).sum)
+      for (i <- 0 until d; j <- i until d) {
+        val s2 = vecs.map(v =>
+          r0(v(i).toDouble * v(j).toDouble * 1000000)).sum
+        val want = r0((s2.toDouble - s1(i).toDouble * s1(j) /
+          (n.toDouble * 1000000)) / n)
+        assert(got((i, j)) == want,
+          s"trial $trial cell ($i,$j): got ${got((i, j))} want $want")
+      }
+    }
+  }
+
+  test("streaming-style census accumulation: batch-by-batch merge == rebuild") {
+    // The incremental-ingest story end-to-end: the corpus arrives in 4
+    // arbitrary batches, each censuses ALONE, the running census folds
+    // batch censuses pairwise (as a foreachBatch sink would), and the
+    // fold must finish to the identical covariance relation as one
+    // rebuild over everything — regardless of batch sizes or order.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val batches = Seq(
+      emb.filter(col("vec_id") % 4 === 0), emb.filter(col("vec_id") % 4 === 2),
+      emb.filter(col("vec_id") % 4 === 3), emb.filter(col("vec_id") % 4 === 1))
+    val folded = batches.map(b => Pca.covarianceCensus(b))
+      .reduce((acc, b) => Pca.mergeCensus(Seq(acc, b)))
+    val got = Pca.covarianceFromCensus(folded).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val want = Pca.covarianceCells(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
   test("covarianceCells rejects out-of-contract width") {
     val df = embDf(Seq((1L, Seq(0.1f, 0.2f))))
     intercept[IllegalArgumentException] {
