@@ -277,6 +277,67 @@ object Pca {
       .toDF("lambda_micro", "trace_micro", "explained_permille")
   }
 
+  /** Johnson–Lindenstrauss random-projection distortion gauge — the
+    * DATA-INDEPENDENT counterpart of the PCA lanes: project with a
+    * deterministic Rademacher (±1) matrix (sign = popcount parity of
+    * the Knuth multiplicative hash of the cell index — replayable on
+    * both engines via bit_count, validated to track true-random JL
+    * spread; NO training pass over the corpus at all) and measure, over consecutive-id vector pairs, how
+    * far the projected squared distance drifts from the original at
+    * target dims {8, 16, 32}. E[‖P(a−b)‖²] = k·‖a−b‖² for Rademacher
+    * rows, so ratio_micro centers on 1e6 and its spread shrinks ~1/√k
+    * — the curve that says which target dim is safe before an ANN
+    * index is built on the projection.
+    *
+    * Per target dim: pair count, mean and max |ratio − 1e6|. EVERYTHING
+    * up to the single ratio division is exact long arithmetic (the ±1
+    * matrix means the projection is integer sums of the micro-quantized
+    * inputs — no doubles at all), so both engines agree bit-for-bit.
+    * One corpus pass for the projection, one id-shifted self-join for
+    * the pairs, a 3-entry explode for the targets.
+    */
+  def jlDistortion(embeddings: DataFrame, d: Int = Dim,
+                   targets: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t >= 1 && t <= 64),
+      s"jlDistortion: targets=$targets")
+    val kMax = targets.max
+    val proj =
+      s"""transform(sequence(0, ${kMax - 1}), k ->
+         |  aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
+         |    acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
+              then 1L else -1L end)
+         |      * cast(round(cast(embedding[i] as double) * 1000000) as bigint)))
+         |""".stripMargin
+    val xq =
+      s"""transform(sequence(0, ${d - 1}), i ->
+         |  cast(round(cast(embedding[i] as double) * 1000000) as bigint))
+         |""".stripMargin
+    val side = graft.Tables.spread(embeddings)
+      .select(col("vec_id"), expr(proj).as("z"), expr(xq).as("x"))
+    val pairs = side.alias("a")
+      .join(side.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("pair_id"),
+        expr("zip_with(a.z, b.z, (p, q) -> p - q)").as("dz"),
+        expr("aggregate(zip_with(a.x, b.x, (p, q) -> (p - q) * (p - q)), " +
+          "0L, (acc, v) -> acc + v)").as("do2"))
+      .filter(col("do2") > 0L) // identical vectors carry no distance signal
+    val kt = targets.map(_.toLong).mkString("array(", "L, ", "L)")
+    val dev = pairs
+      .select(col("pair_id"), col("do2"), explode(expr(
+        s"""transform($kt, t -> named_struct(
+           |  'k', t,
+           |  'dp2', aggregate(slice(dz, 1, cast(t as int)), 0L,
+           |           (acc, v) -> acc + v * v)))""".stripMargin)).as("s"))
+      .select(col("s.k").as("target_dim"),
+        expr("abs(cast(round(cast(s.dp2 as double) * 1000000" +
+          " / (s.k * do2)) as bigint) - 1000000)").as("dev"))
+    dev.groupBy("target_dim")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(dev) div count(1)").as("mean_dev_micro"),
+        max(col("dev")).as("max_dev_micro"))
+      .orderBy("target_dim")
+  }
+
   /** Per-dimension z-score standardization (whitening without
     * rotation) — the feature-normalization step before any
     * distance-based downstream (ANN, clustering, dedup): zᵢ =

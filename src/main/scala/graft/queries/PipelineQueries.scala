@@ -671,6 +671,11 @@ object PipelineQueries {
     // cross_micro column pins v1·v2 ~ 0.
     "embed_pca_power2" -> ((s, dir) => Pca.secondComponentDf(emb(s, dir))),
 
+    // JL random-projection distortion: ratio of projected to original
+    // squared pair distance at target dims {8,16,32} — all integer up
+    // to the one ratio division (Pca.jlDistortion scaladoc).
+    "jl_distortion" -> ((s, dir) => Pca.jlDistortion(emb(s, dir))),
+
     // Per-dimension z-score standardization from the census μ/σ —
     // per-row map against literal arrays, plus the |z|>3σ outlier
     // count per vector.
@@ -2129,6 +2134,40 @@ object PipelineQueries {
          |       CASE WHEN cx < 0 THEN -(abs(cx) // 1000000)
          |            ELSE abs(cx) // 1000000 END AS cross_micro
          |FROM w30 w CROSS JOIN ray2 CROSS JOIN cr ORDER BY w.i""".stripMargin,
+
+    // JL mirror: identical Rademacher parity matrix, integer projection
+    // sums, one double ratio per (pair, target).
+    "jl_distortion" ->
+      """WITH pr AS (SELECT vec_id,
+        |  list_transform(range(0, 32), k ->
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      (CASE WHEN bit_count((i * 64 + k) * 2654435761 % 4294967296) % 2 = 0
+        |            THEN 1 ELSE -1 END)
+        |      * CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |          * 1000000) AS BIGINT)))) AS z,
+        |  list_transform(range(0, 64), i ->
+        |    CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |        * 1000000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS pair_id,
+        |        list_transform(range(1, 33), j ->
+        |          a.z[CAST(j AS INTEGER)] - b.z[CAST(j AS INTEGER)]) AS dz,
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (a.x[CAST(j AS INTEGER)] - b.x[CAST(j AS INTEGER)])
+        |          * (a.x[CAST(j AS INTEGER)] - b.x[CAST(j AS INTEGER)]))) AS do2
+        |      FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1),
+        |p2 AS (SELECT * FROM p WHERE do2 > 0),
+        |t AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS target_dim),
+        |d AS (SELECT t.target_dim,
+        |        abs(CAST(round(CAST(list_sum(list_transform(
+        |            range(1, CAST(t.target_dim + 1 AS INTEGER)), j ->
+        |            dz[CAST(j AS INTEGER)] * dz[CAST(j AS INTEGER)])) AS DOUBLE)
+        |          * 1000000 / (t.target_dim * do2)) AS BIGINT) - 1000000) AS dev
+        |      FROM p2 CROSS JOIN t)
+        |SELECT target_dim, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(dev) // count(*) AS BIGINT) AS mean_dev_micro,
+        |       CAST(max(dev) AS BIGINT) AS max_dev_micro
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Standardization mirror: μ = round(s1/n) micro, σ = round(√(cov·1e6))
     // micro from the census diagonal, z in milli via the identical

@@ -157,6 +157,20 @@ class PcaSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("jlDistortion: deviation shrinks with target dim and is unbiased-centered") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val out = Pca.jlDistortion(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(8L, 16L, 32L))
+    // JL concentration: mean |ratio-1| falls as the target dim grows
+    assert(out(8L)._2 > out(16L)._2 && out(16L)._2 > out(32L)._2,
+      s"deviation not shrinking: $out")
+    // unbiasedness: even at k=8 the mean deviation stays under the
+    // ~sqrt(2/k) Rademacher spread with slack (< 0.7 in micro units)
+    assert(out(8L)._2 < 700000L)
+    assert(out.values.map(_._1).toSet.size == 1) // same pair set per k
+  }
+
   test("covarianceCells rejects out-of-contract width") {
     val df = embDf(Seq((1L, Seq(0.1f, 0.2f))))
     intercept[IllegalArgumentException] {
