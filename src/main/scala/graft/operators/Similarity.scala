@@ -244,6 +244,59 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily pick the candidate maximizing
+    * relevance − λ·max-sim-to-already-picked with λ = 1/2 — the
+    * diverse-exemplar selector (few-shot example picking, dedup-aware
+    * retrieval, eval-set construction) where a plain top-k returns k
+    * near-copies of the same best hit.
+    *
+    * Exact-integer contract: relevance and each pair similarity are
+    * round(cos, 6)·1e6 micro longs (the [[kernelScores]] kernel), the
+    * λ-penalty is a sign-aware integer halving, ties break on the
+    * lowest id — the oracle unrolls the k greedy rounds and matches
+    * bit-for-bit. Each round is ONE corpus pass scoring against the
+    * ≤k-vector broadcast picked set plus a 1-row bounded argmax collect
+    * (the BPE top-pair contract); the relevance pass runs once and is
+    * checkpointed.
+    */
+  def mmrSelect(embeddings: DataFrame, queryPred: Column,
+                k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 16, s"mmrSelect: k=$k outside [1,16]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rel0 = kernelScores(embeddings.filter(queryPred), embeddings,
+        pairOriented = false)
+      .select(col("cand_id").as("vec_id"),
+        round(col("score") * lit(1000000)).cast("long").as("rel_micro"))
+      .localCheckpoint()
+    val picks = Seq.newBuilder[(Int, Long, Long, Long)]
+    var selIds = List.empty[Long]
+    var r = 1
+    while (r <= k) {
+      val base = rel0.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty) base.withColumn("score_micro", col("rel_micro"))
+        else {
+          val sims = kernelScores(
+              embeddings.filter(col("vec_id").isin(selIds: _*)), embeddings,
+              pairOriented = false)
+            .select(col("cand_id").as("vec_id"),
+              round(col("score") * lit(1000000)).cast("long").as("sm"))
+            .groupBy("vec_id").agg(max(col("sm")).as("ms"))
+          base.join(sims, "vec_id")
+            .withColumn("score_micro", col("rel_micro") -
+              expr("case when ms < 0 then -((-ms) div 2) else ms div 2 end"))
+        }
+      val p = scored.orderBy(col("score_micro").desc, col("vec_id"))
+        .select("vec_id", "rel_micro", "score_micro").limit(1).collect()(0)
+      picks += ((r, p.getLong(0), p.getLong(1), p.getLong(2)))
+      selIds = selIds :+ p.getLong(0)
+      r += 1
+    }
+    picks.result().toDF("rank", "vec_id", "rel_micro", "score_micro")
+  }
+
   /** Hard-negative mining for retrieval/embedding training: per query,
     * the k nearest neighbors whose LABEL DIFFERS — the most-confusable
     * wrong answers, which is exactly the contrastive-training batch a

@@ -714,6 +714,13 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
 
+    // MMR diverse top-5 for query vector 0: greedy
+    // relevance − ½·max-sim-to-picked, exact-integer, lowest-id ties
+    // (Similarity.mmrSelect scaladoc).
+    "mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(emb(s, dir), col("vec_id") === 0, 5)
+        .orderBy("rank")),
+
     // Hard-negative mining (Similarity.hardNegatives scaladoc): per
     // query, the 3 nearest neighbors with a DIFFERENT label — the
     // contrastive-training batch; ranking after the label filter so a
@@ -1801,6 +1808,46 @@ object PipelineQueries {
        |  FROM sc)
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Unrolled MMR mirror (Similarity.mmrSelect): per greedy round, the
+    * max-sim census against the union of prior picks, the sign-aware
+    * integer λ=½ penalty, and a (score DESC, vec_id) LIMIT 1 argmax.
+    */
+  private def mmrOracle(k: Int): String = {
+    def selUnion(r: Int) =
+      (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val rounds = (1 to k).map { r =>
+      if (r == 1)
+        s"""s1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score, 1 AS rank
+           |  FROM rel ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+      else
+        s"""sel$r AS MATERIALIZED (${selUnion(r)}),
+           |m$r AS MATERIALIZED (
+           |  SELECT c.vec_id,
+           |         max(CAST(round(round(${cosOf("c.v", "s.v")}, 6) * 1000000)
+           |             AS BIGINT)) AS ms
+           |  FROM e c JOIN e s ON s.vec_id IN (SELECT vec_id FROM sel$r)
+           |  WHERE c.vec_id <> 0 AND c.vec_id NOT IN (SELECT vec_id FROM sel$r)
+           |  GROUP BY 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT m.vec_id, rel.rel,
+           |         rel.rel - (CASE WHEN ms < 0 THEN -((-ms) // 2)
+           |                    ELSE ms // 2 END) AS score, $r AS rank
+           |  FROM m$r m JOIN rel ON rel.vec_id = m.vec_id
+           |  ORDER BY score DESC, m.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |rel AS MATERIALIZED (
+       |  SELECT c.vec_id,
+       |         CAST(round(round(${cosOf("c.v", "q.v")}, 6) * 1000000)
+       |           AS BIGINT) AS rel
+       |  FROM e c JOIN e q ON q.vec_id = 0 WHERE c.vec_id <> 0),
+       |$rounds
+       |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel AS rel_micro,
+       |       CAST(score AS BIGINT) AS score_micro
+       |FROM (${(1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Unrolled spherical-Lloyd mirror (Similarity.kmeansTrainCurve):
     * per round an assignment (cosine, (s DESC, cid) order), a stats
@@ -3257,6 +3304,8 @@ object PipelineQueries {
     "ann_ivf" -> annIvfOracle,
 
     "kmeans_train_curve" -> kmeansCurveOracle(3),
+
+    "mmr_select" -> mmrOracle(5),
 
     // RRF mirror: both full index pipelines as subqueries, identical
     // per-term integer flooring.

@@ -450,6 +450,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect: diversity penalty breaks the near-duplicate monopoly") {
+    // Query along e1; clones 1-2 sit at -30° in the e1e2 plane, the
+    // diverse candidate 10 at +30°: all three share relevance cos30 ~
+    // 0.866, so plain top-2 takes both clones (lowest-id tie). Under
+    // MMR, after pick 1 (clone 1): clone 2 pays sim/2 ~ 0.5 -> score
+    // ~0.366; candidate 10 pays cos60/2 = 0.25 -> score ~0.616 and
+    // must be the second pick.
+    val c30 = 0.8660254f; val s30 = 0.5f
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // query
+      (1L, Seq(c30, -s30, 0f, 0f)),
+      (2L, Seq(c30, -s30, 0.0001f, 0f)),
+      (10L, Seq(c30, s30, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(rows, col("vec_id") === 0, 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(1) == 1L) // relevance tie -> lowest id
+    assert(out(2) == 10L, s"second pick not the diverse vector: $out")
+    assert(out.values.toSet == Set(1L, 2L, 10L))
+  }
+
   test("semdedupSweep: monotone curve whose 400-milli row equals the shipped face") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val sweep = Similarity.semdedupSweep(emb).collect()
