@@ -313,6 +313,67 @@ object Selection {
       .orderBy("source")
   }
 
+  /** Within-document token entropy and type-token ratio — the
+    * repetitiveness quality pair: H = −Σ (c/n)·ln(c/n) over the doc's
+    * own token distribution (a looping/boilerplate doc collapses toward
+    * 0 even when every token is corpus-common, which the corpus-LM
+    * perplexities cannot see), and TTR = distinct/total in permille
+    * (the classic lexical-diversity score). Purely per-document: one
+    * (doc, token) census, no corpus-global state at all — embarrassing
+    * parallelism at any scale.
+    *
+    * Determinism: each (doc, token) entropy term quantizes to integer
+    * nano-nats once; documents sum exact longs; TTR is integer
+    * division.
+    */
+  def docTokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val ct = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val n = ct.groupBy("doc_id").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_distinct"))
+    ct.join(n, "doc_id")
+      .withColumn("term_nano",
+        round((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")) * lit(1e9)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
+        sum(col("term_nano")).as("__h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(-(col("__h").cast("double") / lit(1e9)), 6).as("h_nats"),
+        expr("n_distinct * 1000 div n_tokens").as("ttr_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document trigram NOVELTY against everything ingested before it
+    * (doc-id order): the fraction of the document's distinct 3-grams
+    * whose corpus-wide FIRST occurrence is this document. The
+    * incremental-content gauge — a crawl re-fetch or template page
+    * scores ~0 even when fuzzy dedup missed it, and the per-doc face
+    * complements the corpus-level [[vocabGrowth]] curve. One distinct
+    * (doc, trigram) relation, one trigram-keyed min census, one join
+    * back — all counts exact.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val tri = graft.Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws('_', w[i - 1], w[i], w[i + 1]))""".stripMargin))
+        .as("g"))
+      .distinct()
+    val first = tri.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    tri.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000 div n_grams").as("novelty_permille"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf power-law gauge: OLS slope (and fit quality) of the
     * rank-frequency census in log-log space over the top `topR` ranks —
     * natural text sits near slope −1 with a tight fit; a corpus whose

@@ -652,6 +652,15 @@ object PipelineQueries {
     // rank-frequency census in log-log space (Selection.zipfSlope).
     "zipf_slope" -> ((s, dir) => Selection.zipfSlope(docs(s, dir), 100)),
 
+    // Within-doc token entropy + type-token ratio — the repetitiveness
+    // pair the corpus-LM perplexities cannot see.
+    "doc_token_entropy" -> ((s, dir) =>
+      Selection.docTokenEntropy(docs(s, dir))),
+
+    // Per-doc trigram novelty vs everything ingested before it (the
+    // doc-level face of the vocab_growth curve).
+    "ngram_novelty" -> ((s, dir) => Selection.ngramNovelty(docs(s, dir))),
+
     // Heaps'-law vocabulary growth: the corpus in 10 doc-id-ordered
     // increments; per increment, cumulative tokens, NEW types, and
     // cumulative vocabulary (Selection.vocabGrowth scaladoc).
@@ -2082,6 +2091,42 @@ object PipelineQueries {
         |SELECT source, n_tokens, n_distinct,
         |       round(CAST(kl AS DOUBLE) / 1000000000, 6) AS kl_nats, top_tok
         |FROM g JOIN top USING (source) ORDER BY source""".stripMargin,
+
+    // Entropy mirror: nano-nat term per (doc, token), exact long sums,
+    // integer TTR.
+    "doc_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |ct AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_distinct FROM ct GROUP BY 1),
+        |tm AS (SELECT ct.doc_id, n.n, n.n_distinct,
+        |         CAST(round((CAST(c AS DOUBLE) / n.n)
+        |              * ln(CAST(c AS DOUBLE) / n.n) * 1000000000) AS BIGINT)
+        |           AS term_nano
+        |       FROM ct JOIN n USING (doc_id))
+        |SELECT doc_id, max(n) AS n_tokens, max(n_distinct) AS n_distinct,
+        |       round(-(CAST(sum(term_nano) AS BIGINT) * 1.0 / 1000000000), 6)
+        |         AS h_nats,
+        |       (max(n_distinct) * 1000) // max(n) AS ttr_permille
+        |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Novelty mirror: distinct (doc, trigram), trigram-keyed min census.
+    "ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT DISTINCT doc_id,
+        |          w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)]
+        |          || '_' || w[CAST(i + 2 AS INTEGER)] AS g
+        |        FROM d, unnest(range(1, len(w) - 1)) AS u(i)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY 1)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel,
+        |       (CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) * 1000) // count(*) AS novelty_permille
+        |FROM tri t JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Zipf mirror: identical micro-quantized log-log points, exact-long
     // OLS sums, identical double expressions; NULL r² on zero variance.

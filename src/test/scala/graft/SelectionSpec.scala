@@ -131,6 +131,36 @@ class SelectionSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("docTokenEntropy: looping text collapses toward zero, diverse text to ln n") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // H = 0, TTR 125
+      (2L, "one two three four five six seven eight")) // H = ln 8, TTR 1000
+      .toDF("doc_id", "text")
+    val out = Selection.docTokenEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("h_nats"), r.getAs[Long]("ttr_permille"))).toMap
+    assert(out(1L)._1 == 0.0 && out(1L)._2 == 125L)
+    assert(math.abs(out(2L)._1 - math.log(8.0)) < 1e-5)
+    assert(out(2L)._2 == 1000L)
+  }
+
+  test("ngramNovelty: a re-fetch scores zero, fresh content full permille") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact re-fetch of doc 1
+      (3L, "zeta eta theta iota"), // all-new trigrams
+      (4L, "alpha beta gamma zeta eta theta")) // mixed: 2 old, 2 new
+      .toDF("doc_id", "text")
+    val out = Selection.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 3L, 1000L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((2L, 2L, 1000L)))
+    // doc 4: a_b_g seen; b_g_z, g_z_e, z_e_t new... b_g_zeta and g_zeta_eta
+    // are genuinely new trigrams; zeta_eta_theta was introduced by doc 3
+    assert(out(4L) == ((4L, 2L, 500L)))
+  }
+
   test("vocabGrowth: cumulative counts reconcile and repeated text stops adding types") {
     // Buckets 0-1 introduce the whole vocabulary; the later docs only
     // repeat it, so n_types_new must go to zero while tokens keep
