@@ -338,6 +338,34 @@ object Pca {
       .orderBy("target_dim")
   }
 
+  /** The corpus projected onto the learned TWO-component subspace in
+    * one pass: (vec_id, pc1_micro, pc2_micro) — the inputs a
+    * cluster/visualize/stratify step consumes. Same integer contract
+    * as [[project]], both dot products against literal vectors in the
+    * same per-row map (no join, no shuffle, one scan).
+    */
+  def projectTwo(embeddings: DataFrame, d: Int = Dim,
+                 rounds: Int = Rounds): DataFrame = {
+    val c = censusMatrix(embeddings, d)
+    val v1 = powerLoop(c, d, rounds, Array.fill(d)(1000000L), None)
+    val w0 = Array.tabulate(d)(i => if (i % 2 == 0) 1000000L else -1000000L)
+    val v2 = powerLoop(c, d, rounds, w0, Some(v1))
+    def dotExpr(v: Array[Long]) =
+      s"""aggregate(
+         |  zip_with(embedding, ${v.mkString("array(", "L, ", "L)")},
+         |    (x, vv) -> cast(round(cast(x as double) * 1000000) as bigint) * vv),
+         |  0L, (acc, p) -> acc + p)""".stripMargin
+    def pc(s: String) =
+      s"case when $s < 0 then -((abs($s) + 500000) div 1000000) " +
+        s"else (abs($s) + 500000) div 1000000 end"
+    graft.Tables.spread(embeddings)
+      .select(col("vec_id"), expr(dotExpr(v1)).as("s1"),
+        expr(dotExpr(v2)).as("s2"))
+      .select(col("vec_id"), expr(pc("s1")).as("pc1_micro"),
+        expr(pc("s2")).as("pc2_micro"))
+      .orderBy("vec_id")
+  }
+
   /** Per-dimension z-score standardization (whitening without
     * rotation) — the feature-normalization step before any
     * distance-based downstream (ANN, clustering, dedup): zᵢ =

@@ -680,6 +680,10 @@ object PipelineQueries {
     // cross_micro column pins v1·v2 ~ 0.
     "embed_pca_power2" -> ((s, dir) => Pca.secondComponentDf(emb(s, dir))),
 
+    // Both learned components in one corpus pass — the 2-D coordinates
+    // a cluster/visualize/stratify step consumes.
+    "embed_pca_project2" -> ((s, dir) => Pca.projectTwo(emb(s, dir))),
+
     // JL random-projection distortion: ratio of projected to original
     // squared pair distance at target dims {8,16,32} — all integer up
     // to the one ratio division (Pca.jlDistortion scaladoc).
@@ -2289,6 +2293,27 @@ object PipelineQueries {
       s"""WITH ${pcaCovCtes(64)}
          |SELECT cov.i, cov.j, n.n AS n, cov.cm AS cov_micro
          |FROM cov CROSS JOIN nrows n ORDER BY cov.i, cov.j""".stripMargin,
+
+    // 2-D projection mirror: the v-chain AND the deflated w-chain, both
+    // quantized dots per vector in one grouped pass.
+    "embed_pca_project2" ->
+      s"""WITH ${pcaCovCtes(64)},
+         |${pcaPowerCtes(30)},
+         |${pcaPower2Ctes(30, 30)},
+         |proj AS (SELECT e.vec_id,
+         |    CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+         |      AS BIGINT) * a.v) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+         |      AS BIGINT) * b.v) AS BIGINT) AS s2
+         |  FROM embeddings e CROSS JOIN dims d
+         |  JOIN v30 a ON a.i = d.i JOIN w30 b ON b.i = d.i
+         |  GROUP BY 1)
+         |SELECT vec_id,
+         |       CASE WHEN s1 < 0 THEN -((abs(s1) + 500000) // 1000000)
+         |            ELSE (abs(s1) + 500000) // 1000000 END AS pc1_micro,
+         |       CASE WHEN s2 < 0 THEN -((abs(s2) + 500000) // 1000000)
+         |            ELSE (abs(s2) + 500000) // 1000000 END AS pc2_micro
+         |FROM proj ORDER BY vec_id""".stripMargin,
 
     "embed_pca_project" ->
       s"""WITH ${pcaCovCtes(64)},

@@ -157,6 +157,28 @@ class PcaSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("projectTwo: the 2-D coordinates decorrelate and carry the two Rayleighs") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (_, l1, _) = Pca.topComponent(emb)
+    val (_, l2, _) = Pca.secondComponent(emb)
+    val rows = Pca.projectTwo(emb).collect()
+      .map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = rows.length.toDouble
+    val (m1, m2) = (rows.map(_._1).sum / n, rows.map(_._2).sum / n)
+    val var1 = rows.map(p => (p._1 - m1) * (p._1 - m1)).sum / n
+    val var2 = rows.map(p => (p._2 - m2) * (p._2 - m2)).sum / n
+    val cov12 = rows.map(p => (p._1 - m1) * (p._2 - m2)).sum / n
+    // each coordinate realizes its component's Rayleigh variance
+    // (Var(X·v) = λ·v'v; v'v ~ 1e12 within quantization slack)
+    assert(math.abs(var1 / 1e6 - l1.toDouble) / l1 < 0.05,
+      s"pc1 var ${var1 / 1e6} vs λ1 $l1")
+    assert(math.abs(var2 / 1e6 - l2.toDouble) / l2 < 0.05,
+      s"pc2 var ${var2 / 1e6} vs λ2 $l2")
+    // orthogonal components -> decorrelated coordinates
+    assert(math.abs(cov12) / math.sqrt(var1 * var2) < 0.05,
+      s"pc1/pc2 correlated: ${cov12 / math.sqrt(var1 * var2)}")
+  }
+
   test("jlDistortion: deviation shrinks with target dim and is unbiased-centered") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val out = Pca.jlDistortion(emb).collect()
