@@ -313,6 +313,33 @@ object Selection {
       .orderBy("source")
   }
 
+  /** Per-source dataset card — the corpus-documentation rollup a
+    * datasheet/dataset-card pipeline emits per ingest feed: document
+    * and character volume, integer mean length, language spread
+    * (distinct count + the dominant language and its permille share,
+    * ties to the lexicographically smallest). Pure exact-integer
+    * aggregates plus one source-partitioned window over the
+    * (source, lang) census — bounded by sources×languages, never by
+    * the corpus.
+    */
+  def sourceProfile(docs: DataFrame): DataFrame = {
+    val base = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("mean_chars", expr("n_chars div n_docs"))
+    val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("lang").asc)
+    val top = sl.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("__tc"))
+    base.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("mean_chars"),
+        col("n_langs"), col("top_lang"),
+        expr("__tc * 1000 div n_docs").as("top_lang_permille"))
+      .orderBy("source")
+  }
+
   /** Within-document token entropy and type-token ratio — the
     * repetitiveness quality pair: H = −Σ (c/n)·ln(c/n) over the doc's
     * own token distribution (a looping/boilerplate doc collapses toward

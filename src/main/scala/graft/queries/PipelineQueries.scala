@@ -652,6 +652,10 @@ object PipelineQueries {
     // rank-frequency census in log-log space (Selection.zipfSlope).
     "zipf_slope" -> ((s, dir) => Selection.zipfSlope(docs(s, dir), 100)),
 
+    // Per-source dataset card: volume, mean length, language spread,
+    // dominant language + permille share (Selection.sourceProfile).
+    "source_profile" -> ((s, dir) => Selection.sourceProfile(docs(s, dir))),
+
     // Within-doc token entropy + type-token ratio — the repetitiveness
     // pair the corpus-LM perplexities cannot see.
     "doc_token_entropy" -> ((s, dir) =>
@@ -2095,6 +2099,24 @@ object PipelineQueries {
         |SELECT source, n_tokens, n_distinct,
         |       round(CAST(kl AS DOUBLE) / 1000000000, 6) AS kl_nats, top_tok
         |FROM g JOIN top USING (source) ORDER BY source""".stripMargin,
+
+    // Dataset-card mirror: exact-integer aggregates + the same
+    // (count DESC, lang ASC) dominant-language window.
+    "source_profile" ->
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |           FROM documents GROUP BY 1),
+        |sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |       FROM documents GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang, c FROM (
+        |          SELECT source, lang, c, row_number() OVER (
+        |            PARTITION BY source ORDER BY c DESC, lang ASC) AS r
+        |          FROM sl) WHERE r = 1)
+        |SELECT b.source, b.n_docs, b.n_chars,
+        |       b.n_chars // b.n_docs AS mean_chars, b.n_langs, top.top_lang,
+        |       (top.c * 1000) // b.n_docs AS top_lang_permille
+        |FROM b JOIN top USING (source) ORDER BY b.source""".stripMargin,
 
     // Entropy mirror: nano-nat term per (doc, token), exact long sums,
     // integer TTR.

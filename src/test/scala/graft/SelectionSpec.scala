@@ -131,6 +131,20 @@ class SelectionSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("sourceProfile: exact card values and lexicographic dominant-lang ties") {
+    val docs = Seq(
+      (1L, "a", "en", "web", 10L), (2L, "b", "en", "web", 20L),
+      (3L, "c", "fr", "web", 30L), (4L, "d", "fr", "web", 41L),
+      (5L, "e", "de", "books", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Selection.sourceProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6))).toMap
+    // web: 4 docs, 101 chars, mean 25 (truncating div), 2 langs; the
+    // en/fr count tie resolves to 'en' (lexicographic), share 500
+    assert(out("web") == ((4L, 101L, 25L, 2L, "en", 500L)))
+    assert(out("books") == ((1L, 100L, 100L, 1L, "de", 1000L)))
+  }
+
   test("docTokenEntropy: looping text collapses toward zero, diverse text to ln n") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"), // H = 0, TTR 125
