@@ -2,14 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scaling-curve harness (VERDICT r11 #4): run the headline query
-  * families at sf0.001 / sf0.01 / sf0.1 in one interleaved pass and
-  * report each family's TIME-GROWTH EXPONENT per data decade —
+  * families at sf0.001 / sf0.01 / sf0.1 (plus sf1 when generated — see
+  * [[GenFixtures]]) in one interleaved pass and report each family's
+  * TIME-GROWTH EXPONENT per data decade —
   * e = ln(t_hi/t_lo) / ln(sf_hi/sf_lo), so linear scaling reads 1.0,
   * constant overhead reads ~0, and anything clearly above the data
   * growth is a plan that is secretly superlinear and would surface at
-  * 100 TB long after the sf0.1 gate went green. The top decade
-  * (0.01→0.1) is the signal; the bottom one is fixed-overhead
-  * dominated at these sizes and reported for context only.
+  * 100 TB long after the sf0.1 gate went green. The TOP decade is the
+  * signal; the bottom ones are fixed-overhead dominated at these sizes
+  * and reported for context only.
   *
   * Families: the five the r11 verdict names (row_diff, dedup_minhash,
   * ann_ivfadc, graph_triangles, pipeline_curate) plus the two classic
@@ -20,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   * OUTER (interleaved passes — a contended minute corrupts one sample
   * of many queries, not all samples of one), warm-up counts outside
   * timings, bounded stdout + full sidecar file.
+  *
+  * Failure accounting (ADVICE r12 #4): errors are keyed by (family,
+  * sf), never by family alone — a transient failure at one scale
+  * neither suppresses later reps at other scales nor erases samples
+  * already collected. A family with any missing scale point still
+  * emits, with the decades it can support and an `"errors"` marker.
   */
 object BenchScaling {
 
@@ -34,7 +41,13 @@ object BenchScaling {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
-    val sfs = Seq(0.001, 0.01, 0.1).map(sf => (s"$base/sf$sf", sf))
+    // the sf1 decade lives outside the driver's read-only fixture tree
+    // (GenFixtures writes it under the repo); include it when present
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/testdata/sf1")
+    val sfs = Seq(0.001, 0.01, 0.1).map(sf => (s"$base/sf$sf", sf)) ++
+      (if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
+        Seq((sf1Dir, 1.0)) else Nil)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val builder = SparkSession.builder()
@@ -49,9 +62,10 @@ object BenchScaling {
     }
     val samples =
       scala.collection.mutable.LinkedHashMap.empty[(String, Double), List[Double]]
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[(String, Double), String]
     (1 to reps).foreach { _ =>
-      for ((dir, sf) <- sfs; name <- Families if !errors.contains(name)) {
+      for ((dir, sf) <- sfs; name <- Families
+           if !errors.contains((name, sf))) {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, dir).count()
@@ -59,7 +73,7 @@ object BenchScaling {
           samples((name, sf)) = samples.getOrElse((name, sf), Nil) :+ dt
         } catch {
           case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName} at sf$sf: ${
+            errors((name, sf)) = s"${e.getClass.getSimpleName}: ${
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
         }
       }
@@ -69,24 +83,34 @@ object BenchScaling {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val fams = Families.filterNot(errors.contains).map { name =>
-      val best = sfs.map { case (_, sf) => sf -> samples((name, sf)).min }.toMap
-      def expo(lo: Double, hi: Double): Double =
-        math.log(best(hi) / best(lo)) / math.log(hi / lo)
-      jstr(name) + ":{" +
-        sfs.map { case (_, sf) => jstr(s"sf$sf") + ":" + ms(best(sf)) }
-          .mkString(",") +
-        s""","exp_low_decade":${ms(expo(0.001, 0.01))}""" +
-        s""","exp_top_decade":${ms(expo(0.01, 0.1))}}"""
+    val sfVals = sfs.map(_._2)
+    val fams = Families.map { name =>
+      val best = sfVals.flatMap(sf =>
+        samples.get((name, sf)).map(ss => sf -> ss.min)).toMap
+      def expo(lo: Double, hi: Double): Option[Double] =
+        for (t0 <- best.get(lo); t1 <- best.get(hi))
+          yield math.log(t1 / t0) / math.log(hi / lo)
+      val timesJson = sfVals.collect {
+        case sf if best.contains(sf) => jstr(s"sf$sf") + ":" + ms(best(sf))
+      }
+      val decades = sfVals.zip(sfVals.drop(1)).flatMap { case (lo, hi) =>
+        expo(lo, hi).map(e => jstr(s"exp_sf${lo}_sf$hi") + ":" + ms(e))
+      }
+      val top = sfVals.zip(sfVals.drop(1)).reverse
+        .flatMap { case (lo, hi) => expo(lo, hi) }.headOption
+        .map(e => Seq("\"exp_top_decade\":" + ms(e))).getOrElse(Nil)
+      jstr(name) + ":{" + (timesJson ++ decades ++ top).mkString(",") + "}"
     }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
+    val errJson = errors.map { case ((nm, sf), v) =>
+      jstr(s"$nm@sf$sf") + ":" + jstr(v)
+    }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"scaling_exponent","families":$fams,"reps":$reps,""" +
-        s""""errors":$errJson,"note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
+        s""""sfs":[${sfVals.mkString(",")}],"errors":$errJson,""" +
+        s""""note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
         s"""1.0 = linear in data, ~0 = overhead-bound"}"""
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r12.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r13.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecar), out + "\n")
     catch { case e: Throwable =>

@@ -133,12 +133,22 @@ object Cli {
           val code =
             try runAllOnce(c, dir, spark, logLine, Some(reportPath))
             catch { case e: Throwable => logLine(s"failed: $e"); 1 }
-          java.nio.file.Files.writeString(statusPath, code.toString)
+          // the status write is a caller-visible contract (pollers wait
+          // on it) — if it fails, say so in the log instead of letting
+          // the exception silently kill the thread (ADVICE r12 #2)
+          try java.nio.file.Files.writeString(statusPath, code.toString)
+          catch {
+            case e: Throwable =>
+              try logLine(s"status write failed ($statusPath): $e")
+              catch { case _: Throwable => () }
+          }
         }, s"graft-runall-$runId")
         worker.setDaemon(false)
         worker.start()
+        // per-run pid file — a fixed name would be clobbered by
+        // concurrent --detach launches (ADVICE r12 #3)
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(c.outputDir, ".graft.pid"),
+          java.nio.file.Paths.get(c.outputDir, s".graft.pid_$runId"),
           s"${ProcessHandle.current().pid()}:${worker.getName}\n")
         detachedWorker = Some(worker)
         println(s"compare started detached (worker ${worker.getName})")

@@ -249,13 +249,31 @@ object Dedup {
     * the probe sweep's nprobe=16 row.
     *
     * Output per config: (bands, rows_per_band, n_candidates, n_truth,
-    * hits, recall_permille, precision_permille) — all-integer, hash-
-    * stable; precision is verified-true candidates over candidates,
-    * i.e. the fraction of verification work that pays off.
+    * hits, recall_permille, precision_permille, dropped_postings) —
+    * all-integer, hash-stable; precision is verified-true candidates
+    * over candidates, i.e. the fraction of verification work that pays
+    * off.
+    *
+    * @param maxBucket hot-bucket frequency cap, the [[jaccardNearDups]]
+    *   stop-shingle pattern applied to band buckets: postings whose
+    *   (cfg, band_id, band_key) bucket holds more than this many
+    *   documents are dropped BEFORE the candidate self-join. This
+    *   matters most for the loosest (k, 1) config, where a "band" is a
+    *   single minhash lane — on a template-heavy corpus every document
+    *   sharing one min-shingle lands in one bucket and the join cost is
+    *   Σ bucket², quadratic in the hottest bucket. The cap bounds it at
+    *   Σ cap·bucket; what was skipped is STATED per config in the
+    *   `dropped_postings` column (total postings removed), mirroring how
+    *   the sweep already states its (1−t)^k truth residual. Since truth
+    *   is the loosest config's verified candidates, capping shrinks
+    *   truth too — the gauge's recall stays internally consistent and
+    *   the residual is accounted, not hidden. None = exact (fixture
+    *   scale only).
     */
   def minhashBandSweep(docs: DataFrame, threshold: Double = 0.5,
                        configs: Seq[(Int, Int)] =
-                         Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1)))
+                         Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1)),
+                       maxBucket: Option[Int] = None)
       : DataFrame = {
     val ks = configs.map { case (b, r) => b * r }.distinct
     require(ks.length == 1, s"configs must split one signature: $configs")
@@ -272,10 +290,23 @@ object Dedup {
             .as("band_key"))
       }
     }
-    val bandsRel = sk
+    val bandsAll = sk
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.cfg").as("cfg"),
         col("bd.band_id").as("band_id"), col("bd.band_key").as("band_key"))
+    // hot-bucket cap (scaladoc): kept postings feed the self-join;
+    // dropped posting counts surface per config in the output
+    val capped = maxBucket.map { cap =>
+      val freq = bandsAll.groupBy("cfg", "band_id", "band_key")
+        .agg(count(lit(1)).as("__f"))
+      val kept = bandsAll.join(
+        freq.filter(col("__f") <= cap).drop("__f"),
+        Seq("cfg", "band_id", "band_key"), "left_semi")
+      val dropped = freq.filter(col("__f") > cap).groupBy("cfg")
+        .agg(sum(col("__f")).as("dropped_postings"))
+      (kept, dropped)
+    }
+    val bandsRel = capped.map(_._1).getOrElse(bandsAll)
     val cand = bandsRel.as("a")
       .join(bandsRel.as("b"), Seq("cfg", "band_id", "band_key"))
       .select(col("cfg"), col("a.doc_id").as("doc_a"),
@@ -298,11 +329,19 @@ object Dedup {
     val nCand = cand.groupBy("cfg").agg(count(lit(1)).as("n_candidates"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       .withColumn("__one", pmod(col("n_truth"), lit(1L)))
-    // cfg spine from the band relation (present even when a strict
-    // config yields zero candidates), so every config emits a row
-    bandsRel.select(col("cfg")).distinct()
+    // cfg spine from the UNCAPPED band relation (present even when a
+    // strict config yields zero candidates — or the cap drops a config's
+    // every bucket), so every config emits a row
+    val spine = bandsAll.select(col("cfg")).distinct()
       .join(nCand, Seq("cfg"), "left")
       .join(hits, Seq("cfg"), "left")
+    val withDropped = capped.fold(spine.withColumn("dropped_postings", lit(0L))) {
+      case (_, dropped) =>
+        spine.join(dropped, Seq("cfg"), "left")
+          .withColumn("dropped_postings",
+            coalesce(col("dropped_postings"), lit(0L)))
+    }
+    withDropped
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("__one", pmod(col("hits"), lit(1L)))
@@ -315,7 +354,8 @@ object Dedup {
         expr("CASE WHEN n_truth = 0 THEN 0L " +
           "ELSE 1000 * hits div n_truth END").as("recall_permille"),
         expr("CASE WHEN n_candidates = 0 THEN 0L " +
-          "ELSE 1000 * hits div n_candidates END").as("precision_permille"))
+          "ELSE 1000 * hits div n_candidates END").as("precision_permille"),
+        col("dropped_postings"))
       .orderBy("bands")
   }
 

@@ -38,10 +38,17 @@ import org.apache.spark.sql.types.LongType
   * at that Rayleigh value is equally good. PcaSpec asserts the
   * projection's realized variance equals the reported λ.
   *
-  * Integer ranges (all proven in-range for |x| ≤ 1000, d ≤ 64):
-  * products quantize at 1e6, matvec terms stay under 2^53 as doubles
-  * and under 2^63 as longs, and the norm accumulates (|t|/1e5)² — see
-  * the inline notes at each step.
+  * Integer ranges: products quantize at 1e6, matvec terms stay exact
+  * longs, and the norm accumulates (|t|/1e5)² — see the inline notes at
+  * each step. The ranges are NOT unconditional: they hold for
+  * unit-scale embeddings (fixture |cov_micro| ≤ ~3.4e5), and the code
+  * enforces them LOUDLY instead of wrapping — [[censusMatrix]] rejects
+  * a census whose cells could overflow the matvec or norm
+  * accumulators, [[powerLoop]] guards each iterate before squaring,
+  * and [[jlDistortion]] raises per-row when an embedding exceeds its
+  * exact-sum bound (ADVICE r12 #1: a silent wrap would break the
+  * cross-engine bit-parity contract, so out-of-range input is an
+  * error, never a wrong answer).
   */
 object Pca {
 
@@ -180,6 +187,20 @@ object Pca {
       val i = r.getInt(0); val j = r.getInt(1); val cm = r.getLong(3)
       c(i)(j) = cm; c(j)(i) = cm
     }
+    // Loud range check (ADVICE r12 #1): the exact-long contract needs
+    //  - matvec:   |t_i| ≤ d·maxC·1e6            < 2^63 / 4
+    //  - norm:     d·(|t_i|/1e5)² = 100·d³·maxC² < 2^63 / 2
+    // (norm is the binding one: maxC ≤ sqrt(2^63/(200·d³)), ≈ 4.2e5 at
+    // d=64 — unit-scale embeddings; |x| up to 1000 would put cov_micro
+    // near 1e12 and silently wrap, breaking bit parity).
+    val maxC = c.iterator.flatten.map(math.abs).max
+    val matvecCap = Long.MaxValue / 4 / d / 1000000L
+    val normCap = math.sqrt(Long.MaxValue.toDouble / 2 / (100.0 * d * d * d)).toLong
+    require(maxC <= math.min(matvecCap, normCap),
+      s"Pca census out of exact-long range: max |cov_micro| = $maxC exceeds " +
+        s"min(matvec cap $matvecCap, norm cap $normCap) at d=$d — the " +
+        "integer power iteration would overflow; rescale embeddings to " +
+        "unit scale first")
     c
   }
 
@@ -215,11 +236,24 @@ object Pca {
         var num = 0L; var den = 0L; var i = 0
         while (i < d) { num += shrink6(t(i)) * u(i); den += u(i) * u(i); i += 1 }
         val alpha = rnd(num.toDouble * 1000000 / den)
+        // α·u must stay an exact long product (|u| ≤ ~1e6)
+        require(math.abs(alpha) <= Long.MaxValue / 8 / 1000000L,
+          s"Pca deflation coefficient out of exact-long range: alpha=$alpha")
         t = Array.tabulate(d)(i => t(i) - alpha * u(i))
       }
       // (|t|/1e5)² ≤ (2.2e8)² = 4.8e16; ×64 = 3.1e18 < 2^63: exact long.
+      // The census guard proves this for the pre-deflation t; the
+      // runtime check below backstops the deflated iterate too (the
+      // worst-case Cauchy–Schwarz bound on t−α·u is looser than the
+      // realized one — fail loudly rather than wrap).
+      val qCap = math.sqrt(Long.MaxValue.toDouble / d).toLong
       var ss = 0L
-      t.foreach { ti => val q = math.abs(ti) / 100000L; ss += q * q }
+      t.foreach { ti =>
+        val q = math.abs(ti) / 100000L
+        require(q <= qCap,
+          s"Pca iterate out of exact-long norm range: |t|/1e5 = $q > $qCap")
+        ss += q * q
+      }
       val nrm = math.sqrt(ss.toDouble)
       // t·10/√ss rescales the 1e5-unit norm back to a 1e6-unit vector.
       v = t.map(ti => rnd(ti.toDouble * 10.0 / nrm))
@@ -301,6 +335,21 @@ object Pca {
     require(targets.nonEmpty && targets.forall(t => t >= 1 && t <= 64),
       s"jlDistortion: targets=$targets")
     val kMax = targets.max
+    // Exact-long bound (ADVICE r12 #1): |z_k| ≤ d·X, |dz| ≤ 2dX, and
+    // dp2 sums kMax of dz² — need kMax·4d²X² < 2^62, i.e. X (micro
+    // units) ≤ sqrt(2^62/(4·kMax·d²)) ≈ 2.1e6 at d=kMax=64. Checked
+    // per row on the quantized cell (raise_error, evaluated inside the
+    // surviving x column so pruning can't drop it) — a vector past the
+    // bound is an error, never a silent wrap.
+    val xMaxMicro = math.sqrt(Long.MaxValue.toDouble / 2 /
+      (4.0 * kMax * d * d)).toLong
+    def q(e: String): String = {
+      val cell = s"cast(round(cast($e as double) * 1000000) as bigint)"
+      s"(case when abs($cell) > ${xMaxMicro}L then cast(raise_error(" +
+        s"'jlDistortion: |x|*1e6 exceeds exact-long bound $xMaxMicro " +
+        s"(d=$d, kmax=$kMax) — rescale embeddings') as bigint) " +
+        s"else $cell end)"
+    }
     val proj =
       s"""transform(sequence(0, ${kMax - 1}), k ->
          |  aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
@@ -310,7 +359,7 @@ object Pca {
          |""".stripMargin
     val xq =
       s"""transform(sequence(0, ${d - 1}), i ->
-         |  cast(round(cast(embedding[i] as double) * 1000000) as bigint))
+         |  ${q("embedding[i]")})
          |""".stripMargin
     val side = graft.Tables.spread(embeddings)
       .select(col("vec_id"), expr(proj).as("z"), expr(xq).as("x"))
@@ -336,6 +385,52 @@ object Pca {
         expr("sum(dev) div count(1)").as("mean_dev_micro"),
         max(col("dev")).as("max_dev_micro"))
       .orderBy("target_dim")
+  }
+
+  /** The corpus REDUCED to `k` dimensions by the same data-independent
+    * integer Rademacher projection [[jlDistortion]] gauges — as a
+    * (vec_id, embedding: array<float>) relation every downstream ANN
+    * face accepts unchanged. This is the composition the distortion
+    * gauge exists to license: measure the JL deviation at a target k,
+    * then actually INDEX at that k (`pca_ann_recall` buckets sign-LSH
+    * on the 16-dim reduction, reranks co-bucket candidates full-dim,
+    * and gates recall@3 against full-dim brute force — ranking INSIDE
+    * the reduced space collapses on a near-orthogonal corpus; the
+    * bucket/rerank split is the honest operating point).
+    * One scan, no training pass, no shuffle — the projection is
+    * a per-row map whose signs come from popcount parity, so any engine
+    * replays it bit-exactly: z_k is an exact long in micro units and
+    * the float cell is double(z)/1e6 rounded once to float (the same
+    * parquet-float width the raw corpus ships).
+    */
+  def jlProject(embeddings: DataFrame, d: Int = Dim,
+                k: Int = 16): DataFrame =
+    graft.Tables.spread(embeddings)
+      .select(col("vec_id"), jlProjectCol(d, k).as("embedding"))
+
+  /** [[jlProject]]'s projection as a per-row COLUMN over `embedding` —
+    * composable inside another operator's scan (e.g.
+    * [[Similarity.signLshTopKOn]] bucketing on the reduction while
+    * scoring full-dim) with no join and no second pass.
+    */
+  def jlProjectCol(d: Int = Dim, k: Int = 16): org.apache.spark.sql.Column = {
+    require(k >= 1 && k <= 64, s"jlProjectCol: k=$k outside [1,64]")
+    require(d >= 1 && d <= 64, s"jlProjectCol: d=$d outside [1,64]")
+    // exact-long z: |z_k| ≤ d·X — guard the quantized cell the same
+    // loud way jlDistortion does (error, never a silent wrap)
+    val xMaxMicro = Long.MaxValue / 2 / d
+    val cell = "cast(round(cast(embedding[i] as double) * 1000000) as bigint)"
+    val guarded =
+      s"""(case when abs($cell) > ${xMaxMicro}L then cast(raise_error(
+         |  'jlProject: |x|*1e6 exceeds exact-long bound $xMaxMicro (d=$d)
+         |   — rescale embeddings') as bigint) else $cell end)""".stripMargin
+    expr(
+      s"""transform(sequence(0, ${k - 1}), k ->
+         |  cast(aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
+         |    acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
+         |           then 1L else -1L end) * $guarded)
+         |    / cast(1000000 as double) as float))
+         |""".stripMargin)
   }
 
   /** The corpus projected onto the learned TWO-component subspace in
@@ -393,7 +488,8 @@ object Pca {
       rnd(math.sqrt(cm.toDouble * 1000000))
     }
     require(sg.forall(_ > 0L),
-      s"standardize: zero-variance dimension(s) ${sg.indexWhere(_ <= 0L)}")
+      "standardize: zero-variance dimension(s) " +
+        sg.zipWithIndex.collect { case (s, i) if s <= 0L => i }.mkString(","))
     val muLit = mu.mkString("array(", "L, ", "L)")
     val sgLit = sg.mkString("array(", "L, ", "L)")
     val zArr =

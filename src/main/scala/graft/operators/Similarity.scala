@@ -341,10 +341,33 @@ object Similarity {
                   bits: Option[Int] = None, corpusCount: Option[Long] = None,
                   dim: Option[Int] = None): DataFrame = {
     val (d, b) = resolveBits(embeddings, bits, corpusCount, dim, 1000L)
+    signLshTopKOn(embeddings, col("embedding"), d, queryPred, k,
+      Some(b), Some(d))
+  }
+
+  /** [[signLshTopK]] with the BUCKETS computed on an alternate per-row
+    * representation of the vector (`indexRep`, an array column over the
+    * same relation — e.g. [[Pca.jlProjectCol]]'s 16-dim reduction) while
+    * candidate SCORING stays on the full-precision embedding. This is
+    * the reduce-then-index composition a real embed store runs: the
+    * index stores/hashes the cheap representation (4× smaller at k=16),
+    * the rerank spends full dimensions only on co-bucket candidates.
+    * `indexRep` must be a deterministic per-row projection — it is
+    * evaluated inside the same scan as the norm (NO join, NO second
+    * pass), so the composition adds zero shuffles over [[signLshTopK]].
+    * `repDim` clamps the bucket bits to the representation's width.
+    */
+  def signLshTopKOn(embeddings: DataFrame, indexRep: Column, repDim: Int,
+                    queryPred: Column, k: Int,
+                    bits: Option[Int] = None,
+                    dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(dimOf(embeddings))
+    val b = math.min(repDim,
+      bits.getOrElse(deriveBits(embeddings.count(), 1000L)))
     def side(df: DataFrame, p: String): DataFrame =
       withNorm(df, d).select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
-        col("nrm").as(s"${p}_nrm"), signBucket(col("embedding"), b).as(s"${p}_bucket"))
+        col("nrm").as(s"${p}_nrm"), signBucket(indexRep, b).as(s"${p}_bucket"))
     val qBase = embeddings.filter(queryPred)
     val q = side(qBase, "q")
     val c = side(embeddings, "c")

@@ -271,15 +271,26 @@ object CoreQueries {
     // F1/F2: base64 password decode with verbatim fallback
     // (`step1_query_tables.sh:30-48`) — CLUSTERED rows carry valid
     // base64, the rest a '*'-bearing plaintext no decoder accepts; the
-    // oracle derives the expected plaintext independently.
+    // oracle derives the expected plaintext independently. Pure built-in
+    // expression (the SURVEY F1 mapping): a strict base64 shape guard,
+    // then a printable-ASCII guard on the DECODED BYTES (checked on
+    // hex() so `decode` never sees malformed UTF-8 under ANSI mode) —
+    // exactly EngineConf.decodePassword's Try + printable filter, which
+    // stays driver-side for conf parsing only.
     "config_b64" -> ((s, dir) => {
-      val dec = udf(graft.conf.EngineConf.decodePassword _)
+      val raw = col("raw_password")
+      val bin = unbase64(trim(raw))
+      val looksB64 = trim(raw).rlike(
+        "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==?|[A-Za-z0-9+/]{3}=?)?$")
+      // bytes 0x20-0x7E, i.e. decodePassword's (c >= ' ' && c < 127)
+      val printable = hex(bin).rlike("^(?:2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$")
       Discover.manifest(s, dir)
         .withColumn("raw_password",
           when(col("pk_kind") === "CLUSTERED",
             base64(encode(concat(lit("secret_"), col("table_name")), "UTF-8")))
             .otherwise(concat(lit("plain*"), col("table_name"))))
-        .withColumn("password", dec(col("raw_password")))
+        .withColumn("password",
+          when(looksB64 && printable, decode(bin, "UTF-8")).otherwise(raw))
         .select("table_name", "raw_password", "password")
         .orderBy("table_name")
     }),

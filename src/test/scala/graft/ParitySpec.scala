@@ -354,7 +354,9 @@ class CliSpec extends SparkSpec {
       val files = new java.io.File(out).list().toSet
       assert(files.exists(_.startsWith("final_report_")),
         s"no final_report in $files")
-      assert(files.contains(".graft.pid"))
+      // pid file is per-run so concurrent --detach launches can't
+      // clobber each other's record (ADVICE r12 #3)
+      assert(files.exists(_.startsWith(".graft.pid_")), s"no pid file in $files")
       val status = files.find(_.startsWith(".graft.status_")).get
       assert(Files.readString(
         java.nio.file.Paths.get(out, status)).trim == "0")

@@ -36,6 +36,27 @@ class ProductQuantSpec extends SparkSpec {
     assert(codes.forall(c => valid((c._2, c._3))))
   }
 
+  test("partitioned IVFADC index prunes to the probed lists and matches in-memory") {
+    val idxDir = Scratch.dir("ivfadc_idx_spec_")
+    // few queries + shallow probing so the probed union is a strict
+    // subset of the 16 lists — pruning has something to prune
+    val part = ProductQuant.ivfadcPartitionedTopK(emb, col("vec_id") < 3,
+      3, idxDir, nProbe = 2)
+    val rows = part.orderBy("query_id", "rank").collect()
+    val mem = ProductQuant.ivfadcTopK(emb, col("vec_id") < 3, 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(rows.nonEmpty && rows.map(_.toSeq).toSeq == mem.map(_.toSeq).toSeq,
+      "partitioned face must be row-identical to the in-memory face")
+    // the index at rest has one directory per inverted list
+    val lists = new java.io.File(idxDir).list().count(_.startsWith("ccid="))
+    assert(lists > 2, s"expected multiple list partitions, got $lists")
+    // the probe scan prunes at the partition level: ccid In (...) sits
+    // in PartitionFilters, not a post-scan filter
+    val plan = part.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ccid".r.findFirstIn(plan).isDefined,
+      s"probe filter not pushed to partition pruning:\n$plan")
+  }
+
   test("pqTopK reranks with the exact cosine and keeps the band contract") {
     val r = SparkEntry.queries("ann_pq")(spark, sfDir)
       .select("query_id", "cand_id", "n_match", "score", "rank")
