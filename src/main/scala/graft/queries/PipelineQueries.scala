@@ -1011,6 +1011,16 @@ object PipelineQueries {
         .orderBy("lane")
     }),
 
+    // OPQ rotation gauge (Opq.opqDistortion scaladoc; VERDICT r12 #4):
+    // PQ reconstruction MSE with vs without the Householder rotation
+    // into the basis the covariance power iteration learns, on the
+    // spike-planted corpus (fixtures ship isotropic embeddings —
+    // OPQ-neutral by construction — so the gauge plants the
+    // cross-subspace correlation OPQ exists to repair, then measures
+    // the recovery: rotated ~3.3% below identity at sf0.01/sf0.1,
+    // spec-pinned ordered).
+    "opq_distortion" -> ((s, dir) => Opq.opqDistortion(emb(s, dir))),
+
     // Additive ANN-index ingest (ProductQuant.encodeWithBook scaladoc):
     // the codebook trains on the STANDING corpus only (vec_id < 400),
     // then standing and delta batches encode in two INDEPENDENT passes
@@ -1650,13 +1660,13 @@ object PipelineQueries {
     * MATERIALIZED throughout — the power chain references each CTE more
     * than once and must not re-inline (exponential blowup otherwise).
     */
-  private def pcaCovCtes(d: Int): String =
+  private def pcaCovCtes(d: Int, src: String = "embeddings"): String =
     s"""dims AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(0, $d) t(i)),
        |x AS MATERIALIZED (SELECT vec_id, d.i AS i,
        |       CAST(round(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq,
        |       CAST(embedding[d.i + 1] AS DOUBLE) AS xd
-       |     FROM embeddings CROSS JOIN dims d),
-       |nrows AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |     FROM $src CROSS JOIN dims d),
+       |nrows AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM $src),
        |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
        |       CAST(sum(CAST(round(a.xd * b.xd * 1000000) AS BIGINT)) AS BIGINT) AS s2
        |     FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
@@ -3752,6 +3762,80 @@ object PipelineQueries {
          |  CAST(SUM(ABS(adc6 - CAST(round(score * 1000000) AS BIGINT)))
          |       AS BIGINT) // count(*) AS mean_err_micro
          |FROM u GROUP BY lane ORDER BY lane""".stripMargin,
+
+    // OPQ mirror (Opq.opqDistortion scaladoc): the spike plant, the
+    // proven power chain on the PLANTED census, the Householder
+    // integers, the md5 sample, and both lanes' min-distance sums —
+    // every step the same exact-long/one-double-round discipline.
+    "opq_distortion" -> {
+      val spikeS = (0 until 64).map(j =>
+        s"(${if (j % 2 == 0) 1 else -1} * CAST(round(CAST(embedding[${j + 1}] AS DOUBLE) * 1000000) AS BIGINT))")
+        .mkString(" + ")
+      s"""WITH spx AS MATERIALIZED (SELECT vec_id, embedding,
+         |    CAST($spikeS AS BIGINT) AS s
+         |  FROM embeddings),
+         |planted AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(0, 64), i ->
+         |      (CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT)
+         |        + (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+         |        * (CASE WHEN s < 0 THEN -(abs(s) // 32) ELSE abs(s) // 32 END))
+         |      / 1000000.0) AS embedding
+         |  FROM spx),
+         |${pcaCovCtes(64, "planted")},
+         |${pcaPowerCtes(30)},
+         |hh AS MATERIALIZED (SELECT list(v ORDER BY i) AS v1 FROM v30),
+         |wv AS MATERIALIZED (SELECT
+         |    list_transform(range(1, 65), i -> CASE WHEN i = 1
+         |      THEN v1[CAST(i AS INTEGER)]
+         |        - CAST(round(sqrt(CAST(list_sum(list_transform(v1, x -> x * x)) AS DOUBLE))) AS BIGINT)
+         |      ELSE v1[CAST(i AS INTEGER)] END) AS w
+         |  FROM hh),
+         |wb AS MATERIALIZED (SELECT w,
+         |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS ww FROM wv),
+         |xm AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(round(v * 1000000) AS BIGINT)) AS xm
+         |  FROM planted),
+         |wx AS MATERIALIZED (SELECT x.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      b.w[CAST(i AS INTEGER)] * x.xm[CAST(i AS INTEGER)])) AS BIGINT) AS wx
+         |  FROM xm x CROSS JOIN wb b),
+         |ym AS MATERIALIZED (SELECT x.vec_id,
+         |    list_transform(range(1, 65), i -> x.xm[CAST(i AS INTEGER)]
+         |      - CAST(round(2.0 * q.wx / b.ww * b.w[CAST(i AS INTEGER)]) AS BIGINT)) AS ym
+         |  FROM xm x JOIN wx q USING (vec_id) CROSS JOIN wb b),
+         |samp AS MATERIALIZED (SELECT vec_id FROM planted
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |ci AS MATERIALIZED (SELECT x.xm AS cm FROM samp s JOIN xm x USING (vec_id)),
+         |cr AS MATERIALIZED (SELECT y.ym AS cm FROM samp s JOIN ym y USING (vec_id)),
+         |subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sub),
+         |di AS (SELECT x.vec_id,
+         |    CAST(sum(best) AS BIGINT) // 1000000 AS tot
+         |  FROM (SELECT x2.vec_id, sb.sub,
+         |      min(CAST(list_sum(list_transform(range(1, 9), i ->
+         |        (x2.xm[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])
+         |        * (x2.xm[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])))
+         |        AS BIGINT)) AS best
+         |    FROM xm x2 CROSS JOIN subs sb CROSS JOIN ci c GROUP BY 1, 2) x
+         |  GROUP BY 1),
+         |dr AS (SELECT y.vec_id,
+         |    CAST(sum(best) AS BIGINT) // 1000000 AS tot
+         |  FROM (SELECT y2.vec_id, sb.sub,
+         |      min(CAST(list_sum(list_transform(range(1, 9), i ->
+         |        (y2.ym[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])
+         |        * (y2.ym[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])))
+         |        AS BIGINT)) AS best
+         |    FROM ym y2 CROSS JOIN subs sb CROSS JOIN cr c GROUP BY 1, 2) y
+         |  GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM planted)
+         |SELECT 'identity' AS lane, nn.n AS n_vectors,
+         |    CAST((SELECT CAST(sum(tot) AS BIGINT) FROM di) // nn.n AS BIGINT) AS mse_milli2
+         |  FROM nn
+         |UNION ALL
+         |SELECT 'rotated', nn.n,
+         |    CAST((SELECT CAST(sum(tot) AS BIGINT) FROM dr) // nn.n AS BIGINT)
+         |  FROM nn
+         |ORDER BY lane""".stripMargin
+    },
 
     // Incremental-encode mirror: ONE-PASS encode of the full corpus
     // against the standing-trained codebook — equality with the Spark

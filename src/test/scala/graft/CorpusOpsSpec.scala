@@ -258,6 +258,27 @@ class CorpusOpsSpec extends SparkSpec {
       s"composed $meanComposed vs in-reduced $meanInRed")
   }
 
+  test("opq_distortion: the learned rotation reduces PQ reconstruction error") {
+    val rows = SparkEntry.queries("opq_distortion")(spark, sfDir)
+      .select("lane", "n_vectors", "mse_milli2")
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("identity", "rotated"))
+    val Array(ident, rot) = rows
+    assert(ident._2 == rot._2 && ident._2 > 0)
+    assert(ident._3 > 0 && rot._3 > 0)
+    // the design claim (VERDICT r12 #4): rotating into the learned
+    // basis strictly reduces reconstruction MSE on the spike-planted
+    // corpus — measured ~3.3% at sf0.01/sf0.1, strict here
+    assert(rot._3 < ident._3,
+      s"rotated ${rot._3} must beat identity ${ident._3}")
+    // the plant is load-bearing: the planted corpus's top eigenvalue
+    // must carry the spike (λ1 well above the isotropic trace share)
+    val planted = operators.Opq.plantedSpike(
+      Tables.load(spark, sfDir, "embeddings"))
+    val (_, l1, tr) = operators.Pca.topComponent(planted)
+    assert(l1 > 3L * tr / 64, s"lambda1=$l1 trace=$tr — spike not planted?")
+  }
+
   test("profile covers every column in one pass with exact null/distinct counts") {
     val orders = Tables.load(spark, sfDir, "orders")
     val p = operators.Profile.profile(orders)
