@@ -295,15 +295,20 @@ object Dedup {
       .select(col("doc_id"), col("bd.cfg").as("cfg"),
         col("bd.band_id").as("band_id"), col("bd.band_key").as("band_key"))
     // hot-bucket cap (scaladoc): kept postings feed the self-join;
-    // dropped posting counts surface per config in the output
+    // dropped posting counts surface per config in the output. The
+    // bucket frequency rides a WINDOW count over the bucket key — one
+    // shuffle of the band relation, no second shingle pass and no
+    // semi-join (the r13 bench showed the groupBy+semi form recomputing
+    // the shingle+sign scan for the frequency side).
     val capped = maxBucket.map { cap =>
-      val freq = bandsAll.groupBy("cfg", "band_id", "band_key")
-        .agg(count(lit(1)).as("__f"))
-      val kept = bandsAll.join(
-        freq.filter(col("__f") <= cap).drop("__f"),
-        Seq("cfg", "band_id", "band_key"), "left_semi")
-      val dropped = freq.filter(col("__f") > cap).groupBy("cfg")
-        .agg(sum(col("__f")).as("dropped_postings"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cfg", "band_id", "band_key")
+      val withF = bandsAll.withColumn("__f", count(lit(1)).over(w))
+      val kept = withF.filter(col("__f") <= cap).drop("__f")
+      // one row per dropped POSTING, so the per-config count is the
+      // same Σ bucket-size the bucket-level sum stated
+      val dropped = withF.filter(col("__f") > cap).groupBy("cfg")
+        .agg(count(lit(1)).as("dropped_postings"))
       (kept, dropped)
     }
     val bandsRel = capped.map(_._1).getOrElse(bandsAll)
@@ -329,10 +334,13 @@ object Dedup {
     val nCand = cand.groupBy("cfg").agg(count(lit(1)).as("n_candidates"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       .withColumn("__one", pmod(col("n_truth"), lit(1L)))
-    // cfg spine from the UNCAPPED band relation (present even when a
-    // strict config yields zero candidates — or the cap drops a config's
-    // every bucket), so every config emits a row
-    val spine = bandsAll.select(col("cfg")).distinct()
+    // STATIC cfg spine (the configs are a parameter, not data — the r13
+    // bench caught the data-derived distinct() re-running the whole
+    // shingle+sign scan just to list them), so every config emits a row
+    // even at zero candidates — or when the cap drops a config's every
+    // bucket
+    val spine = docs.sparkSession.range(configs.length)
+      .select(col("id").cast("int").as("cfg"))
       .join(nCand, Seq("cfg"), "left")
       .join(hits, Seq("cfg"), "left")
     val withDropped = capped.fold(spine.withColumn("dropped_postings", lit(0L))) {

@@ -343,26 +343,27 @@ object Pca {
     // bound is an error, never a silent wrap.
     val xMaxMicro = math.sqrt(Long.MaxValue.toDouble / 2 /
       (4.0 * kMax * d * d)).toLong
-    def q(e: String): String = {
-      val cell = s"cast(round(cast($e as double) * 1000000) as bigint)"
-      s"(case when abs($cell) > ${xMaxMicro}L then cast(raise_error(" +
-        s"'jlDistortion: |x|*1e6 exceeds exact-long bound $xMaxMicro " +
-        s"(d=$d, kmax=$kMax) — rescale embeddings') as bigint) " +
-        s"else $cell end)"
-    }
+    // quantize ONCE into x (guard applied to the materialized long — the
+    // r13 bench caught the guard-wrapped cell being recomputed per
+    // reference), then project z FROM the x column in a second stage
+    val xq =
+      s"""transform(transform(sequence(0, ${d - 1}), i ->
+         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint)),
+         |  v -> case when abs(v) > ${xMaxMicro}L then cast(raise_error(
+         |    'jlDistortion: |x|*1e6 exceeds exact-long bound $xMaxMicro
+         |     (d=$d, kmax=$kMax) — rescale embeddings') as bigint)
+         |    else v end)
+         |""".stripMargin
     val proj =
       s"""transform(sequence(0, ${kMax - 1}), k ->
          |  aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
          |    acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
               then 1L else -1L end)
-         |      * cast(round(cast(embedding[i] as double) * 1000000) as bigint)))
-         |""".stripMargin
-    val xq =
-      s"""transform(sequence(0, ${d - 1}), i ->
-         |  ${q("embedding[i]")})
+         |      * x[i]))
          |""".stripMargin
     val side = graft.Tables.spread(embeddings)
-      .select(col("vec_id"), expr(proj).as("z"), expr(xq).as("x"))
+      .select(col("vec_id"), expr(xq).as("x"))
+      .select(col("vec_id"), expr(proj).as("z"), col("x"))
     val pairs = side.alias("a")
       .join(side.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
       .select(col("a.vec_id").as("pair_id"),
@@ -417,19 +418,24 @@ object Pca {
     require(k >= 1 && k <= 64, s"jlProjectCol: k=$k outside [1,64]")
     require(d >= 1 && d <= 64, s"jlProjectCol: d=$d outside [1,64]")
     // exact-long z: |z_k| ≤ d·X — guard the quantized cell the same
-    // loud way jlDistortion does (error, never a silent wrap)
+    // loud way jlDistortion does (error, never a silent wrap). The
+    // guarded cells bind ONCE per row via the 1-element-array transform
+    // (xs), so the k×d projection reads longs instead of recomputing
+    // round+guard per (k, i) reference.
     val xMaxMicro = Long.MaxValue / 2 / d
-    val cell = "cast(round(cast(embedding[i] as double) * 1000000) as bigint)"
-    val guarded =
-      s"""(case when abs($cell) > ${xMaxMicro}L then cast(raise_error(
-         |  'jlProject: |x|*1e6 exceeds exact-long bound $xMaxMicro (d=$d)
-         |   — rescale embeddings') as bigint) else $cell end)""".stripMargin
+    val cells =
+      s"""transform(transform(sequence(0, ${d - 1}), i ->
+         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint)),
+         |  v -> case when abs(v) > ${xMaxMicro}L then cast(raise_error(
+         |    'jlProject: |x|*1e6 exceeds exact-long bound $xMaxMicro (d=$d)
+         |     — rescale embeddings') as bigint) else v end)""".stripMargin
     expr(
-      s"""transform(sequence(0, ${k - 1}), k ->
-         |  cast(aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
-         |    acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
-         |           then 1L else -1L end) * $guarded)
-         |    / cast(1000000 as double) as float))
+      s"""transform(array($cells), xs ->
+         |  transform(sequence(0, ${k - 1}), k ->
+         |    cast(aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
+         |      acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
+         |             then 1L else -1L end) * xs[i])
+         |      / cast(1000000 as double) as float)))[0]
          |""".stripMargin)
   }
 

@@ -555,12 +555,14 @@ object ProductQuant {
 
   /** Inverted-list balance audit — the physical-design decision report
     * a team reads BEFORE writing the IVFADC index `PARTITIONED BY ccid`
-    * at 100 TB: per-list member count, integer-permille corpus share,
-    * and skew (share × nCoarse — 1000 = perfectly balanced). A list at
-    * skew ≫ 1000 is the straggler partition that dominates probe
-    * latency; the remedies are the repo's skew kit (salt the list, or
-    * split it and probe both halves). One shuffle on ccid; the corpus
-    * total rides the pmod-keyed one-row broadcast (no driver action).
+    * at 100 TB (the write/pruned-read itself is
+    * [[ivfadcPartitionedTopK]]): per-list member count, integer-permille
+    * corpus share, and skew (share × nCoarse — 1000 = perfectly
+    * balanced). A list at skew ≫ 1000 is the straggler partition that
+    * dominates probe latency; the remedies are the repo's skew kit
+    * (salt the list, or split it and probe both halves). One shuffle on
+    * ccid; the corpus total rides the pmod-keyed one-row broadcast (no
+    * driver action).
     */
   def ivfListBalance(embeddings: DataFrame, nCoarse: Int = 16,
                      dim: Option[Int] = None): DataFrame = {
@@ -642,6 +644,12 @@ object ProductQuant {
         coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
       allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
       Seq("sub", "code"))
+      // colocate each inverted list before the write: without this,
+      // EVERY task writes a file into EVERY list directory (tasks ×
+      // nCoarse small files — the classic partitionBy explosion); with
+      // it, a list's codes land in ~one file. At 100 TB-scale ingest,
+      // widen to repartition(N, ccid, salt) so a hot list still splits.
+      .repartition(col("ccid"))
       .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
     // probe: same query relation as the in-memory face
     val qprobe = embN.filter(queryPred).select(col("vec_id").as("q_id"),

