@@ -8,7 +8,7 @@ every oracle SQL from <verifyOutDir>/oracle_sql.json, reads the Spark result
 parquet from <verifyOutDir>/<name>/, and compares: column names (sorted),
 row count, and cell values (rows sorted). NOT shipped library code.
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -30,8 +30,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; generated ones (GenFixtures
+        # sf1) are Spark-style directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
