@@ -725,9 +725,10 @@ object EventQueries {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    // Drift mirror: BIGINT lane (fixture-safe; Spark runs the DECIMAL
-    // lane for 100 TB — the pmi precedent), identical per-bin floor
-    // divisions before max/sum.
+    // Drift mirror: HUGEINT lane (int128 — the DuckDB twin of the
+    // Spark side's DECIMAL(38,0); the r13 sf1 run caught the earlier
+    // BIGINT lane overflowing at diff² × 1e6 once bin counts reach
+    // ~1e6), identical per-bin floor divisions before max/sum.
     "events_value_drift" ->
       """WITH u AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
         |           FROM events),
@@ -753,12 +754,16 @@ object EventQueries {
         |        CAST(sum(n_down) AS BIGINT) AS t_down FROM j)
         |SELECT t.t_up AS n_up, t.t_down AS n_down,
         |       CAST(count(*) AS BIGINT) AS n_bins,
-        |       CAST(max(abs(cum_up * t_down - cum_down * t_up) * 1000
-        |                // (t_up * t_down)) AS BIGINT) AS ks_permille,
+        |       CAST(max(abs(CAST(cum_up AS HUGEINT) * t_down
+        |                    - CAST(cum_down AS HUGEINT) * t_up) * 1000
+        |                // (CAST(t_up AS HUGEINT) * t_down)) AS BIGINT)
+        |         AS ks_permille,
         |       CAST(sum(CASE WHEN c.n_up > 0 THEN
-        |             ((c.n_down * t_up - c.n_up * t_down) *
-        |              (c.n_down * t_up - c.n_up * t_down) * 1000000)
-        |             // (c.n_up * t_down * t_up)
+        |             ((CAST(c.n_down AS HUGEINT) * t_up
+        |               - CAST(c.n_up AS HUGEINT) * t_down) *
+        |              (CAST(c.n_down AS HUGEINT) * t_up
+        |               - CAST(c.n_up AS HUGEINT) * t_down) * 1000000)
+        |             // (CAST(c.n_up AS HUGEINT) * t_down * t_up)
         |           ELSE 0 END) AS BIGINT) AS chi2_micro
         |FROM c, t GROUP BY t.t_up, t.t_down""".stripMargin,
 

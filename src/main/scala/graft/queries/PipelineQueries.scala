@@ -349,8 +349,14 @@ object PipelineQueries {
     // shards an incremental writer must touch.
     "shard_stability" -> ((s, dir) => {
       val d = docs(s, dir)
+      // append-only growth means the delta ids must sit ABOVE the whole
+      // standing corpus — derive the shift from the data (one 1-row
+      // bounded collect; a fixture-sized constant collided with real
+      // ids at sf1, and the duplicate-id sort tie made the payload
+      // order engine-dependent — caught by the r13 sf1 oracle sweep)
+      val shift = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val delta = d.filter(col("doc_id") % 9 === 0)
-        .withColumn("doc_id", col("doc_id") + 30000L)
+        .withColumn("doc_id", col("doc_id") + lit(shift))
       val v1 = TextAnalysis.assembleShards(d, 2000L)
         .select(col("lang"), col("shard_id"),
           col("n_docs").as("n_docs_v1"), col("payload_md5").as("md5_v1"))
@@ -3160,7 +3166,8 @@ object PipelineQueries {
       """WITH aug AS (
         |  SELECT doc_id, lang, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 30000, lang, text FROM documents WHERE doc_id % 9 = 0),
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), lang, text
+        |  FROM documents WHERE doc_id % 9 = 0),
         |c1 AS (SELECT doc_id, lang, text,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS est,
         |  SUM(CAST((length(text) + 3) // 4 AS BIGINT))
