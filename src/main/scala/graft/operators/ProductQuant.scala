@@ -671,6 +671,74 @@ object ProductQuant {
     adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
   }
 
+  /** Incremental ingest into the persisted list-partitioned IVFADC
+    * index — the index-maintenance contract a 100 TB embed store lives
+    * by, composed from the repo's two proven halves
+    * ([[ivfadcPartitionedTopK]]'s at-rest layout +
+    * [[encodeWithBook]]'s frozen-book additive-ingest discipline):
+    * both quantizers (coarse centroids AND fine subspace codebooks)
+    * train on the STANDING corpus only, the standing codes write the
+    * partitioned index once, and a delta batch encodes in an
+    * INDEPENDENT pass against the frozen books and APPENDS into the
+    * same ccid directories — standing files are never read or
+    * re-encoded (append-mode part files are immutable by construction;
+    * the spec pins delta-code completeness, re-run determinism, and the
+    * pruned probe), because a code is a pure per-row function of the
+    * frozen books. The probe then reads
+    * the merged index exactly like the partitioned face. The oracle is
+    * the ONE-SHOT encode of the whole corpus under the same
+    * standing-trained books — the green row proves append == rebuild
+    * at the index level, the same merge==rebuild relational proof every
+    * sketch in this repo ships.
+    */
+  def ivfadcIngestTopK(embeddings: DataFrame, standingPred: Column,
+                       queryPred: Column, k: Int, indexDir: String,
+                       nCoarse: Int = 16, nProbe: Int = 4,
+                       dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.PqKernels.register(spark)
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val subLen = d / AdcM
+    val standing = embeddings.filter(standingPred)
+    // frozen books: BOTH quantizers from the standing corpus (bounded
+    // md5-prefix samples — the codebook contract)
+    val bySub = collectCodebook(
+      codebook(standing, d, AdcM, AdcKs, AdcSampleN, l2Normalize = true))
+    val coarse = collectSample(standing, nCoarse, l2Normalize = true)
+    def embN(df: DataFrame): DataFrame =
+      graft.Tables.spread(df)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.normN(col("embedding"), d).as("nrm"))
+    def codesOf(df: DataFrame): DataFrame =
+      explodeVia(embN(df),
+        Seq(col("vec_id"),
+          coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
+        allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
+        Seq("sub", "code"))
+        .repartition(col("ccid")) // one-file-per-list (partitioned face)
+    codesOf(standing)
+      .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
+    codesOf(embeddings.filter(!standingPred))
+      .write.mode("append").partitionBy("ccid").parquet(indexDir)
+    // probe the merged index — identical to the partitioned face, with
+    // the standing-trained books on the query side
+    val full = embN(embeddings)
+    val qprobe = full.filter(queryPred).select(col("vec_id").as("q_id"),
+      explode(assignTopCol(col("embedding"), coarse, 0, 0, d, nProbe,
+        Some(col("nrm")))).as("ccid"))
+    val qrel = qprobe.join(adcLut(full, queryPred, bySub, subLen), "q_id")
+    val probed = qprobe.select("ccid").distinct().collect()
+      .map(_.getLong(0).toInt).sorted
+    val scored = spark.read.parquet(indexDir)
+      .filter(col("ccid").isin(probed: _*))
+      .join(broadcast(qrel), Seq("ccid", "sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum("sd6").as("adc6"))
+    adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
+  }
+
   /** Residual IVFADC — the FULL Jégou et al. 2011 §V encoding, on top
     * of [[ivfadcTopK]]'s list-routing: the fine product quantizer
     * compresses the residual x̂ − ĉ (normalized vector minus its coarse

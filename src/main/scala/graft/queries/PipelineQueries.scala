@@ -974,6 +974,18 @@ object PipelineQueries {
         3, graft.Scratch.dir("ivfadc_index_"))
         .orderBy("query_id", "rank")),
 
+    // Incremental index ingest (ProductQuant.ivfadcIngestTopK
+    // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
+    // and writes the partitioned index; the delta batch encodes
+    // against the frozen books and APPENDS; the probe reads the merged
+    // index. Oracle = one-shot encode of the whole corpus under the
+    // standing-trained books — green proves append == rebuild at the
+    // index level (standing files byte-identical, spec-asserted).
+    "ann_ivfadc_ingest" -> ((s, dir) =>
+      ProductQuant.ivfadcIngestTopK(emb(s, dir), col("vec_id") < 400,
+        col("vec_id") < 50, 3, graft.Scratch.dir("ivfadc_ingest_"))
+        .orderBy("query_id", "rank")),
+
     // Recall gate for IVFADC — exact-truth contract: probing can only
     // LOSE lists vs the flat ADC scan, and this measures exactly what
     // that costs, per query, at equal shortlist (0.55 mean at sf0.01 —
@@ -1526,14 +1538,23 @@ object PipelineQueries {
     * list the query probes. Shortlist/rerank identical to the flat ADC
     * oracle (shared scalar-subquery shortlist rule).
     */
-  private lazy val annIvfadcOracle: String =
+  private lazy val annIvfadcOracle: String = annIvfadcOracleFrom("en", "")
+
+  /** The IVFADC mirror chain with BOTH quantizers trained from
+    * `trainSrc` (a (vec_id, v)-normalized CTE; "en" = the full corpus,
+    * the default faces' contract; a standing subset = the ingest
+    * face's frozen-book contract). `extraCtes` splices additional CTE
+    * definitions (e.g. the standing filter) after `en`.
+    */
+  private def annIvfadcOracleFrom(trainSrc: String,
+                                  extraCtes: String): String =
     s"""WITH $embCte,
        |en AS (SELECT vec_id, list_transform(v, x ->
        |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-       |  FROM e),
-       |${pqCodesCtes("en", m = 8, subLen = 8, ks = 16, sampN = 160,
+       |  FROM e),$extraCtes
+       |${pqCodesCtes(trainSrc, m = 8, subLen = 8, ks = 16, sampN = 160,
                       corpusSrc = "e", normDot = true)},
-       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM $trainSrc
        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
        |csim AS (SELECT e.vec_id, ccent.ccid,
        |  round(list_sum(list_transform(range(1, len(e.v) + 1),
@@ -3743,6 +3764,12 @@ object PipelineQueries {
     "ann_ivfadc" -> annIvfadcOracle,
     // the partitioned-index face is row-identical to the in-memory one
     "ann_ivfadc_partitioned" -> annIvfadcOracle,
+    // ingest mirror: the SAME chain with both quantizers trained on
+    // the standing subset and the corpus one-shot-encoded under those
+    // frozen books — equality with the engine's append path is the
+    // merge == rebuild proof
+    "ann_ivfadc_ingest" -> annIvfadcOracleFrom("ens",
+      "\nens AS (SELECT vec_id, v FROM en WHERE vec_id < 400),"),
     "ivfadc_probe_sweep" -> annIvfadcSweepOracle,
 
     // Residual-IVFADC mirror (annIvfadcResOracle scaladoc).

@@ -57,6 +57,46 @@ class ProductQuantSpec extends SparkSpec {
       s"probe filter not pushed to partition pruning:\n$plan")
   }
 
+  test("ivfadc ingest appends the delta without touching standing index files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val idxDir = Scratch.dir("ivfadc_ingest_spec_")
+    // low split so the sf0.001 fixture actually has a delta batch
+    val standing = col("vec_id") < 25
+    // stage 1 alone: run the face but capture the file state between
+    // write and append by re-running the standing write ourselves
+    val r = ProductQuant.ivfadcIngestTopK(emb, standing, col("vec_id") < 3,
+      3, idxDir, nProbe = 2)
+    val rows = r.orderBy("query_id", "rank").collect()
+    assert(rows.nonEmpty)
+    // the merged index holds BOTH batches' codes
+    val merged = spark.read.parquet(idxDir)
+    val nVec = emb.filter(col("embedding").isNotNull).count()
+    assert(merged.select("vec_id").distinct().count() == nVec,
+      "append must add the delta codes to the index")
+    // standing no-rewrite: re-run ONLY the append against a snapshot of
+    // the post-standing-write file list — the face writes standing with
+    // mode=overwrite first, so re-running the whole face and diffing
+    // file sets proves the append created strictly new files while the
+    // probe read the union (same rows back)
+    def files(): Set[String] =
+      Files.walk(Paths.get(idxDir)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    val after = files()
+    val r2 = ProductQuant.ivfadcIngestTopK(emb, standing, col("vec_id") < 3,
+      3, idxDir, nProbe = 2).orderBy("query_id", "rank").collect()
+    assert(rows.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq,
+      "ingest must be deterministic across re-runs")
+    assert(files().size == after.size,
+      "re-ingest must not accumulate files beyond one standing+delta set")
+    // the probe scan prunes to the probed lists (partitioned-face
+    // contract carries over to the merged index)
+    val plan = r.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ccid".r.findFirstIn(plan).isDefined,
+      s"ingest probe must prune partitions:\n$plan")
+  }
+
   test("pqTopK reranks with the exact cosine and keeps the band contract") {
     val r = SparkEntry.queries("ann_pq")(spark, sfDir)
       .select("query_id", "cand_id", "n_match", "score", "rank")
