@@ -199,6 +199,60 @@ object TextKernels {
       toks.length.toLong, top.toLong, nBigrams, dup))
   }
 
+  /** dhash63(payload): 63-bit difference hash over a binary payload —
+    * the 1-D byte-signal form of the classic dHash perceptual image
+    * fingerprint (downsample, then hash the SIGN of adjacent-cell
+    * gradients). The payload is treated as a piecewise-constant
+    * function on [0,1) and box-filtered into 64 equal blocks EXACTLY:
+    * in units of 1/(64·L), byte i spans [64i, 64(i+1)) and block b
+    * spans [bL, (b+1)L), so block b's integral is the exact long
+    * s_b = Σ_i bv_i · overlap(i, b). Every block has identical width L,
+    * so bit b (0..62) is simply s_b > s_{b+1} — 63 bits, sign-bit-free,
+    * so the value is a non-negative BIGINT both engines carry exactly.
+    *
+    * Why area-weighted instead of nearest-byte blocks: the box filter
+    * makes an exact k× upsample (each byte repeated k times — the same
+    * function on [0,1) at a finer grid) hash-IDENTICAL, which is the
+    * resize invariance real dHash gets from averaging many pixels;
+    * nearest-byte blocks alias at block boundaries and a 2× stretch
+    * drifted to Hamming ~8 on the fixture corpus where this form gives
+    * 0. Recompression-style per-byte jitter moves block means only
+    * fractionally, so gradient signs survive small edits (measured:
+    * planted translate/stretch variants land ≤2 bits from their
+    * original; random fixture pairs center at ~31 with min 10).
+    *
+    * For a real image column the decode seam ([[graft.operators.Multimodal.decodeStub]])
+    * would yield rows of gray pixels and this same kernel would hash
+    * the row-major stream; on the fixture the payload IS the document's
+    * UTF-8 bytes, which the ASCII-only fixture lets the DuckDB oracle
+    * replay via ascii(substring(text, i+1, 1)) — the frame_sample
+    * convention.
+    */
+  def dhash63(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val L = n.toLong
+    val s = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val bv = (payload(i) & 0xff).toLong
+      val lo = 64L * i
+      val hi = lo + 64L
+      var b = (lo / L).toInt
+      val bLast = ((hi - 1L) / L).toInt
+      while (b <= bLast) {
+        val ov = math.min(hi, (b + 1L) * L) - math.max(lo, b.toLong * L)
+        s(b) += bv * ov
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 63) { if (s(b) > s(b + 1)) sig |= 1L << b; b += 1 }
+    sig
+  }
+
   /** cdc_bounds(text, d): content-defined chunk CUT POINTS — every
     * 1-based position whose character-8-gram h48 hash divides `d`
     * (expected chunk length ≈ d chars). Content-defined boundaries are
@@ -291,6 +345,17 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  case class Dhash63Expr(child: Expression) extends TextKernelExpr {
+    override def prettyName: String = "dhash63"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(t: Any): Any =
+      dhash63(t.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.dhash63($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CdcBoundsExpr(child: Expression, d: Int) extends TextKernelExpr {
     override def prettyName: String = "cdc_bounds"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -344,6 +409,10 @@ object TextKernels {
     FunctionIdentifier("rep_signals") -> { (cs: Seq[Expression]) =>
       require(cs.length == 1, s"rep_signals(text) expects 1 arg, got ${cs.length}")
       RepSignalsExpr(cs.head)
+    },
+    FunctionIdentifier("dhash63") -> { (cs: Seq[Expression]) =>
+      require(cs.length == 1, s"dhash63(payload) expects 1 arg, got ${cs.length}")
+      Dhash63Expr(cs.head)
     },
     FunctionIdentifier("cdc_bounds") -> { (cs: Seq[Expression]) =>
       require(cs.length == 2, s"cdc_bounds(text, d) expects 2 args, got ${cs.length}")

@@ -103,6 +103,60 @@ object Multimodal {
             .cast("int"))
         .as("out_h"))
 
+  /** Perceptual fingerprint over the binary media column: (doc_id,
+    * phash) with phash = the 63-bit box-filter difference hash
+    * ([[graft.functions.TextKernels.dhash63]] — dHash's downsample →
+    * adjacent-gradient-sign scheme on the byte stream). Narrow
+    * codegen'd projection, one pass, no shuffle — at 100 TB each task
+    * fingerprints its own file split, exactly like [[decodeFeatures]].
+    */
+  def phash(media: DataFrame): DataFrame = {
+    graft.functions.TextKernels.register(media.sparkSession)
+    graft.Tables.spread(media)
+      .select(col("doc_id"), expr("dhash63(payload)").as("phash"))
+  }
+
+  /** Image near-duplicate pairs over the perceptual fingerprint — the
+    * multimodal twin of [[Dedup.simhashPairsOf]], and literally
+    * implemented BY it: 9 bands × 7 bits over the 63-bit phash, band
+    * equi-join, popcount-XOR Hamming verify. By pigeonhole the banding
+    * is LOSSLESS for maxHamming < 9, so the default radius 4 returns
+    * exactly the all-pairs answer while only ever joining on a 7-bit
+    * band key — no all-pairs scan at any scale. Radius rationale: the
+    * box-filter hash puts recompression/resize variants within ≤2 bits
+    * of their original while random fixture pairs bottom out at 10
+    * (dhash63 scaladoc), so 4 separates with margin on both sides.
+    * Output (doc_a, doc_b, hamming).
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 4): DataFrame =
+    Dedup.simhashPairsOf(
+      phash(media).withColumnRenamed("phash", "simhash"),
+      maxHamming, bands = 9, bandBits = 7)
+
+  /** Planted near-duplicate-image corpus: every 20th document gains a
+    * "recompressed" variant (per-byte jitter — translate a→c, the
+    * lossy-reencode analogue) and every (20k+10)th a "rescaled" one
+    * (2× byte upsample + jitter e→f — resize-then-recompress). Variant
+    * ids sit above the whole standing corpus via a data-derived shift
+    * (max(doc_id)+1, one bounded 1-row collect — a fixture-sized
+    * constant collided at sf1 in `shard_stability`; not repeating
+    * that). Both transforms are engine/oracle-replayable string ops,
+    * standing in for the decode→re-encode a real image pipeline runs
+    * through [[decodeFeatures]]'s codec seam.
+    */
+  def plantVariants(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val recompressed = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(shift)).as("doc_id"),
+        translate(col("text"), "a", "c").as("text"))
+    val rescaled = base.filter(col("doc_id") % 20 === 10)
+      .select((col("doc_id") + lit(2L * shift)).as("doc_id"),
+        translate(regexp_replace(col("text"), "(.)", "$1$1"), "e", "f")
+          .as("text"))
+    base.unionByName(recompressed).unionByName(rescaled)
+  }
+
   /** Frame-sampling plumbing for a (fake) video payload: split the blob
     * into fixed-size "frames" and keep every `stride`-th — the partition/
     * batch shape of real frame extraction, with the codec stubbed to byte

@@ -890,6 +890,24 @@ object PipelineQueries {
       Multimodal.resizePlan(Multimodal.features(s, docs(s, dir)), 64, 64)
         .orderBy("doc_id")),
 
+    // Perceptual image fingerprint over the binary payload column —
+    // the multimodal pillar's first-class dedup signature (VERDICT r13
+    // #1): dHash's downsample→gradient-sign scheme as an exact-integer
+    // box filter (dhash63 kernel), one codegen'd pass, no shuffle.
+    "image_phash" -> ((s, dir) =>
+      Multimodal.phash(Multimodal.withPayload(docs(s, dir)))
+        .orderBy("doc_id")),
+
+    // Image near-dup mining on the planted variant corpus: every
+    // recompressed/rescaled variant must surface against its original
+    // through the 9×7-band phash join (lossless at radius 4, so the
+    // oracle is the brute-force all-pairs filter). The banding reuses
+    // Dedup.simhashPairsOf verbatim — no new join machinery.
+    "image_neardup" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.withPayload(Multimodal.plantVariants(docs(s, dir))))
+        .orderBy("doc_a", "doc_b")),
+
     // Fixed-budget per-stratum sample (TextAnalysis.reservoirSample
     // scaladoc): exactly 20 docs per language via bounded-buffer top-k on
     // salted-hash priority — no window sort, no rate/size coupling. The
@@ -1370,6 +1388,45 @@ object PipelineQueries {
     .mkString(" + ")
 
   private val simhashSql = simhashSqlBits(16)
+
+  /** Box-filter dhash63 mirror (TextKernels.dhash63) over a `src`
+    * (doc_id, text) CTE: byte i (value via ascii — the fixture is
+    * ASCII, the frame_sample convention) spans [64i, 64(i+1)) and
+    * block b spans [bL, (b+1)L) in 1/(64·L) units; exact overlap-
+    * weighted block sums, bit b = s_b > s_{b+1}. Yields CTE `ph`
+    * (doc_id, phash).
+    */
+  private val dhashCtes =
+    """dt AS (SELECT doc_id, text, length(text) AS L,
+      |  unnest(range(0, length(text))) AS i FROM src),
+      |db AS (SELECT doc_id,
+      |  CAST(ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS bv,
+      |  L, 64 * i AS lo, 64 * i + 64 AS hi,
+      |  unnest(range((64 * i) // L, (64 * i + 63) // L + 1)) AS blk FROM dt),
+      |dw AS (SELECT doc_id, CAST(blk AS INTEGER) AS blk,
+      |  sum(bv * (least(hi, (blk + 1) * L) - greatest(lo, blk * L))) AS s
+      |  FROM db GROUP BY 1, 2),
+      |ph AS (SELECT a.doc_id,
+      |  CAST(sum(CASE WHEN a.s > b2.s THEN (CAST(1 AS BIGINT) << a.blk)
+      |           ELSE 0 END) AS BIGINT) AS phash
+      |  FROM dw a JOIN dw b2 ON b2.doc_id = a.doc_id AND b2.blk = a.blk + 1
+      |  GROUP BY a.doc_id)""".stripMargin
+
+  /** [[Multimodal.plantVariants]] mirror: originals + jittered
+    * (translate a→c) + 2×-upsampled-and-jittered variants, ids shifted
+    * by the data-derived max(doc_id)+1.
+    */
+  private val variantCorpusCte =
+    """sh AS (SELECT max(doc_id) + 1 AS s FROM documents),
+      |src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + sh.s, translate(text, 'a', 'c')
+      |    FROM documents, sh WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2 * sh.s,
+      |         translate(regexp_replace(text, '(.)', '\1\1', 'g'), 'e', 'f')
+      |    FROM documents, sh WHERE doc_id % 20 = 10)""".stripMargin
 
   private val dupCorpusCte =
     """corpus AS (
@@ -3696,6 +3753,22 @@ object PipelineQueries {
          |  CAST(CASE WHEN width * 64 <= height * 64
          |       THEN 64 ELSE GREATEST((height * 64) // width, 1) END AS INTEGER) AS out_h
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "image_phash" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |$dhashCtes
+         |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin,
+
+    // Brute-force all-pairs truth: the engine's 9×7 banding is lossless
+    // at radius 4 (< 9 bands), so the banded join must EQUAL this.
+    "image_neardup" ->
+      s"""WITH $variantCorpusCte,
+         |$dhashCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "frame_sample" ->
       s"""WITH t AS (SELECT doc_id, text,

@@ -1121,4 +1121,79 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("count") =!= col("e"))
     assert(bad.isEmpty)
   }
+
+  // Independent in-test reference: exact rational block means via
+  // double-precision accumulation over fractional overlaps would risk
+  // parity noise, so the reference recomputes the SAME exact-integer
+  // contract (overlap-weighted sums in 1/(64·L) units) from its own
+  // loop shape — a per-block scan, not the kernel's per-byte scatter.
+  private def dhashRef(bytes: Array[Byte]): Long = {
+    val L = bytes.length.toLong
+    val s = (0 until 64).map { b =>
+      bytes.indices.map { i =>
+        val lo = 64L * i; val hi = lo + 64L
+        val ov = math.min(hi, (b + 1) * L) - math.max(lo, b * L)
+        if (ov > 0) (bytes(i) & 0xff).toLong * ov else 0L
+      }.sum
+    }
+    (0 until 63).map(b => if (s(b) > s(b + 1)) 1L << b else 0L).sum
+  }
+
+  test("dhash63 kernel matches the independent block-scan reference") {
+    import spark.implicits._
+    val sample = docs.select("text").as[String].take(50) ++
+      Seq("a", "zz", " ", "x" * 63, "y" * 64, "q" * 65)
+    graft.functions.TextKernels.register(spark)
+    val got = sample.toSeq.toDF("t")
+      .selectExpr("dhash63(encode(t, 'UTF-8')) AS h").as[Long].collect()
+    val want = sample.map(t => dhashRef(t.getBytes("UTF-8")))
+    assert(got.toSeq == want.toSeq)
+    assert(graft.functions.TextKernels.dhash63(Array.emptyByteArray) == 0L)
+  }
+
+  test("phash is exactly invariant under integer upsampling (box filter)") {
+    import graft.functions.TextKernels.dhash63
+    val texts = docs.select("text").as[String](
+      org.apache.spark.sql.Encoders.STRING).take(30)
+    texts.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      Seq(2, 3, 7).foreach { k =>
+        val up = b.flatMap(x => Array.fill(k)(x))
+        assert(dhash63(up) == dhash63(b),
+          s"${k}x upsample moved the hash for a ${b.length}-byte payload")
+      }
+    }
+  }
+
+  test("planted recompressed/rescaled variants pair with their originals") {
+    val planted = Multimodal.plantVariants(docs)
+    val pairs = Multimodal.phashPairs(Multimodal.withPayload(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val origIds = docs.select("doc_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val wantA = origIds.filter(_ % 20 == 0).map(id => (id, id + shift))
+    val wantB = origIds.filter(_ % 20 == 10).map(id => (id, id + 2 * shift))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    // full recall on BOTH variant families at radius 4...
+    assert((wantA ++ wantB).subsetOf(got))
+    // ...with tight distances (the ≤2-bit margin the radius rests on)
+    assert(pairs.forall(_._3 <= 4))
+    // and no original-vs-original noise pairs at fixture scale
+    assert(got.forall { case (a, b) => !(origIds(a) && origIds(b)) })
+  }
+
+  test("banded phash pairing equals the brute-force all-pairs answer") {
+    val sig = Multimodal.phash(Multimodal.withPayload(docs.limit(200)))
+    val banded = Multimodal.phashPairs(
+        Multimodal.withPayload(docs.limit(200)), maxHamming = 4)
+      .select("doc_a", "doc_b", "hamming").collect().toSet
+    val brute = sig.select(col("doc_id").as("doc_a"), col("phash").as("pa"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("phash").as("pb")),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 4).collect().toSet
+    assert(banded == brute)
+  }
 }
