@@ -337,22 +337,25 @@ object Pca {
     val kMax = targets.max
     // Exact-long bound (ADVICE r12 #1): |z_k| ≤ d·X, |dz| ≤ 2dX, and
     // dp2 sums kMax of dz² — need kMax·4d²X² < 2^62, i.e. X (micro
-    // units) ≤ sqrt(2^62/(4·kMax·d²)) ≈ 2.1e6 at d=kMax=64. Checked
-    // per row on the quantized cell (raise_error, evaluated inside the
-    // surviving x column so pruning can't drop it) — a vector past the
-    // bound is an error, never a silent wrap.
+    // units) ≤ sqrt(2^62/(4·kMax·d²)) ≈ 2.1e6 at d=kMax=64. Guarded
+    // ONCE PER ROW (VERDICT r13 #2): the quantized cells bind into xs
+    // via the 1-element-array transform, one aggregate computes the
+    // row's max |cell|, and a single CASE either raises or passes the
+    // whole array through — same loudness as the r13 per-cell guard
+    // (which cost jl_distortion 3.9×: d CASE evaluations inside the
+    // projection's inner loop), ~zero cost. The guard lives inside the
+    // surviving x column, so pruning can't drop it.
     val xMaxMicro = math.sqrt(Long.MaxValue.toDouble / 2 /
       (4.0 * kMax * d * d)).toLong
-    // quantize ONCE into x (guard applied to the materialized long — the
-    // r13 bench caught the guard-wrapped cell being recomputed per
-    // reference), then project z FROM the x column in a second stage
     val xq =
-      s"""transform(transform(sequence(0, ${d - 1}), i ->
-         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint)),
-         |  v -> case when abs(v) > ${xMaxMicro}L then cast(raise_error(
-         |    'jlDistortion: |x|*1e6 exceeds exact-long bound $xMaxMicro
-         |     (d=$d, kmax=$kMax) — rescale embeddings') as bigint)
-         |    else v end)
+      s"""transform(array(transform(sequence(0, ${d - 1}), i ->
+         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint))),
+         |  xs -> case when aggregate(xs, 0L, (m, v) -> greatest(m, abs(v)))
+         |      > ${xMaxMicro}L
+         |    then cast(raise_error(
+         |      'jlDistortion: |x|*1e6 exceeds exact-long bound $xMaxMicro
+         |       (d=$d, kmax=$kMax) — rescale embeddings') as array<bigint>)
+         |    else xs end)[0]
          |""".stripMargin
     val proj =
       s"""transform(sequence(0, ${kMax - 1}), k ->
@@ -417,18 +420,23 @@ object Pca {
   def jlProjectCol(d: Int = Dim, k: Int = 16): org.apache.spark.sql.Column = {
     require(k >= 1 && k <= 64, s"jlProjectCol: k=$k outside [1,64]")
     require(d >= 1 && d <= 64, s"jlProjectCol: d=$d outside [1,64]")
-    // exact-long z: |z_k| ≤ d·X — guard the quantized cell the same
-    // loud way jlDistortion does (error, never a silent wrap). The
-    // guarded cells bind ONCE per row via the 1-element-array transform
-    // (xs), so the k×d projection reads longs instead of recomputing
-    // round+guard per (k, i) reference.
+    // exact-long z: |z_k| ≤ d·X — guard the quantized row the same
+    // loud way jlDistortion does (error, never a silent wrap), ONCE
+    // per row (VERDICT r13 #2): the raw cells bind into an inner
+    // 1-element-array transform whose CASE checks the row's max |cell|
+    // in one aggregate pass and passes the whole array through; the
+    // outer binding then feeds the k×d projection plain longs — no
+    // per-(k, i) round/guard recompute, no per-cell CASE.
     val xMaxMicro = Long.MaxValue / 2 / d
     val cells =
-      s"""transform(transform(sequence(0, ${d - 1}), i ->
-         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint)),
-         |  v -> case when abs(v) > ${xMaxMicro}L then cast(raise_error(
-         |    'jlProject: |x|*1e6 exceeds exact-long bound $xMaxMicro (d=$d)
-         |     — rescale embeddings') as bigint) else v end)""".stripMargin
+      s"""transform(array(transform(sequence(0, ${d - 1}), i ->
+         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint))),
+         |  g -> case when aggregate(g, 0L, (m, v) -> greatest(m, abs(v)))
+         |      > ${xMaxMicro}L
+         |    then cast(raise_error(
+         |      'jlProject: |x|*1e6 exceeds exact-long bound $xMaxMicro (d=$d)
+         |       — rescale embeddings') as array<bigint>)
+         |    else g end)[0]""".stripMargin
     expr(
       s"""transform(array($cells), xs ->
          |  transform(sequence(0, ${k - 1}), k ->

