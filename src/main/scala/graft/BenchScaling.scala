@@ -37,7 +37,12 @@ object BenchScaling {
     // the Lloyd loop (3 corpus passes), the bigram LM (pair-key
     // shuffle join), and the SemDeDup sweep (cluster-bounded pairs).
     "embed_covariance", "kmeans_train_curve", "bigram_ppl",
-    "semdedup_sweep")
+    "semdedup_sweep",
+    // r13-verdict #6 families — the heaviest new faces, exactly where a
+    // superlinear surprise would hide: the capped banded self-join, the
+    // partitionBy index write + pruned probe, and the d²-census OPQ
+    // rotation gauge.
+    "minhash_band_sweep", "ann_ivfadc_partitioned", "opq_distortion")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
@@ -96,9 +101,17 @@ object BenchScaling {
       val decades = sfVals.zip(sfVals.drop(1)).flatMap { case (lo, hi) =>
         expo(lo, hi).map(e => jstr(s"exp_sf${lo}_sf$hi") + ":" + ms(e))
       }
+      // exp_top_decade falls back to the highest decade with both
+      // endpoints present; "top_decade" NAMES that decade (ADVICE r13)
+      // so a consumer can tell a demoted (overhead-bound, context-only)
+      // exponent from the true top-decade signal.
       val top = sfVals.zip(sfVals.drop(1)).reverse
-        .flatMap { case (lo, hi) => expo(lo, hi) }.headOption
-        .map(e => Seq("\"exp_top_decade\":" + ms(e))).getOrElse(Nil)
+        .flatMap { case (lo, hi) => expo(lo, hi).map(e => (lo, hi, e)) }
+        .headOption
+        .map { case (lo, hi, e) => Seq(
+          "\"exp_top_decade\":" + ms(e),
+          "\"top_decade\":" + jstr(s"sf${lo}_sf$hi")) }
+        .getOrElse(Nil)
       jstr(name) + ":{" + (timesJson ++ decades ++ top).mkString(",") + "}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case ((nm, sf), v) =>
@@ -110,7 +123,7 @@ object BenchScaling {
         s""""note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
         s"""1.0 = linear in data, ~0 = overhead-bound"}"""
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r13.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r14.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecar), out + "\n")
     catch { case e: Throwable =>

@@ -159,9 +159,16 @@ object GenFixtures {
 
     // documents: 10..100 vocab words; ~1/625 of docs reuse an EARLIER
     // doc's text seed (cross-row copy without a join: text is a pure
-    // function of the seed), reproducing the driver's dup-pair rate
+    // function of the seed), reproducing the driver's dup-pair rate.
+    // The redirected seed must itself be a NON-dup row (ADVICE r13): a
+    // seed landing on another dup row copies that row's seed FUNCTION
+    // input, not its realized text, so the planted pair wouldn't
+    // actually match — step such seeds down one id (floor(u*id) ≤ id-1,
+    // so the adjustment never collides with id or goes negative).
     val dup = (id % 625 === 624) && (id > 0)
-    val seed = when(dup, floor(u("documents", 1, id) * id)).otherwise(id)
+    val rawSeed = floor(u("documents", 1, id) * id)
+    val seed = when(dup,
+      rawSeed - when(rawSeed % 625 === 624, 1).otherwise(0)).otherwise(id)
     val nWords = h("documents", 2, seed, 91) + 10
     val text = concat_ws(" ", transform(sequence(lit(1), nWords),
       i => element_at(typedLit(Vocab),

@@ -280,8 +280,14 @@ object CoreQueries {
     "config_b64" -> ((s, dir) => {
       val raw = col("raw_password")
       val bin = unbase64(trim(raw))
+      // Tail alternatives mirror the strict decoder exactly (ADVICE
+      // r13): canonical padding ({2}== / {3}=) or BARE {2}/{3} tails
+      // (java.util.Base64 decodes unpadded tails), and nothing else —
+      // the earlier `==?`/`=?` form accepted a mal-padded "xx=" the
+      // strict decoder throws on while rejecting the bare "xx" it
+      // accepts.
       val looksB64 = trim(raw).rlike(
-        "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==?|[A-Za-z0-9+/]{3}=?)?$")
+        "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}(?:==)?|[A-Za-z0-9+/]{3}=?)?$")
       // bytes 0x20-0x7E, i.e. decodePassword's (c >= ' ' && c < 127)
       val printable = hex(bin).rlike("^(?:2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$")
       Discover.manifest(s, dir)

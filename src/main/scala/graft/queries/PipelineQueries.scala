@@ -1285,11 +1285,17 @@ object PipelineQueries {
   /** Banding-sweep mirror (Dedup.minhashBandSweep): one 12-lane
     * signature, per-config band keys unioned with a cfg tag, candidates
     * for all configs from one grouped self-join, truth = the verified
-    * loosest-config (12×1) candidates — a superset of every config's
-    * verified output by the lane-subset property. All-integer permille.
+    * loosest-config (12×1) candidates. All-integer permille.
     * Mirrors the face's maxBucket=32 hot-bucket cap: postings in band
     * buckets larger than the cap are dropped before the self-join and
-    * their count is stated per config as dropped_postings.
+    * their count is stated per config as dropped_postings. NOTE
+    * (ADVICE r13): the lane-subset property — (12×1) truth being a
+    * superset of every config's verified candidates — holds only for
+    * the UNCAPPED sweep; under the cap a pair surviving a multi-lane
+    * band bucket can have its single-lane bucket capped out of the
+    * truth lane. Engine and oracle apply the identical cap to the
+    * identical buckets, so parity holds regardless; truth here is "the
+    * capped 12×1 lane", not a guaranteed superset.
     */
   private lazy val bandSweepOracle: String = {
     val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
