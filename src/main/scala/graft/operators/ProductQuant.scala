@@ -632,26 +632,95 @@ object ProductQuant {
                             k: Int, indexDir: String, nCoarse: Int = 16,
                             nProbe: Int = 4,
                             dim: Option[Int] = None): DataFrame = {
-    val spark = embeddings.sparkSession
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
-    val subLen = d / AdcM
-    val (embN, bySub) = adcParts(embeddings, d)
-    val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
-    // index build: ONE corpus scan → at-rest code relation, one
-    // directory per inverted list
-    explodeVia(embN,
-      Seq(col("vec_id"),
-        coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
-      allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
-      Seq("sub", "code"))
+    val (coarse, bySub) = ivfadcBuildIndex(embeddings, indexDir, nCoarse,
+      Some(d))
+    ivfadcProbeIndex(embeddings, queryPred, k, indexDir, coarse, bySub,
+      nProbe, Some(d))
+  }
+
+  /** [[ivfadcPartitionedTopK]]'s BUILD phase alone (VERDICT r13 #3
+    * split the two so each is separately timeable): one corpus scan →
+    * the at-rest ccid-partitioned code relation at `indexDir`. Returns
+    * the frozen quantizers the probe phase needs (coarse centroids +
+    * fine codebooks — bounded driver state by the codebook contract).
+    */
+  def ivfadcBuildIndex(embeddings: DataFrame, indexDir: String,
+                       nCoarse: Int = 16, dim: Option[Int] = None)
+      : (Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) = {
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
+    ivfadcCodesWith(embeddings, coarse, bySub, d)
       // colocate each inverted list before the write: without this,
       // EVERY task writes a file into EVERY list directory (tasks ×
       // nCoarse small files — the classic partitionBy explosion); with
       // it, a list's codes land in ~one file. At 100 TB-scale ingest,
       // widen to repartition(N, ccid, salt) so a hot list still splits.
       .repartition(col("ccid"))
+      // deterministic within-file row order: the shuffle's arrival
+      // order varies run to run, so without this the written BYTES
+      // differ across identical builds and the layout audit
+      // ([[indexLayoutAudit]]) could never report a stable size
+      .sortWithinPartitions("ccid", "vec_id", "sub")
       .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
-    // probe: same query relation as the in-memory face
+    (coarse, bySub)
+  }
+
+  /** BOTH frozen quantizers (coarse centroids + fine subspace
+    * codebooks) trained on `embeddings` — the bounded driver state an
+    * at-rest index derives from its training corpus.
+    */
+  def ivfadcQuantizers(embeddings: DataFrame, nCoarse: Int, d: Int)
+      : (Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) = {
+    val bySub = collectCodebook(
+      codebook(embeddings, d, AdcM, AdcKs, AdcSampleN, l2Normalize = true))
+    (collectSample(embeddings, nCoarse, l2Normalize = true), bySub)
+  }
+
+  /** The (vec_id, ccid, sub, code) code relation for `df` under FROZEN
+    * quantizers — the pure per-row encode the at-rest build, the
+    * incremental ingest, and the streaming micro-batch ingest all
+    * share (a code is a pure function of the frozen books, which is
+    * WHY append == rebuild). `spread` must be false for a DF inside a
+    * streaming plan's lineage (Tables.spread round-trips through .rdd);
+    * batch callers spread against the 1-file-fixture serialization.
+    */
+  def ivfadcCodesWith(df: DataFrame, coarse: Seq[(Long, Array[Double])],
+                      bySub: Map[Int, Seq[(Long, Array[Double])]],
+                      d: Int, spread: Boolean = true): DataFrame = {
+    graft.functions.PqKernels.register(df.sparkSession)
+    val subLen = d / AdcM
+    val base = if (spread) graft.Tables.spread(df) else df
+    val embN = base.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
+    explodeVia(embN,
+      Seq(col("vec_id"),
+        coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
+      allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
+      Seq("sub", "code"))
+  }
+
+  /** [[ivfadcPartitionedTopK]]'s PROBE phase alone — the steady-state
+    * per-query-batch cost the 100 TB argument cares about (the build
+    * amortizes across batches; this does not): probed-list ids land in
+    * the scan's PartitionFilters so unprobed lists' files never open.
+    */
+  def ivfadcProbeIndex(embeddings: DataFrame, queryPred: Column, k: Int,
+                       indexDir: String,
+                       coarse: Seq[(Long, Array[Double])],
+                       bySub: Map[Int, Seq[(Long, Array[Double])]],
+                       nProbe: Int = 4,
+                       dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.PqKernels.register(spark)
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val subLen = d / AdcM
+    val embN = graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
+    // same query relation as the in-memory face
     val qprobe = embN.filter(queryPred).select(col("vec_id").as("q_id"),
       explode(assignTopCol(col("embedding"), coarse, 0, 0, d, nProbe,
         Some(col("nrm")))).as("ccid"))
@@ -669,6 +738,98 @@ object ProductQuant {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum("sd6").as("adc6"))
     adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
+  }
+
+  /** Per-JVM at-rest index cache for [[ivfadcCachedProbeTopK]] /
+    * [[indexLayoutAudit]]: cacheKey → (indexDir, coarse, bySub). The
+    * build inputs are deterministic (md5-prefix samples), so every
+    * build of the same corpus produces the same index — caching changes
+    * WHEN the build cost is paid, never what any probe returns.
+    */
+  private val indexCache = scala.collection.mutable.Map.empty[
+    String,
+    (String, Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]])]
+
+  private def cachedIndex(embeddings: DataFrame, cacheKey: String,
+                          nCoarse: Int, d: Int)
+      : (String, Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) =
+    indexCache.synchronized {
+      indexCache.getOrElseUpdate(cacheKey, {
+        val dir = graft.Scratch.dir("ivfadc_at_rest_")
+        val (coarse, bySub) = ivfadcBuildIndex(embeddings, dir, nCoarse,
+          Some(d))
+        (dir, coarse, bySub)
+      })
+    }
+
+  /** The cached at-rest index's directory for `cacheKey` (building on
+    * first touch) — the [[indexLayoutAudit]] entry point.
+    */
+  def cachedIndexDir(embeddings: DataFrame, cacheKey: String,
+                     nCoarse: Int, d: Int): String =
+    cachedIndex(embeddings, cacheKey, nCoarse, d)._1
+
+  /** [[ivfadcProbeIndex]] against the per-JVM cached index — the bench
+    * face that isolates the steady-state probe (VERDICT r13 #3): the
+    * first call per `cacheKey` pays the one-time build, every later
+    * call (so the bench's min-of-k, and every query batch in a real
+    * deployment) measures the probe alone. Row-identical to
+    * [[ivfadcPartitionedTopK]] by the determinism argument on
+    * [[cachedIndex]] — the oracle is literally the same SQL.
+    */
+  def ivfadcCachedProbeTopK(embeddings: DataFrame, cacheKey: String,
+                            queryPred: Column, k: Int, nCoarse: Int = 16,
+                            nProbe: Int = 4,
+                            dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val (idx, coarse, bySub) = cachedIndex(embeddings, cacheKey, nCoarse, d)
+    ivfadcProbeIndex(embeddings, queryPred, k, idx, coarse, bySub, nProbe,
+      Some(d))
+  }
+
+  /** Physical-design audit of the PERSISTED index layout (VERDICT r13
+    * #8 — the at-rest twin of [[ivfListBalance]], which reads the
+    * in-memory relation): per inverted list, the row count from the
+    * index parquet plus the file count and byte size from a bounded
+    * driver-side directory listing (nCoarse directories — never a data
+    * scan), flagging exactly the two conditions the write path
+    * documents: `split_files` (more than one file in a list directory —
+    * the tasks×lists small-file explosion the pre-write
+    * `repartition(ccid)` exists to prevent, or a deliberate hot-list
+    * salt split) and `hot_list` (rows > 2× the mean list — the
+    * salt-widening trigger). Output (ccid, n_rows, n_files, bytes,
+    * flag); bytes are stable because the build sorts within partitions.
+    */
+  def indexLayoutAudit(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stats = fs.listStatus(new Path(indexDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ccid="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (dir.getPath.getName.stripPrefix("ccid=").toInt,
+          files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq
+    import spark.implicits._
+    val fileRel = stats.toDF("ccid", "n_files", "bytes")
+    val rows = spark.read.parquet(indexDir)
+      .groupBy(col("ccid").cast("int").as("ccid"))
+      .agg(count(lit(1)).as("n_rows"))
+    rows.join(broadcast(fileRel), Seq("ccid"), "full_outer")
+      .select(col("ccid"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+      .withColumn("mean_rows",
+        (sum(col("n_rows")).over() / count(lit(1)).over()))
+      .select(col("ccid"), col("n_rows"), col("n_files"), col("bytes"),
+        when(col("n_files") > 1L, "split_files")
+          .when(col("n_rows") > col("mean_rows") * 2.0, "hot_list")
+          .otherwise("ok").as("flag"))
+      .orderBy("ccid")
   }
 
   /** Incremental ingest into the persisted list-partitioned IVFADC
@@ -702,21 +863,16 @@ object ProductQuant {
     val standing = embeddings.filter(standingPred)
     // frozen books: BOTH quantizers from the standing corpus (bounded
     // md5-prefix samples — the codebook contract)
-    val bySub = collectCodebook(
-      codebook(standing, d, AdcM, AdcKs, AdcSampleN, l2Normalize = true))
-    val coarse = collectSample(standing, nCoarse, l2Normalize = true)
+    val (coarse, bySub) = ivfadcQuantizers(standing, nCoarse, d)
     def embN(df: DataFrame): DataFrame =
       graft.Tables.spread(df)
         .filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"),
           Similarity.normN(col("embedding"), d).as("nrm"))
     def codesOf(df: DataFrame): DataFrame =
-      explodeVia(embN(df),
-        Seq(col("vec_id"),
-          coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid")),
-        allCodesCol(col("embedding"), bySub, subLen, Some(col("nrm"))),
-        Seq("sub", "code"))
+      ivfadcCodesWith(df, coarse, bySub, d)
         .repartition(col("ccid")) // one-file-per-list (partitioned face)
+        .sortWithinPartitions("ccid", "vec_id", "sub") // stable bytes
     codesOf(standing)
       .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
     codesOf(embeddings.filter(!standingPred))

@@ -1004,6 +1004,35 @@ object PipelineQueries {
         3, graft.Scratch.dir("ivfadc_index_"))
         .orderBy("query_id", "rank")),
 
+    // The steady-state PROBE against the at-rest index, isolated from
+    // the one-time build (VERDICT r13 #3): the per-JVM cached index is
+    // built on first touch per sf, so the bench's min-of-k (and any
+    // repeat query batch) times the probe alone — the comparable
+    // series for the 100 TB steady state. Row-identical to
+    // ann_ivfadc_partitioned; same oracle SQL.
+    "ann_ivfadc_probe" -> ((s, dir) =>
+      ProductQuant.ivfadcCachedProbeTopK(emb(s, dir), dir,
+        col("vec_id") < 50, 3)
+        .orderBy("query_id", "rank")),
+
+    // Physical-design audit of the persisted index layout (VERDICT r13
+    // #8): per-list row counts from the index parquet + file counts
+    // from a bounded driver listing, flagging the write path's two
+    // documented hazards (split_files, hot_list). The oracle derives
+    // each list's population relationally (8 code rows per assigned
+    // vector) and asserts the LAYOUT INVARIANT n_files = 1 — if the
+    // pre-write repartition(ccid) guard ever regresses into the
+    // tasks×lists file explosion, this row goes red. Byte sizes aren't
+    // SQL-derivable, so they stay on the operator (spec-pinned) and
+    // off the face.
+    "index_layout_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      ProductQuant.indexLayoutAudit(s,
+        ProductQuant.cachedIndexDir(e, dir, 16, d))
+        .select("ccid", "n_rows", "n_files", "flag")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -3855,6 +3884,37 @@ object PipelineQueries {
     "ann_ivfadc" -> annIvfadcOracle,
     // the partitioned-index face is row-identical to the in-memory one
     "ann_ivfadc_partitioned" -> annIvfadcOracle,
+    // probe-only face: row-identical to the partitioned face by the
+    // cachedIndex determinism argument — literally the same truth
+    "ann_ivfadc_probe" -> annIvfadcOracle,
+
+    // layout audit: list populations from the same coarse-assign chain
+    // as the IVFADC faces (8 code rows per vector), n_files pinned to
+    // the 1-file-per-list write invariant, hot_list mirrored as
+    // rows > 2x the mean over present lists.
+    "index_layout_audit" ->
+      s"""WITH $embCte,
+         |en AS (SELECT vec_id, list_transform(v, x ->
+         |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+         |  FROM e),
+         |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |csim AS (SELECT e.vec_id, ccent.ccid,
+         |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+         |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
+         |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+         |  FROM e, ccent),
+         |cassign AS (SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |g AS (SELECT CAST(ccid AS INTEGER) AS ccid,
+         |    CAST(8 * count(*) AS BIGINT) AS n_rows
+         |  FROM cassign GROUP BY 1)
+         |SELECT ccid, n_rows, CAST(1 AS BIGINT) AS n_files,
+         |  CASE WHEN n_rows > 2.0 * avg(n_rows) OVER () THEN 'hot_list'
+         |       ELSE 'ok' END AS flag
+         |FROM g ORDER BY ccid""".stripMargin,
     // ingest mirror: the SAME chain with both quantizers trained on
     // the standing subset and the corpus one-shot-encoded under those
     // frozen books — equality with the engine's append path is the

@@ -248,4 +248,57 @@ class ProductQuantSpec extends SparkSpec {
     val (r2, r4) = (recallAt(2), recallAt(4))
     assert(r4 >= r2, s"recall fell with more probes: np2=$r2 np4=$r4")
   }
+
+  test("cached probe face is row-identical to a fresh build+probe") {
+    val probe = ProductQuant.ivfadcCachedProbeTopK(emb, sfDir + "#spec",
+        col("vec_id") < 3, 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+    val fresh = ProductQuant.ivfadcPartitionedTopK(emb, col("vec_id") < 3,
+        3, Scratch.dir("ivfadc_fresh_"), nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(probe.nonEmpty &&
+      probe.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
+      "cached-index probe must equal the fresh build+probe")
+    // second call hits the cache (same dir) and returns the same rows
+    val again = ProductQuant.ivfadcCachedProbeTopK(emb, sfDir + "#spec",
+        col("vec_id") < 3, 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(again.map(_.toSeq).toSeq == probe.map(_.toSeq).toSeq)
+  }
+
+  test("index layout audit: healthy build is 1-file-per-list; skew and splits flag") {
+    val d = Similarity.dimOf(emb)
+    val idxDir = Scratch.dir("layout_spec_")
+    ProductQuant.ivfadcBuildIndex(emb, idxDir, 16, Some(d))
+    val audit = ProductQuant.indexLayoutAudit(spark, idxDir).collect()
+    assert(audit.nonEmpty)
+    // healthy build: exactly one file per list, bytes counted
+    assert(audit.forall(r => r.getLong(2) == 1L && r.getLong(3) > 0L),
+      s"expected 1 file per list with nonzero bytes: ${audit.mkString(";")}")
+    assert(audit.forall(_.getString(4) != "split_files"))
+    // n_rows sums to AdcM codes per non-null vector
+    val nVec = emb.filter(col("embedding").isNotNull).count()
+    assert(audit.map(_.getLong(1)).sum == ProductQuant.AdcM * nVec)
+    // planted skew: one list holds most rows -> hot_list on it alone
+    val skewDir = Scratch.dir("layout_skew_")
+    spark.range(100).select(col("id").as("vec_id"),
+        when(col("id") < 68, 0).otherwise(pmod(col("id"), lit(16)))
+          .cast("int").as("ccid"),
+        lit(0).as("sub"), lit(1L).as("code"))
+      .repartition(col("ccid")).sortWithinPartitions("ccid", "vec_id")
+      .write.mode("overwrite").partitionBy("ccid").parquet(skewDir)
+    val skew = ProductQuant.indexLayoutAudit(spark, skewDir).collect()
+      .map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(skew(0) == "hot_list")
+    assert(skew.filterNot(_._1 == 0).values.forall(_ == "ok"))
+    // planted split: append a second file into list 3 -> split_files
+    spark.range(5).select(col("id").as("vec_id"),
+        lit(3).as("ccid"), lit(0).as("sub"), lit(2L).as("code"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("ccid").parquet(skewDir)
+    val split = ProductQuant.indexLayoutAudit(spark, skewDir).collect()
+      .map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(split(3) == "split_files",
+      s"list 3 gained a second file and must flag: $split")
+  }
 }
