@@ -157,6 +157,99 @@ object Multimodal {
     base.unionByName(recompressed).unionByName(rescaled)
   }
 
+  /** Per-frame perceptual fingerprints for a (fake) video payload:
+    * every fixed-size frame of the blob ([[sampleFrames]]'s slicing at
+    * stride 1 — dedup wants all frames, not a preview sample) carries
+    * its own [[graft.functions.TextKernels.dhash63]] box-filter hash.
+    * Output (doc_id, frame_idx, fhash). Declarative slice-and-hash in
+    * ONE narrow codegen'd projection + generator — no shuffle; the
+    * CASE guards blobs shorter than one frame (Spark's sequence()
+    * counts DOWN when end < start — an empty array, not a descending
+    * one, is what a 20-byte payload must produce).
+    */
+  def frameHashes(media: DataFrame, frameBytes: Int = 32): DataFrame = {
+    graft.functions.TextKernels.register(media.sparkSession)
+    graft.Tables.spread(media)
+      .select(col("doc_id"), expr(
+        s"""case when length(payload) div $frameBytes <= 0
+           |  then array()
+           |  else transform(
+           |    sequence(0, int(length(payload) div $frameBytes) - 1),
+           |    i -> dhash63(substring(payload, i * $frameBytes + 1,
+           |                           $frameBytes)))
+           |end""".stripMargin).as("fhs"))
+      .select(col("doc_id"), posexplode(col("fhs")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("fhash"))
+  }
+
+  /** Video-level near-duplicate pairs from shared frame fingerprints —
+    * the TEMPORAL half of multimodal dedup ([[phashPairs]] is the
+    * pixel half): two videos near-dup when the distinct frame hashes
+    * they share cover at least `threshold` of the shorter one
+    * (containment — robust to cuts, trims, and concatenation, the
+    * edits that leave frame bytes intact while Jaccard over the union
+    * would dilute).
+    *
+    * Scale shape: an inverted index on fhash (the posting join never
+    * pairs all videos), with a HOT-FRAME CAP: a fingerprint present in
+    * more than `maxPosting` videos — black frames, test cards, static
+    * intros, the classic degenerate buckets of video dedup — would
+    * square the join, so its postings drop before pairing (the
+    * minhash_band_sweep discipline; drops are a recall statement, not
+    * silence: a pair sharing ONLY ubiquitous frames is not a near-dup
+    * worth reporting). Output (doc_a, doc_b, shared,
+    * containment_permille), integer permille so both engines agree
+    * exactly.
+    */
+  def videoNearDups(media: DataFrame, thresholdPermille: Long = 500L,
+                    frameBytes: Int = 32, maxPosting: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fh = frameHashes(media, frameBytes)
+      .select("doc_id", "fhash").distinct()
+    val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // document frequency via a window over the SAME key the pairing
+    // join shuffles on — the exchange is computed once and reused
+    val capped = fh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fhash")))
+      .filter(col("df") <= maxPosting).drop("df")
+    val pairs = capped.as("a").join(capped.as("b"), Seq("fhash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
+      .withColumn("containment_permille",
+        expr("shared * 1000 div least(nf_a, nf_b)"))
+      .filter(col("containment_permille") >= thresholdPermille)
+      .select("doc_a", "doc_b", "shared", "containment_permille")
+  }
+
+  /** Planted temporal-edit corpus for [[videoNearDups]]: every
+    * (20k+5)th document gains a TAIL-CUT variant (keep the first 60%
+    * of whole frames) and every (20k+15)th long-enough document an
+    * INTRO-CUT one (drop the first two frames — frame slicing is
+    * positional from byte 0, so a cut of exactly k·frameBytes keeps
+    * every remaining frame byte-identical, which is precisely the
+    * robustness containment buys). Ids shift by the data-derived
+    * max(doc_id)+1, the [[plantVariants]] convention.
+    */
+  def plantVideoVariants(docs: DataFrame, frameBytes: Int = 32): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val fb = frameBytes
+    val tailCut = base.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + lit(shift)).as("doc_id"),
+        expr(s"substring(text, 1, greatest((length(text) div $fb) * 3 div 5, 1) * $fb)")
+          .as("text"))
+    val introCut = base
+      .filter(col("doc_id") % 20 === 15 && length(col("text")) >= 3 * fb + 1)
+      .select((col("doc_id") + lit(2L * shift)).as("doc_id"),
+        expr(s"substring(text, ${2 * fb} + 1)").as("text"))
+    base.unionByName(tailCut).unionByName(introCut)
+  }
+
   /** Frame-sampling plumbing for a (fake) video payload: split the blob
     * into fixed-size "frames" and keep every `stride`-th — the partition/
     * batch shape of real frame extraction, with the codec stubbed to byte

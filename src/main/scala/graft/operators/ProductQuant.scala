@@ -800,6 +800,36 @@ object ProductQuant {
     * salt-widening trigger). Output (ccid, n_rows, n_files, bytes,
     * flag); bytes are stable because the build sorts within partitions.
     */
+  /** Fold a fragmented partitioned index back to the build path's
+    * 1-file-per-list invariant — the ACTION [[indexLayoutAudit]]'s
+    * `split_files` flag calls for (streaming ingest stacks one file
+    * per micro-batch per touched list; this is the compaction pass
+    * that folds them, the table-maintenance twin of
+    * [[Compaction.plan]] executed on the index itself). The compacted
+    * relation is written to a sibling directory under the build's
+    * repartition + sortWithinPartitions discipline, then swapped in —
+    * lazily reading a path while overwriting it would corrupt, so the
+    * rewrite never targets the directory it reads. The row SET is
+    * preserved exactly; only the physical layout changes.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = indexDir.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+        col("sub"), col("code"))
+      .repartition(col("ccid"))
+      .sortWithinPartitions("ccid", "vec_id", "sub")
+      .write.mode("overwrite").partitionBy("ccid").parquet(tmp)
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(indexDir), true)
+    if (!fs.rename(new Path(tmp), new Path(indexDir)))
+      throw new java.io.IOException(
+        s"compactIndex: rename $tmp -> $indexDir failed")
+  }
+
   def indexLayoutAudit(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path

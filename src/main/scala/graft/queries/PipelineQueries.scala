@@ -920,6 +920,23 @@ object PipelineQueries {
         Multimodal.withPayload(Multimodal.plantVariants(docs(s, dir))))
         .orderBy("doc_a", "doc_b")),
 
+    // Per-frame perceptual fingerprints for the (fake) video payload —
+    // the temporal signature relation video_neardup pairs on; one
+    // narrow codegen'd slice-and-hash pass.
+    "frame_phash" -> ((s, dir) =>
+      Multimodal.frameHashes(Multimodal.withPayload(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Temporal near-dup mining on planted tail-cut / intro-cut
+    // variants (Multimodal.videoNearDups scaladoc): shared-frame
+    // containment over an fhash inverted index with the hot-frame
+    // posting cap — cuts and trims leave frame bytes intact, so every
+    // planted edit must pair with its original at 1000 permille.
+    "video_neardup" -> ((s, dir) =>
+      Multimodal.videoNearDups(
+        Multimodal.withPayload(Multimodal.plantVideoVariants(docs(s, dir))))
+        .orderBy("doc_a", "doc_b")),
+
     // Fixed-budget per-stratum sample (TextAnalysis.reservoirSample
     // scaladoc): exactly 20 docs per language via bounded-buffer top-k on
     // salted-hash priority — no window sort, no rate/size coupling. The
@@ -1030,6 +1047,32 @@ object PipelineQueries {
       val d = Similarity.dimOf(e)
       ProductQuant.indexLayoutAudit(s,
         ProductQuant.cachedIndexDir(e, dir, 16, d))
+        .select("ccid", "n_rows", "n_files", "flag")
+    }),
+
+    // Compaction EXECUTED on the index (ProductQuant.compactIndex
+    // scaladoc) — the action the audit's split_files flag calls for:
+    // the face deliberately fragments an index (two half-corpus
+    // appends = two files per touched list), compacts it, and returns
+    // the post-compaction audit. The oracle is index_layout_audit's —
+    // compaction must restore exactly the one-shot build's layout
+    // (same list populations, 1 file per list, same flags); the
+    // PRE-compaction fragmentation is spec-asserted.
+    "index_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+      val idx = graft.Scratch.dir("compact_idx_")
+      def codes(p: org.apache.spark.sql.Column) =
+        ProductQuant.ivfadcCodesWith(e.filter(p), coarse, bySub, d)
+          .repartition(col("ccid"))
+          .sortWithinPartitions("ccid", "vec_id", "sub")
+      codes(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").partitionBy("ccid").parquet(idx)
+      codes(col("vec_id") % 2 === 1)
+        .write.mode("append").partitionBy("ccid").parquet(idx)
+      ProductQuant.compactIndex(s, idx)
+      ProductQuant.indexLayoutAudit(s, idx)
         .select("ccid", "n_rows", "n_files", "flag")
     }),
 
@@ -1443,21 +1486,54 @@ object PipelineQueries {
     * weighted block sums, bit b = s_b > s_{b+1}. Yields CTE `ph`
     * (doc_id, phash).
     */
-  private val dhashCtes =
-    """dt AS (SELECT doc_id, text, length(text) AS L,
-      |  unnest(range(0, length(text))) AS i FROM src),
-      |db AS (SELECT doc_id,
-      |  CAST(ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS bv,
-      |  L, 64 * i AS lo, 64 * i + 64 AS hi,
-      |  unnest(range((64 * i) // L, (64 * i + 63) // L + 1)) AS blk FROM dt),
-      |dw AS (SELECT doc_id, CAST(blk AS INTEGER) AS blk,
-      |  sum(bv * (least(hi, (blk + 1) * L) - greatest(lo, blk * L))) AS s
-      |  FROM db GROUP BY 1, 2),
-      |ph AS (SELECT a.doc_id,
-      |  CAST(sum(CASE WHEN a.s > b2.s THEN (CAST(1 AS BIGINT) << a.blk)
-      |           ELSE 0 END) AS BIGINT) AS phash
-      |  FROM dw a JOIN dw b2 ON b2.doc_id = a.doc_id AND b2.blk = a.blk + 1
-      |  GROUP BY a.doc_id)""".stripMargin
+  private def dhashCtesOver(keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    val aks = keys.map(k => s"a.$k").mkString(", ")
+    val cond = keys.map(k => s"b2.$k = a.$k").mkString(" AND ")
+    s"""dt AS (SELECT $ks, text, length(text) AS L,
+       |  unnest(range(0, length(text))) AS i FROM src),
+       |db AS (SELECT $ks,
+       |  CAST(ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS bv,
+       |  L, 64 * i AS lo, 64 * i + 64 AS hi,
+       |  unnest(range((64 * i) // L, (64 * i + 63) // L + 1)) AS blk FROM dt),
+       |dw AS (SELECT $ks, CAST(blk AS INTEGER) AS blk,
+       |  sum(bv * (least(hi, (blk + 1) * L) - greatest(lo, blk * L))) AS s
+       |  FROM db GROUP BY ALL),
+       |ph AS (SELECT $aks,
+       |  CAST(sum(CASE WHEN a.s > b2.s THEN (CAST(1 AS BIGINT) << a.blk)
+       |           ELSE 0 END) AS BIGINT) AS phash
+       |  FROM dw a JOIN dw b2 ON $cond AND b2.blk = a.blk + 1
+       |  GROUP BY ALL)""".stripMargin
+  }
+
+  private val dhashCtes = dhashCtesOver(Seq("doc_id"))
+
+  /** [[Multimodal.plantVideoVariants]] mirror (frameBytes = 32):
+    * originals + 60%-of-frames tail cuts + two-frame intro cuts, ids
+    * shifted by max(doc_id)+1.
+    */
+  private val videoCorpusCte =
+    """vsh AS (SELECT max(doc_id) + 1 AS s FROM documents),
+      |vsrc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + vsh.s,
+      |    substring(text, 1,
+      |      CAST(GREATEST((length(text) // 32) * 3 // 5, 1) * 32 AS INTEGER))
+      |    FROM documents, vsh WHERE doc_id % 20 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 2 * vsh.s, substring(text, 65)
+      |    FROM documents, vsh WHERE doc_id % 20 = 15 AND length(text) >= 97)""".stripMargin
+
+  /** Frame slicing mirror (frameBytes = 32) over `vsrc` → CTE `src`
+    * keyed (doc_id, frame_idx) with each frame's text — feeds
+    * [[dhashCtesOver]].
+    */
+  private val frameSrcCte =
+    """src AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |  substring(text, CAST(i * 32 + 1 AS INTEGER), 32) AS text
+      |  FROM (SELECT doc_id, text, unnest(range(0, length(text) // 32)) AS i
+      |        FROM vsrc))""".stripMargin
 
   /** [[Multimodal.plantVariants]] mirror: originals + jittered
     * (translate a→c) + 2×-upsampled-and-jittered variants, ids shifted
@@ -1643,6 +1719,37 @@ object PipelineQueries {
     * oracle (shared scalar-subquery shortlist rule).
     */
   private lazy val annIvfadcOracle: String = annIvfadcOracleFrom("en", "")
+
+  /** Layout-audit mirror: list populations from the IVFADC coarse-
+    * assign chain (8 code rows per vector), n_files pinned to the
+    * 1-file-per-list write invariant, hot_list as rows > 2× the mean
+    * over present lists. Shared by `index_layout_audit` (audit of the
+    * one-shot build) and `index_compact` (compaction must restore
+    * exactly this layout).
+    */
+  private lazy val indexLayoutOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |csim AS (SELECT e.vec_id, ccent.ccid,
+       |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
+       |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, ccent),
+       |cassign AS (SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |g AS (SELECT CAST(ccid AS INTEGER) AS ccid,
+       |    CAST(8 * count(*) AS BIGINT) AS n_rows
+       |  FROM cassign GROUP BY 1)
+       |SELECT ccid, n_rows, CAST(1 AS BIGINT) AS n_files,
+       |  CASE WHEN n_rows > 2.0 * avg(n_rows) OVER () THEN 'hot_list'
+       |       ELSE 'ok' END AS flag
+       |FROM g ORDER BY ccid""".stripMargin
 
   /** The IVFADC mirror chain with BOTH quantizers trained from
     * `trainSrc` (a (vec_id, v)-normalized CTE; "en" = the full corpus,
@@ -3892,29 +3999,47 @@ object PipelineQueries {
     // as the IVFADC faces (8 code rows per vector), n_files pinned to
     // the 1-file-per-list write invariant, hot_list mirrored as
     // rows > 2x the mean over present lists.
-    "index_layout_audit" ->
-      s"""WITH $embCte,
-         |en AS (SELECT vec_id, list_transform(v, x ->
-         |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-         |  FROM e),
-         |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
-         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |csim AS (SELECT e.vec_id, ccent.ccid,
-         |  round(list_sum(list_transform(range(1, len(e.v) + 1),
-         |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
-         |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
-         |  FROM e, ccent),
-         |cassign AS (SELECT vec_id, ccid FROM (
-         |    SELECT vec_id, ccid, row_number() OVER
-         |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-         |    FROM csim) WHERE rn = 1),
-         |g AS (SELECT CAST(ccid AS INTEGER) AS ccid,
-         |    CAST(8 * count(*) AS BIGINT) AS n_rows
-         |  FROM cassign GROUP BY 1)
-         |SELECT ccid, n_rows, CAST(1 AS BIGINT) AS n_files,
-         |  CASE WHEN n_rows > 2.0 * avg(n_rows) OVER () THEN 'hot_list'
-         |       ELSE 'ok' END AS flag
-         |FROM g ORDER BY ccid""".stripMargin,
+    "index_layout_audit" -> indexLayoutOracle,
+
+    // compaction must land exactly on the one-shot build's layout —
+    // same truth as the audit face (rows preserved, invariant restored)
+    "index_compact" -> indexLayoutOracle,
+
+    // per-frame box-filter dhash over 32-byte frame slices — the
+    // keyed form of the image_phash mirror
+    "frame_phash" ->
+      s"""WITH vsrc AS (SELECT doc_id, text FROM documents),
+         |$frameSrcCte,
+         |${dhashCtesOver(Seq("doc_id", "frame_idx"))}
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  phash AS fhash
+         |FROM ph ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // temporal containment over shared distinct frame hashes, with the
+    // hot-frame posting cap (df <= 64) mirrored on the distinct
+    // (doc, fhash) relation
+    "video_neardup" ->
+      s"""WITH $videoCorpusCte,
+         |$frameSrcCte,
+         |${dhashCtesOver(Seq("doc_id", "frame_idx"))},
+         |fh AS (SELECT DISTINCT doc_id, phash AS fhash FROM ph),
+         |nf AS (SELECT doc_id, count(*) AS nf FROM fh GROUP BY 1),
+         |keep AS (SELECT fhash FROM fh GROUP BY fhash
+         |         HAVING count(*) <= 64),
+         |cf AS (SELECT fh.doc_id, fh.fhash FROM fh
+         |       JOIN keep USING (fhash)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM cf a JOIN cf b ON a.fhash = b.fhash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b, shared,
+         |    shared * 1000 // least(na.nf, nb.nf) AS containment_permille
+         |  FROM pairs JOIN nf na ON na.doc_id = doc_a
+         |             JOIN nf nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, shared, containment_permille
+         |FROM sc WHERE containment_permille >= 500
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // ingest mirror: the SAME chain with both quantizers trained on
     // the standing subset and the corpus one-shot-encoded under those
     // frozen books — equality with the engine's append path is the

@@ -1183,6 +1183,66 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall { case (a, b) => !(origIds(a) && origIds(b)) })
   }
 
+  test("frameHashes: every whole frame hashed, short payloads yield none") {
+    import graft.functions.TextKernels.dhash63
+    val media = Multimodal.withPayload(docs.limit(40))
+    val got = Multimodal.frameHashes(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = docs.limit(40).select("doc_id", "text").collect().flatMap { r =>
+      val b = r.getString(1).getBytes("UTF-8")
+      (0 until b.length / 32).map(i =>
+        (r.getLong(0), i.toLong) ->
+          dhash63(java.util.Arrays.copyOfRange(b, i * 32, (i + 1) * 32)))
+    }.toMap
+    assert(got == want)
+    // a sub-frame payload must produce zero rows, not a crash (the
+    // descending-sequence pitfall)
+    import spark.implicits._
+    val tiny = Seq((1L, "short")).toDF("doc_id", "text")
+    assert(Multimodal.frameHashes(Multimodal.withPayload(tiny)).isEmpty)
+  }
+
+  test("video near-dups: planted cuts pair at full containment") {
+    val planted = Multimodal.plantVideoVariants(docs)
+    val pairs = Multimodal.videoNearDups(Multimodal.withPayload(planted))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    import spark.implicits._
+    val meta = docs.select("doc_id", "n_chars").as[(Long, Long)]
+      .collect().toMap
+    // every tail-cut variant (>= 2 original frames, so the cut keeps a
+    // distinct-frame subset) and every intro-cut variant pairs with its
+    // original at exactly 1000 permille — cut frames stay byte-identical
+    val tails = meta.keys.filter(id => id % 20 == 5 && meta(id) / 32 >= 2)
+    val intros = meta.keys.filter(id => id % 20 == 15 && meta(id) >= 97)
+    (tails.map(id => (id, id + shift)) ++
+      intros.map(id => (id, id + 2 * shift))).foreach { p =>
+      assert(pairs.get(p).contains(1000L), s"planted pair $p: ${pairs.get(p)}")
+    }
+  }
+
+  test("video near-dup hot-frame cap drops ubiquitous-frame-only pairs") {
+    import spark.implicits._
+    // 100 clips sharing one 32-byte intro frame plus a unique body
+    // frame: every pair shares ONLY the intro (containment 500), and
+    // the intro's document frequency (100) is over the cap, so the
+    // capped face must report nothing while an uncapped run drowns in
+    // C(100,2) junk pairs. Bodies are md5-hex (32 random-looking
+    // chars) — near-identical zero-padded counters can legitimately
+    // dhash-collide, which is not what this test measures.
+    val intro = "x" * 32
+    def body(i: Int): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"clip$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val clips = (0 until 100)
+      .map(i => (i.toLong, intro + body(i)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withPayload(clips)
+    assert(Multimodal.videoNearDups(media).isEmpty)
+    assert(Multimodal.videoNearDups(media, maxPosting = 1000).count() == 4950L)
+  }
+
   test("banded phash pairing equals the brute-force all-pairs answer") {
     val sig = Multimodal.phash(Multimodal.withPayload(docs.limit(200)))
     val banded = Multimodal.phashPairs(

@@ -266,6 +266,33 @@ class ProductQuantSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq == probe.map(_.toSeq).toSeq)
   }
 
+  test("compactIndex restores the 1-file-per-list invariant with rows intact") {
+    val d = Similarity.dimOf(emb)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(emb, 16, d)
+    val idx = Scratch.dir("compact_spec_")
+    def codes(p: org.apache.spark.sql.Column) =
+      ProductQuant.ivfadcCodesWith(emb.filter(p), coarse, bySub, d)
+        .repartition(col("ccid")).sortWithinPartitions("ccid", "vec_id", "sub")
+    codes(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("ccid").parquet(idx)
+    codes(col("vec_id") % 2 === 1)
+      .write.mode("append").partitionBy("ccid").parquet(idx)
+    def snapshot() = spark.read.parquet(idx)
+      .select("vec_id", "ccid", "sub", "code")
+      .collect().map(_.toSeq).toSet
+    val before = ProductQuant.indexLayoutAudit(spark, idx).collect()
+    assert(before.exists(_.getString(4) == "split_files"),
+      "two half-corpus appends must fragment at least one list")
+    val rowsBefore = snapshot()
+    ProductQuant.compactIndex(spark, idx)
+    val after = ProductQuant.indexLayoutAudit(spark, idx).collect()
+    assert(after.forall(_.getLong(2) == 1L),
+      s"compaction left multi-file lists: ${after.mkString(";")}")
+    assert(after.forall(_.getString(4) != "split_files"))
+    assert(snapshot() == rowsBefore,
+      "compaction must preserve the code relation exactly")
+  }
+
   test("index layout audit: healthy build is 1-file-per-list; skew and splits flag") {
     val d = Similarity.dimOf(emb)
     val idxDir = Scratch.dir("layout_spec_")
