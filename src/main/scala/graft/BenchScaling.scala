@@ -42,7 +42,11 @@ object BenchScaling {
     // superlinear surprise would hide: the capped banded self-join, the
     // partitionBy index write + pruned probe, and the d²-census OPQ
     // rotation gauge.
-    "minhash_band_sweep", "ann_ivfadc_partitioned", "opq_distortion")
+    "minhash_band_sweep", "ann_ivfadc_partitioned", "opq_distortion",
+    // r14 banded/posting self-joins — same risk class: the 9×7-band
+    // phash join over the planted image corpus and the capped
+    // frame-posting containment join over the planted video corpus.
+    "image_neardup", "video_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")

@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.CosineScore.descriptor)
     graft.functions.TextKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.PqKernels.descriptors.foreach(ext.injectFunction)
+    graft.functions.JlKernels.descriptors.foreach(ext.injectFunction)
   }
 }

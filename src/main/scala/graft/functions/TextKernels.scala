@@ -202,7 +202,8 @@ object TextKernels {
   /** dhash63(payload): 63-bit difference hash over a binary payload —
     * the 1-D byte-signal form of the classic dHash perceptual image
     * fingerprint (downsample, then hash the SIGN of adjacent-cell
-    * gradients). The payload is treated as a piecewise-constant
+    * gradients; the public-domain scheme popularized by Krawetz's
+    * "Kind of Like That" write-up, 2013, and the pHash family). The payload is treated as a piecewise-constant
     * function on [0,1) and box-filtered into 64 equal blocks EXACTLY:
     * in units of 1/(64·L), byte i spans [64i, 64(i+1)) and block b
     * spans [bL, (b+1)L), so block b's integral is the exact long

@@ -337,36 +337,27 @@ object Pca {
     val kMax = targets.max
     // Exact-long bound (ADVICE r12 #1): |z_k| ≤ d·X, |dz| ≤ 2dX, and
     // dp2 sums kMax of dz² — need kMax·4d²X² < 2^62, i.e. X (micro
-    // units) ≤ sqrt(2^62/(4·kMax·d²)) ≈ 2.1e6 at d=kMax=64. Guarded
-    // ONCE PER ROW (VERDICT r13 #2): the quantized cells bind into xs
-    // via the 1-element-array transform, one aggregate computes the
-    // row's max |cell|, and a single CASE either raises or passes the
-    // whole array through — same loudness as the r13 per-cell guard
-    // (which cost jl_distortion 3.9×: d CASE evaluations inside the
-    // projection's inner loop), ~zero cost. The guard lives inside the
-    // surviving x column, so pruning can't drop it.
+    // units) ≤ sqrt(2^62/(4·kMax·d²)) ≈ 2.1e6 at d=kMax=64. Quantize +
+    // guard + project run as ONE native kernel call per row
+    // ([[graft.functions.JlKernels]]): the r13 declarative form's
+    // kMax×d interpreted-HOF projection measured ~0.6 s standalone but
+    // a consistent ~2.4 s inside the full bench suite with identical
+    // plans (lambda-interpreter JIT profile pollution from the other
+    // 224 queries — r14 bisection: the guard rewrite alone recovered
+    // the standalone number and did NOT move the in-suite number); a
+    // primitive-loop kernel inside WholeStageCodegen is immune. The
+    // guard throws the same "exact-long bound" error per row. The
+    // kernel rides as a GENERATOR child (explode of a 1-element
+    // array), so CollapseProject can't duplicate it per field
+    // reference — the r11 ccid pitfall.
     val xMaxMicro = math.sqrt(Long.MaxValue.toDouble / 2 /
       (4.0 * kMax * d * d)).toLong
-    val xq =
-      s"""transform(array(transform(sequence(0, ${d - 1}), i ->
-         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint))),
-         |  xs -> case when aggregate(xs, 0L, (m, v) -> greatest(m, abs(v)))
-         |      > ${xMaxMicro}L
-         |    then cast(raise_error(
-         |      'jlDistortion: |x|*1e6 exceeds exact-long bound $xMaxMicro
-         |       (d=$d, kmax=$kMax) — rescale embeddings') as array<bigint>)
-         |    else xs end)[0]
-         |""".stripMargin
-    val proj =
-      s"""transform(sequence(0, ${kMax - 1}), k ->
-         |  aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
-         |    acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
-              then 1L else -1L end)
-         |      * x[i]))
-         |""".stripMargin
+    graft.functions.JlKernels.register(embeddings.sparkSession)
     val side = graft.Tables.spread(embeddings)
-      .select(col("vec_id"), expr(xq).as("x"))
-      .select(col("vec_id"), expr(proj).as("z"), col("x"))
+      .select(col("vec_id"),
+        explode(array(expr(
+          s"jl_parts(embedding, $d, $kMax, ${xMaxMicro}L)"))).as("p"))
+      .select(col("vec_id"), col("p.z").as("z"), col("p.x").as("x"))
     val pairs = side.alias("a")
       .join(side.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
       .select(col("a.vec_id").as("pair_id"),
@@ -408,9 +399,11 @@ object Pca {
     * parquet-float width the raw corpus ships).
     */
   def jlProject(embeddings: DataFrame, d: Int = Dim,
-                k: Int = 16): DataFrame =
+                k: Int = 16): DataFrame = {
+    graft.functions.JlKernels.register(embeddings.sparkSession)
     graft.Tables.spread(embeddings)
       .select(col("vec_id"), jlProjectCol(d, k).as("embedding"))
+  }
 
   /** [[jlProject]]'s projection as a per-row COLUMN over `embedding` —
     * composable inside another operator's scan (e.g.
@@ -420,31 +413,15 @@ object Pca {
   def jlProjectCol(d: Int = Dim, k: Int = 16): org.apache.spark.sql.Column = {
     require(k >= 1 && k <= 64, s"jlProjectCol: k=$k outside [1,64]")
     require(d >= 1 && d <= 64, s"jlProjectCol: d=$d outside [1,64]")
-    // exact-long z: |z_k| ≤ d·X — guard the quantized row the same
-    // loud way jlDistortion does (error, never a silent wrap), ONCE
-    // per row (VERDICT r13 #2): the raw cells bind into an inner
-    // 1-element-array transform whose CASE checks the row's max |cell|
-    // in one aggregate pass and passes the whole array through; the
-    // outer binding then feeds the k×d projection plain longs — no
-    // per-(k, i) round/guard recompute, no per-cell CASE.
+    // exact-long z: |z_k| ≤ d·X — quantize + guard + project as one
+    // native kernel call ([[graft.functions.JlKernels]], see
+    // [[jlDistortion]]'s rationale); the per-row guard throws the same
+    // loud "exact-long bound" error, never a silent wrap. Callers
+    // without a graft-extensions session must register the kernel
+    // ([[jlProject]] does; a bare-Column composition site registers on
+    // its own session).
     val xMaxMicro = Long.MaxValue / 2 / d
-    val cells =
-      s"""transform(array(transform(sequence(0, ${d - 1}), i ->
-         |    cast(round(cast(embedding[i] as double) * 1000000) as bigint))),
-         |  g -> case when aggregate(g, 0L, (m, v) -> greatest(m, abs(v)))
-         |      > ${xMaxMicro}L
-         |    then cast(raise_error(
-         |      'jlProject: |x|*1e6 exceeds exact-long bound $xMaxMicro (d=$d)
-         |       — rescale embeddings') as array<bigint>)
-         |    else g end)[0]""".stripMargin
-    expr(
-      s"""transform(array($cells), xs ->
-         |  transform(sequence(0, ${k - 1}), k ->
-         |    cast(aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
-         |      acc + (case when bit_count((i * 64L + k) * 2654435761L % 4294967296L) % 2 = 0
-         |             then 1L else -1L end) * xs[i])
-         |      / cast(1000000 as double) as float)))[0]
-         |""".stripMargin)
+    expr(s"jl_project(embedding, $d, $k, ${xMaxMicro}L)")
   }
 
   /** The corpus projected onto the learned TWO-component subspace in

@@ -816,6 +816,7 @@ object PipelineQueries {
     // 0.63 at sf0.01 — 4 recall points for a 4× smaller index, the
     // trade this gauge exists to price.
     "pca_ann_recall" -> ((s, dir) => {
+      graft.functions.JlKernels.register(s) // jlProjectCol composes bare
       val e = emb(s, dir)
       recallGate(Similarity.bruteForceTopK(e, col("vec_id") < 50, 3),
         Similarity.signLshTopKOn(e, Pca.jlProjectCol(64, 16), 16,
