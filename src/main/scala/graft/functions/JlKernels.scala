@@ -60,6 +60,12 @@ object JlKernels {
     val x = new Array[Long](d)
     var i = 0
     while (i < d) {
+      // a null CELL must not silently read as 0.0 (primitive getters
+      // return the zeroed slot) — the HOF form propagated null; here
+      // the contract is LOUD, like the xMax guard
+      if (emb.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$who: null embedding element at index $i")
       val v = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
       val xi = sparkRound0(v * 1000000.0, who).toLong
       if (math.abs(xi) > xMax)

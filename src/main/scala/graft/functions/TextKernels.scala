@@ -349,6 +349,18 @@ object TextKernels {
   case class Dhash63Expr(child: Expression) extends TextKernelExpr {
     override def prettyName: String = "dhash63"
     override def dataType: DataType = LongType
+    // the one BINARY-input kernel in this file: without the check,
+    // dhash63(text) passes analysis and dies mid-job (ClassCast /
+    // Janino) instead of failing at planning time
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst
+        .analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dhash63 expects a binary payload, got " +
+            child.dataType.simpleString +
+            " (encode(text, 'UTF-8') for a string column)")
     override protected def nullSafeEval(t: Any): Any =
       dhash63(t.asInstanceOf[Array[Byte]])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

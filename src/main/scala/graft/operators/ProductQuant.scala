@@ -650,19 +650,7 @@ object ProductQuant {
       : (Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
-    ivfadcCodesWith(embeddings, coarse, bySub, d)
-      // colocate each inverted list before the write: without this,
-      // EVERY task writes a file into EVERY list directory (tasks ×
-      // nCoarse small files — the classic partitionBy explosion); with
-      // it, a list's codes land in ~one file. At 100 TB-scale ingest,
-      // widen to repartition(N, ccid, salt) so a hot list still splits.
-      .repartition(col("ccid"))
-      // deterministic within-file row order: the shuffle's arrival
-      // order varies run to run, so without this the written BYTES
-      // differ across identical builds and the layout audit
-      // ([[indexLayoutAudit]]) could never report a stable size
-      .sortWithinPartitions("ccid", "vec_id", "sub")
-      .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
+    writeIndex(ivfadcCodesWith(embeddings, coarse, bySub, d), indexDir)
     (coarse, bySub)
   }
 
@@ -754,7 +742,10 @@ object ProductQuant {
                           nCoarse: Int, d: Int)
       : (String, Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) =
     indexCache.synchronized {
-      indexCache.getOrElseUpdate(cacheKey, {
+      // geometry belongs in the key: the same corpus dir probed at a
+      // different nCoarse/d is a DIFFERENT index, and silently handing
+      // back the first-built one would ignore the caller's request
+      indexCache.getOrElseUpdate(s"$cacheKey|nc=$nCoarse|d=$d", {
         val dir = graft.Scratch.dir("ivfadc_at_rest_")
         val (coarse, bySub) = ivfadcBuildIndex(embeddings, dir, nCoarse,
           Some(d))
@@ -815,20 +806,52 @@ object ProductQuant {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = indexDir.stripSuffix("/") + ".compact_tmp"
-    spark.read.parquet(indexDir)
-      .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
-        col("sub"), col("code"))
-      .repartition(col("ccid"))
-      .sortWithinPartitions("ccid", "vec_id", "sub")
-      .write.mode("overwrite").partitionBy("ccid").parquet(tmp)
+    val base = indexDir.stripSuffix("/")
+    val tmp = new Path(base + ".compact_tmp")
+    val old = new Path(base + ".compact_old")
+    writeIndex(
+      spark.read.parquet(indexDir)
+        .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+          col("sub"), col("code")),
+      tmp.toString)
     val fs = new Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    fs.delete(new Path(indexDir), true)
-    if (!fs.rename(new Path(tmp), new Path(indexDir)))
+    // rename-ASIDE swap, never delete-then-rename: a crash between the
+    // two renames leaves a recoverable full copy (either the original
+    // at .compact_old or the compacted one at .compact_tmp) — with
+    // delete-first, a crash in the window destroys the only copy
+    // readers know about
+    if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(
-        s"compactIndex: rename $tmp -> $indexDir failed")
+        s"compactIndex: stale $old exists and could not be removed")
+    if (!fs.rename(new Path(indexDir), old))
+      throw new java.io.IOException(
+        s"compactIndex: rename $indexDir -> $old failed")
+    if (!fs.rename(tmp, new Path(indexDir)))
+      throw new java.io.IOException(
+        s"compactIndex: rename $tmp -> $indexDir failed " +
+          s"(original preserved at $old)")
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compactIndex: compacted index live, but $old was not removed")
   }
+
+  /** The ONE at-rest index write discipline every producer shares —
+    * colocate each inverted list (`repartition(ccid)`: without it
+    * every task writes a file into every list directory, the
+    * tasks×lists small-file explosion) and fix the within-file row
+    * order (`sortWithinPartitions`: shuffle arrival order varies run
+    * to run; sorted rows make the written bytes deterministic, which
+    * [[indexLayoutAudit]]'s size reporting relies on). At 100 TB-scale
+    * ingest, widen to `repartition(N, ccid, salt)` here — one site —
+    * so a hot list still splits.
+    */
+  def writeIndex(codes: DataFrame, indexDir: String,
+                 mode: String = "overwrite"): Unit =
+    codes
+      .repartition(col("ccid"))
+      .sortWithinPartitions("ccid", "vec_id", "sub")
+      .write.mode(mode).partitionBy("ccid").parquet(indexDir)
 
   def indexLayoutAudit(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame = {
@@ -886,43 +909,19 @@ object ProductQuant {
                        queryPred: Column, k: Int, indexDir: String,
                        nCoarse: Int = 16, nProbe: Int = 4,
                        dim: Option[Int] = None): DataFrame = {
-    val spark = embeddings.sparkSession
-    graft.functions.PqKernels.register(spark)
+    graft.functions.PqKernels.register(embeddings.sparkSession)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
-    val subLen = d / AdcM
     val standing = embeddings.filter(standingPred)
     // frozen books: BOTH quantizers from the standing corpus (bounded
     // md5-prefix samples — the codebook contract)
     val (coarse, bySub) = ivfadcQuantizers(standing, nCoarse, d)
-    def embN(df: DataFrame): DataFrame =
-      graft.Tables.spread(df)
-        .filter(col("embedding").isNotNull)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.normN(col("embedding"), d).as("nrm"))
-    def codesOf(df: DataFrame): DataFrame =
-      ivfadcCodesWith(df, coarse, bySub, d)
-        .repartition(col("ccid")) // one-file-per-list (partitioned face)
-        .sortWithinPartitions("ccid", "vec_id", "sub") // stable bytes
-    codesOf(standing)
-      .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
-    codesOf(embeddings.filter(!standingPred))
-      .write.mode("append").partitionBy("ccid").parquet(indexDir)
-    // probe the merged index — identical to the partitioned face, with
-    // the standing-trained books on the query side
-    val full = embN(embeddings)
-    val qprobe = full.filter(queryPred).select(col("vec_id").as("q_id"),
-      explode(assignTopCol(col("embedding"), coarse, 0, 0, d, nProbe,
-        Some(col("nrm")))).as("ccid"))
-    val qrel = qprobe.join(adcLut(full, queryPred, bySub, subLen), "q_id")
-    val probed = qprobe.select("ccid").distinct().collect()
-      .map(_.getLong(0).toInt).sorted
-    val scored = spark.read.parquet(indexDir)
-      .filter(col("ccid").isin(probed: _*))
-      .join(broadcast(qrel), Seq("ccid", "sub", "code"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum("sd6").as("adc6"))
-    adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
+    writeIndex(ivfadcCodesWith(standing, coarse, bySub, d), indexDir)
+    writeIndex(ivfadcCodesWith(embeddings.filter(!standingPred),
+      coarse, bySub, d), indexDir, mode = "append")
+    // probe the merged index — literally the partitioned face's probe,
+    // with the standing-trained books on the query side
+    ivfadcProbeIndex(embeddings, queryPred, k, indexDir, coarse, bySub,
+      nProbe, Some(d))
   }
 
   /** Residual IVFADC — the FULL Jégou et al. 2011 §V encoding, on top

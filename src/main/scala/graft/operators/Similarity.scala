@@ -364,10 +364,29 @@ object Similarity {
     val d = dim.getOrElse(dimOf(embeddings))
     val b = math.min(repDim,
       bits.getOrElse(deriveBits(embeddings.count(), 1000L)))
-    def side(df: DataFrame, p: String): DataFrame =
-      withNorm(df, d).select(
-        col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
-        col("nrm").as(s"${p}_nrm"), signBucket(indexRep, b).as(s"${p}_bucket"))
+    // signBucket references its input once per BIT; for a plain column
+    // that's a cheap attribute read, but an EXPENSIVE rep (the JL
+    // kernel) must bind once per row — ride it as a generator child
+    // (explode of a 1-element array, the jl_parts pattern) so
+    // CollapseProject can't inline b copies of the kernel into the
+    // bucket projection on a codegen-fallback path.
+    // (Spark 4's Column no longer exposes .expr — a bare attribute
+    // reference prints as just its name)
+    val repIsPlainColumn = indexRep.toString.matches("[A-Za-z0-9_$.]+")
+    def side(df: DataFrame, p: String): DataFrame = {
+      val base = withNorm(df, d)
+      if (repIsPlainColumn)
+        base.select(
+          col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+          col("nrm").as(s"${p}_nrm"), signBucket(indexRep, b).as(s"${p}_bucket"))
+      else
+        base.select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(array(indexRep)).as("rep"))
+          .select(
+            col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+            col("nrm").as(s"${p}_nrm"),
+            signBucket(col("rep"), b).as(s"${p}_bucket"))
+    }
     val qBase = embeddings.filter(queryPred)
     val q = side(qBase, "q")
     val c = side(embeddings, "c")

@@ -1066,12 +1066,9 @@ object PipelineQueries {
       val idx = graft.Scratch.dir("compact_idx_")
       def codes(p: org.apache.spark.sql.Column) =
         ProductQuant.ivfadcCodesWith(e.filter(p), coarse, bySub, d)
-          .repartition(col("ccid"))
-          .sortWithinPartitions("ccid", "vec_id", "sub")
-      codes(col("vec_id") % 2 === 0)
-        .write.mode("overwrite").partitionBy("ccid").parquet(idx)
-      codes(col("vec_id") % 2 === 1)
-        .write.mode("append").partitionBy("ccid").parquet(idx)
+      ProductQuant.writeIndex(codes(col("vec_id") % 2 === 0), idx)
+      ProductQuant.writeIndex(codes(col("vec_id") % 2 === 1), idx,
+        mode = "append")
       ProductQuant.compactIndex(s, idx)
       ProductQuant.indexLayoutAudit(s, idx)
         .select("ccid", "n_rows", "n_files", "flag")

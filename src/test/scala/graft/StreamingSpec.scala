@@ -442,11 +442,10 @@ class StreamingPartitionedIndexSpec extends SparkSpec {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          ProductQuant
-            .ivfadcCodesWith(batch.toDF(), coarse, bySub, d, spread = false)
-            .repartition(col("ccid"))
-            .sortWithinPartitions("ccid", "vec_id", "sub")
-            .write.mode("append").partitionBy("ccid").parquet(streamDir)
+          ProductQuant.writeIndex(
+            ProductQuant.ivfadcCodesWith(batch.toDF(), coarse, bySub, d,
+              spread = false),
+            streamDir, mode = "append")
           ()
       }
       .start()
