@@ -144,9 +144,15 @@ object Multimodal {
     * standing in for the decode→re-encode a real image pipeline runs
     * through [[decodeFeatures]]'s codec seam.
     */
+  /** The data-derived id shift variant planting uses: one past the
+    * standing corpus's max id (one bounded 1-row collect).
+    */
+  def plantShift(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+
   def plantVariants(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val shift = plantShift(base)
     val recompressed = base.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + lit(shift)).as("doc_id"),
         translate(col("text"), "a", "c").as("text"))
@@ -237,7 +243,7 @@ object Multimodal {
     */
   def plantVideoVariants(docs: DataFrame, frameBytes: Int = 32): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val shift = plantShift(base)
     val fb = frameBytes
     val tailCut = base.filter(col("doc_id") % 20 === 5)
       .select((col("doc_id") + lit(shift)).as("doc_id"),

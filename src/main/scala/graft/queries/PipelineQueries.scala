@@ -921,6 +921,47 @@ object PipelineQueries {
         Multimodal.withPayload(Multimodal.plantVariants(docs(s, dir))))
         .orderBy("doc_a", "doc_b")),
 
+    // Radius operating curve for the perceptual near-dup (the
+    // minhash_band_sweep discipline applied to Hamming radius): ONE
+    // banded pass at the widest lossless radius (8 < 9 bands), then
+    // every swept radius filters the same candidate relation — pair
+    // counts and planted recall per radius quantify WHY image_neardup
+    // ships radius 4 (full planted recall with minimal noise pairs).
+    // Static radius spine, so an empty radius reports 0, not absence.
+    "image_radius_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = docs(s, dir)
+      val shift = Multimodal.plantShift(d0)
+      val pairs = Multimodal.phashPairs(
+        Multimodal.withPayload(Multimodal.plantVariants(d0)), maxHamming = 8)
+      val plantedTotal =
+        d0.filter(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 10)
+          .count()
+      val tagged = pairs.withColumn("planted",
+        (col("doc_b") === col("doc_a") + lit(shift) &&
+          col("doc_a") % 20 === 0) ||
+        (col("doc_b") === col("doc_a") + lit(2L * shift) &&
+          col("doc_a") % 20 === 10))
+      val spine = Seq(0L, 2L, 4L, 6L, 8L).toDF("max_hamming")
+      // radius membership as a per-pair explode (never a join: a cross
+      // join here would be the BNLJ shape PlanAuditSpec forbids)
+      val counts = tagged
+        .select(col("hamming"), col("planted"),
+          explode(typedLit(Seq(0L, 2L, 4L, 6L, 8L))).as("max_hamming"))
+        .filter(col("hamming") <= col("max_hamming"))
+        .groupBy("max_hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("planted"), 1L).otherwise(0L)).as("planted_pairs"))
+      spine.join(counts, Seq("max_hamming"), "left")
+        .select(col("max_hamming"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("planted_pairs"), lit(0L)).as("planted_pairs"),
+          lit(plantedTotal).as("planted_total"),
+          expr(s"coalesce(planted_pairs, 0L) * 1000 div $plantedTotal")
+            .as("recall_permille"))
+        .orderBy("max_hamming")
+    }),
+
     // Per-frame perceptual fingerprints for the (fake) video payload —
     // the temporal signature relation video_neardup pairs on; one
     // narrow codegen'd slice-and-hash pass.
@@ -4002,6 +4043,34 @@ object PipelineQueries {
     // compaction must land exactly on the one-shot build's layout —
     // same truth as the audit face (rows preserved, invariant restored)
     "index_compact" -> indexLayoutOracle,
+
+    // radius operating curve: brute-force pairs at radius <= 8, tagged
+    // planted by the variant id arithmetic, left-joined onto the
+    // static radius spine so empty radii report zero
+    "image_radius_sweep" ->
+      s"""WITH $variantCorpusCte,
+         |$dhashCtes,
+         |ap AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS h
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+         |tag AS (SELECT h,
+         |    ((doc_b = doc_a + (SELECT s FROM sh) AND doc_a % 20 = 0) OR
+         |     (doc_b = doc_a + 2 * (SELECT s FROM sh) AND doc_a % 20 = 10))
+         |      AS planted
+         |  FROM ap),
+         |tot AS (SELECT count(*) AS pt FROM documents
+         |        WHERE doc_id % 20 IN (0, 10)),
+         |r AS (SELECT CAST(unnest([0, 2, 4, 6, 8]) AS BIGINT) AS max_hamming)
+         |SELECT r.max_hamming,
+         |  CAST(count(t.h) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN t.planted THEN 1 ELSE 0 END), 0)
+         |       AS BIGINT) AS planted_pairs,
+         |  (SELECT pt FROM tot) AS planted_total,
+         |  coalesce(sum(CASE WHEN t.planted THEN 1 ELSE 0 END), 0) * 1000
+         |    // (SELECT pt FROM tot) AS recall_permille
+         |FROM r LEFT JOIN tag t ON t.h <= r.max_hamming
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-frame box-filter dhash over 32-byte frame slices — the
     // keyed form of the image_phash mirror

@@ -1243,6 +1243,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoNearDups(media, maxPosting = 1000).count() == 4950L)
   }
 
+  test("radius sweep: recall monotone and FULL at the shipped radius 4") {
+    val rows = graft.SparkEntry.queries("image_radius_sweep")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(rows.keySet == Set(0L, 2L, 4L, 6L, 8L))
+    // recall climbs with radius; most variants land within 2 bits but
+    // a short jittered doc can drift to 3-4 (this fixture has one) —
+    // which is exactly the margin the shipped radius 4 buys
+    val recalls = Seq(0L, 2L, 4L, 6L, 8L).map(rows(_)._3)
+    assert(recalls == recalls.sorted)
+    assert(rows(2L)._3 >= 900L, s"radius-2 recall collapsed: ${rows(2L)}")
+    assert(rows(4L)._3 == 1000L, s"radius-4 recall: ${rows(4L)}")
+    // pair counts monotone in radius (a wider radius only adds pairs)
+    val counts = Seq(0L, 2L, 4L, 6L, 8L).map(rows(_)._1)
+    assert(counts == counts.sorted)
+  }
+
   test("banded phash pairing equals the brute-force all-pairs answer") {
     val sig = Multimodal.phash(Multimodal.withPayload(docs.limit(200)))
     val banded = Multimodal.phashPairs(
