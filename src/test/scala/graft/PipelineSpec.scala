@@ -1149,6 +1149,12 @@ class MultimodalSpec extends SparkSpec {
     val want = sample.map(t => dhashRef(t.getBytes("UTF-8")))
     assert(got.toSeq == want.toSeq)
     assert(graft.functions.TextKernels.dhash63(Array.emptyByteArray) == 0L)
+    // high bytes (>0x7F — a real JPEG payload is full of them; the
+    // ASCII fixture never exercises this): signed-byte masking must
+    // read 0..255, and the kernel must agree with the reference
+    val hi = Array.tabulate(200)(i => ((i * 37 + 130) % 256).toByte)
+    assert(graft.functions.TextKernels.dhash63(hi) == dhashRef(hi))
+    assert((0 until 200).exists(i => (hi(i) & 0xff) > 127)) // test is live
   }
 
   test("phash is exactly invariant under integer upsampling (box filter)") {
