@@ -209,17 +209,30 @@ object Multimodal {
     * exactly.
     */
   def videoNearDups(media: DataFrame, thresholdPermille: Long = 500L,
-                    frameBytes: Int = 32, maxPosting: Int = 64): DataFrame = {
+                    frameBytes: Int = 32, maxPosting: Int = 64): DataFrame =
+    containmentPairs(
+      frameHashes(media, frameBytes).select(col("doc_id"), col("fhash")),
+      "fhash", thresholdPermille, maxPosting)
+
+  /** Shared-key containment pairing over a (doc_id, key) relation —
+    * the join shape [[videoNearDups]] (frame hashes) and
+    * [[audioNearDups]] (content-defined chunk hashes) both run: an
+    * inverted index on the key (never all-pairs), a hot-key posting
+    * cap (document frequency via a window over the SAME key the
+    * pairing join shuffles on, so the exchange is computed once and
+    * reused), and shared-distinct-keys / min(doc keys) integer
+    * permille scoring.
+    */
+  private[operators] def containmentPairs(rel: DataFrame, keyCol: String,
+                                          thresholdPermille: Long,
+                                          maxPosting: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fh = frameHashes(media, frameBytes)
-      .select("doc_id", "fhash").distinct()
+    val fh = rel.select(col("doc_id"), col(keyCol).as("k")).distinct()
     val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    // document frequency via a window over the SAME key the pairing
-    // join shuffles on — the exchange is computed once and reused
     val capped = fh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fhash")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("k")))
       .filter(col("df") <= maxPosting).drop("df")
-    val pairs = capped.as("a").join(capped.as("b"), Seq("fhash"))
+    val pairs = capped.as("a").join(capped.as("b"), Seq("k"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -230,6 +243,60 @@ object Multimodal {
         expr("shared * 1000 div least(nf_a, nf_b)"))
       .filter(col("containment_permille") >= thresholdPermille)
       .select("doc_a", "doc_b", "shared", "containment_permille")
+  }
+
+  /** Audio near-duplicate pairs — the SHIFT-robust member of the
+    * multimodal dedup triad: clips trimmed at an ARBITRARY sample
+    * offset defeat positional framing (every [[frameHashes]] frame
+    * after the cut changes when the offset is not a frame multiple),
+    * but content-defined chunk boundaries
+    * ([[TextAnalysis.cdcChunks]], the LBFS/rsync scheme) re-derive
+    * from content and re-synchronize within one chunk of the edit, so
+    * the trimmed clip shares every interior chunk with its original.
+    * Pairing = shared-chunk containment, same inverted-index shape and
+    * hot-chunk cap as [[videoNearDups]] (ubiquitous chunks — silence,
+    * station idents — are audio's black frames).
+    *
+    * Fixture convention: the clip's "samples" are the document's bytes
+    * (ASCII, so the string-typed cdc kernel and the oracle agree
+    * byte-for-byte); a real pipeline would run the same content-
+    * defined boundary rule over decoded PCM via [[decodeFeatures]]'s
+    * codec seam. `d` = expected chunk length in samples; 16 keeps even
+    * the shortest fixture clips at several chunks so one boundary
+    * chunk lost to the trim never drops a pair below threshold
+    * (measured: planted min containment 666‰ at threshold 500).
+    */
+  def audioNearDups(docs: DataFrame, thresholdPermille: Long = 500L,
+                    d: Int = 16, maxPosting: Int = 64,
+                    minChunk: Int = 8): DataFrame =
+    containmentPairs(
+      TextAnalysis.cdcChunks(graft.Tables.spread(docs), d)
+        // the production min-chunk clamp the cdc_bounds scaladoc
+        // delegates to callers: sub-window chunks ("e", " ", one-word
+        // stubs) are ubiquitous across any same-vocabulary corpus, so
+        // they'd eat the hot-chunk cap AND carry no identity signal
+        .filter(col("chunk_len") >= minChunk)
+        .select(col("doc_id"), col("chunk_md5")),
+      "chunk_md5", thresholdPermille, maxPosting)
+
+  /** Planted arbitrary-offset trims for [[audioNearDups]]: every
+    * (20k+3)rd long-enough document loses its first 17 samples (a
+    * deliberately frame-UNALIGNED head trim — the edit positional
+    * framing cannot survive) and every (20k+13)th its last 23. Ids
+    * shift by the data-derived max(doc_id)+1.
+    */
+  def plantAudioVariants(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val shift = plantShift(base)
+    val headTrim = base
+      .filter(col("doc_id") % 20 === 3 && length(col("text")) >= 50)
+      .select((col("doc_id") + lit(shift)).as("doc_id"),
+        expr("substring(text, 18)").as("text"))
+    val tailTrim = base
+      .filter(col("doc_id") % 20 === 13 && length(col("text")) >= 55)
+      .select((col("doc_id") + lit(2L * shift)).as("doc_id"),
+        expr("substring(text, 1, length(text) - 23)").as("text"))
+    base.unionByName(headTrim).unionByName(tailTrim)
   }
 
   /** Planted temporal-edit corpus for [[videoNearDups]]: every

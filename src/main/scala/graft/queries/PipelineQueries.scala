@@ -962,6 +962,17 @@ object PipelineQueries {
         .orderBy("max_hamming")
     }),
 
+    // Audio near-dup — the SHIFT-robust triad member
+    // (Multimodal.audioNearDups scaladoc): planted head/tail trims at
+    // deliberately frame-UNALIGNED offsets (17 / 23 samples), paired
+    // by content-defined-chunk containment; the spec proves the
+    // contrast (positional video framing finds none of these pairs,
+    // CDC chunking finds all of them).
+    "audio_neardup" -> ((s, dir) =>
+      Multimodal.audioNearDups(
+        Multimodal.plantAudioVariants(docs(s, dir)))
+        .orderBy("doc_a", "doc_b")),
+
     // Per-frame perceptual fingerprints for the (fake) video payload —
     // the temporal signature relation video_neardup pairs on; one
     // narrow codegen'd slice-and-hash pass.
@@ -4081,6 +4092,52 @@ object PipelineQueries {
          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          |  phash AS fhash
          |FROM ph ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // shift-robust containment over content-defined chunk hashes
+    // (the cdc_chunks CTE chain at d=16 over the planted trim corpus),
+    // same cap/containment algebra as video_neardup
+    "audio_neardup" ->
+      s"""WITH vsh AS (SELECT max(doc_id) + 1 AS s FROM documents),
+         |vsrc AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + vsh.s, substring(text, 18)
+         |    FROM documents, vsh WHERE doc_id % 20 = 3 AND length(text) >= 50
+         |  UNION ALL
+         |  SELECT doc_id + 2 * vsh.s,
+         |         substring(text, 1, CAST(length(text) - 23 AS INTEGER))
+         |    FROM documents, vsh WHERE doc_id % 20 = 13 AND length(text) >= 55),
+         |base AS (SELECT doc_id, text,
+         |  greatest(length(text) - 7, 1) AS n FROM vsrc),
+         |bnd AS (SELECT doc_id, text, list_filter(range(1, n + 1),
+         |  i -> i > 1 AND
+         |    ${h48("substring(text, CAST(i AS INTEGER), 8)")} % 16 = 0) AS b
+         |  FROM base),
+         |cuts AS (SELECT doc_id, text,
+         |  list_concat(list_concat([CAST(1 AS BIGINT)], b),
+         |    [CAST(length(text) + 1 AS BIGINT)]) AS c FROM bnd),
+         |ch AS (SELECT doc_id,
+         |    c[CAST(j + 1 AS INTEGER)] - c[CAST(j AS INTEGER)] AS ln,
+         |    md5(substring(text,
+         |      CAST(c[CAST(j AS INTEGER)] AS INTEGER),
+         |      CAST(c[CAST(j + 1 AS INTEGER)] - c[CAST(j AS INTEGER)]
+         |           AS INTEGER))) AS cm
+         |  FROM cuts, UNNEST(range(1, len(c))) AS t(j)),
+         |fh AS (SELECT DISTINCT doc_id, cm FROM ch WHERE ln >= 8),
+         |nf AS (SELECT doc_id, count(*) AS nf FROM fh GROUP BY 1),
+         |keep AS (SELECT cm FROM fh GROUP BY cm HAVING count(*) <= 64),
+         |cf AS (SELECT fh.doc_id, fh.cm FROM fh JOIN keep USING (cm)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM cf a JOIN cf b ON a.cm = b.cm AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b, shared,
+         |    shared * 1000 // least(na.nf, nb.nf) AS containment_permille
+         |  FROM pairs JOIN nf na ON na.doc_id = doc_a
+         |             JOIN nf nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, shared, containment_permille
+         |FROM sc WHERE containment_permille >= 500
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // temporal containment over shared distinct frame hashes, with the
     // hot-frame posting cap (df <= 64) mirrored on the distinct

@@ -1228,6 +1228,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio near-dups: CDC chunks survive the unaligned trims that defeat framing") {
+    import spark.implicits._
+    val planted = Multimodal.plantAudioVariants(docs)
+    val shift = Multimodal.plantShift(docs)
+    val meta = docs.select("doc_id", "n_chars").as[(Long, Long)]
+      .collect().toMap
+    val wantA = meta.keys.filter(id => id % 20 == 3 && meta(id) >= 50)
+      .map(id => (id, id + shift)).toSet
+    val wantB = meta.keys.filter(id => id % 20 == 13 && meta(id) >= 55)
+      .map(id => (id, id + 2 * shift)).toSet
+    assert(wantA.nonEmpty && wantB.nonEmpty)
+    val audio = Multimodal.audioNearDups(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // content-defined chunking recovers the planted trim pairs; a clip
+    // that survives the min-chunk clamp with only 2-3 chunks can
+    // legitimately land under the half-containment threshold when the
+    // trim rewrites its boundary chunk — allow at most one such
+    // physical-limit miss per family (full recall at the oracle SF)
+    assert((wantA -- audio).size <= 1, s"head-trim missed: ${wantA -- audio}")
+    assert((wantB -- audio).size <= 1, s"tail-trim missed: ${wantB -- audio}")
+    // the contrast that justifies CDC: positional frame containment
+    // dies on the 17-sample HEAD trim (every frame shifts off its
+    // 32-byte grid) while it trivially survives tail cuts — which is
+    // exactly why the video face plants frame-aligned edits and the
+    // audio face exists
+    val video = Multimodal.videoNearDups(Multimodal.withPayload(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wantA.count(video.contains) == 0,
+      "frame-aligned containment unexpectedly survived an unaligned head trim")
+  }
+
   test("video near-dup hot-frame cap drops ubiquitous-frame-only pairs") {
     import spark.implicits._
     // 100 clips sharing one 32-byte intro frame plus a unique body
