@@ -46,7 +46,12 @@ object BenchScaling {
     // r14 banded/posting self-joins — same risk class: the 9×7-band
     // phash join over the planted image corpus and the capped
     // frame-posting containment join over the planted video corpus.
-    "image_neardup", "video_neardup")
+    "image_neardup", "video_neardup",
+    // r15 (VERDICT r14 #7): the audio face's scaling shape differs
+    // from image/video — CDC chunk boundaries make the chunk census
+    // corpus-sized (every byte inspected, chunk count ∝ bytes), so the
+    // containment join's input grows with content, not doc count.
+    "audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")

@@ -222,6 +222,41 @@ object Cli {
         Report.exitCode(df)
       }
 
+    // Physical-design doctor (VERDICT r14 #8): surface
+    // ProductQuant.indexLayoutAudit without a Scala REPL — the 100 TB
+    // operational loop (audit → compact / salt-widen) from the shell.
+    // Prints the audit relation; exits 1 when any list needs action
+    // (split_files → graft compaction, hot_list → salted rewrite),
+    // 0 on a clean layout, 2 when the dir isn't a partitioned index.
+    // MUST precede the config-doctor case: that pattern would bind
+    // conf="--index".
+    case "doctor" :: "--index" :: idxDir :: Nil =>
+      val audit = scala.util.Try(
+        operators.ProductQuant.indexLayoutAudit(spark, idxDir).collect())
+      audit match {
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"not a readable ccid-partitioned index at '$idxDir': " +
+              e.getMessage.linesIterator.next())
+          2
+        case scala.util.Success(rows) =>
+          println(f"${"ccid"}%6s ${"n_rows"}%10s ${"n_files"}%8s " +
+            f"${"bytes"}%12s flag")
+          rows.foreach { r =>
+            println(f"${r.getInt(0)}%6d ${r.getLong(1)}%10d " +
+              f"${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(4)}")
+          }
+          val bad = rows.map(_.getString(4)).filter(_ != "ok")
+          if (bad.isEmpty) { println("index layout ok"); 0 }
+          else {
+            println(s"index needs maintenance: " +
+              bad.groupBy(identity).map { case (f, v) =>
+                s"${v.length}x $f" }.toSeq.sorted.mkString(", ") +
+              " (split_files -> compactIndex; hot_list -> salted rewrite)")
+            1
+          }
+      }
+
     case "doctor" :: conf :: dir :: Nil =>
       // README.md:156-220 troubleshooting matrix — one distinct check
       // and one distinct remedy message per documented failure class
@@ -269,7 +304,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli (discover|generate|compare|report|run-all|doctor)" +
-          " <config.toml> [<fixtureDir>] [runId]")
+          " <config.toml> [<fixtureDir>] [runId] | doctor --index <dir>")
       2
   }
 

@@ -113,7 +113,60 @@ object Multimodal {
   def phash(media: DataFrame): DataFrame = {
     graft.functions.TextKernels.register(media.sparkSession)
     graft.Tables.spread(media)
+      // a zero-length payload has no pixels to hash: dhash63 would
+      // return 0L but the oracle's per-byte unnest produces no row, so
+      // the contract for arbitrary corpora is "no fingerprint", not
+      // "fingerprint 0" (ADVICE r14; frameHashes' empty-array CASE
+      // already encodes the same choice for sub-frame payloads)
+      .filter(length(col("payload")) > 0)
       .select(col("doc_id"), expr("dhash63(payload)").as("phash"))
+  }
+
+  /** FULL-RANGE binary payload corpus (VERDICT r14 #5): the text-bytes
+    * payloads every other phash face runs over are ASCII-only, so the
+    * kernel's >0x7F / 0x00 byte path was spec-tier only. This corpus is
+    * true binary — md5-chained pseudo-pixel bytes (deterministic, so
+    * the oracle replays them from the same hex lane) covering the whole
+    * 0–255 range, with per-doc LENGTH variation (48 or 64 bytes via
+    * `3 + doc_id % 2` md5 blocks) so the box filter's fractional-block
+    * overlap weighting is exercised oracle-tier too, not just the
+    * 1-byte-per-block degenerate case. Kept in HEX until the final
+    * `unhex` so the planting transforms below stay engine/oracle-
+    * replayable string ops on the identical expression shape.
+    */
+  private[operators] def binaryPayloadHex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      """substring(concat(md5(text), md5(concat(text, ':1')),
+        |                 md5(concat(text, ':2')), md5(concat(text, ':3'))),
+        |          1, CAST(32 * (3 + doc_id % 2) AS INT))""".stripMargin)
+      .as("hx"))
+
+  /** (doc_id, payload) with the [[binaryPayloadHex]] bytes materialized
+    * as a real BINARY column — the full-range twin of [[withPayload]].
+    */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    binaryPayloadHex(docs)
+      .select(col("doc_id"), unhex(col("hx")).as("payload"))
+
+  /** Planted near-duplicate corpus in BINARY space: every 20th doc
+    * gains a one-byte-perturbed variant (byte 17 overwritten with 0xFF
+    * — sensor/recompression noise; one byte touches at most two
+    * adjacent blocks, so ≤3 gradient bits flip — measured ≤3 at
+    * sf0.001 with the nearest RANDOM pair at 13) and every (20k+10)th
+    * an exact duplicate (hamming 0). Ids shift by the data-derived
+    * max(doc_id)+1, the [[plantVariants]] discipline.
+    */
+  def plantBinaryVariants(docs: DataFrame): DataFrame = {
+    val base = binaryPayloadHex(docs)
+    val shift = plantShift(base)
+    val perturbed = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(shift)).as("doc_id"),
+        concat(substring(col("hx"), 1, 34), lit("ff"),
+          expr("substring(hx, 37)")).as("hx"))
+    val exactDup = base.filter(col("doc_id") % 20 === 10)
+      .select((col("doc_id") + lit(2L * shift)).as("doc_id"), col("hx"))
+    base.unionByName(perturbed).unionByName(exactDup)
+      .select(col("doc_id"), unhex(col("hx")).as("payload"))
   }
 
   /** Image near-duplicate pairs over the perceptual fingerprint — the

@@ -342,7 +342,7 @@ object Similarity {
                   dim: Option[Int] = None): DataFrame = {
     val (d, b) = resolveBits(embeddings, bits, corpusCount, dim, 1000L)
     signLshTopKOn(embeddings, col("embedding"), d, queryPred, k,
-      Some(b), Some(d))
+      Some(b), Some(d), repIsExpensive = false)
   }
 
   /** [[signLshTopK]] with the BUCKETS computed on an alternate per-row
@@ -360,7 +360,8 @@ object Similarity {
   def signLshTopKOn(embeddings: DataFrame, indexRep: Column, repDim: Int,
                     queryPred: Column, k: Int,
                     bits: Option[Int] = None,
-                    dim: Option[Int] = None): DataFrame = {
+                    dim: Option[Int] = None,
+                    repIsExpensive: Boolean = true): DataFrame = {
     val d = dim.getOrElse(dimOf(embeddings))
     val b = math.min(repDim,
       bits.getOrElse(deriveBits(embeddings.count(), 1000L)))
@@ -369,13 +370,17 @@ object Similarity {
     // kernel) must bind once per row — ride it as a generator child
     // (explode of a 1-element array, the jl_parts pattern) so
     // CollapseProject can't inline b copies of the kernel into the
-    // bucket projection on a codegen-fallback path.
-    // (Spark 4's Column no longer exposes .expr — a bare attribute
-    // reference prints as just its name)
-    val repIsPlainColumn = indexRep.toString.matches("[A-Za-z0-9_$.]+")
+    // bucket projection on a codegen-fallback path. The caller states
+    // which case it is via `repIsExpensive` (both paths are
+    // row-identical; the flag only picks the cheaper plan) — an
+    // explicit contract instead of sniffing Column.toString, whose
+    // rendering can shift across Spark versions (ADVICE r14). The
+    // default is the SAFE side: let-binding a cheap rep costs one
+    // no-op generator; inlining an expensive one costs b kernel
+    // evaluations per row.
     def side(df: DataFrame, p: String): DataFrame = {
       val base = withNorm(df, d)
-      if (repIsPlainColumn)
+      if (!repIsExpensive)
         base.select(
           col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
           col("nrm").as(s"${p}_nrm"), signBucket(indexRep, b).as(s"${p}_bucket"))

@@ -388,6 +388,31 @@ class CliSpec extends SparkSpec {
     } finally sys.props.remove("graft.forceInteractive")
   }
 
+  test("doctor --index surfaces the layout audit from the shell (r14 #8)") {
+    // skewed synthetic index: even vec_ids pile into list 0 (~4.5x mean)
+    val codes = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 200).select(col("id").as("vec_id")))
+    val hotDir = Files.createTempDirectory("graft_idx_hot").toString + "/idx"
+    ProductQuant.writeIndex(codes, hotDir)
+    val (c1, o1) = doctorOut(Array("doctor", "--index", hotDir))
+    assert(c1 == 1 && o1.contains("hot_list")
+      && o1.contains("needs maintenance"), o1)
+    // the salted rewrite physically splits ONLY the hot list and the
+    // doctor goes green — the audit->action loop from the CLI (r14 #6)
+    val okDir = Files.createTempDirectory("graft_idx_ok").toString + "/idx"
+    ProductQuant.writeIndex(codes, okDir, hotLists = Seq(0))
+    val (c2, o2) = doctorOut(Array("doctor", "--index", okDir))
+    assert(c2 == 0 && o2.contains("index layout ok"), o2)
+    val audit = ProductQuant.indexLayoutAudit(spark, okDir).collect()
+    val hotRow = audit.find(_.getInt(0) == 0).get
+    assert(hotRow.getLong(2) > 1L, "hot list did not physically split")
+    assert(audit.filter(_.getInt(0) != 0).forall(_.getLong(2) == 1L),
+      "a non-hot list lost the 1-file invariant")
+    // not an index at all
+    val (c3, _) = doctorOut(Array("doctor", "--index", "/no/such/index"))
+    assert(c3 == 2)
+  }
+
   test("doctor maps each README failure class to a distinct check") {
     val out = Files.createTempDirectory("graft_doc").toString
     // class 1 — connection refused: source does not exist

@@ -1189,6 +1189,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall { case (a, b) => !(origIds(a) && origIds(b)) })
   }
 
+  test("binary lane: full-range payloads, planted bounds, empty contract") {
+    import spark.implicits._
+    // the payload really exercises the full byte range (>0x7F and low)
+    val payloads = Multimodal.withBinaryPayload(docs.limit(50))
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    assert(payloads.exists(_.exists(b => (b & 0xff) > 0x7f)))
+    assert(payloads.exists(_.exists(b => (b & 0xff) < 0x10)))
+    // and both 48- and 64-byte lengths occur (overlap-weighting live)
+    assert(payloads.map(_.length).toSet == Set(48, 64))
+    // planted bounds: perturbed <= 3 bits, exact dup = 0, full recall
+    val planted = Multimodal.plantBinaryVariants(docs)
+    val pairs = Multimodal.phashPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val origIds = docs.select("doc_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val wantPert = origIds.filter(_ % 20 == 0).map(id => (id, id + shift))
+    val wantDup = origIds.filter(_ % 20 == 10).map(id => (id, id + 2 * shift))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert((wantPert ++ wantDup).subsetOf(got))
+    assert(pairs.filter(p => wantDup((p._1, p._2))).forall(_._3 == 0L))
+    assert(pairs.filter(p => wantPert((p._1, p._2))).forall(_._3 <= 3L))
+    assert(got.forall { case (a, b) => !(origIds(a) && origIds(b)) })
+    // empty payload: NO fingerprint row (ADVICE r14 — the oracle's
+    // per-byte unnest emits no row, so neither does the engine)
+    val empty = Seq((7L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    assert(Multimodal.phash(empty).isEmpty)
+  }
+
   test("frameHashes: every whole frame hashed, short payloads yield none") {
     import graft.functions.TextKernels.dhash63
     val media = Multimodal.withPayload(docs.limit(40))

@@ -15,6 +15,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+import re
+
+# Driver-hash type classes: the driver's compare hashes pandas frames, so
+# any oracle column whose DuckDB type maps to a different pandas dtype than
+# the Spark parquet's (HUGEINT/DECIMAL -> object/float128-ish vs BIGINT ->
+# int64) hash-mismatches even when every value is equal (the
+# image_radius_sweep r14 escape). Int widths <= 64 bits all land in int64,
+# so those are collapsed; HUGEINT/UBIGINT/DECIMAL deliberately are NOT.
+def norm_type(t):
+    t = t.upper()
+    t = t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+    t = re.sub(r"\bTIMESTAMP_NS\b|\bTIMESTAMP_MS\b|\bTIMESTAMP_S\b",
+               "TIMESTAMP", t)
+    t = re.sub(r"\b(TINYINT|SMALLINT|INTEGER|UTINYINT|USMALLINT|UINTEGER)\b",
+               "BIGINT", t)
+    return t
+
+
+def type_mismatches(con, sql, files):
+    """Compare DESCRIBE(oracle sql) vs DESCRIBE(spark parquet) per column.
+
+    Returns a list of 'col: spark_type != oracle_type' strings (normalized
+    types shown raw for readability)."""
+    want = {r[0].lower(): r[1] for r in
+            con.execute(f"DESCRIBE {sql}").fetchall()}
+    got = {r[0].lower(): r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+    bad = []
+    for c in sorted(set(want) & set(got)):
+        if norm_type(want[c]) != norm_type(got[c]):
+            bad.append(f"{c}: spark {got[c]} != oracle {want[c]}")
+    return bad
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -57,6 +91,12 @@ def main():
         wcols, gcols = sorted(want.columns), sorted(got.columns)
         if [c.lower() for c in wcols] != [c.lower() for c in gcols]:
             print(f"FAIL {name}: columns {gcols} != oracle {wcols}")
+            n_fail += 1
+            continue
+        tbad = type_mismatches(con, sql, files)
+        if tbad:
+            print(f"FAIL {name}: column TYPE mismatch (driver hash is "
+                  f"type-sensitive): {'; '.join(tbad)}")
             n_fail += 1
             continue
         w = want[wcols].values.tolist()
