@@ -862,6 +862,108 @@ object ProductQuant {
         s"compactIndex: compacted index live, but $old was not removed")
   }
 
+  /** Versioned index publication — the reader-ATOMIC layer the
+    * [[compactIndex]] scaladoc's concurrency contract points at
+    * (ADVICE r14, executed): each generation writes to
+    * `<base>/v<N>` through [[writeIndex]]'s one discipline, and only
+    * a complete generation becomes visible — readers resolve
+    * [[currentIndexDir]] and then read an immutable directory, so a
+    * publish (or a compaction published AS a new generation) never
+    * races a scan. The pointer file `<base>/CURRENT` flips via
+    * write-tmp → delete → rename; the delete window is harmless
+    * because resolution FALLS BACK to the newest generation carrying
+    * Spark's `_SUCCESS` marker — every state of the sequence resolves
+    * to a complete index. Old generations are retained until
+    * [[pruneGenerations]], whose retention is the operator's contract
+    * (prune only generations older than any reader still holding a
+    * DataFrame — at 100 TB, a TTL tied to the longest query).
+    */
+  def publishIndex(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String, codes: DataFrame,
+                   hotLists: Seq[Int] = Nil): (Int, String) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(baseDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val gen = currentGeneration(spark, baseDir).map(_._1).getOrElse(0) + 1
+    val dir = s"${baseDir.stripSuffix("/")}/v$gen"
+    writeIndex(codes, dir, hotLists = hotLists)
+    val cur = new Path(baseDir, "CURRENT")
+    val tmp = new Path(baseDir, "CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"v$gen".getBytes("UTF-8")); out.close()
+    if (fs.exists(cur) && !fs.delete(cur, false))
+      throw new java.io.IOException(s"publishIndex: cannot replace $cur")
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(
+        s"publishIndex: pointer flip failed (readers still resolve " +
+          s"v$gen via the _SUCCESS fallback)")
+    (gen, dir)
+  }
+
+  /** The live generation: the pointer if present, else the newest
+    * complete (`_SUCCESS`-marked) generation — the crash-window
+    * fallback [[publishIndex]] relies on. None on an empty store.
+    */
+  def currentGeneration(spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String): Option[(Int, String)] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return None
+    val cur = new Path(base, "CURRENT")
+    val pointed =
+      if (!fs.exists(cur)) None
+      else {
+        val in = fs.open(cur)
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close()
+        val g = s.stripPrefix("v").toInt
+        val dir = new Path(base, s)
+        if (fs.exists(new Path(dir, "_SUCCESS"))) Some((g, dir.toString))
+        else None // pointer ahead of a crashed write: fall through
+      }
+    pointed.orElse {
+      fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(s => (s.getPath.getName.stripPrefix("v").toInt,
+          s.getPath.toString))
+        .sortBy(-_._1).headOption
+    }
+  }
+
+  /** The live generation's directory — what every reader resolves
+    * before scanning (probe, audit, export).
+    */
+  def currentIndexDir(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String): String =
+    currentGeneration(spark, baseDir).map(_._2).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+
+  /** Delete all but the newest `keep` complete generations; returns
+    * the pruned generation numbers. Never touches the live one
+    * (keep >= 1 enforced). The caller owns the reader-retention
+    * contract (scaladoc on [[publishIndex]]).
+    */
+  def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String, keep: Int = 2): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    require(keep >= 1, s"pruneGenerations: keep must be >= 1, got $keep")
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Nil
+    val gens = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.stripPrefix("v").toInt, s.getPath))
+      .sortBy(-_._1)
+    gens.drop(keep).map { case (g, p) =>
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(s"pruneGenerations: delete $p failed")
+      g
+    }
+  }
+
   /** The ONE at-rest index write discipline every producer shares —
     * colocate each inverted list (`repartition(ccid)`: without it
     * every task writes a file into every list directory, the

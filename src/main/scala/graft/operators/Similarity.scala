@@ -64,7 +64,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def normN(a: Column, dim: Int): Column = sqrt(dotN(a, a, dim))
+  /** L2 norm over the first `dim` elements — kernel-backed
+    * ([[graft.functions.LshKernels]], VERDICT r14 #3): the unrolled
+    * sqrt(dotN) form is a ~500-node tree at d=64 whose per-plan janino
+    * compile dominated the sub-second ANN faces; the native call is
+    * bit-identical (same left-to-right IEEE fold, ParitySpec-pinned)
+    * and one node. Falls back to the unrolled form when no session is
+    * active to register against (value-identical by the same
+    * contract).
+    */
+  def normN(a: Column, dim: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.LshKernels.register(s)
+        call_function("vec_nrm", a, lit(dim))
+      case None => sqrt(dotN(a, a, dim))
+    }
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -119,10 +134,21 @@ object Similarity {
     df.limit(cap + 1).count() <= cap
 
   /** Sign-LSH bucket id: `bits` sign bits of the leading dimensions. */
+  /** Sign-pattern bucket key over the first `bits` elements —
+    * kernel-backed like [[normN]] (one node instead of `bits`
+    * conditionals; a null cell contributes 0 exactly like the
+    * unrolled `when(...).otherwise(0)` did).
+    */
   def signBucket(e: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.LshKernels.register(s)
+        call_function("sign_bucket", e, lit(bits))
+      case None =>
+        (0 until bits).map { i =>
+          when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+    }
 
   /** (vec_id, embedding, nrm) side relation: the norm is computed ONCE
     * per row (narrow, codegen'd) so the per-pair work after a join is a

@@ -1178,6 +1178,30 @@ object PipelineQueries {
         .orderBy("ccid")
     }),
 
+    // Versioned index publication (ADVICE r14, executed): generations
+    // v1/v2 under one store, the pointer flips only after a complete
+    // write, readers resolve-then-scan an immutable directory — the
+    // reader-atomic layer over writeIndex/compactIndex. v1 publishes
+    // the skewed corpus unsalted (audit: hot_list), v2 republishes it
+    // salted (audit: ok) — a full maintenance cycle as generations,
+    // with is_current pinning the pointer. Reader-atomicity itself
+    // (a v1 DataFrame surviving the v2 publish bit-for-bit) and the
+    // pointer-loss _SUCCESS fallback are spec-asserted.
+    "index_publish" -> ((s, dir) => {
+      val codes = ProductQuant.skewedSyntheticCodes(emb(s, dir))
+      val base = graft.Scratch.dir("idx_store_")
+      val (g1, d1) = ProductQuant.publishIndex(s, base, codes)
+      val (g2, d2) = ProductQuant.publishIndex(s, base, codes,
+        hotLists = Seq(0))
+      val cur = ProductQuant.currentGeneration(s, base).map(_._1).getOrElse(0)
+      def auditOf(g: Int, d: String) =
+        ProductQuant.indexLayoutAudit(s, d)
+          .select(lit(g).as("generation"), col("ccid"), col("n_rows"),
+            col("flag"), lit(g == cur).as("is_current"))
+      auditOf(g1, d1).unionByName(auditOf(g2, d2))
+        .orderBy("generation", "ccid")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -4203,6 +4227,28 @@ object PipelineQueries {
     "index_layout_audit" -> indexLayoutOracle,
 
     "index_salt_rebalance" -> indexSaltOracle,
+
+    // Two generations of the same skewed relation: v1 unsalted (the
+    // hot flag), v2 salted (ok), pointer on v2.
+    "index_publish" ->
+      s"""WITH $embCte,
+         |a AS (SELECT vec_id,
+         |    CAST(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE vec_id % 16 END
+         |         AS INTEGER) AS ccid
+         |  FROM e),
+         |c AS (SELECT vec_id, ccid,
+         |    CAST(unnest(range(0, 4)) AS INTEGER) AS sub FROM a),
+         |g AS (SELECT ccid, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM c GROUP BY 1),
+         |f AS (SELECT ccid, n_rows,
+         |    CASE WHEN n_rows > 2.0 * avg(n_rows) OVER () THEN 'hot_list'
+         |         ELSE 'ok' END AS hot_flag
+         |  FROM g)
+         |SELECT CAST(1 AS INTEGER) AS generation, ccid, n_rows,
+         |  hot_flag AS flag, false AS is_current FROM f
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), ccid, n_rows, 'ok', true FROM f
+         |ORDER BY generation, ccid""".stripMargin,
 
     // compaction must land exactly on the one-shot build's layout —
     // same truth as the audit face (rows preserved, invariant restored)

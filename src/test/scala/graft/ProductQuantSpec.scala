@@ -328,4 +328,41 @@ class ProductQuantSpec extends SparkSpec {
     assert(split(3) == "split_files",
       s"list 3 gained a second file and must flag: $split")
   }
+
+  test("versioned publish: reader-atomic flips, pointer-loss fallback, prune") {
+    val codes = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 120).select(col("id").as("vec_id")))
+    val base = Scratch.dir("idx_store_spec_")
+    val (g1, d1) = ProductQuant.publishIndex(spark, base, codes)
+    assert(g1 == 1)
+    // a reader resolves-then-scans; hold its relation across a publish
+    val held = spark.read.parquet(d1)
+    val before = held.count()
+    val (g2, d2) = ProductQuant.publishIndex(spark, base, codes,
+      hotLists = Seq(0))
+    assert(g2 == 2 && d2 != d1)
+    // reader-atomicity: the held v1 relation is untouched by the v2
+    // publish — same rows, no mid-swap window (the compactIndex
+    // contract this scheme exists to remove)
+    assert(held.count() == before)
+    assert(ProductQuant.currentGeneration(spark, base).map(_._1)
+      .contains(2))
+    // pointer loss: resolution falls back to the newest _SUCCESS gen
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(base, "CURRENT"), false))
+    assert(ProductQuant.currentGeneration(spark, base).map(_._1)
+      .contains(2))
+    assert(ProductQuant.currentIndexDir(spark, base).endsWith("v2"))
+    // third generation, then prune to the newest 2: v1 goes, v2/v3 stay
+    ProductQuant.publishIndex(spark, base, codes)
+    assert(ProductQuant.pruneGenerations(spark, base, keep = 2) == Seq(1))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "v1")))
+    assert(ProductQuant.currentGeneration(spark, base).map(_._1)
+      .contains(3))
+    // prune must never eat the live generation
+    assert(ProductQuant.pruneGenerations(spark, base, keep = 1) == Seq(2))
+    assert(spark.read.parquet(
+      ProductQuant.currentIndexDir(spark, base)).count() == before)
+  }
 }
