@@ -257,6 +257,23 @@ object Cli {
           }
       }
 
+    // The remedy `doctor --index` names for split_files, executable
+    // from the same shell: compact, then re-print the audit. Exit
+    // mirrors doctor on the POST-compaction state (0 = clean now).
+    case "compact" :: "--index" :: idxDir :: Nil =>
+      scala.util.Try {
+        operators.ProductQuant.compactIndex(spark, idxDir)
+      } match {
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"compaction failed for '$idxDir': " +
+              e.getMessage.linesIterator.next())
+          2
+        case scala.util.Success(_) =>
+          println(s"compacted $idxDir")
+          run(Array("doctor", "--index", idxDir), spark)
+      }
+
     case "doctor" :: conf :: dir :: Nil =>
       // README.md:156-220 troubleshooting matrix — one distinct check
       // and one distinct remedy message per documented failure class
@@ -304,7 +321,8 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli (discover|generate|compare|report|run-all|doctor)" +
-          " <config.toml> [<fixtureDir>] [runId] | doctor --index <dir>")
+          " <config.toml> [<fixtureDir>] [runId]" +
+          " | doctor --index <dir> | compact --index <dir>")
       2
   }
 

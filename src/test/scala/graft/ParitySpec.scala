@@ -411,6 +411,21 @@ class CliSpec extends SparkSpec {
     // not an index at all
     val (c3, _) = doctorOut(Array("doctor", "--index", "/no/such/index"))
     assert(c3 == 2)
+    // compact --index executes the split_files remedy and re-audits:
+    // fragment a healthy layout with a second append, then compact
+    val fragDir = Files.createTempDirectory("graft_idx_frag").toString + "/idx"
+    val half = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 200).select(col("id").as("vec_id")))
+      .filter(col("ccid") =!= 0) // balanced lists only: no hot flag
+    ProductQuant.writeIndex(half, fragDir)
+    ProductQuant.writeIndex(half, fragDir, mode = "append")
+    val (cf, of) = doctorOut(Array("doctor", "--index", fragDir))
+    assert(cf == 1 && of.contains("split_files"), of)
+    val (cc, oc) = doctorOut(Array("compact", "--index", fragDir))
+    assert(cc == 0 && oc.contains("index layout ok"), oc)
+    // compaction preserved the doubled row set exactly
+    assert(spark.read.parquet(fragDir).count() ==
+      half.count() * 2)
   }
 
   test("doctor maps each README failure class to a distinct check") {
