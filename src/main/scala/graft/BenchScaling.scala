@@ -132,7 +132,7 @@ object BenchScaling {
         s""""note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
         s"""1.0 = linear in data, ~0 = overhead-bound"}"""
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r14.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r15.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecar), out + "\n")
     catch { case e: Throwable =>

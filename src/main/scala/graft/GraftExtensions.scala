@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TextKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.PqKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.JlKernels.descriptors.foreach(ext.injectFunction)
+    graft.functions.LshKernels.descriptors.foreach(ext.injectFunction)
   }
 }

@@ -741,20 +741,18 @@ object ProductQuant {
   private def cachedIndex(embeddings: DataFrame, cacheKey: String,
                           nCoarse: Int, d: Int)
       : (String, Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) = {
-    // a cheap corpus fingerprint rides in the key (ADVICE r14): a
-    // caller passing a DIFFERENT or filtered corpus under a reused
-    // cacheKey must not silently probe the stale index built from
-    // another one. count + id-range is one bounded 1-row aggregation
-    // per probe call — orders cheaper than the build it guards, and
-    // it distinguishes every filtered subset the fixtures can produce
-    // (vec_id is the primary key, so count+min+max pins the id set's
-    // envelope; a caller defeating THAT needs two same-size corpora
-    // with identical id envelopes under one key, which is the
-    // documented determinism precondition, now asserted in its
-    // observable part instead of trusted)
-    val fpRow = embeddings
-      .agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
-    val fp = s"n=${fpRow.getLong(0)}|lo=${fpRow.get(1)}|hi=${fpRow.get(2)}"
+    // a corpus fingerprint rides in the key (ADVICE r14): a caller
+    // passing a DIFFERENT or filtered corpus under a reused cacheKey
+    // must not silently probe the stale index built from another one.
+    // The fingerprint is the ANALYZED PLAN's semanticHash — it
+    // distinguishes every differently-built relation (other source
+    // path, added filter, different projection) at zero runtime cost,
+    // where the first-cut count/min/max aggregation taxed EVERY probe
+    // call with a corpus scan, inflating the steady-state face this
+    // cache exists to serve (r15 self-review #8). Same plan ⇒ same
+    // data is the documented determinism precondition (an external
+    // overwrite of the same path mid-JVM is out of contract).
+    val fp = s"plan=${embeddings.queryExecution.analyzed.semanticHash()}"
     indexCache.synchronized {
       // geometry belongs in the key: the same corpus dir probed at a
       // different nCoarse/d is a DIFFERENT index, and silently handing
@@ -835,11 +833,20 @@ object ProductQuant {
     val base = indexDir.stripSuffix("/")
     val tmp = new Path(base + ".compact_tmp")
     val old = new Path(base + ".compact_old")
-    writeIndex(
-      spark.read.parquet(indexDir)
-        .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
-          col("sub"), col("code")),
-      tmp.toString)
+    val codes = spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+        col("sub"), col("code"))
+    // the rewrite must PRESERVE the hot-list salt split, not undo it:
+    // compacting a salted index back to 1-file-per-list would re-raise
+    // the hot_list flag the salt remedy just cleared, leaving doctor's
+    // two remedies undoing each other forever (r15 self-review #2).
+    // Hot lists re-derive from the data being rewritten anyway — one
+    // bounded aggregation (<= nCoarse rows collected).
+    val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
+    val mean = counts.map(_.getLong(1)).sum.toDouble / counts.length
+    val hot = counts.filter(_.getLong(1) > 2.0 * mean)
+      .map(_.getInt(0)).sorted.toSeq
+    writeIndex(codes, tmp.toString, hotLists = hot)
     val fs = new Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // rename-ASIDE swap, never delete-then-rename: a crash between the
@@ -884,7 +891,14 @@ object ProductQuant {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val gen = currentGeneration(spark, baseDir).map(_._1).getOrElse(0) + 1
+    // next generation = max over ALL existing v<N> dirs (complete or
+    // not), NOT the pointer: after a rollback (CURRENT repointed at an
+    // older generation while newer ones are retained for readers) a
+    // pointer-derived number would OVERWRITE a retained directory in
+    // place — exactly the mutate-under-reader hazard generations exist
+    // to remove (r15 self-review #4)
+    val gen = listGenerations(spark, baseDir).map(_._1)
+      .sorted.lastOption.getOrElse(0) + 1
     val dir = s"${baseDir.stripSuffix("/")}/v$gen"
     writeIndex(codes, dir, hotLists = hotLists)
     val cur = new Path(baseDir, "CURRENT")
@@ -904,6 +918,27 @@ object ProductQuant {
     * complete (`_SUCCESS`-marked) generation — the crash-window
     * fallback [[publishIndex]] relies on. None on an empty store.
     */
+  /** All generation directories under the store, complete or not. */
+  private def listGenerations(spark: org.apache.spark.sql.SparkSession,
+                              baseDir: String): Seq[(Int, String)] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.stripPrefix("v").toInt,
+        s.getPath.toString))
+  }
+
+  private def isComplete(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new Path(p, "_SUCCESS"))
+  }
+
   def currentGeneration(spark: org.apache.spark.sql.SparkSession,
                         baseDir: String): Option[(Int, String)] = {
     import org.apache.hadoop.fs.Path
@@ -911,7 +946,10 @@ object ProductQuant {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
     val cur = new Path(base, "CURRENT")
-    val pointed =
+    // a malformed/truncated pointer must fall back, not crash: the
+    // fallback exists precisely to absorb broken pointer states (r15
+    // self-review #5)
+    val pointed = scala.util.Try {
       if (!fs.exists(cur)) None
       else {
         val in = fs.open(cur)
@@ -922,12 +960,10 @@ object ProductQuant {
         if (fs.exists(new Path(dir, "_SUCCESS"))) Some((g, dir.toString))
         else None // pointer ahead of a crashed write: fall through
       }
+    }.toOption.flatten
     pointed.orElse {
-      fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(s => (s.getPath.getName.stripPrefix("v").toInt,
-          s.getPath.toString))
+      listGenerations(spark, baseDir)
+        .filter(g => isComplete(spark, g._2))
         .sortBy(-_._1).headOption
     }
   }
@@ -953,12 +989,24 @@ object ProductQuant {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return Nil
-    val gens = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .map(s => (s.getPath.getName.stripPrefix("v").toInt, s.getPath))
-      .sortBy(-_._1)
-    gens.drop(keep).map { case (g, p) =>
-      if (!fs.delete(p, true))
+    val gens = listGenerations(spark, baseDir).sortBy(-_._1)
+    val complete = gens.filter(g => isComplete(spark, g._2)).map(_._1)
+    // retention counts COMPLETE generations only, and the live one is
+    // always kept — a crashed (incomplete) newest dir must not consume
+    // a retention slot and get the only readable copy deleted (r15
+    // self-review #1). An INCOMPLETE generation newer than the newest
+    // complete one is left alone too: under the single-writer contract
+    // it can only be this store's own crash garbage or an in-flight
+    // publish, and deleting an in-flight write is the one race prune
+    // could introduce. Older incomplete dirs are crash garbage: pruned.
+    val newestComplete = complete.headOption.getOrElse(Int.MaxValue)
+    val keepSet = complete.take(keep).toSet ++
+      currentGeneration(spark, baseDir).map(_._1)
+    gens.filter { case (g, dir) =>
+      !keepSet.contains(g) &&
+        (isComplete(spark, dir) || g < newestComplete)
+    }.sortBy(_._1).map { case (g, p) =>
+      if (!fs.delete(new Path(p), true))
         throw new java.io.IOException(s"pruneGenerations: delete $p failed")
       g
     }
@@ -984,10 +1032,16 @@ object ProductQuant {
     * `hot_list`, the twin of [[compactIndex]] for `split_files`:
     * audit flags → rewrite salted → flag clears.
     */
+  /** Default hot-list salt fan-out — shared by [[writeIndex]] (the
+    * split) and [[indexLayoutAudit]] (the fragmentation bound: more
+    * files than this is stacking, not salting).
+    */
+  val SaltBuckets: Int = 8
+
   def writeIndex(codes: DataFrame, indexDir: String,
                  mode: String = "overwrite",
                  hotLists: Seq[Int] = Nil,
-                 saltBuckets: Int = 8): Unit = {
+                 saltBuckets: Int = SaltBuckets): Unit = {
     val parted =
       if (hotLists.isEmpty) codes.repartition(col("ccid"))
       // EXPLICIT partition count on the salted path: a bare
@@ -1052,19 +1106,23 @@ object ProductQuant {
       .withColumn("mean_rows",
         (sum(col("n_rows")).over() / count(lit(1)).over()))
       // flag semantics (refined for the salt-widening loop, VERDICT
-      // r14 #6): `hot_list` = a list whose rows-PER-FILE still exceed
-      // 2× the mean list — the single-reader bottleneck salting exists
-      // to fix (on a 1-file list this reduces to the original
-      // rows > 2×mean, so the n_files=1 oracles are unchanged);
-      // `split_files` = a NON-hot list in >1 file — pointless
-      // fragmentation (micro-batch stacking), the compaction trigger.
-      // A hot list salt-split into enough files is the REMEDY working,
-      // not a hazard: ok.
+      // r14 #6; tightened after the r15 self-review): `hot_list` = a
+      // list whose AVERAGE rows-per-file still exceed 2× the mean list
+      // — the single-reader-bottleneck test salting exists to fix (an
+      // average over counts, a LOWER bound on the max file; on a
+      // 1-file list this reduces to the original rows > 2×mean, so
+      // the n_files=1 oracles are unchanged). `split_files` =
+      // fragmentation: more files than any sanctioned salt split
+      // could produce (> SaltBuckets — micro-batch stacking on a hot
+      // list), or ANY multi-file non-hot list. A hot list salt-split
+      // into ≤SaltBuckets adequately-sized files is the REMEDY
+      // working, not a hazard: ok.
       .select(col("ccid"), col("n_rows"), col("n_files"), col("bytes"),
-        when(col("n_rows") > col("mean_rows") * 2.0,
-          when(col("n_rows") > col("n_files") * col("mean_rows") * 2.0,
-            "hot_list").otherwise("ok"))
-          .when(col("n_files") > 1L, "split_files")
+        when(col("n_rows") > col("n_files") * col("mean_rows") * 2.0,
+          "hot_list")
+          .when(col("n_files") > lit(SaltBuckets.toLong) ||
+            (col("n_files") > 1L &&
+              !(col("n_rows") > col("mean_rows") * 2.0)), "split_files")
           .otherwise("ok").as("flag"))
       .orderBy("ccid")
   }

@@ -72,6 +72,14 @@ object Similarity {
     * and one node. Falls back to the unrolled form when no session is
     * active to register against (value-identical by the same
     * contract).
+    *
+    * Session-registry caveat (r15 self-review #6): a pure Column
+    * builder can't see the DataFrame's session, so registration goes
+    * to the ACTIVE session — the right one everywhere in this repo
+    * (one session per JVM; spec-asserted). A caller resolving the
+    * plan against a DIFFERENT `newSession()` must register there
+    * ([[graft.functions.LshKernels.register]]) or build sessions with
+    * [[graft.GraftExtensions]], which injects every graft kernel.
     */
   def normN(a: Column, dim: Int): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {

@@ -364,5 +364,46 @@ class ProductQuantSpec extends SparkSpec {
     assert(ProductQuant.pruneGenerations(spark, base, keep = 1) == Seq(2))
     assert(spark.read.parquet(
       ProductQuant.currentIndexDir(spark, base)).count() == before)
+    // r15 self-review #5: a CORRUPT pointer falls back, never crashes
+    val curPath = new org.apache.hadoop.fs.Path(base, "CURRENT")
+    val out = fs.create(curPath, true)
+    out.write("not-a-generation".getBytes("UTF-8")); out.close()
+    assert(ProductQuant.currentGeneration(spark, base).map(_._1)
+      .contains(3))
+    // r15 self-review #1: an INCOMPLETE newest generation (crashed
+    // publish — a dir with no _SUCCESS) must not consume a retention
+    // slot, be resolved to, be deleted (it may be in-flight), or cause
+    // the live complete generation to be pruned
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, "v9"))
+    assert(ProductQuant.currentGeneration(spark, base).map(_._1)
+      .contains(3))
+    assert(ProductQuant.pruneGenerations(spark, base, keep = 1).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "v3")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "v9")))
+    // ...and the next publish must NOT reuse/overwrite v9's number
+    val (g4, _) = ProductQuant.publishIndex(spark, base, codes)
+    assert(g4 == 10)
+  }
+
+  test("compactIndex preserves the hot-list salt split (r15 review #2)") {
+    val codes = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 200).select(col("id").as("vec_id")))
+    val idx = Scratch.dir("compact_salt_") + "/idx"
+    ProductQuant.writeIndex(codes, idx, hotLists = Seq(0))
+    // fragment a COLD list with a stacked append (micro-batch shape)
+    ProductQuant.writeIndex(
+      codes.filter(col("ccid") === 3), idx, mode = "append")
+    val pre = ProductQuant.indexLayoutAudit(spark, idx).collect()
+      .map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(pre(3) == "split_files", s"stacked cold list must flag: $pre")
+    ProductQuant.compactIndex(spark, idx)
+    val post = ProductQuant.indexLayoutAudit(spark, idx).collect()
+    assert(post.forall(_.getString(4) == "ok"),
+      s"compaction must converge to ok: ${post.mkString(";")}")
+    // the hot list is STILL salt-split — compaction didn't undo the
+    // other remedy (and the doubled list-3 rows are all retained)
+    assert(post.find(_.getInt(0) == 0).get.getLong(2) > 1L)
+    assert(post.find(_.getInt(0) == 3).get.getLong(1) ==
+      codes.filter(col("ccid") === 3).count() * 2)
   }
 }

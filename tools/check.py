@@ -24,10 +24,12 @@ import re
 # image_radius_sweep r14 escape). Int widths <= 64 bits all land in int64,
 # so those are collapsed; HUGEINT/UBIGINT/DECIMAL deliberately are NOT.
 def norm_type(t):
+    # Only int widths <= 64 bits collapse (all land in pandas int64, so
+    # the driver hash cannot tell them apart). Timestamp tz/precision
+    # variants deliberately do NOT collapse: datetime64[ns, UTC] vs
+    # datetime64[us] ARE different pandas dtypes, i.e. exactly the
+    # hash-sensitive class this check exists to catch.
     t = t.upper()
-    t = t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
-    t = re.sub(r"\bTIMESTAMP_NS\b|\bTIMESTAMP_MS\b|\bTIMESTAMP_S\b",
-               "TIMESTAMP", t)
     t = re.sub(r"\b(TINYINT|SMALLINT|INTEGER|UTINYINT|USMALLINT|UINTEGER)\b",
                "BIGINT", t)
     return t
