@@ -475,4 +475,76 @@ class StreamingPartitionedIndexSpec extends SparkSpec {
     val audit = ProductQuant.indexLayoutAudit(spark, streamDir).collect()
     assert(audit.exists(_.getString(4) == "split_files"))
   }
+
+  test("per-epoch generation publishing: reader-atomic refresh under a stream") {
+    // The streaming face of the versioned store (r15): each micro-batch
+    // APPENDS its codes into a staging dir (the additive-ingest half)
+    // and then PUBLISHES the cumulative snapshot as a new generation —
+    // the refresh cadence a 100 TB embed store runs (readers always
+    // resolve a complete immutable generation; the pointer flips
+    // between epochs, never mid-scan).
+    implicit val sc = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").filter(col("embedding").isNotNull)
+    val d = Similarity.dimOf(emb)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(emb, 16, d)
+    val staging = Scratch.dir("stream_stage_")
+    val store = Scratch.dir("stream_store_")
+    val rows = emb.as[VecRow].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[VecRow]
+    val q = mem.toDF().writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          ProductQuant.writeIndex(
+            ProductQuant.ivfadcCodesWith(batch.toDF(), coarse, bySub, d,
+              spread = false),
+            staging, mode = "append")
+          ProductQuant.publishIndex(spark, store,
+            spark.read.parquet(staging)
+              .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+                col("sub"), col("code")))
+          ()
+      }
+      .start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val heldSnapshot = try {
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      assert(ProductQuant.currentGeneration(spark, store).map(_._1)
+        .contains(1))
+      // a reader resolves generation 1 and holds it across the next
+      // epoch's publish (canonical column order: the partition column
+      // reads back LAST and as its partition type, so project like
+      // every real probe does)
+      val held = spark.read.parquet(
+          ProductQuant.currentIndexDir(spark, store))
+        .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+          col("sub"), col("code"))
+      val snap = held.collect().map(_.toSeq).toSet
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      // the held relation is untouched by the v2 publish
+      assert(held.collect().map(_.toSeq).toSet == snap)
+      snap
+    } finally q.stop()
+    assert(ProductQuant.currentGeneration(spark, store).map(_._1)
+      .contains(2))
+    // the live generation equals the one-shot build of everything seen
+    val batchDir = Scratch.dir("batch_store_")
+    ProductQuant.ivfadcBuildIndex(emb, batchDir, 16, Some(d))
+    def codes(dir: String): Set[Seq[Any]] = spark.read.parquet(dir)
+      .select(col("vec_id"), col("ccid").cast("int"), col("sub"),
+        col("code"))
+      .collect().map(_.toSeq).toSet
+    val live = codes(ProductQuant.currentIndexDir(spark, store))
+    assert(live == codes(batchDir),
+      "epoch-published generation must equal the one-shot index")
+    assert(heldSnapshot.subsetOf(live), "epochs are additive")
+    // retention: prune to the live generation only
+    assert(ProductQuant.pruneGenerations(spark, store, keep = 1) == Seq(1))
+    assert(ProductQuant.currentGeneration(spark, store).map(_._1)
+      .contains(2))
+  }
 }
