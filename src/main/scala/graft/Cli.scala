@@ -231,8 +231,19 @@ object Cli {
     // MUST precede the config-doctor case: that pattern would bind
     // conf="--index".
     case "doctor" :: "--index" :: idxDir :: Nil =>
+      // a VERSIONED STORE base (CURRENT pointer / v<N> generations)
+      // resolves to its live generation first — the doctor audits what
+      // readers actually scan
+      val resolved = scala.util.Try(
+        operators.ProductQuant.currentGeneration(spark, idxDir))
+        .toOption.flatten match {
+        case Some((g, dir)) =>
+          println(s"versioned store: auditing live generation v$g")
+          dir
+        case None => idxDir
+      }
       val audit = scala.util.Try(
-        operators.ProductQuant.indexLayoutAudit(spark, idxDir).collect())
+        operators.ProductQuant.indexLayoutAudit(spark, resolved).collect())
       audit match {
         case scala.util.Failure(e) =>
           System.err.println(

@@ -64,15 +64,18 @@ object LshKernels {
     java.lang.Double.valueOf(math.sqrt(acc))
   }
 
-  def bucket(emb: ArrayData, isFloat: Boolean, bits: Int): Long = {
-    checkLen(emb, bits, "sign_bucket")
+  /** Sign bits of the dimension slice [off, off+bits) — off=0 is the
+    * plain bucket; off=j*bits is band j of the banded lanes.
+    */
+  def bucket(emb: ArrayData, isFloat: Boolean, off: Int, bits: Int): Long = {
+    checkLen(emb, off + bits, "sign_bucket")
     var acc = 0L
     var i = 0
     while (i < bits) {
-      if (!emb.isNullAt(i)) {
+      if (!emb.isNullAt(off + i)) {
         val pos =
-          if (isFloat) emb.getFloat(i) > 0f
-          else emb.getDouble(i) > 0.0
+          if (isFloat) emb.getFloat(off + i) > 0f
+          else emb.getDouble(off + i) > 0.0
         if (pos) acc |= 1L << i
       }
       i += 1
@@ -103,9 +106,11 @@ object LshKernels {
     (FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (cs: Seq[Expression]) => {
-        require(cs.length == 2,
-          s"sign_bucket(emb, bits) expects 2 args, got ${cs.length}")
-        SignBucketExpr(cs.head, litInt(cs(1), "bits"))
+        require(cs.length == 2 || cs.length == 3,
+          s"sign_bucket(emb, [off,] bits) expects 2-3 args, got ${cs.length}")
+        if (cs.length == 2) SignBucketExpr(cs.head, 0, litInt(cs(1), "bits"))
+        else SignBucketExpr(cs.head, litInt(cs(1), "off"),
+          litInt(cs(2), "bits"))
       }))
 
   /** Idempotent runtime registration ([[PqKernels.register]] rationale). */
@@ -170,10 +175,11 @@ case class VecNrmExpr(emb: Expression, d: Int) extends Expression {
     copy(emb = newChildren(0))
 }
 
-/** `sign_bucket(emb, bits)` → bigint sign-pattern bucket key. See
-  * [[LshKernels]].
+/** `sign_bucket(emb, [off,] bits)` → bigint sign-pattern bucket key of
+  * the dimension slice [off, off+bits). See [[LshKernels]].
   */
-case class SignBucketExpr(emb: Expression, bits: Int) extends Expression {
+case class SignBucketExpr(emb: Expression, off: Int, bits: Int)
+    extends Expression {
   override def prettyName: String = "sign_bucket"
   override def children: Seq[Expression] = Seq(emb)
   override def dataType: DataType = LongType
@@ -184,7 +190,7 @@ case class SignBucketExpr(emb: Expression, bits: Int) extends Expression {
   override def eval(input: InternalRow): Any = {
     val e = emb.eval(input)
     if (e == null) null
-    else LshKernels.bucket(e.asInstanceOf[ArrayData], isFloat, bits)
+    else LshKernels.bucket(e.asInstanceOf[ArrayData], isFloat, off, bits)
   }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
@@ -196,7 +202,7 @@ case class SignBucketExpr(emb: Expression, bits: Int) extends Expression {
         long ${ev.value} = 0L;
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.LshKernels.bucket(
-            ${e.value}, $isFloat, $bits);
+            ${e.value}, $isFloat, $off, $bits);
         }""")
   }
   override protected def withNewChildrenInternal(

@@ -158,6 +158,21 @@ object Similarity {
         }.reduce(_ + _)
     }
 
+  /** [[signBucket]] of the `embedding` dimension slice
+    * [off, off+bits) — band j of the banded lanes at off = j·bits.
+    */
+  private def signBucketAt(off: Int, bits: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.LshKernels.register(s)
+        call_function("sign_bucket", col("embedding"), lit(off), lit(bits))
+      case None =>
+        (0 until bits).map { i =>
+          when(element_at(col("embedding"), off + i + 1) > 0f,
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+    }
+
   /** (vec_id, embedding, nrm) side relation: the norm is computed ONCE
     * per row (narrow, codegen'd) so the per-pair work after a join is a
     * single dot product.
@@ -454,11 +469,7 @@ object Similarity {
                         dim: Option[Int] = None): DataFrame = {
     val (d, b) = resolveBits(embeddings, bits, corpusCount, dim, 1000L)
     val nb = math.max(1, math.min(bands, d / b))
-    def bandKey(j: Int): Column =
-      (0 until b).map { i =>
-        when(element_at(col("embedding"), j * b + i + 1) > 0f, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    def bandKey(j: Int): Column = signBucketAt(j * b, b)
     def bandRel(df: DataFrame, p: String): DataFrame =
       df.select(col("vec_id").as(s"${p}_id"),
         explode(array((0 until nb).map(j =>
@@ -534,11 +545,7 @@ object Similarity {
     val (d, b) =
       resolveBits(embeddings, bits, corpusCount, dim, PairMiningTargetBucket)
     val nb = math.max(1, math.min(bands, d / b))
-    def bandKey(j: Int): Column =
-      (0 until b).map { i =>
-        when(element_at(col("embedding"), j * b + i + 1) > 0f, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    def bandKey(j: Int): Column = signBucketAt(j * b, b)
     val bandRel = embeddings.select(col("vec_id"),
       explode(array((0 until nb).map(j =>
         struct(lit(j).as("band_id"), bandKey(j).as("bkey"))): _*)).as("band"))

@@ -48,6 +48,24 @@ class LshKernelsSpec extends SparkSpec {
     }
   }
 
+  test("sign_bucket offset form equals the unrolled band slice") {
+    graft.functions.LshKernels.register(spark)
+    Seq((0, 8), (8, 8), (24, 7)).foreach { case (off, bits) =>
+      val unrolled = (0 until bits).map { i =>
+        when(element_at(col("embedding"), off + i + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val rows = emb.select(
+          call_function("sign_bucket", col("embedding"), lit(off),
+            lit(bits)).as("k"),
+          unrolled.as("u"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"off=$off bits=$bits: ${r.getLong(0)} != ${r.getLong(1)}"))
+    }
+  }
+
   test("null-cell semantics match the unrolled forms") {
     import spark.implicits._
     val df = Seq(

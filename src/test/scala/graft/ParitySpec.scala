@@ -411,6 +411,12 @@ class CliSpec extends SparkSpec {
     // not an index at all
     val (c3, _) = doctorOut(Array("doctor", "--index", "/no/such/index"))
     assert(c3 == 2)
+    // a versioned STORE base resolves to its live generation
+    val store = Files.createTempDirectory("graft_idx_store").toString
+    ProductQuant.publishIndex(spark, store, codes, hotLists = Seq(0))
+    val (c4, o4) = doctorOut(Array("doctor", "--index", store))
+    assert(c4 == 0 && o4.contains("live generation v1")
+      && o4.contains("index layout ok"), o4)
     // compact --index executes the split_files remedy and re-audits:
     // fragment a healthy layout with a second append, then compact
     val fragDir = Files.createTempDirectory("graft_idx_frag").toString + "/idx"
