@@ -271,9 +271,22 @@ object Cli {
     // The remedy `doctor --index` names for split_files, executable
     // from the same shell: compact, then re-print the audit. Exit
     // mirrors doctor on the POST-compaction state (0 = clean now).
+    // A versioned STORE base compacts by PUBLISHING the rewritten live
+    // generation as a NEW generation (readers keep resolving complete
+    // dirs; the in-place swap is for bare indexes only) — without this
+    // the doctor would steer store operators into a command that can't
+    // read their layout (r15 review-2 #2).
     case "compact" :: "--index" :: idxDir :: Nil =>
       scala.util.Try {
-        operators.ProductQuant.compactIndex(spark, idxDir)
+        scala.util.Try(
+          operators.ProductQuant.currentGeneration(spark, idxDir))
+          .toOption.flatten match {
+          case Some(_) =>
+            val (g, g2) = operators.ProductQuant.compactStore(spark, idxDir)
+            println(s"compacted live generation v$g into new generation v$g2")
+          case None =>
+            operators.ProductQuant.compactIndex(spark, idxDir)
+        }
       } match {
         case scala.util.Failure(e) =>
           System.err.println(

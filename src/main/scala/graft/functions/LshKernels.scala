@@ -101,16 +101,25 @@ object LshKernels {
       (cs: Seq[Expression]) => {
         require(cs.length == 2,
           s"vec_nrm(emb, d) expects 2 args, got ${cs.length}")
-        VecNrmExpr(cs.head, litInt(cs(1), "d"))
+        val d = litInt(cs(1), "d")
+        require(d >= 0, s"vec_nrm: d must be >= 0, got $d")
+        VecNrmExpr(cs.head, d)
       }),
     (FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (cs: Seq[Expression]) => {
         require(cs.length == 2 || cs.length == 3,
           s"sign_bucket(emb, [off,] bits) expects 2-3 args, got ${cs.length}")
-        if (cs.length == 2) SignBucketExpr(cs.head, 0, litInt(cs(1), "bits"))
-        else SignBucketExpr(cs.head, litInt(cs(1), "off"),
-          litInt(cs(2), "bits"))
+        val off = if (cs.length == 2) 0 else litInt(cs(1), "off")
+        val bits = litInt(cs.last, "bits")
+        // a negative offset would read out-of-bounds buffer memory
+        // (UnsafeArrayData getters don't bounds-check below zero), and
+        // bits > 63 would wrap the 1L<<i shift — reject loudly at
+        // analysis instead (r15 review-2 #6)
+        require(off >= 0, s"sign_bucket: off must be >= 0, got $off")
+        require(bits >= 0 && bits <= 63,
+          s"sign_bucket: bits must be in [0, 63], got $bits")
+        SignBucketExpr(cs.head, off, bits)
       }))
 
   /** Idempotent runtime registration ([[PqKernels.register]] rationale). */

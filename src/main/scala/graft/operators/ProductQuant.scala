@@ -750,8 +750,13 @@ object ProductQuant {
     // where the first-cut count/min/max aggregation taxed EVERY probe
     // call with a corpus scan, inflating the steady-state face this
     // cache exists to serve (r15 self-review #8). Same plan ⇒ same
-    // data is the documented determinism precondition (an external
-    // overwrite of the same path mid-JVM is out of contract).
+    // data is the documented determinism precondition — two stated
+    // boundaries (r15 review-2 #4): an external overwrite of the SAME
+    // path mid-JVM is out of contract (no fingerprint survives that
+    // without re-scanning per probe, which is the cost this removed),
+    // and semanticHash is a 32-bit value, so two distinct corpora
+    // colliding under ONE cacheKey is ~2⁻³² per plan pair — accepted
+    // and documented rather than re-verified per call.
     val fp = s"plan=${embeddings.queryExecution.analyzed.semanticHash()}"
     indexCache.synchronized {
       // geometry belongs in the key: the same corpus dir probed at a
@@ -842,11 +847,8 @@ object ProductQuant {
     // two remedies undoing each other forever (r15 self-review #2).
     // Hot lists re-derive from the data being rewritten anyway — one
     // bounded aggregation (<= nCoarse rows collected).
-    val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
-    val mean = counts.map(_.getLong(1)).sum.toDouble / counts.length
-    val hot = counts.filter(_.getLong(1) > 2.0 * mean)
-      .map(_.getInt(0)).sorted.toSeq
-    writeIndex(codes, tmp.toString, hotLists = hot)
+    val (hot, need) = deriveHotLists(codes)
+    writeIndex(codes, tmp.toString, hotLists = hot, saltBuckets = need)
     val fs = new Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // rename-ASIDE swap, never delete-then-rename: a crash between the
@@ -869,6 +871,47 @@ object ProductQuant {
         s"compactIndex: compacted index live, but $old was not removed")
   }
 
+  /** Hot lists of a code relation plus the salt fan-out their heat
+    * needs: hot = rows > 2× the mean list (one bounded aggregation,
+    * ≤nCoarse rows collected); fan-out = the minimum salt width that
+    * clears the hot test for the hottest list, floored at
+    * [[SaltBuckets]] and clamped at 64 — so a rewrite converges even
+    * on >2×SaltBuckets-mean skew instead of folding back to a width
+    * the audit re-flags (r15 review-2 #5). Shared by [[compactIndex]]
+    * and [[compactStore]] so every rewrite path preserves (or
+    * establishes) the salt split.
+    */
+  private def deriveHotLists(codes: DataFrame): (Seq[Int], Int) = {
+    val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
+    val mean = counts.map(_.getLong(1)).sum.toDouble / counts.length
+    val hotRows = counts.filter(_.getLong(1) > 2.0 * mean)
+    val need = hotRows.map(r =>
+      math.ceil(r.getLong(1) / (2.0 * mean)).toInt)
+      .foldLeft(SaltBuckets)(math.max)
+    (hotRows.map(_.getInt(0)).sorted.toSeq, math.min(64, need))
+  }
+
+  /** Compact the live generation of a versioned store into a NEW
+    * generation — the store twin of [[compactIndex]]'s in-place swap
+    * (readers keep resolving complete immutable dirs; no swap window
+    * at all here). Salt derivation is shared with [[compactIndex]],
+    * so the hot-list split is preserved across the rewrite. Returns
+    * (liveGen, newGen).
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String): (Int, Int) = {
+    val (g, live) = currentGeneration(spark, baseDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    val codes = spark.read.parquet(live)
+      .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+        col("sub"), col("code"))
+    val (hot, need) = deriveHotLists(codes)
+    val (g2, _) = publishIndex(spark, baseDir, codes, hotLists = hot,
+      saltBuckets = need)
+    (g, g2)
+  }
+
   /** Versioned index publication — the reader-ATOMIC layer the
     * [[compactIndex]] scaladoc's concurrency contract points at
     * (ADVICE r14, executed): each generation writes to
@@ -887,7 +930,8 @@ object ProductQuant {
     */
   def publishIndex(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, codes: DataFrame,
-                   hotLists: Seq[Int] = Nil): (Int, String) = {
+                   hotLists: Seq[Int] = Nil,
+                   saltBuckets: Int = SaltBuckets): (Int, String) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -900,7 +944,7 @@ object ProductQuant {
     val gen = listGenerations(spark, baseDir).map(_._1)
       .sorted.lastOption.getOrElse(0) + 1
     val dir = s"${baseDir.stripSuffix("/")}/v$gen"
-    writeIndex(codes, dir, hotLists = hotLists)
+    writeIndex(codes, dir, hotLists = hotLists, saltBuckets = saltBuckets)
     val cur = new Path(baseDir, "CURRENT")
     val tmp = new Path(baseDir, "CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -914,10 +958,6 @@ object ProductQuant {
     (gen, dir)
   }
 
-  /** The live generation: the pointer if present, else the newest
-    * complete (`_SUCCESS`-marked) generation — the crash-window
-    * fallback [[publishIndex]] relies on. None on an empty store.
-    */
   /** All generation directories under the store, complete or not. */
   private def listGenerations(spark: org.apache.spark.sql.SparkSession,
                               baseDir: String): Seq[(Int, String)] = {
@@ -939,6 +979,10 @@ object ProductQuant {
       .exists(new Path(p, "_SUCCESS"))
   }
 
+  /** The live generation: the pointer if present, else the newest
+    * complete (`_SUCCESS`-marked) generation — the crash-window
+    * fallback [[publishIndex]] relies on. None on an empty store.
+    */
   def currentGeneration(spark: org.apache.spark.sql.SparkSession,
                         baseDir: String): Option[(Int, String)] = {
     import org.apache.hadoop.fs.Path
@@ -990,7 +1034,12 @@ object ProductQuant {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return Nil
     val gens = listGenerations(spark, baseDir).sortBy(-_._1)
-    val complete = gens.filter(g => isComplete(spark, g._2)).map(_._1)
+    // completeness probed ONCE per generation — on an object store each
+    // exists() is an RPC, and prune used to re-probe per decision site
+    // (r15 review-2 #8)
+    val completeBy = gens.map { case (g, dir) =>
+      g -> isComplete(spark, dir) }.toMap
+    val complete = gens.map(_._1).filter(completeBy)
     // retention counts COMPLETE generations only, and the live one is
     // always kept — a crashed (incomplete) newest dir must not consume
     // a retention slot and get the only readable copy deleted (r15
@@ -998,19 +1047,29 @@ object ProductQuant {
     // complete one is left alone too: under the single-writer contract
     // it can only be this store's own crash garbage or an in-flight
     // publish, and deleting an in-flight write is the one race prune
-    // could introduce. Older incomplete dirs are crash garbage: pruned.
-    val newestComplete = complete.headOption.getOrElse(Int.MaxValue)
+    // could introduce — and with NO complete generation yet, EVERY
+    // incomplete dir is potentially that first in-flight publish, so
+    // nothing is pruned (Int.MinValue default; review-2 #3 — the old
+    // MaxValue default deleted an in-flight first publish). Older
+    // incomplete dirs are crash garbage: pruned.
+    val newestComplete = complete.headOption.getOrElse(Int.MinValue)
     val keepSet = complete.take(keep).toSet ++
       currentGeneration(spark, baseDir).map(_._1)
-    gens.filter { case (g, dir) =>
-      !keepSet.contains(g) &&
-        (isComplete(spark, dir) || g < newestComplete)
+    gens.filter { case (g, _) =>
+      !keepSet.contains(g) && (completeBy(g) || g < newestComplete)
     }.sortBy(_._1).map { case (g, p) =>
       if (!fs.delete(new Path(p), true))
         throw new java.io.IOException(s"pruneGenerations: delete $p failed")
       g
     }
   }
+
+  /** Default hot-list salt fan-out — shared by [[writeIndex]] (the
+    * split) and [[indexLayoutAudit]] (the fragmentation bound: more
+    * files than the heat-scaled multiple of this is stacking, not
+    * salting).
+    */
+  val SaltBuckets: Int = 8
 
   /** The ONE at-rest index write discipline every producer shares —
     * colocate each inverted list (`repartition(ccid)`: without it
@@ -1032,12 +1091,6 @@ object ProductQuant {
     * `hot_list`, the twin of [[compactIndex]] for `split_files`:
     * audit flags → rewrite salted → flag clears.
     */
-  /** Default hot-list salt fan-out — shared by [[writeIndex]] (the
-    * split) and [[indexLayoutAudit]] (the fragmentation bound: more
-    * files than this is stacking, not salting).
-    */
-  val SaltBuckets: Int = 8
-
   def writeIndex(codes: DataFrame, indexDir: String,
                  mode: String = "overwrite",
                  hotLists: Seq[Int] = Nil,
@@ -1072,9 +1125,24 @@ object ProductQuant {
     * (vec_id, ccid, sub, code).
     */
   def skewedSyntheticCodes(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-        when(col("vec_id") % 2 === 0, lit(0L))
-          .otherwise(col("vec_id") % 16).cast("int").as("ccid"))
+    syntheticCodes(embeddings,
+      when(col("vec_id") % 2 === 0, lit(0L)).otherwise(col("vec_id") % 16))
+
+  /** BALANCED synthetic code relation (ccid = vec_id mod 16): for the
+    * contiguous fixture ids every list holds count/16 ± 1 rows, so no
+    * list can ever be hot REGARDLESS of corpus size — which is what
+    * lets the compaction face pin `n_files = 1, flag = ok` exactly for
+    * arbitrary corpora (r15 review-2 #1: the IVFADC-coded face held
+    * only while no fixture coarse list happened to exceed 2× the mean;
+    * real-codes compaction stays spec-tier where salting is asserted,
+    * not pinned relationally).
+    */
+  def uniformSyntheticCodes(embeddings: DataFrame): DataFrame =
+    syntheticCodes(embeddings, col("vec_id") % 16)
+
+  private def syntheticCodes(embeddings: DataFrame,
+                             assign: Column): DataFrame =
+    embeddings.select(col("vec_id"), assign.cast("int").as("ccid"))
       .select(col("vec_id"), col("ccid"),
         explode(typedLit(Seq(0, 1, 2, 3))).as("sub"))
       .withColumn("code",
@@ -1112,15 +1180,22 @@ object ProductQuant {
       // average over counts, a LOWER bound on the max file; on a
       // 1-file list this reduces to the original rows > 2×mean, so
       // the n_files=1 oracles are unchanged). `split_files` =
-      // fragmentation: more files than any sanctioned salt split
-      // could produce (> SaltBuckets — micro-batch stacking on a hot
-      // list), or ANY multi-file non-hot list. A hot list salt-split
-      // into ≤SaltBuckets adequately-sized files is the REMEDY
-      // working, not a hazard: ok.
+      // fragmentation: more files than the list's own HEAT justifies —
+      // the bound scales as 2× the minimum salt fan-out that would
+      // clear the hot test (floored at SaltBuckets), so a list salted
+      // wider than the default for extreme skew still audits ok while
+      // micro-batch stacking past that is the compaction trigger
+      // (r15 review-2 #5: a constant bound made salt-widening and
+      // compaction ping-pong on >2×SaltBuckets-mean lists); any
+      // multi-file NON-hot list is fragmentation outright. A hot list
+      // salt-split into adequately-sized files is the REMEDY working,
+      // not a hazard: ok.
       .select(col("ccid"), col("n_rows"), col("n_files"), col("bytes"),
         when(col("n_rows") > col("n_files") * col("mean_rows") * 2.0,
           "hot_list")
-          .when(col("n_files") > lit(SaltBuckets.toLong) ||
+          .when(col("n_files") >
+            greatest(lit(SaltBuckets.toLong),
+              ceil(col("n_rows") / (col("mean_rows") * 2.0)) * 2L) ||
             (col("n_files") > 1L &&
               !(col("n_rows") > col("mean_rows") * 2.0)), "split_files")
           .otherwise("ok").as("flag"))

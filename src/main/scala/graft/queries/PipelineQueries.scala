@@ -1126,19 +1126,19 @@ object PipelineQueries {
     // scaladoc) — the action the audit's split_files flag calls for:
     // the face deliberately fragments an index (two half-corpus
     // appends = two files per touched list), compacts it, and returns
-    // the post-compaction audit. The oracle is index_layout_audit's —
-    // compaction must restore exactly the one-shot build's layout
-    // (same list populations, 1 file per list, same flags); the
-    // PRE-compaction fragmentation is spec-asserted.
+    // the post-compaction audit pinned to the 1-file-per-list layout.
+    // The codes are the BALANCED synthetic relation (ccid = vec_id
+    // mod 16 — no list can be hot for ANY corpus), so the n_files=1
+    // pin is corpus-robust now that compactIndex preserves hot-list
+    // salting (r15 review-2 #1: with IVFADC codes the pin held only
+    // while no fixture coarse list happened to exceed 2× the mean;
+    // real-codes compaction, fragmentation, and the salted-hot
+    // preservation are spec-asserted in ProductQuantSpec).
     "index_compact" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val d = Similarity.dimOf(e)
-      val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+      val codes = ProductQuant.uniformSyntheticCodes(emb(s, dir))
       val idx = graft.Scratch.dir("compact_idx_")
-      def codes(p: org.apache.spark.sql.Column) =
-        ProductQuant.ivfadcCodesWith(e.filter(p), coarse, bySub, d)
-      ProductQuant.writeIndex(codes(col("vec_id") % 2 === 0), idx)
-      ProductQuant.writeIndex(codes(col("vec_id") % 2 === 1), idx,
+      ProductQuant.writeIndex(codes.filter(col("vec_id") % 2 === 0), idx)
+      ProductQuant.writeIndex(codes.filter(col("vec_id") % 2 === 1), idx,
         mode = "append")
       ProductQuant.compactIndex(s, idx)
       ProductQuant.indexLayoutAudit(s, idx)
@@ -1901,10 +1901,9 @@ object PipelineQueries {
 
   /** Layout-audit mirror: list populations from the IVFADC coarse-
     * assign chain (8 code rows per vector), n_files pinned to the
-    * 1-file-per-list write invariant, hot_list as rows > 2× the mean
-    * over present lists. Shared by `index_layout_audit` (audit of the
-    * one-shot build) and `index_compact` (compaction must restore
-    * exactly this layout).
+    * 1-file-per-list write invariant (unsalted builds produce exactly
+    * one file per list for ANY corpus), hot_list as rows > 2× the
+    * mean over present lists — `index_layout_audit`'s mirror.
     */
   private lazy val indexLayoutOracle: String =
     s"""WITH $embCte,
@@ -4226,6 +4225,17 @@ object PipelineQueries {
     // rows > 2x the mean over present lists.
     "index_layout_audit" -> indexLayoutOracle,
 
+    // Balanced synthetic corpus: lists are count/16 ± 1, never hot, so
+    // the restored layout is exactly 1 file per list, flag ok — for
+    // any corpus.
+    "index_compact" ->
+      s"""WITH $embCte,
+         |a AS (SELECT vec_id, CAST(vec_id % 16 AS INTEGER) AS ccid FROM e),
+         |g AS (SELECT ccid, CAST(4 * count(*) AS BIGINT) AS n_rows
+         |  FROM a GROUP BY 1)
+         |SELECT ccid, n_rows, CAST(1 AS BIGINT) AS n_files, 'ok' AS flag
+         |FROM g ORDER BY ccid""".stripMargin,
+
     "index_salt_rebalance" -> indexSaltOracle,
 
     // Two generations of the same skewed relation: v1 unsalted (the
@@ -4249,10 +4259,6 @@ object PipelineQueries {
          |UNION ALL
          |SELECT CAST(2 AS INTEGER), ccid, n_rows, 'ok', true FROM f
          |ORDER BY generation, ccid""".stripMargin,
-
-    // compaction must land exactly on the one-shot build's layout —
-    // same truth as the audit face (rows preserved, invariant restored)
-    "index_compact" -> indexLayoutOracle,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the
