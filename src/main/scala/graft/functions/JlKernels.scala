@@ -124,17 +124,28 @@ object JlKernels {
     case _ => false
   }
 
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+  private def litInt(e: Expression, what: String): Int = {
+    // foldable gate BEFORE eval (ADVICE r15, shared fix with
+    // LshKernels): eval() on a non-foldable arg throws an opaque
+    // UnsupportedOperationException instead of this message
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 
-  private def litLong(e: Expression, what: String): Long = e.eval() match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case other => throw new IllegalArgumentException(
-      s"$what must be a long literal, got $other")
+  private def litLong(e: Expression, what: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a long literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be a long literal, got $other")
+    }
   }
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,

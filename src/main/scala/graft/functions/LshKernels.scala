@@ -38,8 +38,10 @@ import org.apache.spark.sql.types._
   *    form's null propagation through `element_at`), and fewer than `d`
   *    elements throws (the ANSI element_at contract).
   *  - `sign_bucket(emb, bits)` = Σ_{i<bits} (emb_i > 0f ? 1L<<i : 0);
-  *    a null cell contributes 0 (the unrolled `when(...).otherwise(0)`
-  *    took the otherwise branch on null).
+  *    a null cell contributes 0, and a NULL ARRAY buckets to 0L — not
+  *    null (the unrolled `when(...).otherwise(0)` took the otherwise
+  *    branch in both cases, so null-embedding rows cluster in bucket 0
+  *    instead of dropping out of every LSH equijoin; ADVICE r15).
   */
 object LshKernels {
 
@@ -88,10 +90,18 @@ object LshKernels {
     case _ => false
   }
 
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+  private def litInt(e: Expression, what: String): Int = {
+    // foldable gate BEFORE eval (ADVICE r15): eval() on a non-foldable
+    // arg (sign_bucket(emb, some_col)) throws an opaque
+    // UnsupportedOperationException from the unbound attribute; the
+    // intended analysis-time message must fire instead
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -186,19 +196,28 @@ case class VecNrmExpr(emb: Expression, d: Int) extends Expression {
 
 /** `sign_bucket(emb, [off,] bits)` → bigint sign-pattern bucket key of
   * the dimension slice [off, off+bits). See [[LshKernels]].
+  *
+  * A NULL ARRAY buckets to 0L, never null (ADVICE r15): the legacy
+  * unrolled form — `when(element_at(e, i+1) > 0f, …).otherwise(0)`,
+  * which is also [[graft.operators.Similarity.signBucket]]'s still-
+  * shipping no-active-session fallback — takes every `otherwise`
+  * branch on a null array and sums to 0, so null-embedding rows
+  * cluster in bucket 0 and keep participating in LSH equijoins. A
+  * null key here would silently drop them from every candidate set
+  * and break the bit-parity contract between the two paths.
   */
 case class SignBucketExpr(emb: Expression, off: Int, bits: Int)
     extends Expression {
   override def prettyName: String = "sign_bucket"
   override def children: Seq[Expression] = Seq(emb)
   override def dataType: DataType = LongType
-  override def nullable: Boolean = emb.nullable
+  override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
     LshKernels.checkVec(prettyName, emb)
   @transient private lazy val isFloat = LshKernels.floatFlag(emb)
   override def eval(input: InternalRow): Any = {
     val e = emb.eval(input)
-    if (e == null) null
+    if (e == null) 0L
     else LshKernels.bucket(e.asInstanceOf[ArrayData], isFloat, off, bits)
   }
   override protected def doGenCode(ctx: CodegenContext,
@@ -207,12 +226,11 @@ case class SignBucketExpr(emb: Expression, off: Int, bits: Int)
     ev.copy(code =
       code"""
         ${e.code}
-        boolean ${ev.isNull} = ${e.isNull};
         long ${ev.value} = 0L;
-        if (!${ev.isNull}) {
+        if (!${e.isNull}) {
           ${ev.value} = graft.functions.LshKernels.bucket(
             ${e.value}, $isFloat, $off, $bits);
-        }""")
+        }""", isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

@@ -847,8 +847,9 @@ object ProductQuant {
     // two remedies undoing each other forever (r15 self-review #2).
     // Hot lists re-derive from the data being rewritten anyway — one
     // bounded aggregation (<= nCoarse rows collected).
-    val (hot, need) = deriveHotLists(codes)
-    writeIndex(codes, tmp.toString, hotLists = hot, saltBuckets = need)
+    val (hot, need, total) = deriveHotLists(codes)
+    writeIndex(codes, tmp.toString, hotLists = hot, saltBuckets = need,
+      saltTasks = Some(saltTasksFor(total, need)))
     val fs = new Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // rename-ASIDE swap, never delete-then-rename: a crash between the
@@ -873,22 +874,28 @@ object ProductQuant {
 
   /** Hot lists of a code relation plus the salt fan-out their heat
     * needs: hot = rows > 2× the mean list (one bounded aggregation,
-    * ≤nCoarse rows collected); fan-out = the minimum salt width that
-    * clears the hot test for the hottest list, floored at
-    * [[SaltBuckets]] and clamped at 64 — so a rewrite converges even
+    * ≤nCoarse rows collected); fan-out = TWICE the minimum salt width
+    * that clears the hot test for the hottest list, floored at
+    * [[SaltBuckets]] and clamped at 64 — the rewrite converges even
     * on >2×SaltBuckets-mean skew instead of folding back to a width
-    * the audit re-flags (r15 review-2 #5). Shared by [[compactIndex]]
-    * and [[compactStore]] so every rewrite path preserves (or
-    * establishes) the salt split.
+    * the audit re-flags (r15 review-2 #5), and the ×2 headroom
+    * (ADVICE r15) absorbs EFFECTIVE fan-out below nominal: distinct
+    * salt values can share a shuffle task (deterministic (ccid, salt)
+    * partition-hash collisions), so a list salted at exactly the
+    * boundary width could still audit hot. The headroom matches the
+    * ×2 slack [[indexLayoutAudit]]'s split_files bound already grants
+    * salted layouts. Shared by [[compactIndex]] and [[compactStore]]
+    * so every rewrite path preserves (or establishes) the salt split.
     */
-  private def deriveHotLists(codes: DataFrame): (Seq[Int], Int) = {
+  private def deriveHotLists(codes: DataFrame): (Seq[Int], Int, Long) = {
     val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
-    val mean = counts.map(_.getLong(1)).sum.toDouble / counts.length
+    val total = counts.map(_.getLong(1)).sum
+    val mean = total.toDouble / counts.length
     val hotRows = counts.filter(_.getLong(1) > 2.0 * mean)
     val need = hotRows.map(r =>
-      math.ceil(r.getLong(1) / (2.0 * mean)).toInt)
+      math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2)
       .foldLeft(SaltBuckets)(math.max)
-    (hotRows.map(_.getInt(0)).sorted.toSeq, math.min(64, need))
+    (hotRows.map(_.getInt(0)).sorted.toSeq, math.min(64, need), total)
   }
 
   /** Compact the live generation of a versioned store into a NEW
@@ -906,9 +913,9 @@ object ProductQuant {
     val codes = spark.read.parquet(live)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
-    val (hot, need) = deriveHotLists(codes)
+    val (hot, need, total) = deriveHotLists(codes)
     val (g2, _) = publishIndex(spark, baseDir, codes, hotLists = hot,
-      saltBuckets = need)
+      saltBuckets = need, saltTasks = Some(saltTasksFor(total, need)))
     (g, g2)
   }
 
@@ -931,7 +938,8 @@ object ProductQuant {
   def publishIndex(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, codes: DataFrame,
                    hotLists: Seq[Int] = Nil,
-                   saltBuckets: Int = SaltBuckets): (Int, String) = {
+                   saltBuckets: Int = SaltBuckets,
+                   saltTasks: Option[Int] = None): (Int, String) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -944,7 +952,8 @@ object ProductQuant {
     val gen = listGenerations(spark, baseDir).map(_._1)
       .sorted.lastOption.getOrElse(0) + 1
     val dir = s"${baseDir.stripSuffix("/")}/v$gen"
-    writeIndex(codes, dir, hotLists = hotLists, saltBuckets = saltBuckets)
+    writeIndex(codes, dir, hotLists = hotLists, saltBuckets = saltBuckets,
+      saltTasks = saltTasks)
     val cur = new Path(baseDir, "CURRENT")
     val tmp = new Path(baseDir, "CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -1082,19 +1091,34 @@ object ProductQuant {
     * HOT-LIST SALT WIDENING (VERDICT r14 #6 — the promised one-site
     * widening, now executed): pass the ccids [[indexLayoutAudit]]
     * flagged `hot_list` and their rows repartition on (ccid, salt)
-    * with salt = vec_id mod `saltBuckets`, so a hot list splits into
-    * up to `saltBuckets` files while every other list keeps the
-    * 1-file invariant (their salt is constant 0). The salt is a pure
-    * WRITE-TIME partitioning knob — schema, row set, and within-file
-    * sort discipline are unchanged, so every reader (probe, audit,
-    * compaction) works untouched. This is the audit→action loop for
-    * `hot_list`, the twin of [[compactIndex]] for `split_files`:
-    * audit flags → rewrite salted → flag clears.
+    * with salt = hash(vec_id) mod `saltBuckets`, so a hot list splits
+    * into up to `saltBuckets` files while every other list keeps the
+    * 1-file invariant (their salt is constant 0). The salt hashes the
+    * id instead of taking its residue (ADVICE r15): skew keys are
+    * routinely CORRELATED with id residue classes (an all-even hot
+    * list under a mod salt yields only saltBuckets/2 distinct salts,
+    * half the nominal fan-out), while Murmur3 of the id is residue-
+    * blind. The salt is a pure WRITE-TIME partitioning knob — schema,
+    * row set, and within-file sort discipline are unchanged, so every
+    * reader (probe, audit, compaction) works untouched. This is the
+    * audit→action loop for `hot_list`, the twin of [[compactIndex]]
+    * for `split_files`: audit flags → rewrite salted → flag clears.
+    *
+    * `saltTasks` is the salted shuffle's task count — at fixture scale
+    * the 64-task floor, but a hot-list rewrite of a billion-row list
+    * must not squeeze through 64 tasks (VERDICT r15 #4), so when the
+    * caller doesn't pass one it derives from the relation:
+    * rows / [[SaltRowsPerTask]], floored at the constant. The one
+    * count() this costs is paid only on the salted MAINTENANCE path
+    * (the steady-state unsalted build keeps its single pass), and the
+    * derivation is deliberately a count, not a stats peek: the code
+    * relation is usually freshly transformed, with no catalog stats.
     */
   def writeIndex(codes: DataFrame, indexDir: String,
                  mode: String = "overwrite",
                  hotLists: Seq[Int] = Nil,
-                 saltBuckets: Int = SaltBuckets): Unit = {
+                 saltBuckets: Int = SaltBuckets,
+                 saltTasks: Option[Int] = None): Unit = {
     val parted =
       if (hotLists.isEmpty) codes.repartition(col("ccid"))
       // EXPLICIT partition count on the salted path: a bare
@@ -1102,16 +1126,43 @@ object ProductQuant {
       // adaptive execution folds every (ccid, salt) bucket back into
       // one task — one file per list, silently undoing the very split
       // the salt exists to force (measured: flag stayed hot_list).
-      // The fixed count is independent of spark.sql.shuffle.partitions
-      // so the physical layout is setting-stable; sized ≥ 8× the salt
-      // fan-out so distinct (ccid, salt) keys rarely share a task.
-      else codes.repartition(math.max(64, saltBuckets * 8),
+      // The explicit count is independent of spark.sql.shuffle
+      // .partitions so the physical layout is setting-stable; floored
+      // at ≥ 8× the default salt fan-out so distinct (ccid, salt)
+      // keys rarely share a task, and scaled with the relation so a
+      // 100 TB rewrite isn't capped at fixture-sized parallelism.
+      else codes.repartition(
+        saltTasks.getOrElse(deriveSaltTasks(codes, saltBuckets)),
         col("ccid"),
         when(col("ccid").isin(hotLists: _*),
-          pmod(col("vec_id"), lit(saltBuckets))).otherwise(lit(0)))
+          pmod(hash(col("vec_id")), lit(saltBuckets))).otherwise(lit(0)))
     parted
       .sortWithinPartitions("ccid", "vec_id", "sub")
       .write.mode(mode).partitionBy("ccid").parquet(indexDir)
+  }
+
+  /** Target code rows per task for the salted write's shuffle — ~4M
+    * rows of the 4-column (vec_id, ccid, sub, code) relation is
+    * roughly a 100–150 MB task, the shuffle-partition sizing the rest
+    * of the repo uses.
+    */
+  val SaltRowsPerTask: Long = 4L << 20
+
+  /** The salted write's derived task count (VERDICT r15 #4): one task
+    * per [[SaltRowsPerTask]] code rows, floored at max(64, 8× the salt
+    * fan-out) — the AQE-stability floor [[writeIndex]] documents.
+    */
+  private def deriveSaltTasks(codes: DataFrame, saltBuckets: Int): Int =
+    saltTasksFor(codes.count(), saltBuckets)
+
+  /** saltTasks for a KNOWN row count — [[compactIndex]]/[[compactStore]]
+    * already collected per-list counts deriving hot lists, so they pass
+    * the total through instead of paying a second scan.
+    */
+  private def saltTasksFor(n: Long, saltBuckets: Int): Int = {
+    val floor = math.max(64, saltBuckets * 8)
+    math.max(floor,
+      math.min(1 << 16, ((n + SaltRowsPerTask - 1) / SaltRowsPerTask).toInt))
   }
 
   /** Deliberately SKEWED synthetic code relation for the salt-widening

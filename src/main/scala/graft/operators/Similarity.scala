@@ -144,8 +144,11 @@ object Similarity {
   /** Sign-LSH bucket id: `bits` sign bits of the leading dimensions. */
   /** Sign-pattern bucket key over the first `bits` elements —
     * kernel-backed like [[normN]] (one node instead of `bits`
-    * conditionals; a null cell contributes 0 exactly like the
-    * unrolled `when(...).otherwise(0)` did).
+    * conditionals; a null cell contributes 0 AND a null array buckets
+    * to 0L, exactly like the unrolled `when(...).otherwise(0)` —
+    * both paths keep null-embedding rows in bucket 0 rather than
+    * dropping them from every LSH equijoin; ADVICE r15, ParitySpec-
+    * pinned).
     */
   def signBucket(e: Column, bits: Int): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {

@@ -91,4 +91,44 @@ class LshKernelsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("null ARRAY buckets to 0L on both kernel and fallback (ADVICE r15)") {
+    import spark.implicits._
+    val df = Seq((1L, null: Seq[java.lang.Float]),
+        (2L, Seq[java.lang.Float](1.0f, -1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // kernel path (active session): null array -> 0L, NOT null — a
+    // null band key would drop null-embedding rows from every LSH
+    // equijoin while the legacy unrolled form clustered them in
+    // bucket 0; the two paths must give the same candidate sets
+    val kernel = df.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), 3).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(kernel(1L).contains(0L),
+      s"kernel must bucket a null array to 0L, got ${kernel(1L)}")
+    assert(kernel(2L).contains(1L | 4L))
+    // the unrolled no-active-session fallback shape, built explicitly
+    val fallback = df.select(col("vec_id"),
+        (0 until 3).map { i =>
+          when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fallback == kernel.map { case (k, v) => k -> v.get })
+  }
+
+  test("non-foldable width args fail with the intended message (ADVICE r15)") {
+    graft.functions.LshKernels.register(spark)
+    val df = spark.range(1).select(
+      array(lit(1.0f)).as("embedding"), lit(1).as("w"))
+    val e = intercept[Exception] {
+      df.select(call_function("sign_bucket", col("embedding"), col("w")))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("must be an integer literal")),
+      s"wanted the analysis-time message, got: ${chain(e).mkString(" | ")}")
+  }
 }

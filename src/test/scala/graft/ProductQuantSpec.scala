@@ -385,6 +385,36 @@ class ProductQuantSpec extends SparkSpec {
     assert(g4 == 10)
   }
 
+  test("salted layout invariants hold at different saltTasks counts (r15 #4)") {
+    // the salted shuffle's task count scales with the relation at
+    // 100 TB (a hot-list rewrite must not squeeze through 64 tasks);
+    // the LAYOUT invariants are count-independent because each
+    // (ccid, salt) key hashes to exactly one task regardless of how
+    // many tasks exist: hot list split >1 file, cold lists 1 file,
+    // row set preserved
+    val codes = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 200).select(col("id").as("vec_id")))
+    val expect = codes.groupBy("ccid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Seq(64, 256).foreach { tasks =>
+      val idx = Scratch.dir(s"salt_tasks_${tasks}_") + "/idx"
+      ProductQuant.writeIndex(codes, idx, hotLists = Seq(0),
+        saltTasks = Some(tasks))
+      val audit = ProductQuant.indexLayoutAudit(spark, idx).collect()
+      val hot = audit.find(_.getInt(0) == 0).get
+      assert(hot.getLong(2) > 1L,
+        s"saltTasks=$tasks: hot list did not split (${hot.getLong(2)})")
+      assert(hot.getString(4) == "ok",
+        s"saltTasks=$tasks: hot flag did not clear: ${hot.getString(4)}")
+      assert(audit.filter(_.getInt(0) != 0).forall(_.getLong(2) == 1L),
+        s"saltTasks=$tasks: a cold list lost the 1-file invariant")
+      val got = spark.read.parquet(idx)
+        .groupBy(col("ccid").cast("int").as("ccid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"saltTasks=$tasks: row set changed")
+    }
+  }
+
   test("compactIndex preserves the hot-list salt split (r15 review #2)") {
     val codes = ProductQuant.skewedSyntheticCodes(
       spark.range(0, 200).select(col("id").as("vec_id")))
