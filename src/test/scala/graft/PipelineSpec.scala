@@ -1192,12 +1192,16 @@ class MultimodalSpec extends SparkSpec {
   test("binary lane: full-range payloads, planted bounds, empty contract") {
     import spark.implicits._
     // the payload really exercises the full byte range (>0x7F and low)
-    val payloads = Multimodal.withBinaryPayload(docs.limit(50))
-      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val byDoc = Multimodal.withBinaryPayload(docs.limit(50))
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val payloads = byDoc.map(_._2)
     assert(payloads.exists(_.exists(b => (b & 0xff) > 0x7f)))
     assert(payloads.exists(_.exists(b => (b & 0xff) < 0x10)))
-    // and both 48- and 64-byte lengths occur (overlap-weighting live)
-    assert(payloads.map(_.length).toSet == Set(48, 64))
+    // both 48- and 64-byte lengths occur (overlap-weighting live), and
+    // the % 50 = 7 docs carry the planted ZERO-LENGTH payload (r15 #5)
+    assert(payloads.map(_.length).toSet == Set(0, 48, 64))
+    assert(byDoc.forall { case (id, p) => (p.length == 0) == (id % 50 == 7) })
     // planted bounds: perturbed <= 3 bits, exact dup = 0, full recall
     val planted = Multimodal.plantBinaryVariants(docs)
     val pairs = Multimodal.phashPairs(planted).collect()
@@ -1216,6 +1220,13 @@ class MultimodalSpec extends SparkSpec {
     // per-byte unnest emits no row, so neither does the engine)
     val empty = Seq((7L, Array.emptyByteArray)).toDF("doc_id", "payload")
     assert(Multimodal.phash(empty).isEmpty)
+    // ...and the CORPUS-PLANTED empty docs (id % 50 = 7) are absent
+    // from the fingerprint relation, oracle-tier via image_phash_binary
+    val phashIds = Multimodal.phash(Multimodal.withBinaryPayload(docs))
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(origIds.exists(_ % 50 == 7), "fixture must contain a planted doc")
+    assert(phashIds == origIds.filterNot(_ % 50 == 7))
   }
 
   test("frameHashes: every whole frame hashed, short payloads yield none") {
