@@ -993,6 +993,42 @@ object ProductQuant {
       }.reduce(_ unionByName _)
   }
 
+  /** Cross-generation index diff — the refresh-cycle observability a
+    * versioned store needs ("what did last night's publish actually
+    * change?"): per inverted list, how many vectors were `added`,
+    * `removed`, `recoded` (present in both generations but with a
+    * different code word in at least one subspace, or moved to a
+    * different list under retrained quantizers — counted under the NEW
+    * list), or `unchanged`. The diff runs on the two 8 B/vector code
+    * relations alone — full vectors are never touched — so at 100 TB
+    * it costs two code scans, one vec-level aggregation per side
+    * (codes pack LOSSLESSLY into one long via `code << 8·sub`, exact
+    * for M ≤ 8 subspaces of 8-bit codes — a weighted-sum fingerprint
+    * could collide), and one vec_id-keyed full outer join. Output is
+    * ≤ nCoarse × 4 rows.
+    */
+  def indexGenDiff(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String, genA: Int, genB: Int): DataFrame = {
+    def side(g: Int) = spark.read
+      .parquet(s"${baseDir.stripSuffix("/")}/v$g")
+      .groupBy(col("vec_id"), col("ccid").cast("int").as("ccid"))
+      .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 8 * sub)"))
+        .as("code_fp"))
+    val a = side(genA).select(col("vec_id"), col("ccid").as("ccid_a"),
+      col("code_fp").as("fp_a"))
+    val b = side(genB).select(col("vec_id"), col("ccid").as("ccid_b"),
+      col("code_fp").as("fp_b"))
+    a.join(b, Seq("vec_id"), "full_outer")
+      .select(
+        coalesce(col("ccid_b"), col("ccid_a")).as("ccid"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b") ||
+            !(col("ccid_a") <=> col("ccid_b")), "recoded")
+          .otherwise("unchanged").as("status"))
+      .groupBy("ccid", "status").agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Versioned index publication — the reader-ATOMIC layer the
     * [[compactIndex]] scaladoc's concurrency contract points at
     * (ADVICE r14, executed): each generation writes to

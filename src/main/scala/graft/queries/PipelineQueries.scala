@@ -1240,6 +1240,29 @@ object PipelineQueries {
         .orderBy("generation", "ccid")
     }),
 
+    // Refresh-cycle observability (ProductQuant.indexGenDiff scaladoc):
+    // what did the new generation actually change, per inverted list —
+    // added / removed / recoded / unchanged vector counts from the two
+    // 8 B/vector code relations alone (codes pack losslessly into one
+    // long; full vectors never touched). The planted refresh: the new
+    // generation drops every 7th vector, adds the %3=2 cohort the old
+    // one lacked, and bumps every 5th surviving vector's codes — so
+    // all four statuses populate from pure vec_id arithmetic and the
+    // oracle replays them relationally.
+    "index_gen_diff" -> ((s, dir) => {
+      val codes = ProductQuant.uniformSyntheticCodes(emb(s, dir))
+      val base = graft.Scratch.dir("idx_diff_")
+      val oldGen = codes.filter(col("vec_id") % 3 < 2)
+      val newGen = codes.filter(col("vec_id") % 7 =!= 0)
+        .withColumn("code",
+          ((col("code") + when(col("vec_id") % 5 === 0, 1).otherwise(0))
+            % 256).cast("int"))
+      val (gA, _) = ProductQuant.publishIndex(s, base, oldGen)
+      val (gB, _) = ProductQuant.publishIndex(s, base, newGen)
+      ProductQuant.indexGenDiff(s, base, gA, gB)
+        .orderBy("ccid", "status")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -4324,6 +4347,24 @@ object PipelineQueries {
          |SELECT generation, ccid, n_rows, 'ok' AS flag,
          |  generation = 3 AS is_current
          |FROM g ORDER BY generation, ccid""".stripMargin,
+
+    // Planted-refresh diff replayed from vec_id arithmetic: old gen =
+    // %3<2, new gen = %7<>0 with a code bump on %5=0; a vector in
+    // NEITHER generation contributes nothing, added/removed classify
+    // by the side present, survivors split recoded/unchanged on the
+    // %5 bump.
+    "index_gen_diff" ->
+      s"""WITH $embCte,
+         |v AS (SELECT vec_id, CAST(vec_id % 16 AS INTEGER) AS ccid FROM e),
+         |st AS (SELECT ccid,
+         |    CASE WHEN vec_id % 3 >= 2 AND vec_id % 7 <> 0 THEN 'added'
+         |         WHEN vec_id % 3 < 2 AND vec_id % 7 = 0 THEN 'removed'
+         |         WHEN vec_id % 5 = 0 THEN 'recoded'
+         |         ELSE 'unchanged' END AS status
+         |  FROM v
+         |  WHERE NOT (vec_id % 3 >= 2 AND vec_id % 7 = 0))
+         |SELECT ccid, status, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the

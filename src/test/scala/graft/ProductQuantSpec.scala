@@ -415,6 +415,29 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
+    import spark.implicits._
+    // vec 1 stays put unchanged, vec 2 moves list 0 -> 3 (retrained
+    // coarse quantizer) with identical codes, vec 3 is removed, vec 4
+    // appears — the face's oracle can't exercise the moved-list case
+    // (synthetic ccid is a pure function of vec_id), so it pins here
+    def rel(rows: Seq[(Long, Int, Int, Int)]) =
+      rows.toDF("vec_id", "ccid", "sub", "code")
+    val base = Scratch.dir("gen_diff_spec_")
+    val a = rel(Seq((1L, 0, 0, 10), (1L, 0, 1, 11),
+      (2L, 0, 0, 20), (2L, 0, 1, 21),
+      (3L, 5, 0, 30), (3L, 5, 1, 31)))
+    val b = rel(Seq((1L, 0, 0, 10), (1L, 0, 1, 11),
+      (2L, 3, 0, 20), (2L, 3, 1, 21),
+      (4L, 5, 0, 40), (4L, 5, 1, 41)))
+    val (gA, _) = ProductQuant.publishIndex(spark, base, a)
+    val (gB, _) = ProductQuant.publishIndex(spark, base, b)
+    val got = ProductQuant.indexGenDiff(spark, base, gA, gB).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0, "unchanged") -> 1L, (3, "recoded") -> 1L,
+      (5, "removed") -> 1L, (5, "added") -> 1L), got.toString)
+  }
+
   test("compactIndex preserves the hot-list salt split (r15 review #2)") {
     val codes = ProductQuant.skewedSyntheticCodes(
       spark.range(0, 200).select(col("id").as("vec_id")))
