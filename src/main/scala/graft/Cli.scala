@@ -258,7 +258,7 @@ object Cli {
         case scala.util.Failure(e) =>
           System.err.println(
             s"not a readable ccid-partitioned index at '$idxDir': " +
-              e.getMessage.linesIterator.next())
+              firstLine(e))
           2
         case scala.util.Success(rows) =>
           println(f"${"ccid"}%6s ${"n_rows"}%10s ${"n_files"}%8s " +
@@ -301,7 +301,7 @@ object Cli {
         case scala.util.Failure(e) =>
           System.err.println(
             s"compaction failed for '$idxDir': " +
-              e.getMessage.linesIterator.next())
+              firstLine(e))
           2
         case scala.util.Success(_) =>
           println(s"compacted $idxDir")
@@ -321,7 +321,7 @@ object Cli {
         operators.ProductQuant.publishStore(spark, store, from)) match {
         case scala.util.Failure(e) =>
           System.err.println(s"publish failed for '$from' -> '$store': " +
-            e.getMessage.linesIterator.next())
+            firstLine(e))
           2
         case scala.util.Success((g, dir)) =>
           println(s"published generation v$g at $dir")
@@ -358,7 +358,8 @@ object Cli {
               2
             case Some((live, _)) =>
               val pruned =
-                operators.ProductQuant.pruneGenerations(spark, store, keep)
+                operators.ProductQuant.pruneGenerations(spark, store,
+                  keep, live = Some(live))
               println(
                 if (pruned.isEmpty)
                   s"nothing to prune (live v$live, keep=$keep)"
@@ -398,8 +399,7 @@ object Cli {
         ("catalog query (check_sql)", catalog.isSuccess,
           "check_sql does not bind — query the manifest catalog " +
             "(graft_manifest) and verify the SQL by hand: " +
-            catalog.failed.map(_.getMessage.linesIterator.next())
-              .getOrElse("")))
+            catalog.failed.map(firstLine).getOrElse("")))
       checks.foreach { case (name, ok, remedy) =>
         println(f"${if (ok) "PASS" else "FAIL"}%-4s $name" +
           (if (ok) "" else s"\n     -> $remedy"))
@@ -468,6 +468,16 @@ object Cli {
       lockChannel.close()
     }
   }
+
+  /** First line of a throwable's message for one-line CLI errors —
+    * total on null/empty messages (a bare NPE from Spark/Hadoop
+    * internals has getMessage == null; `"".linesIterator.next()`
+    * throws), so an error branch can never replace its documented
+    * exit code with an uncaught crash (round-16 review #1).
+    */
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+      .getOrElse(e.getClass.getSimpleName)
 
   private def parseConf(path: String): EngineConf =
     EngineConf.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))

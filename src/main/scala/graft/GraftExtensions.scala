@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.CosineScore.descriptor)
+    ext.injectFunction(graft.functions.IvfKernels.descriptor)
     graft.functions.TextKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.PqKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.JlKernels.descriptors.foreach(ext.injectFunction)

@@ -109,18 +109,27 @@ object IvfKernels {
     * [[PqKernels.register]] — every query face using `call_function`
     * must register its own kernels; a fresh session has none).
     */
+  /** (identifier, info, builder) descriptor — consumed by both the
+    * runtime [[register]] and the build-time
+    * [[graft.GraftExtensions]] injection, so "every native kernel
+    * resolves via the extension route" stays true for this one too
+    * (round-16 review #2: the extension list had skipped ivf_assign).
+    */
+  val descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssignExpr].getName, "ivf_assign"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"ivf_assign expects 5 arguments, got ${children.length}")
+        IvfAssignExpr(children(0), children(1), children(2), children(3),
+          children(4))
+      })
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("ivf_assign")
-    if (!fr.functionExists(id))
-      fr.registerFunction(id,
-        new ExpressionInfo(classOf[IvfAssignExpr].getName, "ivf_assign"),
-        (children: Seq[Expression]) => {
-          require(children.length == 5,
-            s"ivf_assign expects 5 arguments, got ${children.length}")
-          IvfAssignExpr(children(0), children(1), children(2), children(3),
-            children(4))
-        })
+    if (!fr.functionExists(descriptor._1))
+      fr.registerFunction(descriptor._1, descriptor._2, descriptor._3)
   }
 }
 

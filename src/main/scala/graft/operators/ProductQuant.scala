@@ -1143,10 +1143,16 @@ object ProductQuant {
   /** Delete all but the newest `keep` complete generations; returns
     * the pruned generation numbers. Never touches the live one
     * (keep >= 1 enforced). The caller owns the reader-retention
-    * contract (scaladoc on [[publishIndex]]).
+    * contract (scaladoc on [[publishIndex]]). A caller that already
+    * resolved the live generation (the CLI's empty-store check does)
+    * passes it via `live` — on an object store the pointer read +
+    * `_SUCCESS` probe are RPCs, and prune shouldn't repeat what its
+    * caller just paid for (round-16 review #3, the same
+    * metadata-RPC discipline as the completeness map below).
     */
   def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
-                       baseDir: String, keep: Int = 2): Seq[Int] = {
+                       baseDir: String, keep: Int = 2,
+                       live: Option[Int] = None): Seq[Int] = {
     import org.apache.hadoop.fs.Path
     require(keep >= 1, s"pruneGenerations: keep must be >= 1, got $keep")
     val base = new Path(baseDir)
@@ -1173,7 +1179,7 @@ object ProductQuant {
     // incomplete dirs are crash garbage: pruned.
     val newestComplete = complete.headOption.getOrElse(Int.MinValue)
     val keepSet = complete.take(keep).toSet ++
-      currentGeneration(spark, baseDir).map(_._1)
+      live.orElse(currentGeneration(spark, baseDir).map(_._1))
     gens.filter { case (g, _) =>
       !keepSet.contains(g) && (completeBy(g) || g < newestComplete)
     }.sortBy(_._1).map { case (g, p) =>

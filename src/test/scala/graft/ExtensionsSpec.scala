@@ -58,6 +58,15 @@ class ExtensionsSpec extends SparkSpec {
         .sortBy(_._1)
       assert(got.map(_._3).toSeq == Seq(1L | 4L, 2L))
       assert(got.forall(r => math.abs(r._2 - math.sqrt(14.0)) < 1e-12))
+      // the injected set really is EVERY native kernel (round-16
+      // review #2: ivf_assign had been skipped from the extension list)
+      Seq("cosine_score", "ivf_assign", "shingle_hashes", "simhash48",
+        "winnow_fp", "pq_encode", "jl_project", "vec_nrm", "sign_bucket")
+        .foreach { fn =>
+          assert(sibling.sessionState.functionRegistry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
+            s"$fn missing from the sibling session's registry")
+        }
     }
   }
 
