@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   *   compact --index <dir>                         split_files remedy
   *   publish --index <store> <codesDir>            new store generation
   *   prune   --index <store> [--keep N]            retention (live kept)
+  *   diff    --index <store> <gA> <gB>              cross-generation diff
   *
   * `compare`/`report` are the reference's entry point C
   * (`step3_run_syncdiff.sh:67-71` refuses to run without generated
@@ -328,6 +329,32 @@ object Cli {
           0
       }
 
+    // Refresh observability from the shell: what changed between two
+    // published generations (ProductQuant.indexGenDiff), printed per
+    // list and totalled per status. Exit 0 with the table, 2 when a
+    // named generation doesn't read as a code relation.
+    case "diff" :: "--index" :: store :: gA :: gB :: Nil =>
+      scala.util.Try {
+        val (a, b) = (gA.stripPrefix("v").toInt, gB.stripPrefix("v").toInt)
+        operators.ProductQuant.indexGenDiff(spark, store, a, b)
+          .orderBy("ccid", "status").collect()
+      } match {
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"diff failed for '$store' $gA..$gB: " + firstLine(e))
+          2
+        case scala.util.Success(rows) =>
+          println(f"${"ccid"}%6s ${"status"}%-10s ${"n_vecs"}%10s")
+          rows.foreach(r => println(
+            f"${r.getInt(0)}%6d ${r.getString(1)}%-10s ${r.getLong(2)}%10d"))
+          val totals = rows.groupBy(_.getString(1))
+            .view.mapValues(_.map(_.getLong(2)).sum).toMap
+          println("totals: " + Seq("added", "removed", "recoded",
+            "unchanged").map(s => s"$s=${totals.getOrElse(s, 0L)}")
+            .mkString(", "))
+          0
+      }
+
     // Retention from the shell: prune to the newest N complete
     // generations (default 2; the live one is always kept). A
     // retention-violating keep (< 1) is REFUSED with exit 2 — the
@@ -418,7 +445,8 @@ object Cli {
           " <config.toml> [<fixtureDir>] [runId]" +
           " | doctor --index <dir> | compact --index <dir>" +
           " | publish --index <store> <codesDir>" +
-          " | prune --index <store> [--keep N]")
+          " | prune --index <store> [--keep N]" +
+          " | diff --index <store> <gA> <gB>")
       2
   }
 

@@ -480,6 +480,13 @@ class CliSpec extends SparkSpec {
     // pruning again with nothing to do stays exit 0 (idempotent)
     val (ci, oi) = doctorOut(Array("prune", "--index", store, "--keep", "2"))
     assert(ci == 0 && oi.contains("nothing to prune"), oi)
+    // cross-generation diff from the shell: v2 vs v3 are the same
+    // relation, so everything is unchanged; a missing generation is 2
+    val (cdf, odf) = doctorOut(Array("diff", "--index", store, "v2", "v3"))
+    assert(cdf == 0 && odf.contains("unchanged") &&
+      odf.contains("added=0, removed=0, recoded=0"), odf)
+    val (cdm, _) = doctorOut(Array("diff", "--index", store, "v2", "v9"))
+    assert(cdm == 2)
   }
 
   test("doctor maps each README failure class to a distinct check") {
