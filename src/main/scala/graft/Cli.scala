@@ -369,14 +369,7 @@ object Cli {
         case _ => Some(2)
       }
       keepParsed match {
-        case keepOpt if keepOpt.forall(_ < 1) =>
-          System.err.println(
-            s"prune refused: --keep must be a positive integer " +
-              s"(got '${rest.lift(1).getOrElse("")}') — keep >= 1 " +
-              "guarantees a readable generation survives")
-          2
-        case None => 2 // unreachable: None is caught by the guard above
-        case Some(keep) =>
+        case Some(keep) if keep >= 1 =>
           operators.ProductQuant.currentGeneration(spark, store) match {
             case None =>
               System.err.println(
@@ -394,6 +387,12 @@ object Cli {
                   s"(live v$live, keep=$keep)")
               0
           }
+        case _ =>
+          System.err.println(
+            s"prune refused: --keep must be a positive integer " +
+              s"(got '${rest.lift(1).getOrElse("")}') — keep >= 1 " +
+              "guarantees a readable generation survives")
+          2
       }
 
     case "doctor" :: conf :: dir :: Nil =>

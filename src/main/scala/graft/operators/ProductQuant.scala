@@ -857,9 +857,10 @@ object ProductQuant {
     // two remedies undoing each other forever (r15 self-review #2).
     // Hot lists re-derive from the data being rewritten anyway — one
     // bounded aggregation (<= nCoarse rows collected).
-    val (hot, need, total) = deriveHotLists(codes)
-    writeIndex(codes, tmp.toString, hotLists = hot, saltBuckets = need,
-      saltTasks = Some(saltTasksFor(total, need)))
+    val (widths, total) = deriveHotLists(codes)
+    writeIndex(codes, tmp.toString, hotWidths = widths.toMap,
+      saltTasks = Some(saltTasksFor(total,
+        widths.map(_._2).maxOption.getOrElse(SaltBuckets))))
     val fs = new Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // rename-ASIDE swap, never delete-then-rename: a crash between the
@@ -884,28 +885,29 @@ object ProductQuant {
 
   /** Hot lists of a code relation plus the salt fan-out their heat
     * needs: hot = rows > 2× the mean list (one bounded aggregation,
-    * ≤nCoarse rows collected); fan-out = TWICE the minimum salt width
-    * that clears the hot test for the hottest list, floored at
-    * [[SaltBuckets]] and clamped at 64 — the rewrite converges even
-    * on >2×SaltBuckets-mean skew instead of folding back to a width
-    * the audit re-flags (r15 review-2 #5), and the ×2 headroom
-    * (ADVICE r15) absorbs EFFECTIVE fan-out below nominal: distinct
-    * salt values can share a shuffle task (deterministic (ccid, salt)
-    * partition-hash collisions), so a list salted at exactly the
-    * boundary width could still audit hot. The headroom matches the
-    * ×2 slack [[indexLayoutAudit]]'s split_files bound already grants
-    * salted layouts. Shared by [[compactIndex]] and [[compactStore]]
-    * so every rewrite path preserves (or establishes) the salt split.
+    * ≤nCoarse rows collected); each hot list gets its OWN fan-out —
+    * TWICE the minimum salt width that clears ITS hot test, clamped at
+    * 64. Per-list widths matter (round-16 review-2 #2): a single
+    * global width sized for the hottest list would salt a MILDLY hot
+    * list past its own [[indexLayoutAudit]] `split_files` bound
+    * (`greatest(SaltBuckets, ceil(n/(2·mean))·2)`), so the audit would
+    * re-flag the remedy and doctor→compact would ping-pong forever.
+    * With width_i = ceil(n_i/(2·mean))·2, every list lands exactly AT
+    * its own bound: the ×2 headroom (ADVICE r15) absorbs EFFECTIVE
+    * fan-out below nominal (distinct salt values sharing a shuffle
+    * task), and file count can never exceed the bound. Shared by
+    * [[compactIndex]], [[compactStore]] and [[publishStore]] so every
+    * rewrite path preserves (or establishes) a convergent salt split.
     */
-  private def deriveHotLists(codes: DataFrame): (Seq[Int], Int, Long) = {
+  private def deriveHotLists(codes: DataFrame): (Seq[(Int, Int)], Long) = {
     val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
     val total = counts.map(_.getLong(1)).sum
     val mean = total.toDouble / counts.length
-    val hotRows = counts.filter(_.getLong(1) > 2.0 * mean)
-    val need = hotRows.map(r =>
-      math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2)
-      .foldLeft(SaltBuckets)(math.max)
-    (hotRows.map(_.getInt(0)).sorted.toSeq, math.min(64, need), total)
+    val widths = counts.filter(_.getLong(1) > 2.0 * mean)
+      .map(r => r.getInt(0) ->
+        math.min(64, math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2))
+      .sortBy(_._1).toSeq
+    (widths, total)
   }
 
   /** Compact the live generation of a versioned store into a NEW
@@ -923,9 +925,11 @@ object ProductQuant {
     val codes = spark.read.parquet(live)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
-    val (hot, need, total) = deriveHotLists(codes)
-    val (g2, _) = publishIndex(spark, baseDir, codes, hotLists = hot,
-      saltBuckets = need, saltTasks = Some(saltTasksFor(total, need)))
+    val (widths, total) = deriveHotLists(codes)
+    val (g2, _) = publishIndex(spark, baseDir, codes,
+      hotWidths = widths.toMap,
+      saltTasks = Some(saltTasksFor(total,
+        widths.map(_._2).maxOption.getOrElse(SaltBuckets))))
     (g, g2)
   }
 
@@ -965,9 +969,10 @@ object ProductQuant {
     val codes = spark.read.parquet(codesDir)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
-    val (hot, need, total) = deriveHotLists(codes)
-    publishIndex(spark, baseDir, codes, hotLists = hot,
-      saltBuckets = need, saltTasks = Some(saltTasksFor(total, need)))
+    val (widths, total) = deriveHotLists(codes)
+    publishIndex(spark, baseDir, codes, hotWidths = widths.toMap,
+      saltTasks = Some(saltTasksFor(total,
+        widths.map(_._2).maxOption.getOrElse(SaltBuckets))))
   }
 
   /** Store-wide audit (VERDICT r15 #8): [[indexLayoutAudit]] of every
@@ -1009,11 +1014,22 @@ object ProductQuant {
     */
   def indexGenDiff(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, genA: Int, genB: Int): DataFrame = {
-    def side(g: Int) = spark.read
-      .parquet(s"${baseDir.stripSuffix("/")}/v$g")
-      .groupBy(col("vec_id"), col("ccid").cast("int").as("ccid"))
-      .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 8 * sub)"))
-        .as("code_fp"))
+    def side(g: Int) = {
+      val dir = s"${baseDir.stripSuffix("/")}/v$g"
+      // only COMPLETE generations diff (round-16 review-2 #1): a
+      // crashed/in-flight write's partial part files read fine, so an
+      // unchecked diff would report its missing vectors as 'removed'
+      // with a straight face — the same _SUCCESS discipline every
+      // other store reader (resolve, audit, prune) already follows
+      if (!isComplete(spark, dir))
+        throw new java.util.NoSuchElementException(
+          s"generation v$g under $baseDir is not a complete published " +
+            "generation")
+      spark.read.parquet(dir)
+        .groupBy(col("vec_id"), col("ccid").cast("int").as("ccid"))
+        .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 8 * sub)"))
+          .as("code_fp"))
+    }
     val a = side(genA).select(col("vec_id"), col("ccid").as("ccid_a"),
       col("code_fp").as("fp_a"))
     val b = side(genB).select(col("vec_id"), col("ccid").as("ccid_b"),
@@ -1049,7 +1065,8 @@ object ProductQuant {
                    baseDir: String, codes: DataFrame,
                    hotLists: Seq[Int] = Nil,
                    saltBuckets: Int = SaltBuckets,
-                   saltTasks: Option[Int] = None): (Int, String) = {
+                   saltTasks: Option[Int] = None,
+                   hotWidths: Map[Int, Int] = Map.empty): (Int, String) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -1063,7 +1080,7 @@ object ProductQuant {
       .sorted.lastOption.getOrElse(0) + 1
     val dir = s"${baseDir.stripSuffix("/")}/v$gen"
     writeIndex(codes, dir, hotLists = hotLists, saltBuckets = saltBuckets,
-      saltTasks = saltTasks)
+      saltTasks = saltTasks, hotWidths = hotWidths)
     val cur = new Path(baseDir, "CURRENT")
     val tmp = new Path(baseDir, "CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -1234,9 +1251,16 @@ object ProductQuant {
                  mode: String = "overwrite",
                  hotLists: Seq[Int] = Nil,
                  saltBuckets: Int = SaltBuckets,
-                 saltTasks: Option[Int] = None): Unit = {
+                 saltTasks: Option[Int] = None,
+                 hotWidths: Map[Int, Int] = Map.empty): Unit = {
+    // hotWidths (per-list fan-out — what deriveHotLists produces) wins
+    // over the uniform hotLists/saltBuckets form; the uniform form is
+    // the caller-facing API for a known-width split.
+    val widths: Map[Int, Int] =
+      if (hotWidths.nonEmpty) hotWidths
+      else hotLists.map(_ -> saltBuckets).toMap
     val parted =
-      if (hotLists.isEmpty) codes.repartition(col("ccid"))
+      if (widths.isEmpty) codes.repartition(col("ccid"))
       // EXPLICIT partition count on the salted path: a bare
       // repartition(cols…) is AQE-coalescible, and on a small relation
       // adaptive execution folds every (ccid, salt) bucket back into
@@ -1247,11 +1271,15 @@ object ProductQuant {
       // at ≥ 8× the default salt fan-out so distinct (ccid, salt)
       // keys rarely share a task, and scaled with the relation so a
       // 100 TB rewrite isn't capped at fixture-sized parallelism.
-      else codes.repartition(
-        saltTasks.getOrElse(deriveSaltTasks(codes, saltBuckets)),
-        col("ccid"),
-        when(col("ccid").isin(hotLists: _*),
-          pmod(hash(col("vec_id")), lit(saltBuckets))).otherwise(lit(0)))
+      else {
+        val salt = widths.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+          case (acc, (cc, w)) => when(col("ccid") === cc,
+            pmod(hash(col("vec_id")), lit(w))).otherwise(acc)
+        }
+        codes.repartition(
+          saltTasks.getOrElse(deriveSaltTasks(codes, widths.values.max)),
+          col("ccid"), salt)
+      }
     parted
       .sortWithinPartitions("ccid", "vec_id", "sub")
       .write.mode(mode).partitionBy("ccid").parquet(indexDir)
@@ -1272,13 +1300,18 @@ object ProductQuant {
     saltTasksFor(codes.count(), saltBuckets)
 
   /** saltTasks for a KNOWN row count — [[compactIndex]]/[[compactStore]]
-    * already collected per-list counts deriving hot lists, so they pass
-    * the total through instead of paying a second scan.
+    * /[[publishStore]] already collected per-list counts deriving hot
+    * lists, so they pass the total through instead of paying a second
+    * scan (public so query faces that already hold an audit's counts
+    * can do the same). The clamp happens in Long BEFORE narrowing
+    * (round-16 review-2 #3): `(n/4M).toInt` on a ≥2³¹-task count wraps
+    * negative and would silently reinstate the 64-task floor at
+    * exactly the scale the derivation exists for.
     */
-  private def saltTasksFor(n: Long, saltBuckets: Int): Int = {
-    val floor = math.max(64, saltBuckets * 8)
+  def saltTasksFor(n: Long, saltBuckets: Int): Int = {
+    val floor = math.max(64, saltBuckets * 8).toLong
     math.max(floor,
-      math.min(1 << 16, ((n + SaltRowsPerTask - 1) / SaltRowsPerTask).toInt))
+      math.min(1L << 16, (n + SaltRowsPerTask - 1) / SaltRowsPerTask)).toInt
   }
 
   /** Deliberately SKEWED synthetic code relation for the salt-widening

@@ -1174,11 +1174,25 @@ object PipelineQueries {
       val before = graft.Scratch.dir("salt_before_")
       val after = graft.Scratch.dir("salt_after_")
       ProductQuant.writeIndex(codes, before)
-      val auditBefore = ProductQuant.indexLayoutAudit(s, before)
-        .select(col("ccid"), col("flag").as("flag_before"))
-      val hot = auditBefore.filter(col("flag_before") === "hot_list")
-        .select("ccid").collect().map(_.getInt(0)).sorted.toSeq
-      ProductQuant.writeIndex(codes, after, hotLists = hot)
+      // ONE bounded collect feeds the flagged-ccid list AND the total
+      // the salted write sizes its shuffle from — the audit already
+      // counted every list, so the rewrite must not pay a hidden
+      // codes.count() per invocation (round-16 review-2 #4)
+      val auditRows = ProductQuant.indexLayoutAudit(s, before)
+        .select("ccid", "n_rows", "flag").collect()
+      val hot = auditRows.filter(_.getString(2) == "hot_list")
+        .map(_.getInt(0)).sorted.toSeq
+      val total = auditRows.map(_.getLong(1)).sum
+      ProductQuant.writeIndex(codes, after, hotLists = hot,
+        saltTasks = Some(ProductQuant.saltTasksFor(total,
+          ProductQuant.SaltBuckets)))
+      // the before-audit relation for the output joins straight from
+      // the collected rows (≤nCoarse) instead of re-running the audit
+      val auditBefore = {
+        import s.implicits._
+        auditRows.map(r => (r.getInt(0), r.getString(2))).toSeq
+          .toDF("ccid", "flag_before")
+      }
       val auditAfter = ProductQuant.indexLayoutAudit(s, after)
         .select(col("ccid"), col("n_rows"), col("flag").as("flag_after"))
       val fp = s.read.parquet(after)

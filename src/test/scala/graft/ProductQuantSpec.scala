@@ -415,6 +415,41 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("disparate hot lists each get their own salt width and the audit converges") {
+    // round-16 review-2 #2: a single global fan-out sized for the
+    // hottest list salts a MILDLY hot list past its own split_files
+    // bound and the doctor->compact loop ping-pongs forever. Two hot
+    // lists with ~4x different heat: 55% / 18% of the corpus against
+    // a ~2% mean list
+    import spark.implicits._
+    val codes = spark.range(0, 2000).select(col("id").as("vec_id"),
+        when(col("id") % 100 < 55, 0)
+          .when(col("id") % 100 < 73, 1)
+          .otherwise((col("id") % 13) + 2).cast("int").as("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        explode(typedLit(Seq(0, 1, 2, 3))).as("sub"))
+      .withColumn("code",
+        ((col("vec_id") * 31 + col("sub") * 7) % 256).cast("int"))
+    val idx = Scratch.dir("multi_hot_") + "/idx"
+    ProductQuant.writeIndex(codes, idx)
+    val pre = ProductQuant.indexLayoutAudit(spark, idx).collect()
+      .map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(pre(0) == "hot_list" && pre(1) == "hot_list",
+      s"both planted lists must flag: $pre")
+    ProductQuant.compactIndex(spark, idx)
+    val post = ProductQuant.indexLayoutAudit(spark, idx).collect()
+    assert(post.forall(_.getString(4) == "ok"),
+      s"per-list widths must converge in ONE remedy pass: " +
+        post.map(r => s"${r.getInt(0)}:${r.getString(4)}").mkString(","))
+    // both hot lists physically split, the mild one within its bound
+    val files = post.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(files(0) > 1L && files(1) > 1L, files.toString)
+    assert(files(1) <= ProductQuant.SaltBuckets.toLong,
+      s"mild hot list over-split past its own bound: ${files(1)}")
+    // row set preserved exactly
+    assert(spark.read.parquet(idx).count() == codes.count())
+  }
+
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
     import spark.implicits._
     // vec 1 stays put unchanged, vec 2 moves list 0 -> 3 (retrained
@@ -436,6 +471,15 @@ class ProductQuantSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == Map((0, "unchanged") -> 1L, (3, "recoded") -> 1L,
       (5, "removed") -> 1L, (5, "added") -> 1L), got.toString)
+    // an INCOMPLETE generation (crashed/in-flight write) refuses to
+    // diff instead of reporting its missing vectors as 'removed'
+    // (round-16 review-2 #1)
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, "v9"))
+    intercept[java.util.NoSuchElementException] {
+      ProductQuant.indexGenDiff(spark, base, gA, 9)
+    }
   }
 
   test("compactIndex preserves the hot-list salt split (r15 review #2)") {
