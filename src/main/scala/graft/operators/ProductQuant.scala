@@ -857,10 +857,9 @@ object ProductQuant {
     // two remedies undoing each other forever (r15 self-review #2).
     // Hot lists re-derive from the data being rewritten anyway — one
     // bounded aggregation (<= nCoarse rows collected).
-    val (widths, total) = deriveHotLists(codes)
-    writeIndex(codes, tmp.toString, hotWidths = widths.toMap,
-      saltTasks = Some(saltTasksFor(total,
-        widths.map(_._2).maxOption.getOrElse(SaltBuckets))))
+    val (widths, tasks) = deriveHotLists(codes)
+    writeIndex(codes, tmp.toString, hotWidths = widths,
+      saltTasks = Some(tasks))
     val fs = new Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // rename-ASIDE swap, never delete-then-rename: a crash between the
@@ -886,28 +885,40 @@ object ProductQuant {
   /** Hot lists of a code relation plus the salt fan-out their heat
     * needs: hot = rows > 2× the mean list (one bounded aggregation,
     * ≤nCoarse rows collected); each hot list gets its OWN fan-out —
-    * TWICE the minimum salt width that clears ITS hot test, clamped at
+    * TWICE the minimum salt width that clears ITS hot test, floored at
+    * [[SaltBuckets]] (collision headroom: a 4-wide salt whose values
+    * all task-hash together writes 1 file and re-flags; an 8-wide one
+    * needs an 8-way collision — round-16 review-3 #3) and clamped at
     * 64. Per-list widths matter (round-16 review-2 #2): a single
     * global width sized for the hottest list would salt a MILDLY hot
     * list past its own [[indexLayoutAudit]] `split_files` bound
     * (`greatest(SaltBuckets, ceil(n/(2·mean))·2)`), so the audit would
     * re-flag the remedy and doctor→compact would ping-pong forever.
-    * With width_i = ceil(n_i/(2·mean))·2, every list lands exactly AT
-    * its own bound: the ×2 headroom (ADVICE r15) absorbs EFFECTIVE
-    * fan-out below nominal (distinct salt values sharing a shuffle
-    * task), and file count can never exceed the bound. Shared by
-    * [[compactIndex]], [[compactStore]] and [[publishStore]] so every
-    * rewrite path preserves (or establishes) a convergent salt split.
+    * width_i = max(SaltBuckets, ceil(n_i/(2·mean))·2) never exceeds
+    * bound_i, so a remedied list can't re-flag as fragmentation; the
+    * ×2 headroom (ADVICE r15) absorbs EFFECTIVE fan-out below nominal
+    * (distinct salt values sharing a shuffle task). CONVERGENCE
+    * BOUNDARY (review-3 #2, stated honestly): the 64 clamp means a
+    * list hotter than 128× the mean can never clear the hot test —
+    * the audit KEEPS flagging it by design, because past 64 files the
+    * remedy isn't more salt, it's re-training the coarse quantizer so
+    * the list stops existing; a silent cap would hide exactly that
+    * signal. Returns (per-list widths, the salted shuffle's task
+    * count) — one derivation consumed verbatim by [[compactIndex]],
+    * [[compactStore]] and [[publishStore]] so every rewrite path
+    * preserves (or establishes) the same split.
     */
-  private def deriveHotLists(codes: DataFrame): (Seq[(Int, Int)], Long) = {
+  private def deriveHotLists(codes: DataFrame): (Map[Int, Int], Int) = {
     val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
     val total = counts.map(_.getLong(1)).sum
     val mean = total.toDouble / counts.length
     val widths = counts.filter(_.getLong(1) > 2.0 * mean)
       .map(r => r.getInt(0) ->
-        math.min(64, math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2))
-      .sortBy(_._1).toSeq
-    (widths, total)
+        math.min(64, math.max(SaltBuckets,
+          math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2)))
+      .toMap
+    (widths,
+      saltTasksFor(total, widths.values.maxOption.getOrElse(SaltBuckets)))
   }
 
   /** Compact the live generation of a versioned store into a NEW
@@ -925,11 +936,9 @@ object ProductQuant {
     val codes = spark.read.parquet(live)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
-    val (widths, total) = deriveHotLists(codes)
+    val (widths, tasks) = deriveHotLists(codes)
     val (g2, _) = publishIndex(spark, baseDir, codes,
-      hotWidths = widths.toMap,
-      saltTasks = Some(saltTasksFor(total,
-        widths.map(_._2).maxOption.getOrElse(SaltBuckets))))
+      hotWidths = widths, saltTasks = Some(tasks))
     (g, g2)
   }
 
@@ -969,10 +978,9 @@ object ProductQuant {
     val codes = spark.read.parquet(codesDir)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
-    val (widths, total) = deriveHotLists(codes)
-    publishIndex(spark, baseDir, codes, hotWidths = widths.toMap,
-      saltTasks = Some(saltTasksFor(total,
-        widths.map(_._2).maxOption.getOrElse(SaltBuckets))))
+    val (widths, tasks) = deriveHotLists(codes)
+    publishIndex(spark, baseDir, codes, hotWidths = widths,
+      saltTasks = Some(tasks))
   }
 
   /** Store-wide audit (VERDICT r15 #8): [[indexLayoutAudit]] of every
@@ -1272,13 +1280,21 @@ object ProductQuant {
       // keys rarely share a task, and scaled with the relation so a
       // 100 TB rewrite isn't capped at fixture-sized parallelism.
       else {
-        val salt = widths.toSeq.sortBy(_._1).foldLeft(lit(0)) {
-          case (acc, (cc, w)) => when(col("ccid") === cc,
-            pmod(hash(col("vec_id")), lit(w))).otherwise(acc)
-        }
+        // FLAT salt expression (round-16 review-3 #1): a per-list
+        // when-chain nests one CaseWhen per hot list — fine at
+        // nCoarse=16, a Janino 64KB / analyzer-recursion hazard at a
+        // large-nCoarse store where hundreds of lists can be hot. One
+        // literal map lookup stays a single node at any width count;
+        // try_element_at (not element_at: ANSI throws on a missing
+        // map key) is null for non-hot lists, and pmod(x, 1) = 0
+        // keeps their salt constant.
+        val widthMap = map(widths.toSeq.sortBy(_._1).flatMap {
+          case (cc, w) => Seq(lit(cc), lit(w)) }: _*)
         codes.repartition(
           saltTasks.getOrElse(deriveSaltTasks(codes, widths.values.max)),
-          col("ccid"), salt)
+          col("ccid"),
+          pmod(hash(col("vec_id")),
+            coalesce(try_element_at(widthMap, col("ccid")), lit(1))))
       }
     parted
       .sortWithinPartitions("ccid", "vec_id", "sub")
