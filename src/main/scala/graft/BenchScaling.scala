@@ -137,8 +137,12 @@ object BenchScaling {
         s""""sfs":[${sfVals.mkString(",")}],"errors":$errJson,""" +
         s""""note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
         s"""1.0 = linear in data, ~0 = overhead-bound"}"""
+    // default sidecar name carries the CURRENT round — bump it when a
+    // new round starts, or a re-run silently overwrites the previous
+    // round's committed series point (exactly what happened to the
+    // r15 file early in round 16; restored from git)
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r15.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r16.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecar), out + "\n")
     catch { case e: Throwable =>
