@@ -699,7 +699,8 @@ object ProductQuant {
                        coarse: Seq[(Long, Array[Double])],
                        bySub: Map[Int, Seq[(Long, Array[Double])]],
                        nProbe: Int = 4,
-                       dim: Option[Int] = None): DataFrame = {
+                       dim: Option[Int] = None,
+                       excludeIds: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.PqKernels.register(spark)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
@@ -719,8 +720,14 @@ object ProductQuant {
     // PartitionFilters; the (ccid, sub, code) join coerces int ↔ long.
     val probed = qprobe.select("ccid").distinct().collect()
       .map(_.getLong(0).toInt).sorted
-    val scored = spark.read.parquet(indexDir)
+    val idx = spark.read.parquet(indexDir)
       .filter(col("ccid").isin(probed: _*))
+    // standing deletes (tombstone sidecar) leave the candidate set
+    // BEFORE scoring: a broadcast anti-join on the bounded id relation
+    // — a deleted vector never reaches the shortlist or the rerank
+    val idxLive = excludeIds.fold(idx)(t =>
+      idx.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    val scored = idxLive
       .join(broadcast(qrel), Seq("ccid", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -933,9 +940,16 @@ object ProductQuant {
     val (g, live) = currentGeneration(spark, baseDir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
-    val codes = spark.read.parquet(live)
+    val raw = spark.read.parquet(live)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
+    // standing deletes are PHYSICALLY applied here — the new
+    // generation is published without the tombstoned rows (probe-time
+    // filtering covers the window until then; the sidecar is retained
+    // for readers still resolving older generations — see
+    // writeTombstones' GC contract)
+    val codes = tombstones(spark, baseDir).fold(raw)(t =>
+      raw.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     val (widths, tasks) = deriveHotLists(codes)
     val (g2, _) = publishIndex(spark, baseDir, codes,
       hotWidths = widths, saltTasks = Some(tasks))
@@ -1004,6 +1018,61 @@ object ProductQuant {
             col("n_files"), col("bytes"), col("flag"),
             lit(g == cur).as("is_current"))
       }.reduce(_ unionByName _)
+  }
+
+  /** The store's tombstone sidecar directory. Underscore-prefixed on
+    * purpose: Hadoop's input listing hides `_`-children, so a scan of
+    * the store base can never mistake tombstones for index data
+    * (reading the sidecar explicitly by path works normally).
+    */
+  val TombstoneDir = "_tombstones"
+
+  /** The store's DELETE verb (round 16): append vec_ids to the
+    * tombstone sidecar. Deletes take effect at the NEXT probe — every
+    * store probe anti-joins the sidecar (a bounded broadcast: deletes
+    * ≪ corpus at 100 TB) — while the physical removal waits for the
+    * next [[compactStore]], which drops tombstoned rows from the
+    * generation it publishes. The sidecar is RETAINED after
+    * compaction: retained older generations still contain the rows,
+    * so readers resolving them still need the filter, and re-applying
+    * it to a cleaned generation is a no-op (an anti-join on absent
+    * ids). Garbage-collecting the sidecar once every retained
+    * generation post-dates the compaction is deliberately left to the
+    * operator — the retention contract is theirs ([[publishIndex]]).
+    */
+  def writeTombstones(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("append")
+      .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+
+  /** The standing tombstone relation, if any deletes were issued. */
+  def tombstones(spark: org.apache.spark.sql.SparkSession,
+                 baseDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Probe the store's LIVE generation with standing deletes applied —
+    * resolve [[currentIndexDir]], anti-join the tombstone sidecar out
+    * of the probed code relation (before scoring: a deleted vector
+    * never enters the shortlist), then the one probe
+    * ([[ivfadcProbeIndex]]). Tombstones affect RETRIEVABILITY only;
+    * the query side is the caller's relation untouched.
+    */
+  def ivfadcProbeStore(embeddings: DataFrame, queryPred: Column, k: Int,
+                       baseDir: String,
+                       coarse: Seq[(Long, Array[Double])],
+                       bySub: Map[Int, Seq[(Long, Array[Double])]],
+                       nProbe: Int = 4,
+                       dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    ivfadcProbeIndex(embeddings, queryPred, k,
+      currentIndexDir(spark, baseDir), coarse, bySub, nProbe, dim,
+      excludeIds = tombstones(spark, baseDir))
   }
 
   /** Cross-generation index diff — the refresh-cycle observability a

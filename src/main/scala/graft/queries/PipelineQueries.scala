@@ -1117,6 +1117,49 @@ object PipelineQueries {
         3, graft.Scratch.dir("ivfadc_store_face_"))
         .orderBy("query_id", "rank")),
 
+    // The store's DELETE verb at probe time (round 16): tombstone
+    // every 9th vector, probe the live generation through
+    // ivfadcProbeStore — deleted vectors leave the candidate set
+    // immediately (broadcast anti-join BEFORE scoring) while the
+    // physical rows wait for the next compaction. Queries are
+    // untouched (retrievability, not ask-ability, is what a delete
+    // revokes). Oracle = the IVFADC chain with the same candidate
+    // filter.
+    "ann_ivfadc_tombstoned" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+      val base = graft.Scratch.dir("ivfadc_tomb_")
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(e, coarse, bySub, d))
+      ProductQuant.writeTombstones(s, base,
+        e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 50, 3, base,
+        coarse, bySub, dim = Some(d))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The DELETE verb at rest (round 16): compaction publishes the
+    // next generation WITHOUT the tombstoned rows — retention prune
+    // then leaves only the cleaned generation, and the audit pins the
+    // per-list populations of the physically-deleted layout. The
+    // probe-parity half (tombstone-filtered probe of the old
+    // generation == plain probe of the compacted one, row-identical)
+    // is spec-asserted in ProductQuantSpec.
+    "index_tombstone_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codes = ProductQuant.uniformSyntheticCodes(e)
+      val base = graft.Scratch.dir("idx_tomb_")
+      ProductQuant.publishIndex(s, base, codes)
+      ProductQuant.writeTombstones(s, base,
+        e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+      ProductQuant.compactStore(s, base)
+      ProductQuant.pruneGenerations(s, base, keep = 1)
+      ProductQuant.storeAudit(s, base)
+        .select("generation", "ccid", "n_rows", "flag", "is_current")
+        .orderBy("generation", "ccid")
+    }),
+
     // Physical-design audit of the persisted index layout (VERDICT r13
     // #8): per-list row counts from the index parquet + file counts
     // from a bounded driver listing, flagging the write path's two
@@ -2044,7 +2087,8 @@ object PipelineQueries {
     * definitions (e.g. the standing filter) after `en`.
     */
   private def annIvfadcOracleFrom(trainSrc: String,
-                                  extraCtes: String): String =
+                                  extraCtes: String,
+                                  candFilter: String = ""): String =
     s"""WITH $embCte,
        |en AS (SELECT vec_id, list_transform(v, x ->
        |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
@@ -2072,7 +2116,7 @@ object PipelineQueries {
        |adc AS (SELECT p.q_id AS query_id, a.vec_id AS cand_id,
        |    CAST(SUM(l.sd6) AS BIGINT) AS adc6
        |  FROM cassign a JOIN cprobe p ON p.ccid = a.ccid
-       |    AND p.q_id <> a.vec_id
+       |    AND p.q_id <> a.vec_id$candFilter
        |  JOIN codes c ON c.vec_id = a.vec_id
        |  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
        |  GROUP BY 1, 2),
@@ -4302,6 +4346,10 @@ object PipelineQueries {
     // the same single-scan relation and the probe is the same
     // function over the resolved generation — same truth again
     "ann_ivfadc_store_probe" -> annIvfadcOracle,
+    // same chain with the tombstoned cohort filtered from CANDIDATES
+    // only (queries untouched — a delete revokes retrievability)
+    "ann_ivfadc_tombstoned" ->
+      annIvfadcOracleFrom("en", "", " AND a.vec_id % 9 <> 3"),
 
     // layout audit: list populations from the same coarse-assign chain
     // as the IVFADC faces (8 code rows per vector), n_files pinned to
@@ -4379,6 +4427,19 @@ object PipelineQueries {
          |  WHERE NOT (vec_id % 3 >= 2 AND vec_id % 7 = 0))
          |SELECT ccid, status, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The cleaned generation after tombstone compaction + prune: one
+    // retained generation holding 4 code rows per SURVIVING vector
+    // (every 9th deleted), balanced ccid keeps the layout unhot.
+    "index_tombstone_compact" ->
+      s"""WITH $embCte,
+         |a AS (SELECT vec_id, CAST(vec_id % 16 AS INTEGER) AS ccid
+         |  FROM e WHERE vec_id % 9 <> 3),
+         |g AS (SELECT ccid, CAST(4 * count(*) AS BIGINT) AS n_rows
+         |  FROM a GROUP BY 1)
+         |SELECT CAST(2 AS INTEGER) AS generation, ccid, n_rows,
+         |  'ok' AS flag, true AS is_current
+         |FROM g ORDER BY generation, ccid""".stripMargin,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the

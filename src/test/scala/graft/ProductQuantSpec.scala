@@ -450,6 +450,38 @@ class ProductQuantSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == codes.count())
   }
 
+  test("tombstoned probe of the old generation equals probing the compacted store") {
+    // delete parity (round 16): filter-at-probe (the window before
+    // compaction) and physical removal (after) must return the SAME
+    // answer — a reader should never observe which side of the
+    // compaction it landed on
+    val e = emb
+    val d = Similarity.dimOf(e)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    val base = Scratch.dir("tomb_parity_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.ivfadcCodesWith(e, coarse, bySub, d))
+    ProductQuant.writeTombstones(spark, base,
+      e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+    def probe() = ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3,
+        base, coarse, bySub, dim = Some(d))
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // no tombstoned vector is retrievable in the filtered window
+    assert(before.forall(_._2 % 9 != 3))
+    val (g1, g2) = ProductQuant.compactStore(spark, base)
+    assert(g2 == g1 + 1)
+    // physical removal: the new generation holds no tombstoned rows
+    assert(spark.read.parquet(ProductQuant.currentIndexDir(spark, base))
+      .filter(col("vec_id") % 9 === 3).count() == 0)
+    val after = probe()
+    assert(after == before, "probe answer changed across compaction")
+    // the sidecar is retained (readers on the old generation need it)
+    assert(ProductQuant.tombstones(spark, base).nonEmpty)
+  }
+
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
     import spark.implicits._
     // vec 1 stays put unchanged, vec 2 moves list 0 -> 3 (retrained
