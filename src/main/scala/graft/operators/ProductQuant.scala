@@ -916,6 +916,16 @@ object ProductQuant {
     * preserves (or establishes) the same split.
     */
   private def deriveHotLists(codes: DataFrame): (Map[Int, Int], Int) = {
+    val (widths, tasks, _) = deriveHotListsWithTotal(codes)
+    (widths, tasks)
+  }
+
+  /** [[deriveHotLists]] plus the total row count the aggregation saw —
+    * the empty-relation guards on the compaction/publish paths need it
+    * and it is free (the counts were collected anyway).
+    */
+  private def deriveHotListsWithTotal(
+      codes: DataFrame): (Map[Int, Int], Int, Long) = {
     val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
     val total = counts.map(_.getLong(1)).sum
     val mean = total.toDouble / counts.length
@@ -925,7 +935,8 @@ object ProductQuant {
           math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2)))
       .toMap
     (widths,
-      saltTasksFor(total, widths.values.maxOption.getOrElse(SaltBuckets)))
+      saltTasksFor(total, widths.values.maxOption.getOrElse(SaltBuckets)),
+      total)
   }
 
   /** Compact the live generation of a versioned store into a NEW
@@ -950,7 +961,17 @@ object ProductQuant {
     // writeTombstones' GC contract)
     val codes = tombstones(spark, baseDir).fold(raw)(t =>
       raw.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
-    val (widths, tasks) = deriveHotLists(codes)
+    val (widths, tasks, total) = deriveHotListsWithTotal(codes)
+    // a FULL wipe must not compact: publishing a zero-row generation
+    // writes only _SUCCESS (no parquet footers), flips CURRENT to an
+    // unreadable dir, and bricks every later probe/audit (round-16
+    // review-4 #1) — decommissioning a store is an explicit operator
+    // action, not a compaction outcome. total is free: the hot-list
+    // derivation already counted every list.
+    if (total == 0L) throw new IllegalStateException(
+      s"compactStore: every vector under $baseDir is tombstoned — " +
+        "refusing to publish an empty generation; decommission the " +
+        "store explicitly instead")
     val (g2, _) = publishIndex(spark, baseDir, codes,
       hotWidths = widths, saltTasks = Some(tasks))
     (g, g2)
@@ -976,8 +997,13 @@ object ProductQuant {
     val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
     publishIndex(spark, baseDir,
       ivfadcCodesWith(embeddings, coarse, bySub, d))
-    ivfadcProbeIndex(embeddings, queryPred, k,
-      currentIndexDir(spark, baseDir), coarse, bySub, nProbe, Some(d))
+    // probe via the STORE path so standing deletes apply — a publish
+    // refreshes codes from the caller's corpus (removing deleted rows
+    // from the corpus is ingest's job), but the sidecar contract
+    // "every store probe anti-joins the tombstones" must hold through
+    // this seam too (round-16 review-4 #3)
+    ivfadcProbeStore(embeddings, queryPred, k, baseDir, coarse, bySub,
+      nProbe, Some(d))
   }
 
   /** Publish the code relation persisted at `codesDir` as a NEW
@@ -992,7 +1018,13 @@ object ProductQuant {
     val codes = spark.read.parquet(codesDir)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
-    val (widths, tasks) = deriveHotLists(codes)
+    val (widths, tasks, total) = deriveHotListsWithTotal(codes)
+    // same empty-generation brick guard as compactStore: a zero-row
+    // publish writes only _SUCCESS and flips readers onto a dir that
+    // can't infer a schema
+    if (total == 0L) throw new IllegalStateException(
+      s"publishStore: '$codesDir' holds no code rows — refusing to " +
+        "publish an empty generation")
     publishIndex(spark, baseDir, codes, hotWidths = widths,
       saltTasks = Some(tasks))
   }
@@ -1041,19 +1073,40 @@ object ProductQuant {
     * operator — the retention contract is theirs ([[publishIndex]]).
     */
   def writeTombstones(spark: org.apache.spark.sql.SparkSession,
-                      baseDir: String, ids: DataFrame): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .coalesce(1)
+                      baseDir: String, ids: DataFrame): Unit = {
+    val t = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    // a delete that doesn't parse must FAIL, not silently no-op: a
+    // null key never matches the anti-join, so a malformed id would
+    // otherwise be "deleted" into nothing (round-16 review-4 #4). The
+    // count is one action on a bounded relation — deletes ≪ corpus.
+    val bad = t.filter(col("vec_id").isNull).count()
+    require(bad == 0,
+      s"writeTombstones: $bad ids did not parse as long vec_ids")
+    // append only NOVEL ids: delete APIs get retried, and an
+    // append-per-call sidecar would grow with calls, not with
+    // distinct deletes — it is broadcast on every probe (review-4 #5)
+    val novel = tombstones(spark, baseDir)
+      .fold(t)(ex => t.join(ex, Seq("vec_id"), "left_anti"))
+    novel.coalesce(1)
       .write.mode("append")
       .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+  }
 
-  /** The standing tombstone relation, if any deletes were issued. */
+  /** The standing tombstone relation, if any deletes were issued. A
+    * directory with no COMMITTED data file (the crash garbage of a
+    * failed first write — `_temporary` only) reads as "no tombstones":
+    * the failed delete call already surfaced its error to its caller,
+    * and schema inference over an empty dir would otherwise crash
+    * every later probe and compaction (round-16 review-4 #2).
+    */
   def tombstones(spark: org.apache.spark.sql.SparkSession,
                  baseDir: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val committed = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (committed) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Probe the store's LIVE generation with standing deletes applied —

@@ -480,6 +480,25 @@ class ProductQuantSpec extends SparkSpec {
     assert(after == before, "probe answer changed across compaction")
     // the sidecar is retained (readers on the old generation need it)
     assert(ProductQuant.tombstones(spark, base).nonEmpty)
+    // retried delete batches append NOTHING new — the sidecar grows
+    // with distinct deletes, not with delete calls (review-4 #5)
+    val sizeBefore = ProductQuant.tombstones(spark, base).get.count()
+    ProductQuant.writeTombstones(spark, base,
+      e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+    assert(ProductQuant.tombstones(spark, base).get.count() == sizeBefore)
+    // a malformed id FAILS the delete instead of silently no-oping
+    intercept[IllegalArgumentException] {
+      ProductQuant.writeTombstones(spark, base,
+        Seq("v123").toDF("vec_id"))
+    }
+    // a FULL wipe refuses to compact: an empty generation would brick
+    // the store (only _SUCCESS, no readable schema)
+    ProductQuant.writeTombstones(spark, base, e.select("vec_id"))
+    intercept[IllegalStateException] {
+      ProductQuant.compactStore(spark, base)
+    }
+    // ...and the store is still readable after the refusal
+    assert(probe().isEmpty) // everything tombstoned -> no candidates
   }
 
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
