@@ -138,13 +138,23 @@ object BenchScaling {
         s""""note":"exp = ln(t_hi/t_lo)/ln(sf_hi/sf_lo); """ +
         s"""1.0 = linear in data, ~0 = overhead-bound"}"""
     // default sidecar name carries the CURRENT round — bump it when a
-    // new round starts, or a re-run silently overwrites the previous
-    // round's committed series point (exactly what happened to the
-    // r15 file early in round 16; restored from git)
+    // new round starts. An EXISTING sidecar is never overwritten
+    // (VERDICT r16 #8: a round-16 re-run clobbered the committed r15
+    // series point and only a lucky git restore saved it): the result
+    // goes to a .new sibling instead, and picking which file is the
+    // round's record stays an explicit human move. Set
+    // SPARK_GRAFT_SCALING_OUT to write elsewhere deliberately.
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r16.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r17.json")
+    val target =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar))) {
+        System.err.println(s"scaling: refusing to overwrite existing " +
+          s"'$sidecar' — writing '$sidecar.new' instead (set " +
+          "SPARK_GRAFT_SCALING_OUT to choose a path)")
+        sidecar + ".new"
+      } else sidecar
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sidecar), out + "\n")
+      java.nio.file.Paths.get(target), out + "\n")
     catch { case e: Throwable =>
       System.err.println(s"scaling: sidecar write failed: ${e.getMessage}")
     }
