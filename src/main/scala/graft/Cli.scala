@@ -245,9 +245,10 @@ object Cli {
       // a VERSIONED STORE base (CURRENT pointer / v<N> generations)
       // resolves to its live generation first — the doctor audits what
       // readers actually scan
-      val resolved = scala.util.Try(
+      val store = scala.util.Try(
         operators.ProductQuant.currentGeneration(spark, idxDir))
-        .toOption.flatten match {
+        .toOption.flatten
+      val resolved = store match {
         case Some((g, dir)) =>
           println(s"versioned store: auditing live generation v$g")
           dir
@@ -267,6 +268,32 @@ object Cli {
           rows.foreach { r =>
             println(f"${r.getInt(0)}%6d ${r.getLong(1)}%10d " +
               f"${r.getLong(2)}%8d ${r.getLong(3)}%12d ${r.getString(4)}")
+          }
+          // tombstone observability (VERDICT r16 #2): the sidecar rides
+          // into every store probe's anti-join but no probe plan prints
+          // it — the doctor is where its growth must surface, with the
+          // compaction remedy named (compactStore applies the deletes
+          // physically, folds the sidecar to one file, and GCs the ids
+          // no retained generation still contains). Store-only: a bare
+          // index has no delete verb.
+          if (store.nonEmpty) {
+            operators.ProductQuant.tombstoneFsStats(spark, idxDir)
+              .foreach { case (files, bytes) =>
+                val n = operators.ProductQuant.tombstones(spark, idxDir)
+                  .map(_.count()).getOrElse(0L)
+                val liveVecs = spark.read.parquet(resolved)
+                  .select("vec_id").distinct().count()
+                val pm = if (liveVecs == 0) 0L else 1000L * n / liveVecs
+                val over =
+                  if (bytes >
+                    operators.ProductQuant.TombstoneBroadcastBytes)
+                    " [past the broadcast budget: probes anti-join " +
+                      "un-broadcast]"
+                  else ""
+                println(s"tombstones: $n ids in $files file(s), " +
+                  s"$bytes B, ~$pm permille of live vectors$over" +
+                  " — remedy: compact --index")
+              }
           }
           val bad = rows.map(_.getString(4)).filter(_ != "ok")
           if (bad.isEmpty) { println("index layout ok"); 0 }

@@ -703,6 +703,10 @@ object ProductQuant {
                        excludeIds: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.PqKernels.register(spark)
+    // the probe-only entry point (ivfadcProbeStore on a FRESH session)
+    // reaches normN below with no prior face having registered the LSH
+    // kernel family — register what this plan actually calls
+    graft.functions.LshKernels.register(spark)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val subLen = d / AdcM
     val embN = graft.Tables.spread(embeddings)
@@ -723,10 +727,15 @@ object ProductQuant {
     val idx = spark.read.parquet(indexDir)
       .filter(col("ccid").isin(probed: _*))
     // standing deletes (tombstone sidecar) leave the candidate set
-    // BEFORE scoring: a broadcast anti-join on the bounded id relation
-    // — a deleted vector never reaches the shortlist or the rerank
+    // BEFORE scoring — a deleted vector never reaches the shortlist or
+    // the rerank. The broadcast decision belongs to the CALLER (the
+    // store paths apply [[TombstoneBroadcastBytes]] via the hinted
+    // accessor): an unconditional broadcast here would OOM an executor
+    // the day a delete-heavy corpus outgrows "deletes ≪ corpus"
+    // (VERDICT r16 #2); un-hinted, the anti-join degrades to a shuffle
+    // instead of a crash.
     val idxLive = excludeIds.fold(idx)(t =>
-      idx.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+      idx.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
     val scored = idxLive
       .join(broadcast(qrel), Seq("ccid", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -782,7 +791,8 @@ object ProductQuant {
         val base = graft.Scratch.dir("ivfadc_store_")
         val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
         publishIndex(spark, base,
-          ivfadcCodesWith(embeddings, coarse, bySub, d))
+          ivfadcCodesWith(embeddings, coarse, bySub, d),
+          quantizers = Some((coarse, bySub)))
         (currentIndexDir(spark, base), coarse, bySub)
       })
     }
@@ -864,7 +874,15 @@ object ProductQuant {
     // two remedies undoing each other forever (r15 self-review #2).
     // Hot lists re-derive from the data being rewritten anyway — one
     // bounded aggregation (<= nCoarse rows collected).
-    val (widths, tasks) = deriveHotLists(codes)
+    val (widths, tasks, total) = deriveHotListsWithTotal(codes)
+    // the same zero-row refusal as compactStore/publishStore (ADVICE
+    // r16): compacting an empty-but-readable index writes a tmp dir
+    // holding only _SUCCESS and swaps it live — schema inference then
+    // fails on every later read. Decommissioning an index is an
+    // explicit operator action, never a compaction outcome.
+    if (total == 0L) throw new IllegalStateException(
+      s"compactIndex: '$indexDir' holds no code rows — refusing to " +
+        "swap in an empty rewrite")
     writeIndex(codes, tmp.toString, hotWidths = widths,
       saltTasks = Some(tasks))
     val fs = new Path(indexDir).getFileSystem(
@@ -889,8 +907,11 @@ object ProductQuant {
         s"compactIndex: compacted index live, but $old was not removed")
   }
 
-  /** Hot lists of a code relation plus the salt fan-out their heat
-    * needs: hot = rows > 2× the mean list (one bounded aggregation,
+  /** Hot lists of a code relation, the salt fan-out their heat needs,
+    * and the total row count the aggregation saw (the third element is
+    * free — the counts were collected anyway — and every caller wants
+    * it for its zero-row brick guard):
+    * hot = rows > 2× the mean list (one bounded aggregation,
     * ≤nCoarse rows collected); each hot list gets its OWN fan-out —
     * TWICE the minimum salt width that clears ITS hot test, floored at
     * [[SaltBuckets]] (collision headroom: a 4-wide salt whose values
@@ -911,18 +932,9 @@ object ProductQuant {
     * remedy isn't more salt, it's re-training the coarse quantizer so
     * the list stops existing; a silent cap would hide exactly that
     * signal. Returns (per-list widths, the salted shuffle's task
-    * count) — one derivation consumed verbatim by [[compactIndex]],
-    * [[compactStore]] and [[publishStore]] so every rewrite path
-    * preserves (or establishes) the same split.
-    */
-  private def deriveHotLists(codes: DataFrame): (Map[Int, Int], Int) = {
-    val (widths, tasks, _) = deriveHotListsWithTotal(codes)
-    (widths, tasks)
-  }
-
-  /** [[deriveHotLists]] plus the total row count the aggregation saw —
-    * the empty-relation guards on the compaction/publish paths need it
-    * and it is free (the counts were collected anyway).
+    * count, total rows) — one derivation consumed verbatim by
+    * [[compactIndex]], [[compactStore]] and [[publishStore]] so every
+    * rewrite path preserves (or establishes) the same split.
     */
   private def deriveHotListsWithTotal(
       codes: DataFrame): (Map[Int, Int], Int, Long) = {
@@ -943,7 +955,10 @@ object ProductQuant {
     * generation — the store twin of [[compactIndex]]'s in-place swap
     * (readers keep resolving complete immutable dirs; no swap window
     * at all here). Salt derivation is shared with [[compactIndex]],
-    * so the hot-list split is preserved across the rewrite. Returns
+    * so the hot-list split is preserved across the rewrite; the
+    * quantizer sidecar carries forward (same books, same codes); and
+    * [[gcTombstones]] runs at the end — compaction is where the
+    * delete debt is settled, physically AND in the sidecar. Returns
     * (liveGen, newGen).
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
@@ -959,8 +974,8 @@ object ProductQuant {
     // filtering covers the window until then; the sidecar is retained
     // for readers still resolving older generations — see
     // writeTombstones' GC contract)
-    val codes = tombstones(spark, baseDir).fold(raw)(t =>
-      raw.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    val codes = hintedTombstones(spark, baseDir).fold(raw)(t =>
+      raw.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
     val (widths, tasks, total) = deriveHotListsWithTotal(codes)
     // a FULL wipe must not compact: publishing a zero-row generation
     // writes only _SUCCESS (no parquet footers), flips CURRENT to an
@@ -972,7 +987,59 @@ object ProductQuant {
       s"compactStore: every vector under $baseDir is tombstoned — " +
         "refusing to publish an empty generation; decommission the " +
         "store explicitly instead")
+    // the compacted rows are the SAME books' codes minus the deleted
+    // ones, so the live generation's quantizer sidecar carries forward
+    // verbatim (a bookless generation — synthetic codes, pre-sidecar
+    // publishes — stays bookless)
+    val books = scala.util.Try(loadQuantizers(spark, live)).toOption
     val (g2, _) = publishIndex(spark, baseDir, codes,
+      hotWidths = widths, saltTasks = Some(tasks), quantizers = books)
+    // tombstone hygiene rides every compaction: fold the sidecar to
+    // one file and drop the ids no retained generation contains
+    gcTombstones(spark, baseDir)
+    (g, g2)
+  }
+
+  /** Execute the stated remedy for a hot list past the salt clamp's
+    * convergence boundary (VERDICT r16 #3 — the
+    * [[deriveHotListsWithTotal]] scaladoc names it: past 64 files the
+    * remedy isn't more salt, it's re-training the coarse quantizer so
+    * the list stops existing): retrain with the one-Lloyd-round
+    * spherical k-means machinery ([[Similarity.kmeansAssign]] — the
+    * `kmeans_train_curve` trainer's single step), re-LIST the live
+    * generation's code rows under the retrained assignment, and
+    * publish the result as a new generation, born salted if its new
+    * skew still warrants it. Fine codes ride UNCHANGED — a collapsed
+    * list is a LIST-geometry failure, and the fine books never moved;
+    * when the fine books must retrain too, the path is a fresh
+    * [[ivfadcQuantizers]] + [[ivfadcCodesWith]] + [[publishIndex]].
+    * The vec-keyed join of the code relation against the corpus-sized
+    * assignment is a real shuffle: retraining is rebuild-class
+    * maintenance, priced like one, never on a probe path. The corpus
+    * must cover the index (a code row without an embedding cannot be
+    * re-listed) — the same contract as every probe's rerank. The old
+    * quantizer sidecar deliberately does NOT carry forward: the coarse
+    * book it records no longer describes the new generation's lists
+    * ([[indexGenDiff]] reports the move as 'recoded'). Returns
+    * (fromGen, toGen).
+    */
+  def retrainStore(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String, embeddings: DataFrame,
+                   nCoarse: Int = 16): (Int, Int) = {
+    val (g, live) = currentGeneration(spark, baseDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    val codes = spark.read.parquet(live)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val assign = Similarity.kmeansAssign(embeddings, nCoarse)
+      .select(col("vec_id"), col("ccid").cast("int").as("ccid"))
+    val relisted = codes.join(assign, "vec_id")
+      .select(col("vec_id"), col("ccid"), col("sub"), col("code"))
+    val (widths, tasks, total) = deriveHotListsWithTotal(relisted)
+    if (total == 0L) throw new IllegalStateException(
+      s"retrainStore: no code row of v$g re-lists against the given " +
+        "corpus — refusing to publish an empty generation")
+    val (g2, _) = publishIndex(spark, baseDir, relisted,
       hotWidths = widths, saltTasks = Some(tasks))
     (g, g2)
   }
@@ -982,11 +1049,16 @@ object ProductQuant {
     * generation via [[publishIndex]], resolve the live generation with
     * [[currentIndexDir]], and probe the resolved immutable directory
     * through [[ivfadcProbeIndex]] — publish → resolve → probe, the
-    * seam a 100 TB embed store runs every refresh cycle. Row-identical
-    * to [[ivfadcPartitionedTopK]] by construction: the published codes
+    * seam a 100 TB embed store runs every refresh cycle. Since r17 the
+    * publish carries the quantizer sidecar and the probe runs on BOOKS
+    * LOADED FROM THE STORE ([[ivfadcProbeStore]]) — the trained books
+    * go out of scope before the probe, exactly like the separate
+    * processes they stand in for. Row-identical to
+    * [[ivfadcPartitionedTopK]] by construction: the published codes
     * are the same single-scan relation, [[writeIndex]]'s one
-    * discipline writes them, and the probe is literally the same
-    * function over the resolved path — the oracle is the same SQL.
+    * discipline writes them, the loaded books are bit-identical to the
+    * written ones ([[loadQuantizers]]), and the probe is literally the
+    * same function over the resolved path — the oracle is the same SQL.
     */
   def ivfadcStoreProbeTopK(embeddings: DataFrame, queryPred: Column,
                            k: Int, baseDir: String, nCoarse: Int = 16,
@@ -996,14 +1068,14 @@ object ProductQuant {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
     publishIndex(spark, baseDir,
-      ivfadcCodesWith(embeddings, coarse, bySub, d))
+      ivfadcCodesWith(embeddings, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)))
     // probe via the STORE path so standing deletes apply — a publish
     // refreshes codes from the caller's corpus (removing deleted rows
     // from the corpus is ingest's job), but the sidecar contract
     // "every store probe anti-joins the tombstones" must hold through
     // this seam too (round-16 review-4 #3)
-    ivfadcProbeStore(embeddings, queryPred, k, baseDir, coarse, bySub,
-      nProbe, Some(d))
+    ivfadcProbeStore(embeddings, queryPred, k, baseDir, nProbe, Some(d))
   }
 
   /** Publish the code relation persisted at `codesDir` as a NEW
@@ -1061,16 +1133,25 @@ object ProductQuant {
 
   /** The store's DELETE verb (round 16): append vec_ids to the
     * tombstone sidecar. Deletes take effect at the NEXT probe — every
-    * store probe anti-joins the sidecar (a bounded broadcast: deletes
-    * ≪ corpus at 100 TB) — while the physical removal waits for the
-    * next [[compactStore]], which drops tombstoned rows from the
-    * generation it publishes. The sidecar is RETAINED after
-    * compaction: retained older generations still contain the rows,
-    * so readers resolving them still need the filter, and re-applying
-    * it to a cleaned generation is a no-op (an anti-join on absent
-    * ids). Garbage-collecting the sidecar once every retained
-    * generation post-dates the compaction is deliberately left to the
-    * operator — the retention contract is theirs ([[publishIndex]]).
+    * store probe anti-joins the sidecar (broadcast while it fits the
+    * [[TombstoneBroadcastBytes]] budget, a shuffle past it) — while
+    * the physical removal waits for the next [[compactStore]], which
+    * drops tombstoned rows from the generation it publishes. The
+    * sidecar is RETAINED after compaction for as long as some retained
+    * generation still contains the rows (readers resolving it still
+    * need the filter; re-applying the filter to a cleaned generation
+    * is a no-op); once no retained generation contains a tombstoned
+    * id, [[gcTombstones]] — run by every [[compactStore]] — drops it,
+    * and the sidecar disappears when nothing survives.
+    *
+    * SINGLE-WRITER CONTRACT (ADVICE r16, the same contract as
+    * [[publishIndex]]): the novelty check below is a non-atomic
+    * read-modify-write — two CONCURRENT delete calls could each see
+    * the other's ids as novel and append duplicates. Duplicates are
+    * harmless to correctness (the anti-join is idempotent) and bounded
+    * by [[gcTombstones]]' distinct rewrite, but the "sidecar grows
+    * with distinct deletes, not calls" size argument holds only under
+    * one writer at a time.
     */
   def writeTombstones(spark: org.apache.spark.sql.SparkSession,
                       baseDir: String, ids: DataFrame): Unit = {
@@ -1087,9 +1168,14 @@ object ProductQuant {
     // distinct deletes — it is broadcast on every probe (review-4 #5)
     val novel = tombstones(spark, baseDir)
       .fold(t)(ex => t.join(ex, Seq("vec_id"), "left_anti"))
-    novel.coalesce(1)
-      .write.mode("append")
-      .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+    // an all-duplicate retry writes NOTHING: appending a zero-row part
+    // file per retried call would still grow the sidecar's file count,
+    // which the doctor reports and every probe's read lists (the count
+    // is one more action on the bounded delete relation)
+    if (novel.count() > 0L)
+      novel.coalesce(1)
+        .write.mode("append")
+        .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
   }
 
   /** The standing tombstone relation, if any deletes were issued. A
@@ -1109,23 +1195,159 @@ object ProductQuant {
     if (committed) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Probe the store's LIVE generation with standing deletes applied —
-    * resolve [[currentIndexDir]], anti-join the tombstone sidecar out
-    * of the probed code relation (before scoring: a deleted vector
-    * never enters the shortlist), then the one probe
-    * ([[ivfadcProbeIndex]]). Tombstones affect RETRIEVABILITY only;
-    * the query side is the caller's relation untouched.
+  /** Broadcast budget for the tombstone anti-join: a sidecar under
+    * this byte size rides an explicit broadcast into every probe; one
+    * past it falls back to a shuffle anti-join (VERDICT r16 #2 —
+    * "deletes ≪ corpus" is a contract, not a law of nature, and an
+    * unconditional broadcast of an ever-growing relation is an
+    * executor OOM the day the contract breaks). The threshold reads
+    * FILE SIZE from a bounded directory listing, never a count job —
+    * the guard must not tax the steady-state probe it protects.
+    */
+  val TombstoneBroadcastBytes: Long = 64L << 20
+
+  /** Sidecar physical stats from one bounded directory listing:
+    * (data files, bytes). None when no committed sidecar exists.
+    */
+  def tombstoneFsStats(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val files = fs.listStatus(p).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files.isEmpty) None
+      else Some((files.length.toLong, files.map(_.getLen).sum))
+    }
+  }
+
+  /** The standing tombstones with the size-guarded broadcast hint
+    * applied — the form every store probe and compaction anti-join
+    * consumes ([[TombstoneBroadcastBytes]]).
+    */
+  private def hintedTombstones(spark: org.apache.spark.sql.SparkSession,
+                               baseDir: String): Option[DataFrame] =
+    tombstones(spark, baseDir).map { t =>
+      val bytes = tombstoneFsStats(spark, baseDir).map(_._2).getOrElse(0L)
+      if (bytes <= TombstoneBroadcastBytes) broadcast(t) else t
+    }
+
+  /** Tombstone garbage collection (VERDICT r16 #2) — run by every
+    * [[compactStore]] after it publishes the cleaned generation:
+    * rewrite the sidecar to ONE file holding only the ids some
+    * retained COMPLETE generation still contains (each
+    * `writeTombstones` call stacked one more file; the probe
+    * broadcasts the whole sidecar, so the file count and the
+    * dead-id payload both matter). Once every retained generation
+    * post-dates the deletes — a data-derived fact: the semi-join
+    * against each retained generation's code relation comes back
+    * empty — the sidecar is REMOVED entirely. Survival is probed
+    * per generation with the tombstones on the build side (the
+    * generations are the big side and only their matching ids
+    * shuffle), distinct-unioned, so the result is ⊆ the standing ids
+    * and duplicates from out-of-contract concurrent deletes collapse.
+    * Cost: one code-relation scan per retained generation, paid on
+    * the compaction path, never on a probe. Single-writer, like every
+    * store mutation. Returns the surviving id count.
+    */
+  def gcTombstones(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    tombstones(spark, baseDir) match {
+      case None => 0L
+      case Some(t) =>
+        val ids = t.select("vec_id").distinct()
+        val probe =
+          if (tombstoneFsStats(spark, baseDir).map(_._2).getOrElse(0L)
+              <= TombstoneBroadcastBytes) broadcast(ids)
+          else ids
+        val gens = listGenerations(spark, baseDir)
+          .filter(g => isComplete(spark, g._2))
+        val tombPath = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+        val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (gens.isEmpty) {
+          // no retained generation can contain anything: drop the lot
+          if (!fs.delete(tombPath, true)) throw new java.io.IOException(
+            s"gcTombstones: delete $tombPath failed")
+          return 0L
+        }
+        val surviving = gens.map { case (_, dir) =>
+            spark.read.parquet(dir).select(col("vec_id"))
+              .join(probe, Seq("vec_id"), "left_semi")
+          }.reduce(_ unionByName _).distinct()
+        // write-then-count: the count reads the tiny rewritten file
+        // instead of re-running the generation scans a second time
+        val tmp = new Path(tombPath.toString + ".gc_tmp")
+        val old = new Path(tombPath.toString + ".gc_old")
+        surviving.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val n = spark.read.parquet(tmp.toString).count()
+        if (n == 0L) {
+          if (!fs.delete(tmp, true) || !fs.delete(tombPath, true))
+            throw new java.io.IOException(
+              s"gcTombstones: could not remove an empty sidecar")
+          0L
+        } else {
+          // the same rename-aside swap discipline as compactIndex: a
+          // crash between the renames leaves a recoverable full copy
+          if (fs.exists(old) && !fs.delete(old, true))
+            throw new java.io.IOException(
+              s"gcTombstones: stale $old exists and could not be removed")
+          if (!fs.rename(tombPath, old))
+            throw new java.io.IOException(
+              s"gcTombstones: rename $tombPath -> $old failed")
+          if (!fs.rename(tmp, tombPath))
+            throw new java.io.IOException(
+              s"gcTombstones: rename $tmp -> $tombPath failed " +
+                s"(original preserved at $old)")
+          if (!fs.delete(old, true))
+            throw new java.io.IOException(
+              s"gcTombstones: rewritten sidecar live, but $old was not " +
+                "removed")
+          n
+        }
+    }
+  }
+
+  /** Probe the store's LIVE generation with BOOKS LOADED FROM THE
+    * STORE (VERDICT r16 #1) — the fresh probe-only process's whole
+    * path: resolve the live generation ([[currentGeneration]]), load
+    * its quantizer sidecar ([[loadQuantizers]] — a book-sized parquet
+    * read, NOT a training scan of the corpus), apply standing deletes,
+    * and run the one pruned probe ([[ivfadcProbeIndex]]). The
+    * `embeddings` relation is touched only where every two-stage ANN
+    * design touches it — the query side and the exact rerank's
+    * candidate lookup — never to re-derive the books. Tombstones
+    * affect RETRIEVABILITY only; the query side is untouched.
     */
   def ivfadcProbeStore(embeddings: DataFrame, queryPred: Column, k: Int,
-                       baseDir: String,
-                       coarse: Seq[(Long, Array[Double])],
-                       bySub: Map[Int, Seq[(Long, Array[Double])]],
-                       nProbe: Int = 4,
+                       baseDir: String, nProbe: Int = 4,
                        dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    val (coarse, bySub) = loadQuantizers(spark, genDir)
+    ivfadcProbeIndex(embeddings, queryPred, k, genDir, coarse, bySub,
+      nProbe, dim, excludeIds = hintedTombstones(spark, baseDir))
+  }
+
+  /** [[ivfadcProbeStore]] for a caller that already HOLDS the frozen
+    * quantizers (the build session's steady state — no reason to
+    * re-read what's in hand): same resolve → delete-filter → pruned
+    * probe, books passed instead of loaded.
+    */
+  def ivfadcProbeStoreWith(embeddings: DataFrame, queryPred: Column,
+                           k: Int, baseDir: String,
+                           coarse: Seq[(Long, Array[Double])],
+                           bySub: Map[Int, Seq[(Long, Array[Double])]],
+                           nProbe: Int = 4,
+                           dim: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
     ivfadcProbeIndex(embeddings, queryPred, k,
       currentIndexDir(spark, baseDir), coarse, bySub, nProbe, dim,
-      excludeIds = tombstones(spark, baseDir))
+      excludeIds = hintedTombstones(spark, baseDir))
   }
 
   /** Cross-generation index diff — the refresh-cycle observability a
@@ -1139,8 +1361,9 @@ object ProductQuant {
     * it costs two code scans, one vec-level aggregation per side
     * (codes pack LOSSLESSLY into one long via `code << 8·sub`, exact
     * for M ≤ 8 subspaces of 8-bit codes — a weighted-sum fingerprint
-    * could collide), and one vec_id-keyed full outer join. Output is
-    * ≤ nCoarse × 4 rows.
+    * could collide — plus a sub-row count, because the pack can't see
+    * a dropped code-0 row), and one vec_id-keyed full outer join.
+    * Output is ≤ nCoarse × 4 rows.
     */
   def indexGenDiff(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, genA: Int, genB: Int): DataFrame = {
@@ -1157,22 +1380,103 @@ object ProductQuant {
             "generation")
       spark.read.parquet(dir)
         .groupBy(col("vec_id"), col("ccid").cast("int").as("ccid"))
+        // the packed fingerprint alone cannot distinguish a PRESENT
+        // sub row whose code is 0 from a MISSING sub row (both
+        // contribute 0 to the sum, and code 0 is common at ks=16), so
+        // the per-vector sub-row COUNT rides alongside — a dropped
+        // code-0 sub row then classifies as 'recoded', not 'unchanged'
+        // (ADVICE r16)
         .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 8 * sub)"))
-          .as("code_fp"))
+          .as("code_fp"), count(lit(1)).as("n_subs"))
     }
     val a = side(genA).select(col("vec_id"), col("ccid").as("ccid_a"),
-      col("code_fp").as("fp_a"))
+      col("code_fp").as("fp_a"), col("n_subs").as("ns_a"))
     val b = side(genB).select(col("vec_id"), col("ccid").as("ccid_b"),
-      col("code_fp").as("fp_b"))
+      col("code_fp").as("fp_b"), col("n_subs").as("ns_b"))
     a.join(b, Seq("vec_id"), "full_outer")
       .select(
         coalesce(col("ccid_b"), col("ccid_a")).as("ccid"),
         when(col("fp_a").isNull, "added")
           .when(col("fp_b").isNull, "removed")
           .when(col("fp_a") =!= col("fp_b") ||
+            col("ns_a") =!= col("ns_b") ||
             !(col("ccid_a") <=> col("ccid_b")), "recoded")
           .otherwise("unchanged").as("status"))
       .groupBy("ccid", "status").agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** A store generation's frozen quantizers as the probe paths pass
+    * them around: (coarse centroids, per-subspace fine codebooks).
+    */
+  type Quantizers =
+    (Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]])
+
+  /** The per-generation quantizer sidecar's directory name.
+    * Underscore-prefixed like [[TombstoneDir]]: Hadoop hides
+    * `_`-children from input listings, so a probe's scan of the
+    * generation can never mistake book rows for code rows.
+    */
+  val QuantizerDir = "_quantizers"
+
+  /** Persist BOTH frozen quantizers under a generation directory —
+    * what makes the store SELF-DESCRIBING (VERDICT r16 #1): published
+    * codes are uninterpretable without the books that encoded them,
+    * and without the sidecar a fresh probe-only process had to
+    * re-derive the books from the training corpus — the one scan the
+    * index exists to avoid — while a retained older generation encoded
+    * under since-retrained books had no recorded book AT ALL. The
+    * sidecar is a few KB of parquet (nCoarse + AdcM·AdcKs rows by the
+    * codebook contract); `ord` records each row's position inside its
+    * book so [[loadQuantizers]] rebuilds the exact driver-side
+    * sequences — bit-identical literals, bit-identical plans.
+    */
+  def writeQuantizers(spark: org.apache.spark.sql.SparkSession,
+                      genDir: String,
+                      coarse: Seq[(Long, Array[Double])],
+                      bySub: Map[Int, Seq[(Long, Array[Double])]]): Unit = {
+    import spark.implicits._
+    val rows =
+      coarse.zipWithIndex.map { case ((cid, v), i) =>
+        ("coarse", -1, i, cid, v.toSeq) } ++
+        bySub.toSeq.sortBy(_._1).flatMap { case (s, cents) =>
+          cents.zipWithIndex.map { case ((cid, v), i) =>
+            ("book", s, i, cid, v.toSeq) } }
+    rows.toDF("kind", "sub", "ord", "cid", "cv")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${genDir.stripSuffix("/")}/$QuantizerDir")
+  }
+
+  /** Load a generation's quantizer sidecar — the probe-only process's
+    * replacement for retraining ([[ivfadcProbeStore]]). One bounded
+    * collect (book-sized by construction); rows reassemble in their
+    * recorded `ord` so the rebuilt sequences are bit-identical to what
+    * [[writeQuantizers]] was handed. Fails LOUDLY on a generation
+    * published without books (a [[publishStore]] of raw codes, or a
+    * pre-sidecar publish) — probing one requires explicitly-held
+    * quantizers ([[ivfadcProbeStoreWith]]).
+    */
+  def loadQuantizers(spark: org.apache.spark.sql.SparkSession,
+                     genDir: String): Quantizers = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${genDir.stripSuffix("/")}/$QuantizerDir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val present = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (!present) throw new java.util.NoSuchElementException(
+      s"no quantizer sidecar under $genDir — the generation was " +
+        "published without books; probe it with explicitly-held " +
+        "quantizers (ivfadcProbeStoreWith) or republish with them")
+    val rows = spark.read.parquet(p.toString).collect()
+    val coarse = rows.filter(_.getString(0) == "coarse")
+      .sortBy(_.getInt(2))
+      .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq
+    val bySub = rows.filter(_.getString(0) == "book")
+      .groupBy(_.getInt(1))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getInt(2))
+          .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq }
+    (coarse, bySub)
   }
 
   /** Versioned index publication — the reader-ATOMIC layer the
@@ -1196,7 +1500,8 @@ object ProductQuant {
                    hotLists: Seq[Int] = Nil,
                    saltBuckets: Int = SaltBuckets,
                    saltTasks: Option[Int] = None,
-                   hotWidths: Map[Int, Int] = Map.empty): (Int, String) = {
+                   hotWidths: Map[Int, Int] = Map.empty,
+                   quantizers: Option[Quantizers] = None): (Int, String) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -1211,6 +1516,13 @@ object ProductQuant {
     val dir = s"${baseDir.stripSuffix("/")}/v$gen"
     writeIndex(codes, dir, hotLists = hotLists, saltBuckets = saltBuckets,
       saltTasks = saltTasks, hotWidths = hotWidths)
+    // the books land BEFORE the pointer flips, so a pointer-resolved
+    // reader always finds them; the one reader that can arrive between
+    // _SUCCESS and the sidecar is the crash-window _SUCCESS FALLBACK
+    // racing an in-flight publish, which the single-writer contract
+    // already scopes — and loadQuantizers fails loudly, never wrongly
+    quantizers.foreach { case (coarse, bySub) =>
+      writeQuantizers(spark, dir, coarse, bySub) }
     val cur = new Path(baseDir, "CURRENT")
     val tmp = new Path(baseDir, "CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -1465,6 +1777,21 @@ object ProductQuant {
   def skewedSyntheticCodes(embeddings: DataFrame): DataFrame =
     syntheticCodes(embeddings,
       when(col("vec_id") % 2 === 0, lit(0L)).otherwise(col("vec_id") % 16))
+
+  /** COLLAPSED-quantizer plant for the retrain face (VERDICT r16 #3):
+    * every even vec_id piles into list 0 while the odd ones spread
+    * ONE-DEEP over residues mod 600 — list 0 sits at ~(nonempty
+    * lists)/2 × the mean, ~125× at a 500-vector fixture and ~150×
+    * (past the 128× salt-clamp boundary) at 2000+. This is the store
+    * state a degenerate coarse quantizer leaves behind; the magnitude
+    * relative to the boundary is pinned deterministically in the spec
+    * (a fabricated 2000-row corpus), while the face replays the heat
+    * algebra relationally at any fixture size.
+    */
+  def collapsedSyntheticCodes(embeddings: DataFrame): DataFrame =
+    syntheticCodes(embeddings,
+      when(col("vec_id") % 2 === 0, lit(0L))
+        .otherwise(lit(1L) + col("vec_id") % 600))
 
   /** BALANCED synthetic code relation (ccid = vec_id mod 16): for the
     * contiguous fixture ids every list holds count/16 ± 1 rows, so no

@@ -772,6 +772,34 @@ object Similarity {
     perRound.result().reduce(_ unionByName _).orderBy("round", "cid")
   }
 
+  /** [[refinedCentroids]] collected into the driver-side Vec array the
+    * assignment kernel consumes — nCentroids rows by construction, the
+    * same bounded-collect contract as every quantizer in this repo.
+    */
+  private def refinedVecs(embeddings: DataFrame,
+                          nCentroids: Int): Array[Vec] =
+    refinedCentroids(embeddings, nCentroids).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var n2 = 0d; var i = 0
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+        Vec(r.getLong(0), v, math.sqrt(n2))
+      }.sortBy(_.id)
+
+  /** The one-Lloyd-round k-means coarse assignment as a relation
+    * (vec_id, ccid) — [[ivfTopKKmeans]]'s quantizer step exposed on
+    * its own, because index MAINTENANCE needs the assignment without
+    * the probe: [[graft.operators.ProductQuant.retrainStore]] re-lists
+    * a collapsed store under these retrained centroids (the remedy for
+    * a hot list past the salt clamp). One corpus scan against the
+    * broadcast-literal centroids; ccid is the refined centroid's id
+    * (a seed vec_id), round6-cosine argmax with centroid-id tie-break
+    * — the exact rule every IVF face oracles.
+    */
+  def kmeansAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
+    ivfAssignTo(refinedVecs(embeddings, nCentroids), embeddings, 1, "c")
+      .select(col("c_id").as("vec_id"), col("cid").as("ccid"))
+
   /** [[ivfTopK]] with the one-iteration k-means quantizer: lists and
     * probes assign against [[refinedCentroids]] (collected/broadcast —
     * nCentroids rows by construction); pair scoring stays on the original
@@ -781,13 +809,7 @@ object Similarity {
     */
   def ivfTopKKmeans(embeddings: DataFrame, queryPred: Column, k: Int,
                     nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = refinedCentroids(embeddings, nCentroids).collect()
-      .map { r =>
-        val v = r.getSeq[Double](1).toArray
-        var n2 = 0d; var i = 0
-        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-        Vec(r.getLong(0), v, math.sqrt(n2))
-      }.sortBy(_.id)
+    val cents = refinedVecs(embeddings, nCentroids)
     val lists = ivfAssignTo(cents, embeddings, 1, "c")
     val probeBase = graft.Tables.spread(embeddings).filter(queryPred)
     val probes = ivfAssignTo(cents, probeBase, nProbe, "q")

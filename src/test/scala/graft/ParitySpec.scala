@@ -489,6 +489,45 @@ class CliSpec extends SparkSpec {
     assert(cdm == 2)
   }
 
+  test("doctor --index surfaces the tombstone sidecar; compact is the named remedy (r16 #2)") {
+    val store = Files.createTempDirectory("graft_tomb_cli").toString
+    val ids = spark.range(0, 200).select(col("id").as("vec_id"))
+    ProductQuant.publishIndex(spark, store,
+      ProductQuant.uniformSyntheticCodes(ids))
+    // no deletes yet: the doctor stays silent about tombstones
+    val (c0, o0) = doctorOut(Array("doctor", "--index", store))
+    assert(c0 == 0 && !o0.contains("tombstones:"), o0)
+    // one delete batch: rows, files, permille of live vectors, remedy
+    ProductQuant.writeTombstones(spark, store,
+      ids.filter(col("vec_id") % 10 === 0))
+    val (c1, o1) = doctorOut(Array("doctor", "--index", store))
+    assert(c1 == 0, o1)
+    assert(o1.contains("tombstones: 20 ids in 1 file(s)"), o1)
+    assert(o1.contains("~100 permille of live vectors"), o1)
+    assert(o1.contains("remedy: compact --index"), o1)
+    // a second distinct batch stacks a second file — the doctor shows
+    // the growth the probe pays for
+    ProductQuant.writeTombstones(spark, store,
+      ids.filter(col("vec_id") % 10 === 1))
+    val (_, o2) = doctorOut(Array("doctor", "--index", store))
+    assert(o2.contains("tombstones: 40 ids in 2 file(s)"), o2)
+    // the named remedy: compaction applies the deletes physically,
+    // folds the sidecar to one file (ids survive — the dirty v1 is
+    // still retained), and the re-audit reprices the permille against
+    // the CLEANED live generation (40 of 160)
+    val (c3, o3) = doctorOut(Array("compact", "--index", store))
+    assert(c3 == 0, o3)
+    assert(o3.contains("tombstones: 40 ids in 1 file(s)"), o3)
+    assert(o3.contains("~250 permille of live vectors"), o3)
+    // once retention drops the dirty generation, the next compaction's
+    // GC removes the sidecar outright — the doctor goes silent again
+    val (cp, _) = doctorOut(
+      Array("prune", "--index", store, "--keep", "1"))
+    assert(cp == 0)
+    val (c4, o4) = doctorOut(Array("compact", "--index", store))
+    assert(c4 == 0 && !o4.contains("tombstones:"), o4)
+  }
+
   test("doctor maps each README failure class to a distinct check") {
     val out = Files.createTempDirectory("graft_doc").toString
     // class 1 — connection refused: source does not exist

@@ -463,8 +463,8 @@ class ProductQuantSpec extends SparkSpec {
       ProductQuant.ivfadcCodesWith(e, coarse, bySub, d))
     ProductQuant.writeTombstones(spark, base,
       e.filter(col("vec_id") % 9 === 3).select("vec_id"))
-    def probe() = ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3,
-        base, coarse, bySub, dim = Some(d))
+    def probe() = ProductQuant.ivfadcProbeStoreWith(e, col("vec_id") < 30,
+        3, base, coarse, bySub, dim = Some(d))
       .select("query_id", "cand_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     val before = probe()
@@ -486,6 +486,10 @@ class ProductQuantSpec extends SparkSpec {
     ProductQuant.writeTombstones(spark, base,
       e.filter(col("vec_id") % 9 === 3).select("vec_id"))
     assert(ProductQuant.tombstones(spark, base).get.count() == sizeBefore)
+    // ...and in ZERO new files: compaction folded the sidecar to one
+    // (gcTombstones), and an all-duplicate retry appends nothing
+    assert(ProductQuant.tombstoneFsStats(spark, base).map(_._1)
+      .contains(1L))
     // a malformed id FAILS the delete instead of silently no-oping
     intercept[IllegalArgumentException] {
       ProductQuant.writeTombstones(spark, base,
@@ -501,6 +505,93 @@ class ProductQuantSpec extends SparkSpec {
     assert(probe().isEmpty) // everything tombstoned -> no candidates
   }
 
+  test("the store is self-describing: a fresh session probes through loaded books (r16 #1)") {
+    val e = emb
+    val d = Similarity.dimOf(e)
+    val base = Scratch.dir("self_desc_")
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.ivfadcCodesWith(e, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)))
+    // the sidecar round-trips BIT-identically: same ids, same order,
+    // same components — loaded literals plan exactly like trained ones
+    val (c2, b2) = ProductQuant.loadQuantizers(spark,
+      ProductQuant.currentIndexDir(spark, base))
+    assert(c2.map(_._1) == coarse.map(_._1))
+    assert(c2.zip(coarse).forall { case ((_, a), (_, b)) =>
+      a.sameElements(b) })
+    assert(b2.keySet == bySub.keySet)
+    assert(b2.forall { case (s, cents) =>
+      cents.map(_._1) == bySub(s).map(_._1) &&
+        cents.zip(bySub(s)).forall { case ((_, a), (_, b)) =>
+          a.sameElements(b) } })
+    // a FRESH session that never trained or held the books runs
+    // resolve -> load -> pruned probe and matches the build session's
+    // books-in-hand probe row-for-row — the probe-only process a
+    // 100 TB embed store serves, without the corpus training scan
+    val s2 = spark.newSession()
+    val e2 = Tables.load(s2, sfDir, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val got = rows(ProductQuant.ivfadcProbeStore(e2, col("vec_id") < 30, 3,
+      base, dim = Some(d)))
+    val want = rows(ProductQuant.ivfadcProbeStoreWith(e, col("vec_id") < 30,
+      3, base, coarse, bySub, dim = Some(d)))
+    assert(got.nonEmpty && got == want)
+    // a bookless generation (raw-codes publish) fails LOUDLY, never
+    // probes wrongly
+    val bare = Scratch.dir("bookless_")
+    ProductQuant.publishIndex(spark, bare,
+      ProductQuant.uniformSyntheticCodes(e))
+    intercept[java.util.NoSuchElementException] {
+      ProductQuant.loadQuantizers(spark,
+        ProductQuant.currentIndexDir(spark, bare))
+    }
+  }
+
+  test("past the salt clamp a hot list cannot clear; retrainStore removes it (r16 #3)") {
+    // fabricated 2000-vector corpus: the collapsed plant puts list 0
+    // at ~150x the nonempty-list mean — past the 128x boundary (the
+    // 64-file clamp x the 2x-mean hot test), where more salt
+    // MATHEMATICALLY cannot clear the flag
+    val emb2k = spark.range(0, 2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), i -> " +
+        "cast(cast((id * 31 + i * 17) % 97 as double) / 97.0 - 0.5" +
+        " as float))").as("embedding"))
+    val base = Scratch.dir("retrain_boundary_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.collapsedSyntheticCodes(emb2k))
+    def audit() = ProductQuant.indexLayoutAudit(spark,
+      ProductQuant.currentIndexDir(spark, base)).collect()
+      .map(r => r.getInt(0) -> (r.getString(4), r.getLong(2))).toMap
+    assert(audit()(0)._1 == "hot_list")
+    // the in-contract remedy first: compaction salts at the derived
+    // width, which clamps at 64 — the flag MUST survive (the stated
+    // convergence boundary, demonstrated rather than documented)
+    ProductQuant.compactStore(spark, base)
+    val salted = audit()
+    assert(salted(0)._1 == "hot_list",
+      s"a ~150x list cleared at ${salted(0)._2} files — the 128x " +
+        "boundary moved")
+    assert(salted(0)._2 > 1L, "the clamped salt did split physically")
+    // the stated remedy: retrain the coarse quantizer and re-list
+    val (gFrom, gTo) = ProductQuant.retrainStore(spark, base, emb2k, 16)
+    assert(gTo == gFrom + 1)
+    val after = audit()
+    assert(!after.valuesIterator.exists(_._1 == "hot_list"),
+      s"retrained layout still hot: $after")
+    // the diff reports the re-listing: nothing added or removed, the
+    // moved vectors recoded, fine codes untouched
+    val diff = ProductQuant.indexGenDiff(spark, base, gFrom, gTo)
+      .groupBy("status").agg(sum("n_vecs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff.getOrElse("added", 0L) == 0L &&
+      diff.getOrElse("removed", 0L) == 0L, diff.toString)
+    assert(diff.getOrElse("recoded", 0L) > 0L, diff.toString)
+    assert(diff.values.sum == 2000L, diff.toString)
+  }
+
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
     import spark.implicits._
     // vec 1 stays put unchanged, vec 2 moves list 0 -> 3 (retrained
@@ -510,18 +601,24 @@ class ProductQuantSpec extends SparkSpec {
     def rel(rows: Seq[(Long, Int, Int, Int)]) =
       rows.toDF("vec_id", "ccid", "sub", "code")
     val base = Scratch.dir("gen_diff_spec_")
+    // vec 5 drops its code-0 sub row between generations: the packed
+    // fingerprint alone cannot see it (0 << 0 contributes nothing), so
+    // the sub-row presence count must classify it 'recoded' (ADVICE r16)
     val a = rel(Seq((1L, 0, 0, 10), (1L, 0, 1, 11),
       (2L, 0, 0, 20), (2L, 0, 1, 21),
-      (3L, 5, 0, 30), (3L, 5, 1, 31)))
+      (3L, 5, 0, 30), (3L, 5, 1, 31),
+      (5L, 7, 0, 0), (5L, 7, 1, 7)))
     val b = rel(Seq((1L, 0, 0, 10), (1L, 0, 1, 11),
       (2L, 3, 0, 20), (2L, 3, 1, 21),
-      (4L, 5, 0, 40), (4L, 5, 1, 41)))
+      (4L, 5, 0, 40), (4L, 5, 1, 41),
+      (5L, 7, 1, 7)))
     val (gA, _) = ProductQuant.publishIndex(spark, base, a)
     val (gB, _) = ProductQuant.publishIndex(spark, base, b)
     val got = ProductQuant.indexGenDiff(spark, base, gA, gB).collect()
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == Map((0, "unchanged") -> 1L, (3, "recoded") -> 1L,
-      (5, "removed") -> 1L, (5, "added") -> 1L), got.toString)
+      (5, "removed") -> 1L, (5, "added") -> 1L, (7, "recoded") -> 1L),
+      got.toString)
     // an INCOMPLETE generation (crashed/in-flight write) refuses to
     // diff instead of reporting its missing vectors as 'removed'
     // (round-16 review-2 #1)
