@@ -26,6 +26,7 @@ import org.apache.spark.sql.SparkSession
   *                                                 matrix)
   *   doctor  --index <dir>                         index layout audit
   *   compact --index <dir>                         split_files remedy
+  *   retrain --index <store> <corpusParquet>       past-clamp hot-list remedy
   *   publish --index <store> <codesDir>            new store generation
   *   prune   --index <store> [--keep N]            retention (live kept)
   *   diff    --index <store> <gA> <gB>              cross-generation diff
@@ -294,14 +295,42 @@ object Cli {
                   s"$bytes B, ~$pm permille of live vectors$over" +
                   " — remedy: compact --index")
               }
+            // self-description check (r17): a bookless live generation
+            // is a probe-only hazard — ivfadcProbeStore fails loudly
+            // on it, and the operator should learn that here, not
+            // from the failed probe
+            scala.util.Try(
+              operators.ProductQuant.loadQuantizers(spark, resolved))
+              .toOption match {
+              case Some((coarse, bySub)) =>
+                println(s"books: present (coarse ${coarse.length}, " +
+                  s"fine ${bySub.size} sub x " +
+                  s"${bySub.headOption.map(_._2.length).getOrElse(0)})")
+              case None =>
+                println("books: ABSENT — store probes need " +
+                  "explicitly-held quantizers; republish with books")
+            }
           }
           val bad = rows.map(_.getString(4)).filter(_ != "ok")
+          // a hot list past the salt clamp's 128x-mean boundary can
+          // NEVER clear by salting (deriveHotLists scaladoc) — naming
+          // the salted rewrite for it would send the operator into the
+          // doctor->compact ping-pong the boundary doc warns about;
+          // the remedy there is coarse-quantizer retraining
+          val mean = rows.map(_.getLong(1)).sum.toDouble /
+            math.max(1, rows.length)
+          val pastClamp = rows.filter(r => r.getString(4) == "hot_list"
+            && r.getLong(1) > 128.0 * mean).map(_.getInt(0))
           if (bad.isEmpty) { println("index layout ok"); 0 }
           else {
             println(s"index needs maintenance: " +
               bad.groupBy(identity).map { case (f, v) =>
                 s"${v.length}x $f" }.toSeq.sorted.mkString(", ") +
               " (split_files -> compactIndex; hot_list -> salted rewrite)")
+            if (pastClamp.nonEmpty)
+              println(s"list(s) ${pastClamp.sorted.mkString(",")} exceed " +
+                "128x the mean — past the salt clamp, salting cannot " +
+                "clear them: remedy is retrain --index")
             1
           }
       }
@@ -334,6 +363,28 @@ object Cli {
         case scala.util.Success(_) =>
           println(s"compacted $idxDir")
           run(Array("doctor", "--index", idxDir), spark)
+      }
+
+    // The remedy `doctor --index` names for a hot list PAST the salt
+    // clamp (r17): retrain the coarse quantizer on the given corpus
+    // parquet (vec_id, embedding), re-list the live generation under
+    // it, publish as a new generation, and re-print the doctor — the
+    // same audit -> action -> re-audit shape as compact. Exit 2 when
+    // the store or corpus can't be read, else the post-retrain
+    // doctor's exit.
+    case "retrain" :: "--index" :: store :: corpus :: Nil =>
+      scala.util.Try {
+        operators.ProductQuant.retrainStore(spark, store,
+          spark.read.parquet(corpus))
+      } match {
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"retrain failed for '$store' on corpus '$corpus': " +
+              firstLine(e))
+          2
+        case scala.util.Success((g, g2)) =>
+          println(s"retrained coarse quantizer: v$g re-listed as v$g2")
+          run(Array("doctor", "--index", store), spark)
       }
 
     // The store lifecycle's two WRITE/DELETE steps from the shell
@@ -470,6 +521,7 @@ object Cli {
         "usage: graft.Cli (discover|generate|compare|report|run-all|doctor)" +
           " <config.toml> [<fixtureDir>] [runId]" +
           " | doctor --index <dir> | compact --index <dir>" +
+          " | retrain --index <store> <corpusParquet>" +
           " | publish --index <store> <codesDir>" +
           " | prune --index <store> [--keep N]" +
           " | diff --index <store> <gA> <gB>")

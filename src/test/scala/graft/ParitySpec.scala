@@ -528,6 +528,43 @@ class CliSpec extends SparkSpec {
     assert(c4 == 0 && !o4.contains("tombstones:"), o4)
   }
 
+  test("retrain --index executes the past-clamp remedy the doctor names (r17)") {
+    // the ProductQuantSpec boundary corpus, written to parquet as the
+    // CLI's corpus argument: 2000 vectors whose collapsed plant puts
+    // list 0 at ~150x the nonempty-list mean — past the 128x clamp
+    val corpus = spark.range(0, 2000).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "transform(sequence(0, 7), i -> cast(cast((id * 31 + i * 17) " +
+          "% 97 as double) / 97.0 - 0.5 as float))").as("embedding"))
+    val corpusDir =
+      Files.createTempDirectory("graft_corpus").toString + "/emb"
+    corpus.write.parquet(corpusDir)
+    val store = Files.createTempDirectory("graft_retrain_cli").toString
+    ProductQuant.publishIndex(spark, store,
+      ProductQuant.collapsedSyntheticCodes(corpus))
+    // the doctor flags the collapse, names retrain for the past-clamp
+    // list (a salted rewrite mathematically cannot clear it), and
+    // reports the store as bookless
+    val (c1, o1) = doctorOut(Array("doctor", "--index", store))
+    assert(c1 == 1 && o1.contains("hot_list"), o1)
+    assert(o1.contains("past the salt clamp"), o1)
+    assert(o1.contains("retrain --index"), o1)
+    assert(o1.contains("books: ABSENT"), o1)
+    // the verb: retrain, re-list, publish, re-audit — green now
+    val (c2, o2) = doctorOut(
+      Array("retrain", "--index", store, corpusDir))
+    assert(c2 == 0, o2)
+    assert(o2.contains("retrained coarse quantizer: v1 re-listed as v2"),
+      o2)
+    assert(o2.contains("index layout ok"), o2)
+    // unreadable corpus: exit 2, store untouched
+    val (c3, _) = doctorOut(
+      Array("retrain", "--index", store, "/no/such/corpus"))
+    assert(c3 == 2)
+    assert(ProductQuant.currentGeneration(spark, store).map(_._1)
+      .contains(2))
+  }
+
   test("doctor maps each README failure class to a distinct check") {
     val out = Files.createTempDirectory("graft_doc").toString
     // class 1 — connection refused: source does not exist
