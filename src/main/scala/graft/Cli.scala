@@ -278,23 +278,35 @@ object Cli {
           // no retained generation still contains). Store-only: a bare
           // index has no delete verb.
           if (store.nonEmpty) {
-            operators.ProductQuant.tombstoneFsStats(spark, idxDir)
-              .foreach { case (files, bytes) =>
-                val n = operators.ProductQuant.tombstones(spark, idxDir)
-                  .map(_.count()).getOrElse(0L)
-                val liveVecs = spark.read.parquet(resolved)
-                  .select("vec_id").distinct().count()
-                val pm = if (liveVecs == 0) 0L else 1000L * n / liveVecs
-                val over =
-                  if (bytes >
-                    operators.ProductQuant.TombstoneBroadcastBytes)
-                    " [past the broadcast budget: probes anti-join " +
-                      "un-broadcast]"
-                  else ""
-                println(s"tombstones: $n ids in $files file(s), " +
-                  s"$bytes B, ~$pm permille of live vectors$over" +
-                  " — remedy: compact --index")
-              }
+            // cost note: the permille denominator is a distinct count
+            // over the live generation's vec_id column — one
+            // column-pruned scan, on top of the audit's own. The
+            // doctor is a maintenance diagnostic and prices like one;
+            // no probe path pays this. An INTERRUPTED GC (sidecar
+            // parked at .gc_old) makes tombstones() refuse loudly —
+            // surface that as the finding it is, with the recovering
+            // remedy named, instead of crashing the doctor.
+            scala.util.Try {
+              operators.ProductQuant.tombstoneFsStats(spark, idxDir)
+                .foreach { case (files, bytes) =>
+                  val n = operators.ProductQuant.tombstones(spark, idxDir)
+                    .map(_.count()).getOrElse(0L)
+                  val liveVecs = spark.read.parquet(resolved)
+                    .select("vec_id").distinct().count()
+                  val pm = if (liveVecs == 0) 0L else 1000L * n / liveVecs
+                  val over =
+                    if (bytes >
+                      operators.ProductQuant.TombstoneBroadcastBytes)
+                      " [past the broadcast budget: probes anti-join " +
+                        "un-broadcast]"
+                    else ""
+                  println(s"tombstones: $n ids in $files file(s), " +
+                    s"$bytes B, ~$pm permille of live vectors$over" +
+                    " — remedy: compact --index")
+                }
+            }.failed.foreach { e =>
+              println(s"tombstones: INCONSISTENT — ${firstLine(e)}")
+            }
             // self-description check (r17): a bookless live generation
             // is a probe-only hazard — ivfadcProbeStore fails loudly
             // on it, and the operator should learn that here, not

@@ -966,6 +966,9 @@ object ProductQuant {
     val (g, live) = currentGeneration(spark, baseDir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
+    // an interrupted earlier GC parks the sidecar at .gc_old; the
+    // mutation path is where it renames back (readers only refuse)
+    recoverTombstoneGc(spark, baseDir)
     val raw = spark.read.parquet(live)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
@@ -989,14 +992,21 @@ object ProductQuant {
         "store explicitly instead")
     // the compacted rows are the SAME books' codes minus the deleted
     // ones, so the live generation's quantizer sidecar carries forward
-    // verbatim (a bookless generation — synthetic codes, pre-sidecar
-    // publishes — stays bookless)
-    val books = scala.util.Try(loadQuantizers(spark, live)).toOption
+    // verbatim. Only sidecar ABSENCE is tolerated (a bookless
+    // generation — synthetic codes, pre-sidecar publishes — stays
+    // bookless); a read/corruption error must FAIL the compaction,
+    // because swallowing it would publish bookless and, once retention
+    // drops the old generation, lose the books forever (round-17
+    // review #4)
+    val books = try Some(loadQuantizers(spark, live)) catch {
+      case _: java.util.NoSuchElementException => None
+    }
     val (g2, _) = publishIndex(spark, baseDir, codes,
       hotWidths = widths, saltTasks = Some(tasks), quantizers = books)
     // tombstone hygiene rides every compaction: fold the sidecar to
-    // one file and drop the ids no retained generation contains
-    gcTombstones(spark, baseDir)
+    // one file and drop the ids no retained generation contains — the
+    // generation just published is clean by construction and skipped
+    gcTombstones(spark, baseDir, excludeGens = Set(g2))
     (g, g2)
   }
 
@@ -1016,12 +1026,20 @@ object ProductQuant {
     * The vec-keyed join of the code relation against the corpus-sized
     * assignment is a real shuffle: retraining is rebuild-class
     * maintenance, priced like one, never on a probe path. The corpus
-    * must cover the index (a code row without an embedding cannot be
-    * re-listed) — the same contract as every probe's rerank. The old
-    * quantizer sidecar deliberately does NOT carry forward: the coarse
-    * book it records no longer describes the new generation's lists
-    * ([[indexGenDiff]] reports the move as 'recoded'). Returns
-    * (fromGen, toGen).
+    * must COVER the index: a code row whose vec_id the corpus lacks
+    * (or carries with a null embedding) has no retrained assignment,
+    * and silently dropping it would shrink the index under a success
+    * message — so a re-listed row count below the source's REFUSES
+    * loudly, the writeTombstones convention (round-17 review #3). The
+    * store stays SELF-DESCRIBING across the remedy: the old sidecar's
+    * fine books carry forward verbatim (fine codes didn't move) under
+    * the RETRAINED normalized coarse book, so `ivfadcProbeStore` keeps
+    * working on the new generation — mathematically the stored book
+    * ranks probe lists by the same cosine the assignment maximized
+    * (normalized-book dot/‖x‖ == the trainer's dot/(‖x‖·‖c‖)); the two
+    * float paths can diverge only at a round6 tie, a probe-side
+    * list-ranking nuance, never index content. A BOOKLESS store
+    * (synthetic codes) stays bookless. Returns (fromGen, toGen).
     */
   def retrainStore(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, embeddings: DataFrame,
@@ -1029,18 +1047,32 @@ object ProductQuant {
     val (g, live) = currentGeneration(spark, baseDir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
+    // sidecar ABSENCE is the one tolerated case; a read/corruption
+    // error must fail the retrain, not silently publish bookless
+    // (round-17 review #4)
+    val oldBooks = try Some(loadQuantizers(spark, live)) catch {
+      case _: java.util.NoSuchElementException => None
+    }
     val codes = spark.read.parquet(live)
       .select(col("vec_id"), col("sub"), col("code"))
-    val assign = Similarity.kmeansAssign(embeddings, nCoarse)
+    val (coarseBook, assign0) = Similarity.kmeansQuantizer(embeddings,
+      nCoarse)
+    val assign = assign0
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"))
     val relisted = codes.join(assign, "vec_id")
       .select(col("vec_id"), col("ccid"), col("sub"), col("code"))
+    // parquet-metadata count — no data scan; the coverage guard's
+    // cheap denominator
+    val srcRows = codes.count()
     val (widths, tasks, total) = deriveHotListsWithTotal(relisted)
-    if (total == 0L) throw new IllegalStateException(
-      s"retrainStore: no code row of v$g re-lists against the given " +
-        "corpus — refusing to publish an empty generation")
+    if (total != srcRows) throw new IllegalStateException(
+      s"retrainStore: only $total of $srcRows code rows of v$g " +
+        "re-listed — the corpus does not cover the index exactly " +
+        "(missing, null-embedding, or duplicated vec_ids); refusing " +
+        "to publish a shrunken or inflated generation")
     val (g2, _) = publishIndex(spark, baseDir, relisted,
-      hotWidths = widths, saltTasks = Some(tasks))
+      hotWidths = widths, saltTasks = Some(tasks),
+      quantizers = oldBooks.map { case (_, bySub) => (coarseBook, bySub) })
     (g, g2)
   }
 
@@ -1166,16 +1198,23 @@ object ProductQuant {
     // append only NOVEL ids: delete APIs get retried, and an
     // append-per-call sidecar would grow with calls, not with
     // distinct deletes — it is broadcast on every probe (review-4 #5)
-    val novel = tombstones(spark, baseDir)
-      .fold(t)(ex => t.join(ex, Seq("vec_id"), "left_anti"))
     // an all-duplicate retry writes NOTHING: appending a zero-row part
     // file per retried call would still grow the sidecar's file count,
-    // which the doctor reports and every probe's read lists (the count
-    // is one more action on the bounded delete relation)
-    if (novel.count() > 0L)
-      novel.coalesce(1)
-        .write.mode("append")
-        .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+    // which the doctor reports and every probe's read lists. The
+    // anti-join is persisted across the count + write pair — without
+    // it both actions re-read the standing sidecar AND re-evaluate the
+    // caller's ids relation, which may itself be an expensive corpus
+    // filter (round-17 review #6); the cached relation is bounded by
+    // the delete-batch contract.
+    val novel = tombstones(spark, baseDir)
+      .fold(t)(ex => t.join(ex, Seq("vec_id"), "left_anti"))
+      .persist()
+    try {
+      if (novel.count() > 0L)
+        novel.coalesce(1)
+          .write.mode("append")
+          .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+    } finally novel.unpersist()
   }
 
   /** The standing tombstone relation, if any deletes were issued. A
@@ -1190,9 +1229,48 @@ object ProductQuant {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val committed = fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (committed) Some(spark.read.parquet(p.toString)) else None
+    def committed(dir: Path) = fs.exists(dir) && fs.listStatus(dir)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // crash-window guard (round-17 review #2): a GC interrupted
+    // between its two renames leaves the full sidecar at .gc_old and
+    // NOTHING canonical. That state must read as "deletes exist,
+    // recover first" — LOUDLY — never as "no tombstones": the silent
+    // reading resurrects every deleted vector on the next probe. The
+    // recovery is mechanical (compactStore/gcTombstones rename the
+    // copy back at entry); the reader's job is only to refuse.
+    if (!committed(p) && committed(new Path(p.toString + ".gc_old")))
+      throw new IllegalStateException(
+        s"interrupted tombstone GC under $baseDir: the sidecar is at " +
+          s"$TombstoneDir.gc_old — run compact --index (recovers it) " +
+          "before probing")
+    if (committed(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Recover an interrupted GC swap: the canonical sidecar is absent
+    * but the full `.gc_old` copy exists — rename it back. Called at
+    * the head of every path that mutates the sidecar
+    * ([[compactStore]], [[gcTombstones]]); readers ([[tombstones]])
+    * refuse loudly instead.
+    */
+  private def recoverTombstoneGc(spark: org.apache.spark.sql.SparkSession,
+                                 baseDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def committed(dir: Path) = fs.exists(dir) && fs.listStatus(dir)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val old = new Path(p.toString + ".gc_old")
+    if (!committed(p) && committed(old)) {
+      if (!fs.rename(old, p)) throw new java.io.IOException(
+        s"recoverTombstoneGc: rename $old -> $p failed")
+    }
+    // a stale tmp from a crash BEFORE the first rename is garbage
+    // (canonical still in place) — drop it so the next GC's overwrite
+    // never trips on it
+    val tmp = new Path(p.toString + ".gc_tmp")
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
+      throw new java.io.IOException(
+        s"recoverTombstoneGc: could not remove stale $tmp")
   }
 
   /** Broadcast budget for the tombstone anti-join: a sidecar under
@@ -1214,13 +1292,22 @@ object ProductQuant {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val files = fs.listStatus(p).filter(s =>
+    val files =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (files.isEmpty) None
-      else Some((files.length.toLong, files.map(_.getLen).sum))
-    }
+    // same interrupted-GC guard as tombstones(): stats of "no sidecar"
+    // while the full copy sits at .gc_old would let the doctor report
+    // a clean store over resurrected deletes
+    val old = new Path(p.toString + ".gc_old")
+    if (files.isEmpty && fs.exists(old) && fs.listStatus(old).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"interrupted tombstone GC under $baseDir: the sidecar is at " +
+          s"$TombstoneDir.gc_old — run compact --index (recovers it) " +
+          "before probing")
+    if (files.isEmpty) None
+    else Some((files.length.toLong, files.map(_.getLen).sum))
   }
 
   /** The standing tombstones with the size-guarded broadcast hint
@@ -1253,8 +1340,10 @@ object ProductQuant {
     * store mutation. Returns the surviving id count.
     */
   def gcTombstones(spark: org.apache.spark.sql.SparkSession,
-                   baseDir: String): Long = {
+                   baseDir: String,
+                   excludeGens: Set[Int] = Set.empty): Long = {
     import org.apache.hadoop.fs.Path
+    recoverTombstoneGc(spark, baseDir)
     tombstones(spark, baseDir) match {
       case None => 0L
       case Some(t) =>
@@ -1263,7 +1352,13 @@ object ProductQuant {
           if (tombstoneFsStats(spark, baseDir).map(_._2).getOrElse(0L)
               <= TombstoneBroadcastBytes) broadcast(ids)
           else ids
+        // excludeGens: generations the CALLER proves clean by
+        // construction (compactStore's freshly-published one was
+        // written as `raw minus tombstones`) — scanning them would
+        // re-pay the largest generation's code scan for an
+        // empty-by-construction semi-join (round-17 review #5)
         val gens = listGenerations(spark, baseDir)
+          .filter(g => !excludeGens.contains(g._1))
           .filter(g => isComplete(spark, g._2))
         val tombPath = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
         val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())

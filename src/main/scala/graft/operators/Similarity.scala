@@ -786,19 +786,34 @@ object Similarity {
         Vec(r.getLong(0), v, math.sqrt(n2))
       }.sortBy(_.id)
 
-  /** The one-Lloyd-round k-means coarse assignment as a relation
-    * (vec_id, ccid) — [[ivfTopKKmeans]]'s quantizer step exposed on
-    * its own, because index MAINTENANCE needs the assignment without
-    * the probe: [[graft.operators.ProductQuant.retrainStore]] re-lists
-    * a collapsed store under these retrained centroids (the remedy for
-    * a hot list past the salt clamp). One corpus scan against the
-    * broadcast-literal centroids; ccid is the refined centroid's id
-    * (a seed vec_id), round6-cosine argmax with centroid-id tie-break
-    * — the exact rule every IVF face oracles.
+  /** The one-Lloyd-round k-means coarse quantizer BOTH as driver state
+    * (the L2-NORMALIZED centroid book a store's `_quantizers` sidecar
+    * persists — the IVFADC coarse-book convention, so a probe's
+    * norm-divided dot ranks by the same cosine the assignment
+    * maximized) and as the corpus assignment relation (vec_id, ccid) —
+    * trained ONCE, consumed twice. Index MAINTENANCE needs both
+    * without the probe: [[graft.operators.ProductQuant.retrainStore]]
+    * re-lists a collapsed store under the assignment and publishes the
+    * book with the generation (the remedy for a hot list past the salt
+    * clamp). One corpus scan against the broadcast-literal centroids;
+    * ccid is the refined centroid's id (a seed vec_id), round6-cosine
+    * argmax with centroid-id tie-break — the exact rule every IVF face
+    * oracles. A degenerate zero-norm centroid (possible only when a
+    * cluster's member mean is exactly 0⃗) keeps its raw components
+    * rather than dividing by zero.
     */
+  def kmeansQuantizer(embeddings: DataFrame, nCentroids: Int = 16)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
+    val cents = refinedVecs(embeddings, nCentroids)
+    val book = cents.toSeq.map(c =>
+      (c.id, if (c.norm > 0) c.v.map(_ / c.norm) else c.v))
+    (book, ivfAssignTo(cents, embeddings, 1, "c")
+      .select(col("c_id").as("vec_id"), col("cid").as("ccid")))
+  }
+
+  /** [[kmeansQuantizer]]'s assignment half alone. */
   def kmeansAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
-    ivfAssignTo(refinedVecs(embeddings, nCentroids), embeddings, 1, "c")
-      .select(col("c_id").as("vec_id"), col("cid").as("ccid"))
+    kmeansQuantizer(embeddings, nCentroids)._2
 
   /** [[ivfTopK]] with the one-iteration k-means quantizer: lists and
     * probes assign against [[refinedCentroids]] (collected/broadcast —

@@ -548,6 +548,53 @@ class ProductQuantSpec extends SparkSpec {
       ProductQuant.loadQuantizers(spark,
         ProductQuant.currentIndexDir(spark, bare))
     }
+    // the retrain remedy KEEPS the store self-describing (round-17
+    // review #1): the fine books carry forward verbatim under the
+    // RETRAINED L2-normalized coarse book, and the loaded-books probe
+    // keeps working on the new generation
+    ProductQuant.retrainStore(spark, base, e, 16)
+    val (c3, b3) = ProductQuant.loadQuantizers(spark,
+      ProductQuant.currentIndexDir(spark, base))
+    assert(c3.length == 16)
+    assert(b3.keySet == bySub.keySet && b3.forall { case (s, cents) =>
+      cents.map(_._1) == bySub(s).map(_._1) })
+    assert(c3.forall { case (_, v) =>
+      math.abs(v.map(x => x * x).sum - 1.0) < 1e-9 },
+      "retrained coarse book must be L2-normalized")
+    assert(ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3, base,
+      dim = Some(d)).count() > 0)
+  }
+
+  test("an interrupted tombstone GC refuses to read as empty and recovers at compaction (r17)") {
+    val ids = spark.range(0, 200).select(col("id").as("vec_id"))
+    val base = Scratch.dir("gc_crash_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.uniformSyntheticCodes(ids))
+    ProductQuant.writeTombstones(spark, base,
+      ids.filter(col("vec_id") % 10 === 0))
+    // simulate the crash window: the canonical sidecar was renamed
+    // aside but the swap-in never happened
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(
+      base + "/" + ProductQuant.TombstoneDir)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.toString + ".gc_old")))
+    // readers refuse LOUDLY — reading "no tombstones" here would
+    // silently resurrect every deleted vector
+    intercept[IllegalStateException] {
+      ProductQuant.tombstones(spark, base)
+    }
+    intercept[IllegalStateException] {
+      ProductQuant.tombstoneFsStats(spark, base)
+    }
+    // the mutation path recovers: compaction renames the copy back,
+    // applies the deletes physically, and the lifecycle continues
+    ProductQuant.compactStore(spark, base)
+    assert(spark.read.parquet(ProductQuant.currentIndexDir(spark, base))
+      .filter(col("vec_id") % 10 === 0).count() == 0)
+    // ids survive GC while the dirty v1 is retained
+    assert(ProductQuant.tombstones(spark, base).nonEmpty)
   }
 
   test("past the salt clamp a hot list cannot clear; retrainStore removes it (r16 #3)") {
@@ -590,6 +637,12 @@ class ProductQuantSpec extends SparkSpec {
       diff.getOrElse("removed", 0L) == 0L, diff.toString)
     assert(diff.getOrElse("recoded", 0L) > 0L, diff.toString)
     assert(diff.values.sum == 2000L, diff.toString)
+    // a corpus that does not cover the index REFUSES instead of
+    // silently shrinking the published generation (round-17 review #3)
+    intercept[IllegalStateException] {
+      ProductQuant.retrainStore(spark, base,
+        emb2k.filter(col("vec_id") =!= 7), 16)
+    }
   }
 
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
