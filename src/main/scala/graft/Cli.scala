@@ -277,6 +277,13 @@ object Cli {
           // physically, folds the sidecar to one file, and GCs the ids
           // no retained generation still contains). Store-only: a bare
           // index has no delete verb.
+          // tracks an interrupted tombstone GC: a state where every
+          // probe and delete refuses, which MUST flip the doctor's
+          // exit to 1 even over a clean layout (round-17 review-2 #3
+          // — a health check scripted on the exit code would
+          // otherwise report healthy on a store whose every probe is
+          // bricked)
+          var tombInconsistent = false
           if (store.nonEmpty) {
             // cost note: the permille denominator is a distinct count
             // over the live generation's vec_id column — one
@@ -305,6 +312,7 @@ object Cli {
                     " — remedy: compact --index")
                 }
             }.failed.foreach { e =>
+              tombInconsistent = true
               println(s"tombstones: INCONSISTENT — ${firstLine(e)}")
             }
             // self-description check (r17): a bookless live generation
@@ -333,7 +341,11 @@ object Cli {
             math.max(1, rows.length)
           val pastClamp = rows.filter(r => r.getString(4) == "hot_list"
             && r.getLong(1) > 128.0 * mean).map(_.getInt(0))
-          if (bad.isEmpty) { println("index layout ok"); 0 }
+          if (bad.isEmpty && tombInconsistent) {
+            println("index needs maintenance: tombstone sidecar " +
+              "inconsistent (compact --index recovers it)")
+            1
+          } else if (bad.isEmpty) { println("index layout ok"); 0 }
           else {
             println(s"index needs maintenance: " +
               bad.groupBy(identity).map { case (f, v) =>

@@ -1061,15 +1061,28 @@ object ProductQuant {
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"))
     val relisted = codes.join(assign, "vec_id")
       .select(col("vec_id"), col("ccid"), col("sub"), col("code"))
+    // duplicate guard FIRST (round-17 review-2 #1): with dup corpus
+    // ids the row-count check alone can pass by offset — one missing
+    // id's dropped rows cancel one duplicated id's doubled rows, and
+    // the doubled code rows would then double-count that vector's ADC
+    // sums at probe time. One aggregation job over the assignment.
+    val ar = assign
+      .agg(count(lit(1)).as("n"), count_distinct(col("vec_id")).as("d"))
+      .head()
+    if (ar.getLong(0) != ar.getLong(1)) throw new IllegalStateException(
+      s"retrainStore: corpus carries duplicated vec_ids " +
+        s"(${ar.getLong(0)} assignment rows over ${ar.getLong(1)} " +
+        "distinct ids) — refusing to publish an inflated generation")
     // parquet-metadata count — no data scan; the coverage guard's
-    // cheap denominator
+    // cheap denominator. With duplicates excluded above, the join can
+    // only DROP rows, so equality == exact coverage.
     val srcRows = codes.count()
     val (widths, tasks, total) = deriveHotListsWithTotal(relisted)
     if (total != srcRows) throw new IllegalStateException(
       s"retrainStore: only $total of $srcRows code rows of v$g " +
-        "re-listed — the corpus does not cover the index exactly " +
-        "(missing, null-embedding, or duplicated vec_ids); refusing " +
-        "to publish a shrunken or inflated generation")
+        "re-listed — the corpus does not cover the index (missing or " +
+        "null-embedding vec_ids); refusing to publish a shrunken " +
+        "generation")
     val (g2, _) = publishIndex(spark, baseDir, relisted,
       hotWidths = widths, saltTasks = Some(tasks),
       quantizers = oldBooks.map { case (_, bySub) => (coarseBook, bySub) })
@@ -1187,6 +1200,11 @@ object ProductQuant {
     */
   def writeTombstones(spark: org.apache.spark.sql.SparkSession,
                       baseDir: String, ids: DataFrame): Unit = {
+    // a sidecar MUTATION path self-recovers an interrupted GC before
+    // touching anything (round-17 review-2 #4: a delete against the
+    // parked-.gc_old state must not fail with a probe-oriented
+    // refusal when the recovery is mechanical and single-writer)
+    recoverTombstoneGc(spark, baseDir)
     val t = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
     // a delete that doesn't parse must FAIL, not silently no-op: a
     // null key never matches the anti-join, so a malformed id would
@@ -1224,49 +1242,78 @@ object ProductQuant {
     * and schema inference over an empty dir would otherwise crash
     * every later probe and compaction (round-16 review-4 #2).
     */
-  def tombstones(spark: org.apache.spark.sql.SparkSession,
-                 baseDir: String): Option[DataFrame] = {
+  /** One definition of "this directory holds a committed parquet
+    * relation" — shared by every tombstone reader/mutator/stats guard
+    * (round-17 review-2 #5: three structurally different copies of
+    * this rule is how the guards silently diverge).
+    */
+  private def committedParquetDir(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** The sidecar path triple every tombstone function works over:
+    * (fs, canonical, .gc_old). */
+  private def tombstonePaths(spark: org.apache.spark.sql.SparkSession,
+                             baseDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
+         org.apache.hadoop.fs.Path) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def committed(dir: Path) = fs.exists(dir) && fs.listStatus(dir)
-      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    // crash-window guard (round-17 review #2): a GC interrupted
-    // between its two renames leaves the full sidecar at .gc_old and
-    // NOTHING canonical. That state must read as "deletes exist,
-    // recover first" — LOUDLY — never as "no tombstones": the silent
-    // reading resurrects every deleted vector on the next probe. The
-    // recovery is mechanical (compactStore/gcTombstones rename the
-    // copy back at entry); the reader's job is only to refuse.
-    if (!committed(p) && committed(new Path(p.toString + ".gc_old")))
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      new Path(p.toString + ".gc_old"))
+  }
+
+  /** Crash-window guard (round-17 review #2): a GC interrupted between
+    * its two renames leaves the full sidecar at `.gc_old` and NOTHING
+    * canonical. That state must read as "deletes exist, recover
+    * first" — LOUDLY — never as "no tombstones": the silent reading
+    * resurrects every deleted vector on the next probe. Recovery is
+    * mechanical (every sidecar MUTATION path self-recovers via
+    * [[recoverTombstoneGc]]); pure readers only refuse.
+    */
+  private def interruptedGcGuard(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path,
+                                 old: org.apache.hadoop.fs.Path,
+                                 baseDir: String): Unit =
+    if (!committedParquetDir(fs, p) && committedParquetDir(fs, old))
       throw new IllegalStateException(
         s"interrupted tombstone GC under $baseDir: the sidecar is at " +
           s"$TombstoneDir.gc_old — run compact --index (recovers it) " +
-          "before probing")
-    if (committed(p)) Some(spark.read.parquet(p.toString)) else None
+          "before reading or probing the store")
+
+  def tombstones(spark: org.apache.spark.sql.SparkSession,
+                 baseDir: String): Option[DataFrame] = {
+    val (fs, p, old) = tombstonePaths(spark, baseDir)
+    interruptedGcGuard(fs, p, old, baseDir)
+    if (committedParquetDir(fs, p)) Some(spark.read.parquet(p.toString))
+    else None
   }
 
   /** Recover an interrupted GC swap: the canonical sidecar is absent
     * but the full `.gc_old` copy exists — rename it back. Called at
     * the head of every path that mutates the sidecar
-    * ([[compactStore]], [[gcTombstones]]); readers ([[tombstones]])
-    * refuse loudly instead.
+    * ([[writeTombstones]], [[compactStore]], [[gcTombstones]]);
+    * readers ([[tombstones]], [[tombstoneFsStats]]) refuse loudly
+    * instead. Also clears the two benign stale leftovers so they can
+    * never curdle into the refusing state later (round-17 review-2
+    * #2): a `.gc_tmp` from a crash before the first rename, and a
+    * `.gc_old` from a crash AFTER the swap-in — with the canonical
+    * dir committed the old copy is strictly redundant, and leaving it
+    * would make a later zero-survivor GC (which removes the canonical
+    * dir) manufacture the interrupted-GC state out of nothing.
     */
   private def recoverTombstoneGc(spark: org.apache.spark.sql.SparkSession,
                                  baseDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def committed(dir: Path) = fs.exists(dir) && fs.listStatus(dir)
-      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val old = new Path(p.toString + ".gc_old")
-    if (!committed(p) && committed(old)) {
+    val (fs, p, old) = tombstonePaths(spark, baseDir)
+    if (!committedParquetDir(fs, p) && committedParquetDir(fs, old)) {
       if (!fs.rename(old, p)) throw new java.io.IOException(
         s"recoverTombstoneGc: rename $old -> $p failed")
+    } else if (fs.exists(old)) {
+      if (!fs.delete(old, true)) throw new java.io.IOException(
+        s"recoverTombstoneGc: could not remove redundant $old")
     }
-    // a stale tmp from a crash BEFORE the first rename is garbage
-    // (canonical still in place) — drop it so the next GC's overwrite
-    // never trips on it
     val tmp = new Path(p.toString + ".gc_tmp")
     if (fs.exists(tmp) && !fs.delete(tmp, true))
       throw new java.io.IOException(
@@ -1289,25 +1336,14 @@ object ProductQuant {
     */
   def tombstoneFsStats(spark: org.apache.spark.sql.SparkSession,
                        baseDir: String): Option[(Long, Long)] = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files =
-      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(p).filter(s =>
+    val (fs, p, old) = tombstonePaths(spark, baseDir)
+    interruptedGcGuard(fs, p, old, baseDir)
+    if (!committedParquetDir(fs, p)) None
+    else {
+      val files = fs.listStatus(p).filter(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
-    // same interrupted-GC guard as tombstones(): stats of "no sidecar"
-    // while the full copy sits at .gc_old would let the doctor report
-    // a clean store over resurrected deletes
-    val old = new Path(p.toString + ".gc_old")
-    if (files.isEmpty && fs.exists(old) && fs.listStatus(old).exists(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet")))
-      throw new IllegalStateException(
-        s"interrupted tombstone GC under $baseDir: the sidecar is at " +
-          s"$TombstoneDir.gc_old — run compact --index (recovers it) " +
-          "before probing")
-    if (files.isEmpty) None
-    else Some((files.length.toLong, files.map(_.getLen).sum))
+      Some((files.length.toLong, files.map(_.getLen).sum))
+    }
   }
 
   /** The standing tombstones with the size-guarded broadcast hint

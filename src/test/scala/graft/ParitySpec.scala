@@ -526,6 +526,23 @@ class CliSpec extends SparkSpec {
     assert(cp == 0)
     val (c4, o4) = doctorOut(Array("compact", "--index", store))
     assert(c4 == 0 && !o4.contains("tombstones:"), o4)
+    // an interrupted GC (sidecar parked at .gc_old) flips the doctor
+    // to exit 1 even over a clean layout — a health check scripted on
+    // the exit code must not report healthy on a store whose every
+    // probe refuses (round-17 review-2 #3); compaction recovers
+    ProductQuant.writeTombstones(spark, store,
+      ids.filter(col("vec_id") % 10 === 2))
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(
+      store + "/" + ProductQuant.TombstoneDir)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.toString + ".gc_old")))
+    val (c5, o5) = doctorOut(Array("doctor", "--index", store))
+    assert(c5 == 1 && o5.contains("tombstones: INCONSISTENT"), o5)
+    assert(o5.contains("compact --index"), o5)
+    val (c6, o6) = doctorOut(Array("compact", "--index", store))
+    assert(c6 == 0 && o6.contains("tombstones: 20 ids in 1 file(s)"), o6)
   }
 
   test("retrain --index executes the past-clamp remedy the doctor names (r17)") {

@@ -594,7 +594,14 @@ class ProductQuantSpec extends SparkSpec {
     assert(spark.read.parquet(ProductQuant.currentIndexDir(spark, base))
       .filter(col("vec_id") % 10 === 0).count() == 0)
     // ids survive GC while the dirty v1 is retained
-    assert(ProductQuant.tombstones(spark, base).nonEmpty)
+    assert(ProductQuant.tombstones(spark, base).get.count() == 20)
+    // a DELETE against the parked state self-recovers too — mutation
+    // paths recover, only readers refuse (round-17 review-2 #4)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.toString + ".gc_old")))
+    ProductQuant.writeTombstones(spark, base,
+      ids.filter(col("vec_id") === 5))
+    assert(ProductQuant.tombstones(spark, base).get.count() == 21)
   }
 
   test("past the salt clamp a hot list cannot clear; retrainStore removes it (r16 #3)") {
@@ -643,6 +650,14 @@ class ProductQuantSpec extends SparkSpec {
       ProductQuant.retrainStore(spark, base,
         emb2k.filter(col("vec_id") =!= 7), 16)
     }
+    // ...and a corpus with DUPLICATED ids refuses on the duplicate
+    // guard — the row-count check alone could pass by a
+    // missing-vs-duplicated offset (round-17 review-2 #1)
+    val dupMsg = intercept[IllegalStateException] {
+      ProductQuant.retrainStore(spark, base,
+        emb2k.unionByName(emb2k.limit(1)), 16)
+    }
+    assert(dupMsg.getMessage.contains("duplicated vec_ids"))
   }
 
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
