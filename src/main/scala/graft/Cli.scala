@@ -284,6 +284,7 @@ object Cli {
           // otherwise report healthy on a store whose every probe is
           // bricked)
           var tombInconsistent = false
+          var booksUnreadable = false
           if (store.nonEmpty) {
             // cost note: the permille denominator is a distinct count
             // over the live generation's vec_id column — one
@@ -318,17 +319,23 @@ object Cli {
             // self-description check (r17): a bookless live generation
             // is a probe-only hazard — ivfadcProbeStore fails loudly
             // on it, and the operator should learn that here, not
-            // from the failed probe
+            // from the failed probe. ABSENT (NoSuchElementException —
+            // tolerated, the bookless contract) and UNREADABLE (any
+            // other failure — a corrupt sidecar, the case compaction
+            // and retrain deliberately FAIL on) are different findings
+            // and must not share a line or an exit code (ADVICE r17)
             scala.util.Try(
-              operators.ProductQuant.loadQuantizers(spark, resolved))
-              .toOption match {
-              case Some((coarse, bySub)) =>
+              operators.ProductQuant.loadQuantizers(spark, resolved)) match {
+              case scala.util.Success((coarse, bySub)) =>
                 println(s"books: present (coarse ${coarse.length}, " +
                   s"fine ${bySub.size} sub x " +
                   s"${bySub.headOption.map(_._2.length).getOrElse(0)})")
-              case None =>
+              case scala.util.Failure(_: java.util.NoSuchElementException) =>
                 println("books: ABSENT — store probes need " +
                   "explicitly-held quantizers; republish with books")
+              case scala.util.Failure(e) =>
+                booksUnreadable = true
+                println(s"books: UNREADABLE — ${firstLine(e)}")
             }
           }
           val bad = rows.map(_.getString(4)).filter(_ != "ok")
@@ -341,9 +348,14 @@ object Cli {
             math.max(1, rows.length)
           val pastClamp = rows.filter(r => r.getString(4) == "hot_list"
             && r.getLong(1) > 128.0 * mean).map(_.getInt(0))
-          if (bad.isEmpty && tombInconsistent) {
-            println("index needs maintenance: tombstone sidecar " +
-              "inconsistent (compact --index recovers it)")
+          if (bad.isEmpty && (tombInconsistent || booksUnreadable)) {
+            val findings = Seq(
+              if (tombInconsistent) Some("tombstone sidecar " +
+                "inconsistent (compact --index recovers it)") else None,
+              if (booksUnreadable) Some("quantizer sidecar unreadable " +
+                "(republish with books — compaction/retrain refuse on " +
+                "it)") else None).flatten
+            println(s"index needs maintenance: ${findings.mkString("; ")}")
             1
           } else if (bad.isEmpty) { println("index layout ok"); 0 }
           else {

@@ -1053,19 +1053,39 @@ object ProductQuant {
     val oldBooks = try Some(loadQuantizers(spark, live)) catch {
       case _: java.util.NoSuchElementException => None
     }
-    val codes = spark.read.parquet(live)
+    // a retrain is a store MUTATION: self-recover a legacy interrupted
+    // GC first (the writeTombstones/compactStore convention), then
+    // anti-join the standing deletes out of the source rows — pending
+    // tombstones are NOT index content, and the documented corpus
+    // contract ("removing deleted rows from the corpus is ingest's
+    // job") means an up-to-date corpus CANNOT cover them, so without
+    // this filter the doctor-named remedy refuses on exactly the
+    // stores that need it until a compaction runs (ADVICE r17)
+    recoverTombstoneGc(spark, baseDir)
+    val raw = spark.read.parquet(live)
       .select(col("vec_id"), col("sub"), col("code"))
+    val codes = hintedTombstones(spark, baseDir).fold(raw)(t =>
+      raw.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
     val (coarseBook, assign0) = Similarity.kmeansQuantizer(embeddings,
       nCoarse)
+    // a GROWN corpus is the ingesting store's normal state (VERDICT
+    // r17 #4): vectors the corpus gained since the live generation was
+    // published have no code rows to re-list, so only assignments for
+    // ids the INDEX holds participate in the guards below — the
+    // missing-id refusal (corpus ⊅ index) is untouched, because a
+    // missing id still yields no assignment row for its code rows
     val assign = assign0
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"))
+      .join(codes.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
     val relisted = codes.join(assign, "vec_id")
       .select(col("vec_id"), col("ccid"), col("sub"), col("code"))
     // duplicate guard FIRST (round-17 review-2 #1): with dup corpus
     // ids the row-count check alone can pass by offset — one missing
     // id's dropped rows cancel one duplicated id's doubled rows, and
     // the doubled code rows would then double-count that vector's ADC
-    // sums at probe time. One aggregation job over the assignment.
+    // sums at probe time. One aggregation job over the (index-scoped)
+    // assignment — a duplicate among corpus vectors the index never
+    // held can't inflate anything and doesn't refuse.
     val ar = assign
       .agg(count(lit(1)).as("n"), count_distinct(col("vec_id")).as("d"))
       .head()
@@ -1073,9 +1093,9 @@ object ProductQuant {
       s"retrainStore: corpus carries duplicated vec_ids " +
         s"(${ar.getLong(0)} assignment rows over ${ar.getLong(1)} " +
         "distinct ids) — refusing to publish an inflated generation")
-    // parquet-metadata count — no data scan; the coverage guard's
-    // cheap denominator. With duplicates excluded above, the join can
-    // only DROP rows, so equality == exact coverage.
+    // the coverage guard's denominator: LIVE rows (deletes excluded).
+    // With duplicates excluded above, the join can only DROP rows, so
+    // equality == exact coverage.
     val srcRows = codes.count()
     val (widths, tasks, total) = deriveHotListsWithTotal(relisted)
     if (total != srcRows) throw new IllegalStateException(
@@ -1291,7 +1311,11 @@ object ProductQuant {
   }
 
   /** Recover an interrupted GC swap: the canonical sidecar is absent
-    * but the full `.gc_old` copy exists — rename it back. Called at
+    * but the full `.gc_old` copy exists — rename it back. Since r18
+    * the fold itself is reader-atomic (no rename-aside swap, see
+    * [[gcTombstones]]), so this state can only be inherited from a
+    * store last mutated by a pre-r18 binary — the recovery stays
+    * because stores outlive binaries. Called at
     * the head of every path that mutates the sidecar
     * ([[writeTombstones]], [[compactStore]], [[gcTombstones]]);
     * readers ([[tombstones]], [[tombstoneFsStats]]) refuse loudly
@@ -1308,8 +1332,20 @@ object ProductQuant {
     import org.apache.hadoop.fs.Path
     val (fs, p, old) = tombstonePaths(spark, baseDir)
     if (!committedParquetDir(fs, p) && committedParquetDir(fs, old)) {
+      // an existing-but-UNCOMMITTED canonical dir (a crashed append's
+      // `_temporary` husk) would make the rename land .gc_old INSIDE
+      // it — committedParquetDir only inspects direct children, so the
+      // recovered sidecar would read as "no tombstones": the silent
+      // delete-resurrection this recovery exists to prevent (ADVICE
+      // r17). Clear the husk first so the rename lands AT p.
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(
+          s"recoverTombstoneGc: could not clear uncommitted $p")
       if (!fs.rename(old, p)) throw new java.io.IOException(
         s"recoverTombstoneGc: rename $old -> $p failed")
+      if (!committedParquetDir(fs, p)) throw new IllegalStateException(
+        s"recoverTombstoneGc: $p is not a committed sidecar after " +
+          "recovery — refusing to continue with deletes unreadable")
     } else if (fs.exists(old)) {
       if (!fs.delete(old, true)) throw new java.io.IOException(
         s"recoverTombstoneGc: could not remove redundant $old")
@@ -1404,40 +1440,44 @@ object ProductQuant {
             s"gcTombstones: delete $tombPath failed")
           return 0L
         }
+        // READER-ATOMIC fold (ADVICE r17): the folded file is APPENDED
+        // into the canonical dir, then the pre-fold part files are
+        // deleted one by one — no rename-aside swap, so there is NO
+        // window in which a concurrent probe's tombstones() read can
+        // refuse. Every intermediate state a reader can observe is a
+        // SUPERSET of the surviving ids plus some dead ids, and a dead
+        // id (one no retained generation contains) is a no-op in the
+        // anti-join — reads stay correct through the whole fold, and a
+        // crash at any point leaves a correct (merely unfolded) sidecar
+        // that the next GC folds again. The zero-survivor removal has
+        // the same property: a partially-deleted sidecar only ever
+        // filters dead ids.
+        val preFold = fs.listStatus(tombPath).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
         val surviving = gens.map { case (_, dir) =>
             spark.read.parquet(dir).select(col("vec_id"))
               .join(probe, Seq("vec_id"), "left_semi")
-          }.reduce(_ unionByName _).distinct()
-        // write-then-count: the count reads the tiny rewritten file
-        // instead of re-running the generation scans a second time
-        val tmp = new Path(tombPath.toString + ".gc_tmp")
-        val old = new Path(tombPath.toString + ".gc_old")
-        surviving.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val n = spark.read.parquet(tmp.toString).count()
-        if (n == 0L) {
-          if (!fs.delete(tmp, true) || !fs.delete(tombPath, true))
-            throw new java.io.IOException(
-              s"gcTombstones: could not remove an empty sidecar")
-          0L
-        } else {
-          // the same rename-aside swap discipline as compactIndex: a
-          // crash between the renames leaves a recoverable full copy
-          if (fs.exists(old) && !fs.delete(old, true))
-            throw new java.io.IOException(
-              s"gcTombstones: stale $old exists and could not be removed")
-          if (!fs.rename(tombPath, old))
-            throw new java.io.IOException(
-              s"gcTombstones: rename $tombPath -> $old failed")
-          if (!fs.rename(tmp, tombPath))
-            throw new java.io.IOException(
-              s"gcTombstones: rename $tmp -> $tombPath failed " +
-                s"(original preserved at $old)")
-          if (!fs.delete(old, true))
-            throw new java.io.IOException(
-              s"gcTombstones: rewritten sidecar live, but $old was not " +
-                "removed")
-          n
-        }
+          }.reduce(_ unionByName _).distinct().persist()
+        try {
+          val n = surviving.count()
+          if (n == 0L) {
+            if (!fs.delete(tombPath, true))
+              throw new java.io.IOException(
+                s"gcTombstones: could not remove an empty sidecar")
+            0L
+          } else {
+            surviving.coalesce(1).write.mode("append")
+              .parquet(tombPath.toString)
+            preFold.foreach { part =>
+              if (!fs.delete(part, false))
+                throw new java.io.IOException(
+                  s"gcTombstones: folded sidecar live, but pre-fold " +
+                    s"part $part was not removed")
+            }
+            n
+          }
+        } finally surviving.unpersist()
     }
   }
 

@@ -660,6 +660,43 @@ class ProductQuantSpec extends SparkSpec {
     assert(dupMsg.getMessage.contains("duplicated vec_ids"))
   }
 
+  test("retrainStore accepts pending deletes and a grown corpus; corpus lacking a live id still refuses (r18)") {
+    def mk(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 7), i -> " +
+          "cast(cast((id * 31 + i * 17) % 97 as double) / 97.0 - 0.5" +
+          " as float))").as("embedding"))
+    val base = Scratch.dir("retrain_grown_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.uniformSyntheticCodes(mk(0, 300)))
+    // pending deletes: the corpus contract says ingest already removed
+    // them, so the doctor-named remedy must run WITHOUT a compaction
+    // first (ADVICE r17) — and the published generation must hold
+    // exactly the live rows, not the tombstoned ones
+    ProductQuant.writeTombstones(spark, base,
+      mk(0, 300).filter(col("vec_id") % 10 === 0).select("vec_id"))
+    // grown corpus (VERDICT r17 #4): vectors the store gained since
+    // the live generation published are the ingesting store's normal
+    // state; a duplicate among them can't inflate the index and must
+    // not refuse either (the guard is scoped to index ids)
+    val grown = mk(0, 300).filter(col("vec_id") % 10 =!= 0)
+      .unionByName(mk(300, 350))
+      .unionByName(mk(320, 321))
+    val (g1, g2) = ProductQuant.retrainStore(spark, base, grown, 16)
+    assert(g2 == g1 + 1)
+    val newIds = spark.read
+      .parquet(ProductQuant.currentIndexDir(spark, base))
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(newIds == (0L until 300L).filter(_ % 10 != 0).toSet,
+      "retrained generation must hold exactly the live ids — no " +
+        "tombstoned rows, no grown-corpus rows")
+    // a corpus MISSING a live id refuses exactly as before
+    intercept[IllegalStateException] {
+      ProductQuant.retrainStore(spark, base,
+        grown.filter(col("vec_id") =!= 11), 16)
+    }
+  }
+
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
     import spark.implicits._
     // vec 1 stays put unchanged, vec 2 moves list 0 -> 3 (retrained
