@@ -998,11 +998,15 @@ object ProductQuant {
     // because swallowing it would publish bookless and, once retention
     // drops the old generation, lose the books forever (round-17
     // review #4)
-    val books = try Some(loadQuantizers(spark, live)) catch {
+    val books = try Some(loadQuantizersMeta(spark, live)) catch {
       case _: java.util.NoSuchElementException => None
     }
     val (g2, _) = publishIndex(spark, baseDir, codes,
-      hotWidths = widths, saltTasks = Some(tasks), quantizers = books)
+      hotWidths = widths, saltTasks = Some(tasks),
+      quantizers = books.map(_._1),
+      // the encoding CONTRACT carries forward with the books — a
+      // residual generation compacts into a residual generation
+      scheme = books.map(_._2.scheme).getOrElse("flat"))
     // tombstone hygiene rides every compaction: fold the sidecar to
     // one file and drop the ids no retained generation contains — the
     // generation just published is clean by construction and skipped
@@ -1039,7 +1043,9 @@ object ProductQuant {
     * (normalized-book dot/‖x‖ == the trainer's dot/(‖x‖·‖c‖)); the two
     * float paths can diverge only at a round6 tie, a probe-side
     * list-ranking nuance, never index content. A BOOKLESS store
-    * (synthetic codes) stays bookless. Returns (fromGen, toGen).
+    * (synthetic codes) stays bookless. A RESIDUAL store dispatches to
+    * [[retrainResidual]] — its codes are coarse-relative and must
+    * re-encode, never re-list. Returns (fromGen, toGen).
     */
   def retrainStore(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, embeddings: DataFrame,
@@ -1050,9 +1056,17 @@ object ProductQuant {
     // sidecar ABSENCE is the one tolerated case; a read/corruption
     // error must fail the retrain, not silently publish bookless
     // (round-17 review #4)
-    val oldBooks = try Some(loadQuantizers(spark, live)) catch {
+    val oldBooks = try Some(loadQuantizersMeta(spark, live)) catch {
       case _: java.util.NoSuchElementException => None
     }
+    // the SCHEME decides what "retrain" means (VERDICT r17 #1): flat
+    // codes are coarse-independent, so they re-LIST under the new
+    // assignment; residual codes are RELATIVE to the centroid they
+    // were encoded against, so a re-list would silently corrupt every
+    // score — they must RE-ENCODE against the new coarse book
+    if (oldBooks.exists(_._2.scheme == "residual"))
+      return retrainResidual(spark, baseDir, embeddings, nCoarse,
+        g, live, oldBooks.get._1._2, oldBooks.get._2)
     // a retrain is a store MUTATION: self-recover a legacy interrupted
     // GC first (the writeTombstones/compactStore convention), then
     // anti-join the standing deletes out of the source rows — pending
@@ -1105,7 +1119,58 @@ object ProductQuant {
         "generation")
     val (g2, _) = publishIndex(spark, baseDir, relisted,
       hotWidths = widths, saltTasks = Some(tasks),
-      quantizers = oldBooks.map { case (_, bySub) => (coarseBook, bySub) })
+      quantizers = oldBooks.map { case ((_, bySub), _) =>
+        (coarseBook, bySub) })
+    (g, g2)
+  }
+
+  /** [[retrainStore]]'s residual leg: residual codes are relative to
+    * the coarse centroid they were encoded against, so the remedy
+    * RE-ENCODES the live generation's vectors against the retrained
+    * coarse book (fine books carried forward — within-cell spread
+    * geometry didn't move) instead of re-listing coarse-relative code
+    * words that would no longer mean what the probe reconstructs.
+    * Same guards as the flat leg: pending deletes excluded, corpus
+    * scoped to index ids (grown corpus accepted), duplicate and
+    * coverage refusals intact — plus a dim gate, because the re-encode
+    * actually reads vector components where the flat re-list never did.
+    */
+  private def retrainResidual(spark: org.apache.spark.sql.SparkSession,
+                              baseDir: String, embeddings: DataFrame,
+                              nCoarse: Int, g: Int, live: String,
+                              fineBooks: Map[Int, Seq[(Long, Array[Double])]],
+                              meta: IndexMeta): (Int, Int) = {
+    val d = Similarity.dimOf(embeddings)
+    if (d != meta.dim) throw new IllegalStateException(
+      s"retrainStore: store at $baseDir was encoded at dim ${meta.dim};" +
+        s" the corpus is dim $d — refusing a geometry-mismatched " +
+        "re-encode")
+    recoverTombstoneGc(spark, baseDir)
+    val raw = spark.read.parquet(live).select(col("vec_id"))
+    val liveIdRows = hintedTombstones(spark, baseDir).fold(raw)(t =>
+      raw.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
+    val idxIds = liveIdRows.distinct()
+    val corpusIdx = embeddings
+      .join(idxIds, Seq("vec_id"), "left_semi")
+    val ar = corpusIdx
+      .agg(count(lit(1)).as("n"), count_distinct(col("vec_id")).as("d"))
+      .head()
+    if (ar.getLong(0) != ar.getLong(1)) throw new IllegalStateException(
+      s"retrainStore: corpus carries duplicated vec_ids " +
+        s"(${ar.getLong(0)} rows over ${ar.getLong(1)} distinct ids) " +
+        "— refusing to publish an inflated generation")
+    val (coarseBook, _) = Similarity.kmeansQuantizer(embeddings, nCoarse)
+    val enc = ivfadcResidualCodesWith(corpusIdx, coarseBook, fineBooks, d)
+    val srcRows = liveIdRows.count()
+    val (widths, tasks, total) = deriveHotListsWithTotal(enc)
+    if (total != srcRows) throw new IllegalStateException(
+      s"retrainStore: re-encoded $total code rows against $srcRows " +
+        s"live rows of v$g — the corpus does not cover the index " +
+        "(missing or null-embedding vec_ids); refusing to publish a " +
+        "shrunken generation")
+    val (g2, _) = publishIndex(spark, baseDir, enc,
+      hotWidths = widths, saltTasks = Some(tasks),
+      quantizers = Some((coarseBook, fineBooks)), scheme = "residual")
     (g, g2)
   }
 
@@ -1499,9 +1564,20 @@ object ProductQuant {
     val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
-    val (coarse, bySub) = loadQuantizers(spark, genDir)
+    val ((coarse, bySub), meta) = loadQuantizersMeta(spark, genDir)
+    // scheme gate (VERDICT r17 #1): a flat LUT over residual codes
+    // silently mis-scores every candidate — wrong answers with a
+    // straight face, the one failure mode a self-describing store
+    // exists to make impossible
+    if (meta.scheme != "flat") throw new IllegalStateException(
+      s"store at $baseDir holds ${meta.scheme}-encoded codes — probe " +
+        "it with ivfadcResidualProbeStore, not the flat LUT path")
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    if (meta.dim != d) throw new IllegalStateException(
+      s"store at $baseDir was encoded at dim ${meta.dim}; the probe " +
+        s"corpus is dim $d — refusing a geometry-mismatched probe")
     ivfadcProbeIndex(embeddings, queryPred, k, genDir, coarse, bySub,
-      nProbe, dim, excludeIds = hintedTombstones(spark, baseDir))
+      nProbe, Some(d), excludeIds = hintedTombstones(spark, baseDir))
   }
 
   /** [[ivfadcProbeStore]] for a caller that already HOLDS the frozen
@@ -1601,12 +1677,47 @@ object ProductQuant {
     * book so [[loadQuantizers]] rebuilds the exact driver-side
     * sequences — bit-identical literals, bit-identical plans.
     */
+  /** The generation's ENCODING CONTRACT, persisted beside its books
+    * (VERDICT r17 #1): which scheme the code words were produced
+    * under and the quantizer geometry they assume. Books alone cannot
+    * say this — flat and residual IVFADC share the exact same
+    * (coarse, fine-books) shape, but a flat probe's LUT over
+    * residual codes silently mis-scores every candidate, and a
+    * re-LIST of residual codes under a retrained coarse book corrupts
+    * them (residual codes are relative to the centroid they were
+    * encoded against). A store that cannot refuse a scheme-mismatched
+    * probe is not self-describing.
+    */
+  case class IndexMeta(scheme: String, nCoarse: Int, m: Int, ks: Int,
+                       dim: Int)
+
+  private val SchemeCodes = Map("flat" -> 0L, "residual" -> 1L)
+
+  /** The geometry [[writeQuantizers]] records and [[loadQuantizersMeta]]
+    * cross-checks — derived from the books themselves, so the meta row
+    * can never silently disagree with what it describes.
+    */
+  private def metaOf(scheme: String, coarse: Seq[(Long, Array[Double])],
+                     bySub: Map[Int, Seq[(Long, Array[Double])]]): IndexMeta =
+    IndexMeta(scheme, coarse.length, bySub.size,
+      bySub.valuesIterator.map(_.length).maxOption.getOrElse(0),
+      coarse.headOption.map(_._2.length).getOrElse(0))
+
   def writeQuantizers(spark: org.apache.spark.sql.SparkSession,
                       genDir: String,
                       coarse: Seq[(Long, Array[Double])],
-                      bySub: Map[Int, Seq[(Long, Array[Double])]]): Unit = {
+                      bySub: Map[Int, Seq[(Long, Array[Double])]],
+                      scheme: String = "flat"): Unit = {
     import spark.implicits._
+    val schemeCode = SchemeCodes.getOrElse(scheme,
+      throw new IllegalArgumentException(
+        s"writeQuantizers: unknown encoding scheme '$scheme' " +
+          s"(known: ${SchemeCodes.keys.toSeq.sorted.mkString(", ")})"))
+    val m = metaOf(scheme, coarse, bySub)
     val rows =
+      Seq(("meta", -1, 0, schemeCode,
+        Seq(m.nCoarse.toDouble, m.m.toDouble, m.ks.toDouble,
+          m.dim.toDouble))) ++
       coarse.zipWithIndex.map { case ((cid, v), i) =>
         ("coarse", -1, i, cid, v.toSeq) } ++
         bySub.toSeq.sortBy(_._1).flatMap { case (s, cents) =>
@@ -1628,7 +1739,19 @@ object ProductQuant {
     * quantizers ([[ivfadcProbeStoreWith]]).
     */
   def loadQuantizers(spark: org.apache.spark.sql.SparkSession,
-                     genDir: String): Quantizers = {
+                     genDir: String): Quantizers =
+    loadQuantizersMeta(spark, genDir)._1
+
+  /** [[loadQuantizers]] plus the generation's [[IndexMeta]] encoding
+    * contract. A sidecar WITHOUT a meta row (written by a pre-r18
+    * binary) reads as flat with geometry derived from the books — an
+    * honest default, because flat was the only scheme any pre-meta
+    * writer produced. A sidecar WHOSE meta row disagrees with the
+    * books it sits beside is corruption and fails loudly — the probe
+    * that trusted either half could silently mis-score.
+    */
+  def loadQuantizersMeta(spark: org.apache.spark.sql.SparkSession,
+                         genDir: String): (Quantizers, IndexMeta) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"${genDir.stripSuffix("/")}/$QuantizerDir")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1647,7 +1770,28 @@ object ProductQuant {
       .map { case (s, rs) =>
         s -> rs.sortBy(_.getInt(2))
           .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq }
-    (coarse, bySub)
+    val derived = metaOf("flat", coarse, bySub)
+    val meta = rows.find(_.getString(0) == "meta") match {
+      case None => derived
+      case Some(r) =>
+        val scheme = SchemeCodes.collectFirst {
+          case (name, code) if code == r.getLong(3) => name
+        }.getOrElse(throw new IllegalStateException(
+          s"quantizer sidecar under $genDir declares unknown encoding " +
+            s"scheme code ${r.getLong(3)} — refusing to probe codes " +
+            "this binary cannot interpret"))
+        val ps = r.getSeq[Double](4)
+        val recorded = IndexMeta(scheme, ps(0).toInt, ps(1).toInt,
+          ps(2).toInt, ps(3).toInt)
+        if ((recorded.nCoarse, recorded.m, recorded.ks, recorded.dim) !=
+            (derived.nCoarse, derived.m, derived.ks, derived.dim))
+          throw new IllegalStateException(
+            s"quantizer sidecar under $genDir is corrupt: recorded " +
+              s"geometry $recorded disagrees with the books beside it " +
+              s"(${derived.copy(scheme = recorded.scheme)})")
+        recorded
+    }
+    ((coarse, bySub), meta)
   }
 
   /** Versioned index publication — the reader-ATOMIC layer the
@@ -1672,7 +1816,8 @@ object ProductQuant {
                    saltBuckets: Int = SaltBuckets,
                    saltTasks: Option[Int] = None,
                    hotWidths: Map[Int, Int] = Map.empty,
-                   quantizers: Option[Quantizers] = None): (Int, String) = {
+                   quantizers: Option[Quantizers] = None,
+                   scheme: String = "flat"): (Int, String) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -1693,7 +1838,7 @@ object ProductQuant {
     // racing an in-flight publish, which the single-writer contract
     // already scopes — and loadQuantizers fails loudly, never wrongly
     quantizers.foreach { case (coarse, bySub) =>
-      writeQuantizers(spark, dir, coarse, bySub) }
+      writeQuantizers(spark, dir, coarse, bySub, scheme) }
     val cur = new Path(baseDir, "CURRENT")
     val tmp = new Path(baseDir, "CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -2100,22 +2245,41 @@ object ProductQuant {
   def ivfadcResidualTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                          nCoarse: Int = 16, nProbe: Int = 4,
                          dim: Option[Int] = None): DataFrame = {
+    // register on the CORPUS's session, not the thread-active one — a
+    // fresh session's first face would otherwise plan normN against an
+    // unregistered vec_nrm (the ivfadcProbeIndex note)
     graft.functions.PqKernels.register(embeddings.sparkSession)
+    graft.functions.LshKernels.register(embeddings.sparkSession)
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
-    val subLen = d / AdcM
-    // spread before the heavy residual-encode projection (adcParts note);
-    // null embeddings excluded so coarseAssignCol's -1 sentinel can
-    // never materialize a phantom list (adcParts note)
+    val (coarse, bySubF) = ivfadcResidualQuantizers(embeddings, nCoarse, d)
+    val enc = ivfadcResidualCodesWith(embeddings, coarse, bySubF, d)
     val embN = graft.Tables.spread(embeddings)
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         Similarity.normN(col("embedding"), d).as("nrm"))
+    val (_, qrel) = residualQueryRel(embN, queryPred, coarse, bySubF, d,
+      nProbe)
+    val scored = enc.join(broadcast(qrel), Seq("ccid", "sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg((min("sd6c") + sum("sd6f")).as("adc6"))
+    adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
+  }
+
+  /** BOTH residual-scheme quantizers (coarse centroids + fine codebooks
+    * trained on the RESIDUAL x̂ − ĉ) — [[ivfadcQuantizers]]' twin for
+    * the Jégou §V encoding, factored out so a residual index can be
+    * PUBLISHED as a store generation and probed by a later process
+    * (VERDICT r17 #1). Training is driver-bounded: the md5-prefix
+    * sample is normalized, assigned with the engine's own round6-cosine
+    * rule (replicated bit-for-bit with [[Similarity.round6]]), and
+    * residualized against the assigned centroid before the shared
+    * Lloyd-1 trainer runs.
+    */
+  def ivfadcResidualQuantizers(embeddings: DataFrame, nCoarse: Int, d: Int)
+      : Quantizers = {
     val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
     val cmap: Map[Long, Array[Double]] = coarse.toMap
-    // Driver-side residual training sample (bounded AdcSampleN rows):
-    // normalized sample vectors minus their round6-cosine-assigned
-    // coarse centroid — the engine's assignment rule, replicated with
-    // Similarity.round6 so driver and engine agree bit-for-bit.
     val resRows = collectSample(embeddings, AdcSampleN, l2Normalize = true)
       .map { case (id, v) =>
         val cid = coarse.map { case (ccid, cv) =>
@@ -2132,21 +2296,57 @@ object ProductQuant {
     val resDf = resRows.toDF("vec_id", "embedding")
     val bySubF = collectCodebook(
       codebook(resDf, d, AdcM, AdcKs, AdcSampleN, l2Normalize = false))
-    // ONE corpus scan: coarse cell + all AdcM residual codes per row,
-    // both through the native kernels (coarseAssignCol scaladoc; the
-    // residual argmax is `pq_encode_res` with the coarse centroids as
-    // foldable literals resolved per row by ccid).
+    (coarse, bySubF)
+  }
+
+  /** The (vec_id, ccid, sub, code) RESIDUAL code relation for `df`
+    * under frozen quantizers — [[ivfadcCodesWith]]'s residual twin.
+    * ONE corpus scan: coarse cell + all AdcM residual codes per row,
+    * both through the native kernels (coarseAssignCol scaladoc; the
+    * residual argmax is `pq_encode_res` with the coarse centroids as
+    * foldable literals resolved per row by ccid). Codes are RELATIVE
+    * to the assigned coarse centroid — which is why a residual
+    * generation can never be re-LISTED under a different coarse book
+    * ([[retrainStore]] re-encodes instead).
+    */
+  def ivfadcResidualCodesWith(df: DataFrame,
+                              coarse: Seq[(Long, Array[Double])],
+                              bySubF: Map[Int, Seq[(Long, Array[Double])]],
+                              d: Int, spread: Boolean = true): DataFrame = {
+    graft.functions.PqKernels.register(df.sparkSession)
+    graft.functions.LshKernels.register(df.sparkSession)
+    val base = if (spread) graft.Tables.spread(df) else df
+    // null embeddings excluded so coarseAssignCol's -1 sentinel can
+    // never materialize a phantom list (adcParts note)
+    val embN = base.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
     val (cvsF, cidsF) = bookLits(bySubF)
     val withC = embN.select(col("vec_id"), col("embedding"), col("nrm"),
       coarseAssignCol(col("embedding"), col("nrm"), coarse).as("ccid"))
-    val enc = explodeVia(withC, Seq(col("vec_id"), col("ccid")),
+    explodeVia(withC, Seq(col("vec_id"), col("ccid")),
       call_function("pq_encode_res", col("embedding"), col("nrm"),
         col("ccid"), typedLit(coarse.map(_._1)),
         typedLit(coarse.map(_._2.toSeq)), cvsF, cidsF),
       Seq("sub", "code"))
-    // Query relation: probed cells WITH their coarse dot (micro-units)
-    // × the fine LUT (q̂ against residual centroids — the flat-ADC LUT
-    // shape, fold-then-divide, reused verbatim).
+  }
+
+  /** The residual probe's query relation: probed cells WITH their
+    * coarse dot (micro-units) × the fine LUT (q̂ against residual
+    * centroids — the flat-ADC LUT shape, fold-then-divide, reused
+    * verbatim). Returned as (probe half, joined relation) — the
+    * persisted probe collects its pruned list ids from the CHEAP
+    * probe half alone (a scoreStructs projection), never through the
+    * joined relation, which embeds the LUT aggregation and would run
+    * that job twice. (q_id, ccid, sd6c, sub, code, sd6f); a
+    * candidate's score reconstructs as min(sd6c) + Σ sd6f.
+    */
+  private def residualQueryRel(embN: DataFrame, queryPred: Column,
+                               coarse: Seq[(Long, Array[Double])],
+                               bySubF: Map[Int, Seq[(Long, Array[Double])]],
+                               d: Int, nProbe: Int)
+      : (DataFrame, DataFrame) = {
+    val subLen = d / AdcM
     val sorted = reverse(array_sort(
       scoreStructs(col("embedding"), coarse, 0, 0, d, Some(col("nrm")))))
     val qprobe = embN.filter(queryPred).select(col("vec_id").as("q_id"),
@@ -2157,12 +2357,99 @@ object ProductQuant {
       .select(col("q_id"), col("p.ccid").as("ccid"), col("p.sd6c").as("sd6c"))
     val lutF = adcLut(embN, queryPred, bySubF, subLen)
       .withColumnRenamed("sd6", "sd6f")
-    val qrel = qprobe.join(lutF, "q_id")
-    val scored = enc.join(broadcast(qrel), Seq("ccid", "sub", "code"))
+    (qprobe, qprobe.join(lutF, "q_id"))
+  }
+
+  /** [[ivfadcProbeIndex]]'s residual twin: probe a PERSISTED residual
+    * code relation — probed-list ids land in the scan's
+    * PartitionFilters so unprobed lists' files never open, standing
+    * deletes leave the candidate set before scoring, and the score
+    * reconstructs as coarse dot + residual LUT sum in exact integer
+    * micro-units (the inline [[ivfadcResidualTopK]] scoring, verbatim,
+    * over the read-back codes).
+    */
+  def ivfadcResidualProbeIndex(embeddings: DataFrame, queryPred: Column,
+                               k: Int, indexDir: String,
+                               coarse: Seq[(Long, Array[Double])],
+                               bySubF: Map[Int, Seq[(Long, Array[Double])]],
+                               nProbe: Int = 4,
+                               dim: Option[Int] = None,
+                               excludeIds: Option[DataFrame] = None)
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.PqKernels.register(spark)
+    graft.functions.LshKernels.register(spark)
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val embN = graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
+    val (qprobe, qrel) = residualQueryRel(embN, queryPred, coarse, bySubF,
+      d, nProbe)
+    // ≤ nCoarse probed list ids — bounded driver state by construction;
+    // int literals keep the In inside PartitionFilters (the read-back
+    // partition column is inference-typed INT)
+    val probed = qprobe.select("ccid").distinct().collect()
+      .map(_.getLong(0).toInt).sorted
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("ccid").isin(probed: _*))
+    val idxLive = excludeIds.fold(idx)(t =>
+      idx.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
+    val scored = idxLive
+      .join(broadcast(qrel), Seq("ccid", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg((min("sd6c") + sum("sd6f")).as("adc6"))
     adcRerank(shortlistOf(scored, embeddings), embeddings, d, k)
+  }
+
+  /** Probe the store's LIVE generation with residual books LOADED FROM
+    * THE STORE — [[ivfadcProbeStore]]'s twin for residual generations,
+    * with the same scheme gate in the opposite direction: the residual
+    * reconstruction over FLAT codes mis-scores just as silently.
+    */
+  def ivfadcResidualProbeStore(embeddings: DataFrame, queryPred: Column,
+                               k: Int, baseDir: String, nProbe: Int = 4,
+                               dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    val ((coarse, bySubF), meta) = loadQuantizersMeta(spark, genDir)
+    if (meta.scheme != "residual") throw new IllegalStateException(
+      s"store at $baseDir holds ${meta.scheme}-encoded codes — probe " +
+        "it with ivfadcProbeStore, not the residual reconstruction")
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    if (meta.dim != d) throw new IllegalStateException(
+      s"store at $baseDir was encoded at dim ${meta.dim}; the probe " +
+        s"corpus is dim $d — refusing a geometry-mismatched probe")
+    ivfadcResidualProbeIndex(embeddings, queryPred, k, genDir, coarse,
+      bySubF, nProbe, Some(d),
+      excludeIds = hintedTombstones(spark, baseDir))
+  }
+
+  /** The residual deployment seam (VERDICT r17 #1): train the residual
+    * quantizers, publish the residual code relation as a complete
+    * store generation carrying `scheme = residual` in its sidecar, and
+    * probe the resolved generation through BOOKS LOADED FROM THE STORE
+    * — [[ivfadcStoreProbeTopK]]'s twin for the best-fidelity encoder
+    * (−21% reconstruction distortion vs flat, `adc_distortion`).
+    * Row-identical to [[ivfadcResidualTopK]] by construction: same
+    * single-scan code relation, same books (loaded bit-identically),
+    * same scoring — the oracle is the same SQL.
+    */
+  def ivfadcResidualStoreTopK(embeddings: DataFrame, queryPred: Column,
+                              k: Int, baseDir: String, nCoarse: Int = 16,
+                              nProbe: Int = 4,
+                              dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val (coarse, bySubF) = ivfadcResidualQuantizers(embeddings, nCoarse, d)
+    publishIndex(spark, baseDir,
+      ivfadcResidualCodesWith(embeddings, coarse, bySubF, d),
+      quantizers = Some((coarse, bySubF)), scheme = "residual")
+    ivfadcResidualProbeStore(embeddings, queryPred, k, baseDir, nProbe,
+      Some(d))
   }
 
   /** Apply the [[adcShortlist]] rule to a (q_id, vec_id, adc6) scored

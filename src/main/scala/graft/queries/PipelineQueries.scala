@@ -1424,6 +1424,19 @@ object PipelineQueries {
       ProductQuant.ivfadcResidualTopK(emb(s, dir), col("vec_id") < 50, 3)
         .orderBy("query_id", "rank")),
 
+    // The residual DEPLOYMENT seam (VERDICT r17 #1): the best-fidelity
+    // encoder published as a store generation whose sidecar records
+    // `scheme = residual`, probed through BOOKS LOADED FROM THE STORE
+    // via the residual reconstruction (coarse dot + residual LUT sum).
+    // A flat probe of this store — or a residual probe of a flat
+    // store — refuses loudly on the recorded scheme (spec-pinned).
+    // Row-identical to ann_ivfadc_residual by construction; same
+    // oracle SQL.
+    "ann_ivfadc_residual_store" -> ((s, dir) =>
+      ProductQuant.ivfadcResidualStoreTopK(emb(s, dir),
+        col("vec_id") < 50, 3, graft.Scratch.dir("ivfadc_res_store_"))
+        .orderBy("query_id", "rank")),
+
     // Recall gate for residual IVFADC — exact-truth contract, same
     // probing loss as the non-residual face at fixture scale (the
     // shortlist rule keeps every probed candidate, so the residual
@@ -4715,6 +4728,10 @@ object PipelineQueries {
 
     // Residual-IVFADC mirror (annIvfadcResOracle scaladoc).
     "ann_ivfadc_residual" -> annIvfadcResOracle,
+    // the published-store residual probe is row-identical to the
+    // inline face by construction (same codes, same loaded books,
+    // same reconstruction) — same mirror
+    "ann_ivfadc_residual_store" -> annIvfadcResOracle,
 
     // Residual-IVFADC recall gate: brute-force truth vs the residual
     // oracle as a subquery (one source of truth per lane).

@@ -697,6 +697,70 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("the store records its encoding scheme; mismatched probes refuse; residual retrain re-encodes (r18)") {
+    val e = emb
+    val d = Similarity.dimOf(e)
+    // flat store: the sidecar meta reads back flat with the books'
+    // geometry, and the RESIDUAL probe refuses on it
+    val flatBase = Scratch.dir("scheme_flat_")
+    val (fc, fb) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    ProductQuant.publishIndex(spark, flatBase,
+      ProductQuant.ivfadcCodesWith(e, fc, fb, d),
+      quantizers = Some((fc, fb)))
+    val (_, flatMeta) = ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, flatBase))
+    assert(flatMeta == ProductQuant.IndexMeta("flat", 16, 8, 16, d))
+    val e1 = intercept[IllegalStateException] {
+      ProductQuant.ivfadcResidualProbeStore(e, col("vec_id") < 30, 3,
+        flatBase, dim = Some(d))
+    }
+    assert(e1.getMessage.contains("flat-encoded"))
+    // residual store: scheme recorded, the FLAT probe refuses, the
+    // residual store probe matches the inline residual face
+    // row-for-row from a fresh session (books loaded, not held)
+    val resBase = Scratch.dir("scheme_res_")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val got = rows(ProductQuant.ivfadcResidualStoreTopK(e,
+      col("vec_id") < 30, 3, resBase, dim = Some(d)))
+    val (_, resMeta) = ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, resBase))
+    assert(resMeta.scheme == "residual" && resMeta.dim == d)
+    val e2 = intercept[IllegalStateException] {
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3, resBase,
+        dim = Some(d))
+    }
+    assert(e2.getMessage.contains("residual-encoded"))
+    val s2 = spark.newSession()
+    val want = rows(ProductQuant.ivfadcResidualTopK(
+      Tables.load(s2, sfDir, "embeddings"), col("vec_id") < 30, 3))
+    assert(got.nonEmpty && got == want)
+    // compaction carries the scheme forward with the books
+    ProductQuant.writeTombstones(spark, resBase,
+      e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+    ProductQuant.compactStore(spark, resBase)
+    assert(ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, resBase))._2.scheme ==
+      "residual")
+    // retrain on a residual generation RE-ENCODES against the new
+    // coarse book (a re-list would corrupt coarse-relative codes):
+    // content is preserved — nothing added or removed vs the compacted
+    // generation — and the store stays probe-able through loaded books
+    val (gFrom, gTo) = ProductQuant.retrainStore(spark, resBase, e, 16)
+    val diff = ProductQuant.indexGenDiff(spark, resBase, gFrom, gTo)
+      .groupBy("status").agg(sum("n_vecs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff.getOrElse("added", 0L) == 0L &&
+      diff.getOrElse("removed", 0L) == 0L, diff.toString)
+    val post = ProductQuant.ivfadcResidualProbeStore(e,
+      col("vec_id") < 30, 3, resBase, dim = Some(d))
+    assert(post.count() > 0)
+    assert(ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, resBase))._2.scheme ==
+      "residual")
+  }
+
   test("indexGenDiff classifies moved-list vectors as recoded under the new list") {
     import spark.implicits._
     // vec 1 stays put unchanged, vec 2 moves list 0 -> 3 (retrained
