@@ -962,7 +962,8 @@ object ProductQuant {
     * (liveGen, newGen).
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
-                   baseDir: String): (Int, Int) = {
+                   baseDir: String): (Int, Int) =
+      StoreLease.withLease(spark, baseDir, "compact") {
     val (g, live) = currentGeneration(spark, baseDir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
@@ -1049,7 +1050,8 @@ object ProductQuant {
     */
   def retrainStore(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String, embeddings: DataFrame,
-                   nCoarse: Int = 16): (Int, Int) = {
+                   nCoarse: Int = 16): (Int, Int) =
+      StoreLease.withLease(spark, baseDir, "retrain") {
     val (g, live) = currentGeneration(spark, baseDir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
@@ -1065,8 +1067,21 @@ object ProductQuant {
     // were encoded against, so a re-list would silently corrupt every
     // score — they must RE-ENCODE against the new coarse book
     if (oldBooks.exists(_._2.scheme == "residual"))
-      return retrainResidual(spark, baseDir, embeddings, nCoarse,
+      retrainResidual(spark, baseDir, embeddings, nCoarse,
         g, live, oldBooks.get._1._2, oldBooks.get._2)
+    else retrainFlat(spark, baseDir, embeddings, nCoarse, g, live,
+      oldBooks)
+  } // withLease
+
+  /** [[retrainStore]]'s flat leg: re-LIST the live generation's code
+    * rows under the retrained assignment (flat codes are
+    * coarse-independent, so the code words carry verbatim).
+    */
+  private def retrainFlat(spark: org.apache.spark.sql.SparkSession,
+                          baseDir: String, embeddings: DataFrame,
+                          nCoarse: Int, g: Int, live: String,
+                          oldBooks: Option[(Quantizers, IndexMeta)])
+      : (Int, Int) = {
     // a retrain is a store MUTATION: self-recover a legacy interrupted
     // GC first (the writeTombstones/compactStore convention), then
     // anti-join the standing deletes out of the source rows — pending
@@ -1216,7 +1231,8 @@ object ProductQuant {
     * by the first audit. Returns (generation, directory).
     */
   def publishStore(spark: org.apache.spark.sql.SparkSession,
-                   baseDir: String, codesDir: String): (Int, String) = {
+                   baseDir: String, codesDir: String): (Int, String) =
+      StoreLease.withLease(spark, baseDir, "publish") {
     val codes = spark.read.parquet(codesDir)
       .select(col("vec_id"), col("ccid").cast("int").as("ccid"),
         col("sub"), col("code"))
@@ -1284,7 +1300,8 @@ object ProductQuant {
     * one writer at a time.
     */
   def writeTombstones(spark: org.apache.spark.sql.SparkSession,
-                      baseDir: String, ids: DataFrame): Unit = {
+                      baseDir: String, ids: DataFrame): Unit =
+      StoreLease.withLease(spark, baseDir, "delete") {
     // a sidecar MUTATION path self-recovers an interrupted GC before
     // touching anything (round-17 review-2 #4: a delete against the
     // parked-.gc_old state must not fail with a probe-oriented
@@ -1478,7 +1495,8 @@ object ProductQuant {
     */
   def gcTombstones(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String,
-                   excludeGens: Set[Int] = Set.empty): Long = {
+                   excludeGens: Set[Int] = Set.empty): Long =
+      StoreLease.withLease(spark, baseDir, "gc") {
     import org.apache.hadoop.fs.Path
     recoverTombstoneGc(spark, baseDir)
     tombstones(spark, baseDir) match {
@@ -1817,7 +1835,13 @@ object ProductQuant {
                    saltTasks: Option[Int] = None,
                    hotWidths: Map[Int, Int] = Map.empty,
                    quantizers: Option[Quantizers] = None,
-                   scheme: String = "flat"): (Int, String) = {
+                   scheme: String = "flat"): (Int, String) =
+      // the single-writer contract, ENFORCED (VERDICT r17 #2): the
+      // generation numbering below is a read-modify-write, and the
+      // pointer flip assumes one publisher — both were prose until the
+      // lease. Nested mutations (compact/retrain publish through here)
+      // ride the outer acquisition.
+      StoreLease.withLease(spark, baseDir, "publish") {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -1850,7 +1874,7 @@ object ProductQuant {
         s"publishIndex: pointer flip failed (readers still resolve " +
           s"v$gen via the _SUCCESS fallback)")
     (gen, dir)
-  }
+  } // withLease
 
   /** All generation directories under the store, complete or not. */
   private def listGenerations(spark: org.apache.spark.sql.SparkSession,
@@ -1927,7 +1951,8 @@ object ProductQuant {
     */
   def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
                        baseDir: String, keep: Int = 2,
-                       live: Option[Int] = None): Seq[Int] = {
+                       live: Option[Int] = None): Seq[Int] =
+      StoreLease.withLease(spark, baseDir, "prune") {
     import org.apache.hadoop.fs.Path
     require(keep >= 1, s"pruneGenerations: keep must be >= 1, got $keep")
     val base = new Path(baseDir)

@@ -582,6 +582,54 @@ class CliSpec extends SparkSpec {
       .contains(2))
   }
 
+  test("the store writer lease refuses a live second mutator, reclaims stale/dead ones, and never blocks readers (r18)") {
+    val ids = spark.range(0, 200).select(col("id").as("vec_id"))
+    val store = Files.createTempDirectory("graft_lease").toString
+    ProductQuant.publishIndex(spark, store,
+      ProductQuant.uniformSyntheticCodes(ids))
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(store,
+      graft.operators.StoreLease.LeaseName)
+    def plant(id: String): Unit = {
+      val out = fs.create(lease, true)
+      out.write(s"$id publish ${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // a LIVE foreign writer (pid 1 — alive wherever /proc is visible):
+    // every mutation verb refuses, naming the holder
+    plant(s"1@$host")
+    val refusal = intercept[IllegalStateException] {
+      ProductQuant.writeTombstones(spark, store,
+        ids.filter(col("vec_id") === 1))
+    }
+    assert(refusal.getMessage.contains(s"1@$host"), refusal.getMessage)
+    assert(Cli.run(Array("compact", "--index", store), spark) == 2)
+    // pure READERS never touch the lease: resolve + scan + doctor all
+    // run under the foreign holder
+    assert(spark.read.parquet(
+      ProductQuant.currentIndexDir(spark, store)).count() > 0)
+    assert(Cli.run(Array("doctor", "--index", store), spark) == 0)
+    // a DEAD holder on this host reclaims immediately (the ps-liveness
+    // half of the reference's PID-lock check)
+    plant(s"999999999@$host")
+    ProductQuant.writeTombstones(spark, store,
+      ids.filter(col("vec_id") === 2))
+    assert(ProductQuant.tombstones(spark, store).get.count() == 1)
+    // ...and the lease releases when the mutation finishes
+    assert(!fs.exists(lease))
+    // a STALE lease (older than the TTL, holder liveness unknowable
+    // from here) reclaims too — a crashed writer cannot brick the store
+    plant(s"1@$host")
+    fs.setTimes(lease, System.currentTimeMillis() -
+      graft.operators.StoreLease.StaleMillis - 60000L, -1)
+    val (g1, g2) = ProductQuant.compactStore(spark, store)
+    assert(g2 == g1 + 1)
+    assert(!fs.exists(lease))
+  }
+
   test("doctor maps each README failure class to a distinct check") {
     val out = Files.createTempDirectory("graft_doc").toString
     // class 1 — connection refused: source does not exist
