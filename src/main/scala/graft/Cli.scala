@@ -242,6 +242,12 @@ object Cli {
     // 0 on a clean layout, 2 when the dir isn't a partitioned index.
     // MUST precede the config-doctor case: that pattern would bind
     // conf="--index".
+    // The machine-readable twin (VERDICT r17 #7): same facts, same
+    // exit rules, ONE JSON object on stdout — what a fleet monitor
+    // over a 100 TB store parses, instead of grepping the table.
+    case "doctor" :: "--index" :: idxDir :: "--json" :: Nil =>
+      indexDoctorJson(spark, idxDir)
+
     case "doctor" :: "--index" :: idxDir :: Nil =>
       // a VERSIONED STORE base (CURRENT pointer / v<N> generations)
       // resolves to its live generation first — the doctor audits what
@@ -325,10 +331,11 @@ object Cli {
             // and retrain deliberately FAIL on) are different findings
             // and must not share a line or an exit code (ADVICE r17)
             scala.util.Try(
-              operators.ProductQuant.loadQuantizers(spark, resolved)) match {
-              case scala.util.Success((coarse, bySub)) =>
-                println(s"books: present (coarse ${coarse.length}, " +
-                  s"fine ${bySub.size} sub x " +
+              operators.ProductQuant.loadQuantizersMeta(spark, resolved))
+            match {
+              case scala.util.Success(((coarse, bySub), meta)) =>
+                println(s"books: present (scheme ${meta.scheme}, " +
+                  s"coarse ${coarse.length}, fine ${bySub.size} sub x " +
                   s"${bySub.headOption.map(_._2.length).getOrElse(0)})")
               case scala.util.Failure(_: java.util.NoSuchElementException) =>
                 println("books: ABSENT — store probes need " +
@@ -620,6 +627,94 @@ object Cli {
   private def firstLine(e: Throwable): String =
     Option(e.getMessage).flatMap(_.linesIterator.nextOption())
       .getOrElse(e.getClass.getSimpleName)
+
+  /** `doctor --index <dir> --json` (VERDICT r17 #7): the text doctor's
+    * facts — resolved generation, per-list layout audit, tombstone
+    * sidecar state, book presence + encoding scheme — as one JSON
+    * object, with the SAME exit-code rules (CliSpec pins text/JSON
+    * exit parity across store states, so the two arms cannot drift
+    * silently). Hand-rolled emission: the only JSON this CLI writes is
+    * flat and bounded (≤ nCoarse list rows), and the project adds no
+    * dependencies.
+    */
+  private def indexDoctorJson(spark: SparkSession, idxDir: String): Int = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val store = scala.util.Try(
+      operators.ProductQuant.currentGeneration(spark, idxDir))
+      .toOption.flatten
+    val resolved = store.map(_._2).getOrElse(idxDir)
+    scala.util.Try(
+      operators.ProductQuant.indexLayoutAudit(spark, resolved).collect())
+    match {
+      case scala.util.Failure(e) =>
+        println(s"""{"dir":${js(idxDir)},"error":${js(firstLine(e))},""" +
+          s""""exit":2}""")
+        2
+      case scala.util.Success(rows) =>
+        val lists = rows.map { r =>
+          s"""{"ccid":${r.getInt(0)},"n_rows":${r.getLong(1)},""" +
+            s""""n_files":${r.getLong(2)},"bytes":${r.getLong(3)},""" +
+            s""""flag":${js(r.getString(4))}}"""
+        }.mkString("[", ",", "]")
+        var tombInconsistent = false
+        val tombJson =
+          if (store.isEmpty) "null"
+          else scala.util.Try {
+            operators.ProductQuant.tombstoneFsStats(spark, idxDir)
+              .map { case (files, bytes) =>
+                val n = operators.ProductQuant.tombstones(spark, idxDir)
+                  .map(_.count()).getOrElse(0L)
+                val liveVecs = spark.read.parquet(resolved)
+                  .select("vec_id").distinct().count()
+                val pm = if (liveVecs == 0) 0L else 1000L * n / liveVecs
+                val over = bytes >
+                  operators.ProductQuant.TombstoneBroadcastBytes
+                s"""{"ids":$n,"files":$files,"bytes":$bytes,""" +
+                  s""""permille":$pm,"over_broadcast_budget":$over}"""
+              }.getOrElse("null")
+          }.recover { case e =>
+            tombInconsistent = true
+            s"""{"inconsistent":true,"error":${js(firstLine(e))}}"""
+          }.get
+        var booksUnreadable = false
+        val booksJson =
+          if (store.isEmpty) "null"
+          else scala.util.Try(
+            operators.ProductQuant.loadQuantizersMeta(spark, resolved))
+          match {
+            case scala.util.Success(((coarse, bySub), meta)) =>
+              s"""{"status":"present","scheme":${js(meta.scheme)},""" +
+                s""""coarse":${coarse.length},"subs":${bySub.size},""" +
+                s""""ks":${meta.ks},"dim":${meta.dim}}"""
+            case scala.util.Failure(_: java.util.NoSuchElementException) =>
+              """{"status":"absent"}"""
+            case scala.util.Failure(e) =>
+              booksUnreadable = true
+              s"""{"status":"unreadable","error":${js(firstLine(e))}}"""
+          }
+        // the text doctor's exit rules, verbatim
+        val bad = rows.map(_.getString(4)).filter(_ != "ok")
+        val mean = rows.map(_.getLong(1)).sum.toDouble /
+          math.max(1, rows.length)
+        val pastClamp = rows.filter(r => r.getString(4) == "hot_list"
+          && r.getLong(1) > 128.0 * mean).map(_.getInt(0)).sorted
+        val exit =
+          if (bad.nonEmpty || tombInconsistent || booksUnreadable) 1
+          else 0
+        val gen = store.map(_._1.toString).getOrElse("null")
+        println(s"""{"dir":${js(idxDir)},"store":${store.nonEmpty},""" +
+          s""""generation":$gen,"resolved_dir":${js(resolved)},""" +
+          s""""lists":$lists,"tombstones":$tombJson,"books":$booksJson,""" +
+          s""""past_clamp":${pastClamp.mkString("[", ",", "]")},""" +
+          s""""exit":$exit}""")
+        exit
+    }
+  }
 
   private def parseConf(path: String): EngineConf =
     EngineConf.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))

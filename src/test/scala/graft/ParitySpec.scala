@@ -582,6 +582,65 @@ class CliSpec extends SparkSpec {
       .contains(2))
   }
 
+  test("doctor --index --json emits one parseable object with text-doctor exit parity (r18)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // each state: JSON exit == text exit (pinned parity — the two arms
+    // must not drift), and the parsed object carries the named fields
+    def dj(dir: String): (Int, JValue) = {
+      val (cj, oj) = doctorOut(Array("doctor", "--index", dir, "--json"))
+      val (ct, _) = doctorOut(Array("doctor", "--index", dir))
+      assert(cj == ct, s"json exit $cj != text exit $ct for $dir")
+      assert(oj.trim.linesIterator.size == 1, oj)
+      (cj, JsonMethods.parse(oj.trim))
+    }
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val d = Similarity.dimOf(e)
+    // 1) healthy flat store with books and one delete batch
+    val store = Files.createTempDirectory("graft_djson").toString
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    ProductQuant.publishIndex(spark, store,
+      ProductQuant.ivfadcCodesWith(e, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)))
+    ProductQuant.writeTombstones(spark, store,
+      e.filter(col("vec_id") % 50 === 0).select("vec_id"))
+    val (c1, j1) = dj(store)
+    assert(c1 == 0)
+    assert((j1 \ "store") == JBool(true))
+    assert((j1 \ "generation") == JInt(1))
+    assert((j1 \ "books" \ "status") == JString("present"))
+    assert((j1 \ "books" \ "scheme") == JString("flat"))
+    assert((j1 \ "tombstones" \ "files") == JInt(1))
+    assert((j1 \ "lists").children.nonEmpty)
+    assert((j1 \ "exit") == JInt(0))
+    // 2) a hot-list layout exits 1 in both arms; past_clamp names the
+    // collapsed list
+    val hot = Files.createTempDirectory("graft_djson_hot").toString
+    val big = spark.range(0, 2000).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "transform(sequence(0, 7), i -> cast(cast((id * 31 + i * 17) " +
+          "% 97 as double) / 97.0 - 0.5 as float))").as("embedding"))
+    ProductQuant.publishIndex(spark, hot,
+      ProductQuant.collapsedSyntheticCodes(big))
+    val (c2, j2) = dj(hot)
+    assert(c2 == 1)
+    assert((j2 \ "books" \ "status") == JString("absent"))
+    assert((j2 \ "past_clamp").children.contains(JInt(0)))
+    // 3) a CORRUPT quantizer sidecar reads as unreadable, exit 1
+    import spark.implicits._
+    Seq(1).toDF("x").write.mode("overwrite").parquet(
+      ProductQuant.currentIndexDir(spark, store) + "/" +
+        ProductQuant.QuantizerDir)
+    val (c3, j3) = dj(store)
+    assert(c3 == 1)
+    assert((j3 \ "books" \ "status") == JString("unreadable"))
+    // 4) not an index at all: exit 2 with a one-line error field
+    val bogus = Files.createTempDirectory("graft_djson_bogus").toString
+    val (c4, j4) = dj(bogus)
+    assert(c4 == 2)
+    assert((j4 \ "error").isInstanceOf[JString])
+  }
+
   test("the store writer lease refuses a live second mutator, reclaims stale/dead ones, and never blocks readers (r18)") {
     val ids = spark.range(0, 200).select(col("id").as("vec_id"))
     val store = Files.createTempDirectory("graft_lease").toString
