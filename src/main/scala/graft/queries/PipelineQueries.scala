@@ -1393,6 +1393,41 @@ object PipelineQueries {
         .orderBy("part", "ccid", "status")
     }),
 
+    // The WHOLE store lifecycle composed into one face (VERDICT r17
+    // #3) — every verb is individually green, but seams hide in
+    // composition: publish v1 (standing corpus, frozen books) →
+    // incremental ingest (v2 = the grown corpus under the SAME frozen
+    // books — append == rebuild) → between-epoch deletes (tombstones)
+    // → compact (physical delete + sidecar GC) → retention prune →
+    // coarse retrain on the surviving corpus (re-list under the
+    // Lloyd-1 assignment, fine books carried forward) → probe through
+    // BOOKS LOADED FROM THE STORE. The oracle is a from-scratch DuckDB
+    // lane over the surviving corpus: fine books trained on the
+    // standing subset, coarse book = the kmeans chain over survivors,
+    // candidates = survivors, queries untouched by deletes.
+    "index_lifecycle" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val base = graft.Scratch.dir("idx_life_")
+      val standing = e.filter(col("vec_id") < 400)
+      val (coarse, bySub) = ProductQuant.ivfadcQuantizers(standing, 16, d)
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(standing, coarse, bySub, d),
+        quantizers = Some((coarse, bySub)))
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(e, coarse, bySub, d),
+        quantizers = Some((coarse, bySub)))
+      ProductQuant.writeTombstones(s, base,
+        e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+      ProductQuant.compactStore(s, base)
+      ProductQuant.pruneGenerations(s, base, keep = 1)
+      ProductQuant.retrainStore(s, base,
+        e.filter(col("vec_id") % 9 =!= 3), 16)
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 50, 3, base,
+        dim = Some(d))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -2230,6 +2265,88 @@ object PipelineQueries {
        |UNION ALL SELECT part, ccid, status, n FROM h2
        |UNION ALL SELECT part, ccid, status, n FROM dd
        |ORDER BY part, ccid, status""".stripMargin
+
+  /** Lifecycle mirror (VERDICT r17 #3): the final probe of the
+    * composed publish → ingest → delete → compact → prune → retrain →
+    * probe face, rebuilt FROM SCRATCH over the surviving corpus. Fine
+    * books train on the normalized standing subset (the frozen-book
+    * ingest contract — pqCodesCtes over `stn`, codes for the whole
+    * corpus); the coarse book is the Lloyd-1 k-means chain over the
+    * SURVIVORS (seed → assign → exact-decimal mean → normalized
+    * centroid), because that is what the retrain left in the sidecar;
+    * the candidate lists are the survivors' trainer assignments
+    * (full-precision cosine vs the raw means — the indexRetrainOracle
+    * convention), the probe ranking is round6 against the NORMALIZED
+    * means (the stored-book probe path, mirrored in its operation
+    * order), and deleted vectors query but are never candidates.
+    */
+  private lazy val indexLifecycleOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |stn AS (SELECT vec_id, v FROM en WHERE vec_id < 400),
+       |surv AS (SELECT vec_id, v FROM e WHERE vec_id % 9 <> 3),
+       |${pqCodesCtes("stn", m = 8, subLen = 8, ks = 16, sampN = 160,
+                      corpusSrc = "e", normDot = true)},
+       |centk AS (SELECT vec_id AS cid, v AS cv FROM surv
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |simk AS (SELECT s.vec_id, c.cid, ${cosOf("s.v", "c.cv")} AS sc
+       |  FROM surv s, centk c),
+       |ak AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+       |    FROM simk) WHERE rn = 1),
+       |kdims AS (SELECT unnest(range(1, (SELECT len(embedding)
+       |    FROM embeddings LIMIT 1) + 1)) AS pos),
+       |compk AS (SELECT ak.cid, d.pos,
+       |    CAST(SUM(CAST(s.v[CAST(d.pos AS INTEGER)] AS DECIMAL(27,10)))
+       |      AS DOUBLE) / COUNT(*) AS c
+       |  FROM ak JOIN surv s ON s.vec_id = ak.vec_id CROSS JOIN kdims d
+       |  GROUP BY ak.cid, d.pos),
+       |centr AS (SELECT cid, list(c ORDER BY pos) AS cv FROM compk
+       |  GROUP BY cid),
+       |centrn AS (SELECT cid, list_transform(cv, y ->
+       |    y / sqrt(list_sum(list_transform(cv, z -> z * z)))) AS cv
+       |  FROM centr),
+       |simr AS (SELECT v.vec_id, r.cid, ${cosOf("v.v", "r.cv")} AS sc
+       |  FROM surv v, centr r),
+       |cassign AS (SELECT vec_id, CAST(cid AS INTEGER) AS ccid FROM (
+       |    SELECT vec_id, cid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+       |    FROM simr) WHERE rn = 1),
+       |csimp AS (SELECT e.vec_id, r.cid AS ccid,
+       |    round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |        i -> e.v[CAST(i AS INTEGER)] * r.cv[CAST(i AS INTEGER)]))
+       |      / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, centrn r),
+       |cprobe AS (SELECT vec_id AS q_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csimp WHERE vec_id < 50) WHERE rn <= 4),
+       |lut AS (SELECT vec_id AS q_id, sub, cid AS code,
+       |    CAST(round(sd * 1000000) AS BIGINT) AS sd6
+       |  FROM sd1 WHERE vec_id < 50),
+       |adc AS (SELECT p.q_id AS query_id, a.vec_id AS cand_id,
+       |    CAST(SUM(l.sd6) AS BIGINT) AS adc6
+       |  FROM cassign a JOIN cprobe p ON p.ccid = a.ccid
+       |    AND p.q_id <> a.vec_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
+       |  FROM adc),
+       |short AS (SELECT query_id, cand_id, adc6 FROM sr
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
+       |  FROM short s JOIN e q ON q.vec_id = s.query_id
+       |               JOIN e c ON c.vec_id = s.cand_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** The IVFADC mirror chain with BOTH quantizers trained from
     * `trainSrc` (a (vec_id, v)-normalized CTE; "en" = the full corpus,
@@ -4608,6 +4725,7 @@ object PipelineQueries {
          |ORDER BY stage""".stripMargin,
 
     "index_retrain_rebalance" -> indexRetrainOracle,
+    "index_lifecycle" -> indexLifecycleOracle,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the
