@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.PqKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.JlKernels.descriptors.foreach(ext.injectFunction)
     graft.functions.LshKernels.descriptors.foreach(ext.injectFunction)
+    graft.functions.ImageKernels.descriptors.foreach(ext.injectFunction)
   }
 }

@@ -160,6 +160,40 @@ object Multimodal {
     binaryPayloadHex(docs)
       .select(col("doc_id"), unhex(col("hx")).as("payload"))
 
+  /** (doc_id, payload) with the [[binaryPayloadHex]] pixel bytes packed
+    * into REAL width-8 grayscale PNGs (VERDICT r17 #5 — the decode
+    * seam, closed on the JDK's own codec): 48- or 64-byte payloads
+    * become 8×6 / 8×8 images, so the corpus keeps the per-doc
+    * dimension variation the binary lane plants. Docs whose pixel lane
+    * is empty (the `% 50 = 7` residue) carry no image — a 0-pixel PNG
+    * does not exist — mirroring the empty-payload absence contract.
+    */
+  def withPngPayload(docs: DataFrame): DataFrame = {
+    graft.functions.ImageKernels.register(docs.sparkSession)
+    binaryPayloadHex(docs)
+      .filter(length(col("hx")) > 0)
+      .select(col("doc_id"),
+        expr("png_gray_encode(unhex(hx), 8)").as("payload"))
+  }
+
+  /** [[phash]] through the REAL decoder: decode the PNG payload back
+    * to its row-major gray samples, then box-filter-hash the pixel
+    * stream — decode → fingerprint, the production image-dedup order.
+    * PNG grayscale is lossless, so over [[withPngPayload]] this equals
+    * the binary lane's hashes exactly (the oracle re-derives the pixel
+    * bytes arithmetically); over a RECOMPRESSED corpus the payload
+    * bytes differ while this hash does not — the divergence the decode
+    * leg exists to expose, spec-pinned with a tEXt-chunk recompress.
+    */
+  def phashDecoded(media: DataFrame): DataFrame = {
+    graft.functions.TextKernels.register(media.sparkSession)
+    graft.functions.ImageKernels.register(media.sparkSession)
+    graft.Tables.spread(media)
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        expr("dhash63(png_gray_decode(payload))").as("phash"))
+  }
+
   /** Planted near-duplicate corpus in BINARY space: every 20th doc
     * gains a one-byte-perturbed variant (byte 17 overwritten with 0xFF
     * — sensor/recompression noise; one byte touches at most two

@@ -931,6 +931,18 @@ object PipelineQueries {
       Multimodal.phash(Multimodal.withBinaryPayload(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // The DECODE leg of the perceptual pillar (VERDICT r17 #5): the
+    // same planted pixel bytes packed into REAL grayscale PNGs
+    // (javax.imageio — the JDK's own codec, no new dependency), then
+    // decoded back to pixels and box-filter-hashed — decode →
+    // fingerprint, the production image-dedup order. PNG grayscale is
+    // lossless, so the oracle re-derives the pixel bytes from the hex
+    // lane and must match bit-for-bit; the payload-vs-decode
+    // divergence on a recompressed container is spec-pinned.
+    "image_phash_decoded" -> ((s, dir) =>
+      Multimodal.phashDecoded(Multimodal.withPngPayload(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // Near-dup mining on the planted BINARY corpus: a one-byte 0xFF
     // perturbation (≤3 gradient bits — sensor/recompression noise) and
     // exact duplicates must surface through the same 9×7-band join,
@@ -4523,6 +4535,16 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "image_phash_binary" ->
+      s"""WITH $binaryHexCte,
+         |src AS (SELECT doc_id, hx FROM b0),
+         |$dhashHexCtes
+         |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin,
+
+    // decode(encode(px)) == px for lossless grayscale PNG, so the
+    // decoded lane's truth is the SAME hex-lane mirror — the engine
+    // goes the long way through the real compressed container and must
+    // land on identical hashes
+    "image_phash_decoded" ->
       s"""WITH $binaryHexCte,
          |src AS (SELECT doc_id, hx FROM b0),
          |$dhashHexCtes

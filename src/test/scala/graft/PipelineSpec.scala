@@ -1337,6 +1337,61 @@ class MultimodalSpec extends SparkSpec {
     assert(counts == counts.sorted)
   }
 
+  test("decoded lane: PNG roundtrip is exact; a recompressed container diverges in bytes but not in decoded hash (r18)") {
+    import spark.implicits._
+    // roundtrip exactness doc-by-doc: decode(encode(px)) == px, so the
+    // decoded fingerprints equal the binary lane's bit-for-bit
+    val pixelsByDoc = Multimodal.withBinaryPayload(docs.limit(60))
+      .filter(length(col("payload")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val pngByDoc = Multimodal.withPngPayload(docs.limit(60))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(pngByDoc.keySet == pixelsByDoc.keySet)
+    pngByDoc.foreach { case (id, png) =>
+      // a REAL container, not the raw bytes: PNG signature up front
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte, s"doc $id")
+      assert(graft.functions.ImageKernels.pngGrayDecode(png)
+        .sameElements(pixelsByDoc(id)), s"doc $id roundtrip")
+    }
+    val decoded = Multimodal.phashDecoded(
+      Multimodal.withPngPayload(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = Multimodal.phash(Multimodal.withBinaryPayload(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.nonEmpty && decoded == raw)
+    // recompress divergence: splice a tEXt ancillary chunk after IHDR
+    // (valid PNG, same pixels, different bytes — what a re-save does).
+    // The PAYLOAD-byte fingerprints diverge; the DECODED ones cannot.
+    def recompress(png: Array[Byte]): Array[Byte] = {
+      val ihdrLen = java.nio.ByteBuffer.wrap(png, 8, 4).getInt
+      val at = 8 + 12 + ihdrLen
+      val data = "Comment recompressed".getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update("tEXt".getBytes("ISO-8859-1"))
+      crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      bb.put("tEXt".getBytes("ISO-8859-1"))
+      bb.put(data)
+      bb.putInt(crc.getValue.toInt)
+      png.slice(0, at) ++ bb.array() ++ png.slice(at, png.length)
+    }
+    val (someId, somePng) = pngByDoc.head
+    val re = recompress(somePng)
+    assert(!re.sameElements(somePng))
+    assert(graft.functions.TextKernels.dhash63(re) !=
+      graft.functions.TextKernels.dhash63(somePng),
+      "payload-byte hashes should diverge across a re-save")
+    assert(graft.functions.ImageKernels.pngGrayDecode(re)
+      .sameElements(pixelsByDoc(someId)))
+    val twoLanes = Multimodal.phashDecoded(
+      Seq((someId, somePng), (someId + 1000000L, re))
+        .toDF("doc_id", "payload"))
+      .collect().map(_.getLong(1)).toSet
+    assert(twoLanes.size == 1,
+      "decoded hashes must be identical across the recompress")
+  }
+
   test("banded phash pairing equals the brute-force all-pairs answer") {
     val sig = Multimodal.phash(Multimodal.withPayload(docs.limit(200)))
     val banded = Multimodal.phashPairs(
