@@ -57,9 +57,22 @@ object BenchScaling {
     // should track ann_ivfadc_partitioned (one index write + pruned
     // probe); a divergence would mean the store layer added a scale
     // term it must not have.
-    "ann_ivfadc_store_probe")
+    "ann_ivfadc_store_probe",
+    // r18: the residual deployment seam (should track
+    // ann_ivfadc_store_probe — persisting residual books must add no
+    // scale term), the composed lifecycle face (rebuild-class: two
+    // publishes + compaction + prune + retrain per run), and the
+    // real-codec decode lane (per-row PNG decode — linear in rows is
+    // the honest decoder price; superlinear would be a bug).
+    "ann_ivfadc_residual_store", "index_lifecycle", "image_phash_decoded")
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SCALING_FAMILIES=a,b,c restricts the run — the
+    // quiet-window re-measure tool (VERDICT r17 #6: one drifted family
+    // should not cost a full 18-family sweep to adjudicate)
+    val families = sys.env.get("SPARK_GRAFT_SCALING_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(Families)(only => Families.filter(only))
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
     // the sf1 decade lives outside the driver's read-only fixture tree
     // (GenFixtures writes it under the repo); include it when present
@@ -84,7 +97,7 @@ object BenchScaling {
       scala.collection.mutable.LinkedHashMap.empty[(String, Double), List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[(String, Double), String]
     (1 to reps).foreach { _ =>
-      for ((dir, sf) <- sfs; name <- Families
+      for ((dir, sf) <- sfs; name <- families
            if !errors.contains((name, sf))) {
         val t0 = System.nanoTime()
         try {
@@ -104,7 +117,7 @@ object BenchScaling {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val sfVals = sfs.map(_._2)
-    val fams = Families.map { name =>
+    val fams = families.map { name =>
       val best = sfVals.flatMap(sf =>
         samples.get((name, sf)).map(ss => sf -> ss.min)).toMap
       def expo(lo: Double, hi: Double): Option[Double] =
@@ -145,7 +158,7 @@ object BenchScaling {
     // round's record stays an explicit human move. Set
     // SPARK_GRAFT_SCALING_OUT to write elsewhere deliberately.
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r17.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r18.json")
     val target =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar))) {
         System.err.println(s"scaling: refusing to overwrite existing " +

@@ -57,24 +57,27 @@ object StoreLease {
   private def leasePath(fs: FileSystem, baseDir: String): Path =
     fs.makeQualified(new Path(new Path(baseDir), LeaseName))
 
-  /** (holderId, op, mtimeMillis) of the standing lease, if any. */
+  /** (holderId, op, mtimeMillis) of the standing lease, if any. None
+    * both when no lease exists AND when it vanished between the
+    * existence probe and the read (a releasing holder) — the caller's
+    * retry loop treats both as "try the create again".
+    */
   def holder(spark: SparkSession, baseDir: String)
       : Option[(String, String, Long)] = {
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val p = leasePath(fs, baseDir)
-    if (!fs.exists(p)) None
-    else {
+    scala.util.Try {
       val st = fs.getFileStatus(p)
       val in = fs.open(p)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       val parts = content.split("\\s+")
-      Some((parts.headOption.getOrElse(""),
+      (parts.headOption.getOrElse(""),
         parts.drop(1).headOption.getOrElse(""),
-        st.getModificationTime))
-    }
+        st.getModificationTime)
+    }.toOption
   }
 
   private def pidAliveHere(id: String): Option[Boolean] = {
