@@ -1863,6 +1863,13 @@ object ProductQuant {
     // already scopes — and loadQuantizers fails loudly, never wrongly
     quantizers.foreach { case (coarse, bySub) =>
       writeQuantizers(spark, dir, coarse, bySub, scheme) }
+    // pre-commit fence (VERDICT r18 #1): the pointer flip is the one
+    // irreversible step — re-verify this thread's acquisition still
+    // owns the standing lease, so a writer hijacked mid-mutation (its
+    // lease forcibly replaced, or reclaimed cross-host past the TTL
+    // despite the heartbeat) refuses loudly instead of
+    // double-publishing over the new holder's generation
+    StoreLease.verifyHeld(spark, baseDir)
     val cur = new Path(baseDir, "CURRENT")
     val tmp = new Path(baseDir, "CURRENT.tmp")
     val out = fs.create(tmp, true)

@@ -4,29 +4,58 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Single-writer ENFORCEMENT for versioned-store mutations (VERDICT
-  * r17 #2). Every mutation path (publish, compact, retrain, delete,
-  * prune) documents a single-writer contract — the tombstone novelty
-  * check is a read-modify-write, the publish pointer flip assumes one
-  * publisher — but prose doesn't stop a second cron job. The reference
-  * ships the pattern to copy: the PID-file singleton lock its runner
-  * takes before touching shared state (run_syncdiff_config.sh:81-93 —
-  * write the PID, check liveness with `ps`, refuse or reclaim). This
-  * is that lock, store-scoped and object-store-friendly:
+  * r17 #2; hardened per VERDICT r18 #1 + ADVICE r18). Every mutation
+  * path (publish, compact, retrain, delete, prune) documents a
+  * single-writer contract — the tombstone novelty check is a
+  * read-modify-write, the publish pointer flip assumes one publisher —
+  * but prose doesn't stop a second cron job. The reference ships the
+  * pattern to copy: the PID-file singleton lock its runner takes
+  * before touching shared state (run_syncdiff_config.sh:81-93 — write
+  * the PID, check liveness with `ps`, refuse or reclaim). This is
+  * that lock, store-scoped and object-store-friendly:
   *
   *  - the lease is a FILE at `<base>/_lease` created with
   *    overwrite=false (atomic where the filesystem offers it — HDFS;
   *    best-effort elsewhere, which is exactly the reference's PID-file
-  *    guarantee), holding `pid@host op epochMillis`;
-  *  - REENTRANT per process: compactStore → publishIndex →
-  *    gcTombstones is one writer, so nested acquisitions ride the
-  *    outermost lease (a JVM-level depth map, plus a holder-id match
-  *    for belt and braces);
-  *  - STALE detection so a crashed writer never bricks the store: a
-  *    lease older than [[StaleMillis]] is reclaimed, and a holder on
-  *    THIS host whose pid no longer exists (`/proc/<pid>` absent) is
-  *    reclaimed immediately — the `ps`-liveness half of the
-  *    reference's check, applicable only where the process table is
-  *    visible;
+  *    guarantee), holding `pid@host#nonce op epochMillis` — the nonce
+  *    makes each ACQUISITION distinguishable, so a writer can detect
+  *    that its lease was hijacked and replaced even by another thread
+  *    of its own process;
+  *  - HEARTBEAT (VERDICT r18 #1): while the body runs, a daemon
+  *    thread renews the lease every [[staleMillis]]/3 — so a
+  *    legitimate mutation that outlives the TTL (an hours-long 100 TB
+  *    retrain) is never reclaimed by a cross-host waiter; the fixed
+  *    TTL now bounds CRASH detection latency, not mutation length.
+  *    Renewal prefers `setTimes` (atomic mtime touch) and falls back
+  *    to a content rewrite where the store doesn't support it; each
+  *    beat first re-reads the file and STOPS (marking the acquisition
+  *    hijacked) if the nonce is no longer ours, so a heartbeat can
+  *    never stomp a reclaimer's fresh lease;
+  *  - REENTRANT per (store, THREAD) — compactStore → publishIndex →
+  *    gcTombstones is one writer, so nested acquisitions on the same
+  *    thread ride the outermost lease; a SECOND thread of the same
+  *    process is a second writer and REFUSES like any other live
+  *    holder (ADVICE r18: a process-wide depth map would let it
+  *    silently ride the first thread's lease — exactly the
+  *    read-modify-write race the lock exists to prevent);
+  *  - STALE reclaim is SINGLE-WINNER: a lease older than
+  *    [[staleMillis]] (or held by a dead pid on THIS host — the
+  *    `ps`-liveness half of the reference's check, applicable only
+  *    where /proc is visible) is reclaimed by renaming it ASIDE to a
+  *    uniquely-named `_lease.reclaimed.*` tombstone — rename is
+  *    atomic, so of two simultaneous reclaimers exactly one wins and
+  *    the loser retries against the winner's fresh lease instead of
+  *    deleting it (ADVICE r18: delete-then-recreate let both proceed
+  *    as writers). The winner re-reads the file status immediately
+  *    before the rename and only reclaims if the observation still
+  *    holds. A crash between rename and cleanup leaves only an
+  *    underscore-prefixed husk, invisible to input listings and
+  *    removed by the next reclaim;
+  *  - the holder RE-VERIFIES before committing: [[verifyHeld]] —
+  *    called by publishIndex immediately before the CURRENT pointer
+  *    flip — re-reads the lease and throws unless the standing nonce
+  *    is this thread's acquisition, so a writer whose lease was
+  *    forcibly replaced fails LOUDLY instead of double-publishing;
   *  - pure READERS never touch it: probes, audits, doctor, and
   *    generation resolution stay lease-free (readers are protected by
   *    generation immutability, not by the lock), and the underscore
@@ -37,22 +66,52 @@ object StoreLease {
   val LeaseName = "_lease"
 
   /** A lease this much older than now is presumed crashed and is
-    * reclaimed. Generous on purpose: a legitimate mutation that takes
-    * longer holds a lease with a LIVE pid on the same host (never
-    * reclaimed there), and cross-host reclaim-under-a-slow-writer is
-    * the documented residual risk of any TTL lock — the knob errs
-    * toward refusing, the recoverable failure.
+    * reclaimed. With the heartbeat renewing a LIVE holder every
+    * staleMillis/3, this bounds how long a crashed writer can brick
+    * the store — never how long a mutation may run. Overridable via
+    * `-Dgraft.lease.staleMillis` / `GRAFT_LEASE_STALE_MS` for
+    * operators whose stores sit on filesystems with coarse mtimes.
     */
-  val StaleMillis: Long = 15L * 60L * 1000L
+  def staleMillis: Long = sys.props.get("graft.lease.staleMillis")
+    .orElse(sys.env.get("GRAFT_LEASE_STALE_MS"))
+    .flatMap(s => scala.util.Try(s.toLong).toOption)
+    .getOrElse(15L * 60L * 1000L)
+
+  /** Pre-r19 alias (specs and scaladoc reference the TTL by this
+    * name); same value as [[staleMillis]].
+    */
+  def StaleMillis: Long = staleMillis
 
   private lazy val host: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "unknown-host" }
 
-  private def selfId: String = s"${ProcessHandle.current().pid()}@$host"
+  private val nonceGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Reentrancy depths keyed by the store's qualified URI. */
-  private val held = scala.collection.mutable.Map.empty[String, Int]
+  /** One acquisition's identity: pid@host plus a process-unique nonce,
+    * so two acquisitions from the same process (or the same thread,
+    * sequentially) never share a token.
+    */
+  private def newToken(): String =
+    s"${ProcessHandle.current().pid()}@$host#${nonceGen.incrementAndGet()}"
+
+  /** One outermost acquisition's in-process state. */
+  private final class Entry(val token: String, val op: String) {
+    var depth: Int = 1
+    @volatile var hijacked: Boolean = false
+    @volatile var done: Boolean = false
+    var beater: Thread = null
+  }
+
+  /** Acquisitions keyed by (lease path, thread id) — per-THREAD, so a
+    * second thread of this process is a second writer, not a nested
+    * call (ADVICE r18).
+    */
+  private val held =
+    scala.collection.mutable.Map.empty[(String, Long), Entry]
+
+  private def heldKey(p: Path): (String, Long) =
+    (p.toString, Thread.currentThread().getId)
 
   private def leasePath(fs: FileSystem, baseDir: String): Path =
     fs.makeQualified(new Path(new Path(baseDir), LeaseName))
@@ -60,13 +119,20 @@ object StoreLease {
   /** (holderId, op, mtimeMillis) of the standing lease, if any. None
     * both when no lease exists AND when it vanished between the
     * existence probe and the read (a releasing holder) — the caller's
-    * retry loop treats both as "try the create again".
+    * retry loop treats both as "try the create again". The holderId is
+    * the full acquisition token (`pid@host#nonce`); pre-r19 leases
+    * carry a bare `pid@host` and parse identically.
     */
   def holder(spark: SparkSession, baseDir: String)
       : Option[(String, String, Long)] = {
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val p = leasePath(fs, baseDir)
+    readLease(fs, p)
+  }
+
+  private def readLease(fs: FileSystem, p: Path)
+      : Option[(String, String, Long)] =
     scala.util.Try {
       val st = fs.getFileStatus(p)
       val in = fs.open(p)
@@ -78,74 +144,168 @@ object StoreLease {
         parts.drop(1).headOption.getOrElse(""),
         st.getModificationTime)
     }.toOption
-  }
 
+  /** pid-liveness of a holder token, decidable only for THIS host with
+    * /proc visible. The token's optional `#nonce` suffix is not part
+    * of the pid@host identity.
+    */
   private def pidAliveHere(id: String): Option[Boolean] = {
-    val at = id.lastIndexOf('@')
-    if (at < 0 || id.substring(at + 1) != host) None
+    val bare = id.takeWhile(_ != '#')
+    val at = bare.lastIndexOf('@')
+    if (at < 0 || bare.substring(at + 1) != host) None
     else if (!new java.io.File("/proc").isDirectory) None
     else scala.util.Try(
-      new java.io.File(s"/proc/${id.substring(0, at).toLong}")
+      new java.io.File(s"/proc/${bare.substring(0, at).toLong}")
         .isDirectory).toOption
   }
 
-  private def tryCreate(fs: FileSystem, p: Path, op: String): Boolean =
+  private def tryCreate(fs: FileSystem, p: Path, token: String,
+                        op: String): Boolean =
     try {
       val out = fs.create(p, false)
-      out.write(s"$selfId $op ${System.currentTimeMillis()}\n"
+      out.write(s"$token $op ${System.currentTimeMillis()}\n"
         .getBytes("UTF-8"))
       out.close()
       true
     } catch { case _: java.io.IOException => false }
 
+  /** Single-winner reclaim: rename the observed-stale lease aside
+    * (atomic — of two simultaneous reclaimers exactly one succeeds),
+    * re-checking immediately before the rename that the observation
+    * still holds (same mtime — a renewed or replaced lease is a LIVE
+    * one). Returns true when this caller won and the path is free.
+    */
+  private def reclaim(fs: FileSystem, p: Path, seenMtime: Long): Boolean = {
+    val still = scala.util.Try(fs.getFileStatus(p).getModificationTime)
+      .toOption
+    if (!still.contains(seenMtime)) return false
+    val aside = new Path(p.getParent,
+      s"${LeaseName}.reclaimed.${newToken().replace('@', '_')}")
+    if (!scala.util.Try(fs.rename(p, aside)).getOrElse(false)) false
+    else { scala.util.Try(fs.delete(aside, false)); true }
+  }
+
+  /** Renew the lease from the holder's daemon thread: verify the
+    * standing nonce is still ours (stop + mark hijacked otherwise),
+    * then touch the mtime — `setTimes` where supported, a content
+    * rewrite where not.
+    */
+  private def beat(fs: FileSystem, p: Path, e: Entry): Unit = {
+    readLease(fs, p) match {
+      case Some((id, _, _)) if id == e.token =>
+        val now = System.currentTimeMillis()
+        val touched = scala.util.Try(fs.setTimes(p, now, -1)).isSuccess &&
+          scala.util.Try(fs.getFileStatus(p).getModificationTime)
+            .toOption.exists(_ >= now - 1000L)
+        if (!touched) scala.util.Try {
+          val out = fs.create(p, true)
+          out.write(s"${e.token} ${e.op} $now\n".getBytes("UTF-8"))
+          out.close()
+        }
+      case _ => e.hijacked = true // replaced or vanished: stop beating
+    }
+  }
+
+  /** Throw unless the CURRENT thread's outermost acquisition for
+    * `baseDir` still owns the standing lease file — the pre-commit
+    * fence: publishIndex calls this immediately before the CURRENT
+    * pointer flip, so a writer whose lease was reclaimed or replaced
+    * mid-mutation refuses loudly instead of double-publishing.
+    */
+  def verifyHeld(spark: SparkSession, baseDir: String): Unit = {
+    val fs = new Path(baseDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = leasePath(fs, baseDir)
+    val e = held.synchronized { held.get(heldKey(p)) }.getOrElse(
+      throw new IllegalStateException(
+        s"store at $baseDir: commit attempted without a standing " +
+          "writer lease on this thread"))
+    val standing = readLease(fs, p).map(_._1)
+    if (e.hijacked || !standing.contains(e.token))
+      throw new IllegalStateException(
+        s"store at $baseDir: writer lease ${e.token} was " +
+          standing.fold("removed")(s => s"replaced by $s") +
+          " mid-mutation — refusing to commit (another writer may " +
+          "have taken over); the mutation must be retried")
+  }
+
   /** Run `body` holding the store's writer lease. Refuses — naming the
-    * holder — when another LIVE writer holds it; reclaims a stale or
-    * dead-pid lease; nests freely within one process.
+    * holder — when another LIVE writer holds it (including a second
+    * thread of this process); reclaims a stale or dead-pid lease
+    * single-winner; nests freely within one thread; renews itself
+    * every [[staleMillis]]/3 while the body runs.
     */
   def withLease[T](spark: SparkSession, baseDir: String, op: String)
                   (body: => T): T = {
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val p = leasePath(fs, baseDir)
-    val key = p.toString
-    val outermost = held.synchronized {
-      val d = held.getOrElse(key, 0)
-      held(key) = d + 1
-      d == 0
+    val key = heldKey(p)
+    val outer = held.synchronized {
+      held.get(key) match {
+        case Some(e) => e.depth += 1; None
+        case None => Some(new Entry(newToken(), op))
+      }
     }
-    var acquired = false
-    try {
-      if (outermost) {
+    outer match {
+      case None =>
+        try body
+        finally held.synchronized { held(key).depth -= 1 }
+      case Some(e) =>
+        var acquired = false
         var attempts = 0
         while (!acquired && attempts < 3) {
           attempts += 1
-          if (tryCreate(fs, p, op)) acquired = true
-          else holder(spark, baseDir) match {
+          if (tryCreate(fs, p, e.token, op)) acquired = true
+          else readLease(fs, p) match {
             case None => // holder vanished between create and read: retry
             case Some((id, theirOp, mtime)) =>
               val age = System.currentTimeMillis() - mtime
-              val reclaimable = id == selfId ||
-                age > StaleMillis || pidAliveHere(id).contains(false)
-              if (reclaimable) fs.delete(p, false) // then retry create
+              val reclaimable =
+                age > staleMillis || pidAliveHere(id).contains(false)
+              if (reclaimable) reclaim(fs, p, mtime) // then retry create
               else throw new IllegalStateException(
                 s"store at $baseDir is being mutated by $id " +
                   s"($theirOp, lease ${age / 1000}s old at $p) — " +
                   "refusing a concurrent write; if that writer is " +
                   "dead, the lease reclaims after " +
-                  s"${StaleMillis / 60000} min (or remove $p)")
+                  s"${staleMillis / 60000} min (or remove $p)")
           }
         }
         if (!acquired) throw new IllegalStateException(
           s"store at $baseDir: could not acquire the writer lease at " +
             s"$p for $op after 3 attempts against a churning holder")
-      }
-      body
-    } finally {
-      held.synchronized {
-        val d = held.getOrElse(key, 1) - 1
-        if (d <= 0) held.remove(key) else held(key) = d
-      }
-      if (acquired) fs.delete(p, false)
+        held.synchronized { held(key) = e }
+        val period = math.max(50L, staleMillis / 3)
+        e.beater = new Thread(() => {
+          try {
+            while (!e.done && !e.hijacked) {
+              val t0 = System.currentTimeMillis()
+              while (!e.done && System.currentTimeMillis() - t0 < period)
+                Thread.sleep(math.min(50L, period))
+              if (!e.done) beat(fs, p, e)
+            }
+          } catch { case _: InterruptedException => () } // released
+        }, s"graft-lease-heartbeat-${p.getName}")
+        e.beater.setDaemon(true)
+        e.beater.start()
+        try body
+        finally {
+          e.done = true
+          scala.util.Try(e.beater.interrupt())
+          // release ORDER (ADVICE r18): the lease file goes first,
+          // and only OUR lease — deleting after dropping the depth
+          // entry (or deleting unconditionally) could remove a
+          // reclaimer's fresh lease and leave a mutation in flight on
+          // a store that looks unlocked. Both steps run under the
+          // same monitor so no new acquisition interleaves them.
+          held.synchronized {
+            if (!e.hijacked &&
+                readLease(fs, p).map(_._1).contains(e.token))
+              fs.delete(p, false)
+            held.remove(key)
+          }
+        }
     }
   }
 }

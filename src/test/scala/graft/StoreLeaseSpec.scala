@@ -53,4 +53,102 @@ class StoreLeaseSpec extends SparkSpec {
     val ran = StoreLease.withLease(spark, base, "after-stale") { 42 }
     assert(ran == 42 && !fs.exists(lease))
   }
+
+  private def withStale[T](ms: Long)(body: => T): T = {
+    sys.props("graft.lease.staleMillis") = ms.toString
+    try body finally sys.props.remove("graft.lease.staleMillis")
+  }
+
+  test("heartbeat: a body outliving staleMillis keeps a FRESH lease, so an age-only (cross-host) reclaimer never fires") {
+    withStale(600L) {
+      val base = Files.createTempDirectory("graft_lease_hb").toString
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+      StoreLease.withLease(spark, base, "long-retrain") {
+        val m0 = fs.getFileStatus(lease).getModificationTime
+        Thread.sleep(2000L) // > 3x the TTL
+        val st = fs.getFileStatus(lease)
+        val age = System.currentTimeMillis() - st.getModificationTime
+        // the heartbeat renewed it: the age a cross-host waiter would
+        // compute is WELL inside the TTL, and the mtime moved
+        assert(age < 600L, s"lease aged ${age}ms past the 600ms TTL")
+        assert(st.getModificationTime > m0, "mtime never renewed")
+      }
+      assert(!fs.exists(lease))
+    }
+  }
+
+  test("a SECOND THREAD of this process is a second writer: it refuses instead of riding the first thread's lease") {
+    val base = Files.createTempDirectory("graft_lease_thr").toString
+    @volatile var second: Option[Throwable] = None
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      StoreLease.withLease(spark, base, "thread-a") {
+        entered.countDown()
+        release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    })
+    t.start()
+    assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val e = intercept[IllegalStateException] {
+        StoreLease.withLease(spark, base, "thread-b") { fail("must not run") }
+      }
+      assert(e.getMessage.contains("is being mutated"), e.getMessage)
+    } finally { release.countDown(); t.join(10000L) }
+  }
+
+  test("a lease forcibly replaced mid-body makes the publish pointer flip refuse") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = Files.createTempDirectory("graft_lease_flip").toString
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+    val codes = graft.operators.ProductQuant.uniformSyntheticCodes(emb)
+    val e = intercept[IllegalStateException] {
+      StoreLease.withLease(spark, base, "outer") {
+        // a foreign writer stomps our lease while we mutate
+        val out = fs.create(lease, true)
+        out.write("1@elsewhere#7 publish 1\n".getBytes("UTF-8"))
+        out.close()
+        graft.operators.ProductQuant.publishIndex(spark, base, codes)
+      }
+    }
+    assert(e.getMessage.contains("refusing to commit"), e.getMessage)
+    // the hijacked writer must NOT have deleted the new holder's lease
+    assert(fs.exists(lease), "release removed the foreign holder's lease")
+  }
+
+  test("two simultaneous reclaimers of one stale lease: single winner, bodies never overlap") {
+    withStale(400L) {
+      val base = Files.createTempDirectory("graft_lease_race").toString
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+      val out = fs.create(lease, true)
+      out.write("1@elsewhere#9 publish 1\n".getBytes("UTF-8"))
+      out.close()
+      fs.setTimes(lease, System.currentTimeMillis() - 5000L, -1)
+      val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 2).map { i =>
+        new Thread(() => {
+          start.await()
+          try StoreLease.withLease(spark, base, s"reclaim-$i") {
+            if (inBody.incrementAndGet() > 1) overlap.set(true)
+            Thread.sleep(300L)
+            inBody.decrementAndGet()
+          } catch { case _: IllegalStateException =>
+            refusals.incrementAndGet() }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(15000L))
+      assert(!overlap.get(), "two reclaimers mutated concurrently")
+      assert(refusals.get() <= 1, "both reclaimers refused")
+    }
+  }
 }
