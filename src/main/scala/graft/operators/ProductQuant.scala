@@ -1449,6 +1449,26 @@ object ProductQuant {
     */
   val TombstoneBroadcastBytes: Long = 64L << 20
 
+  /** Rows per folded tombstone file — the fold-width unit (VERDICT
+    * r18 #3). 4M single-long rows ≈ a few tens of MB of parquet: one
+    * comfortable write task, far from the multi-GB single-task
+    * straggler coalesce(1) risked on a store with billions of
+    * deferred deletes. Test knob: `-Dgraft.tombfold.rowsPerFile`.
+    */
+  def tombstoneFoldRowsPerFile: Long =
+    sys.props.get("graft.tombfold.rowsPerFile")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(1L << 22)
+
+  /** Fold width for `n` surviving tombstone ids: enough files that no
+    * task writes more than [[tombstoneFoldRowsPerFile]] rows, floored
+    * at 1 (the fold must still REDUCE small sidecars to one file) and
+    * clamped like [[saltTasksFor]] — clamp in Long BEFORE narrowing.
+    */
+  def tombstoneFoldFiles(n: Long): Int =
+    math.max(1L, math.min(1L << 16,
+      (n + tombstoneFoldRowsPerFile - 1) / tombstoneFoldRowsPerFile)).toInt
+
   /** Sidecar physical stats from one bounded directory listing:
     * (data files, bytes). None when no committed sidecar exists.
     */
@@ -1523,18 +1543,24 @@ object ProductQuant {
             s"gcTombstones: delete $tombPath failed")
           return 0L
         }
-        // READER-ATOMIC fold (ADVICE r17): the folded file is APPENDED
-        // into the canonical dir, then the pre-fold part files are
-        // deleted one by one — no rename-aside swap, so there is NO
-        // window in which a concurrent probe's tombstones() read can
-        // refuse. Every intermediate state a reader can observe is a
-        // SUPERSET of the surviving ids plus some dead ids, and a dead
-        // id (one no retained generation contains) is a no-op in the
-        // anti-join — reads stay correct through the whole fold, and a
-        // crash at any point leaves a correct (merely unfolded) sidecar
-        // that the next GC folds again. The zero-survivor removal has
-        // the same property: a partially-deleted sidecar only ever
-        // filters dead ids.
+        // READER-ATOMIC fold (ADVICE r17): the folded files are
+        // APPENDED into the canonical dir, then the pre-fold part
+        // files are deleted one by one — no rename-aside swap, so a
+        // read whose FILE LISTING happens after any intermediate
+        // state sees a SUPERSET of the surviving ids plus some dead
+        // ids, and a dead id (one no retained generation contains) is
+        // a no-op in the anti-join — such reads stay correct through
+        // the whole fold, and a crash at any point leaves a correct
+        // (merely unfolded) sidecar that the next GC folds again. The
+        // zero-survivor removal has the same property: a
+        // partially-deleted sidecar only ever filters dead ids.
+        // Honest boundary (ADVICE r18): a scan whose listing happened
+        // BEFORE the fold and whose execution lands after the
+        // deletions still fails on the missing file
+        // (spark.sql.files.ignoreMissingFiles is false) — in-flight
+        // listings race here exactly as under any rewrite; what the
+        // append-then-delete fold removes is the REFUSAL WINDOW for
+        // every read that lists afterwards.
         val preFold = fs.listStatus(tombPath).filter(s =>
           s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)
@@ -1550,8 +1576,14 @@ object ProductQuant {
                 s"gcTombstones: could not remove an empty sidecar")
             0L
           } else {
-            surviving.coalesce(1).write.mode("append")
-              .parquet(tombPath.toString)
+            // fold WIDTH scales with the surviving rows (VERDICT r18
+            // #3): coalesce(1) serialized every surviving id through
+            // one task — bounded at fixture scale, but a 100 TB store
+            // that defers compaction accumulates billions of pending
+            // deletes, and a single-task multi-GB write is exactly
+            // the straggler the saltTasks convention exists to avoid.
+            surviving.repartition(tombstoneFoldFiles(n))
+              .write.mode("append").parquet(tombPath.toString)
             preFold.foreach { part =>
               if (!fs.delete(part, false))
                 throw new java.io.IOException(

@@ -820,4 +820,50 @@ class ProductQuantSpec extends SparkSpec {
     assert(post.find(_.getInt(0) == 3).get.getLong(1) ==
       codes.filter(col("ccid") === 3).count() * 2)
   }
+
+  test("tombstone fold width scales with survivors; a mid-fold sidecar reads as a correct superset (r19)") {
+    sys.props("graft.tombfold.rowsPerFile") = "16"
+    try {
+      val e = emb
+      val d = Similarity.dimOf(e)
+      val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+      val base = Scratch.dir("tomb_fold_")
+      ProductQuant.publishIndex(spark, base,
+        ProductQuant.ivfadcCodesWith(e, coarse, bySub, d))
+      ProductQuant.writeTombstones(spark, base,
+        e.filter(col("vec_id") % 3 === 0).select("vec_id"))
+      val n = ProductQuant.gcTombstones(spark, base)
+      assert(n > 16L, s"fixture too small to force a multi-file fold: $n")
+      val width = ProductQuant.tombstoneFoldFiles(n)
+      assert(width > 1, "the 16-row knob must force width > 1")
+      assert(ProductQuant.tombstoneFsStats(spark, base).map(_._1)
+        .contains(width.toLong),
+        s"fold must write exactly $width files")
+      // MID-FOLD state: folded files appended, one pre-fold part not
+      // yet deleted — ids duplicated. Simulate by re-appending a copy
+      // of one folded part; reads must stay a correct SUPERSET (the
+      // anti-join dedups; no tombstoned id becomes retrievable, no
+      // live id disappears).
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val tombDir = new org.apache.hadoop.fs.Path(base, "_tombstones")
+      val part = fs.listStatus(tombDir).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+        new org.apache.hadoop.fs.Path(tombDir, "stale_prefold.parquet"),
+        false, spark.sessionState.newHadoopConf())
+      assert(ProductQuant.tombstones(spark, base).get
+        .select("vec_id").distinct().count() == n,
+        "mid-fold superset must dedup to the surviving set")
+      val got = ProductQuant.ivfadcProbeStoreWith(e, col("vec_id") < 30,
+        3, base, coarse, bySub, dim = Some(d)).collect()
+      assert(got.nonEmpty && got.forall(
+        _.getAs[Long]("cand_id") % 3 != 0))
+      // the next GC folds the superset back to the derived width
+      val n2 = ProductQuant.gcTombstones(spark, base)
+      assert(n2 == n)
+      assert(ProductQuant.tombstoneFsStats(spark, base).map(_._1)
+        .contains(ProductQuant.tombstoneFoldFiles(n2).toLong))
+    } finally sys.props.remove("graft.tombfold.rowsPerFile")
+  }
 }
