@@ -1358,26 +1358,26 @@ object CoreQueries {
     // k-core mirror: the same 3 peel rounds as chained CTEs — survivor
     // sets by HAVING on degree, edge filters by IN-membership.
     "graph_kcore" ->
-      """WITH e0 AS (SELECT DISTINCT
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT
         |    LEAST(CAST(l_partkey * 2 AS BIGINT),
         |          CAST(l_suppkey * 2 + 1 AS BIGINT)) AS u,
         |    GREATEST(CAST(l_partkey * 2 AS BIGINT),
         |             CAST(l_suppkey * 2 + 1 AS BIGINT)) AS v
         |  FROM lineitem),
-        |k1 AS (SELECT node FROM (SELECT u AS node FROM e0
+        |k1 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e0
         |         UNION ALL SELECT v FROM e0) t
         |       GROUP BY 1 HAVING count(*) >= 3),
-        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k1)
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k1)
         |         AND v IN (SELECT node FROM k1)),
-        |k2 AS (SELECT node FROM (SELECT u AS node FROM e1
+        |k2 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e1
         |         UNION ALL SELECT v FROM e1) t
         |       GROUP BY 1 HAVING count(*) >= 3),
-        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k2)
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k2)
         |         AND v IN (SELECT node FROM k2)),
-        |k3 AS (SELECT node FROM (SELECT u AS node FROM e2
+        |k3 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e2
         |         UNION ALL SELECT v FROM e2) t
         |       GROUP BY 1 HAVING count(*) >= 3),
-        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM k3)
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM k3)
         |         AND v IN (SELECT node FROM k3))
         |SELECT CAST(0 AS INTEGER) AS round,
         |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
