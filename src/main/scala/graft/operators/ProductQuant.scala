@@ -2516,6 +2516,37 @@ object ProductQuant {
       Some(d))
   }
 
+  /** [[ivfadcIngestTopK]]'s residual twin (VERDICT r18 #2 — the
+    * best-fidelity encoder had every store verb EXCEPT incremental
+    * ingest): both quantizers train on the STANDING corpus only, the
+    * standing residual codes write the partitioned index once, and the
+    * delta batch residual-encodes in an independent pass against the
+    * FROZEN books and APPENDS into the same ccid directories. The
+    * frozen-book discipline matters doubly here: a residual code is
+    * relative to the coarse centroid it was encoded against, so
+    * appending under the standing coarse book is the ONLY sound
+    * additive ingest — re-deriving the books from the grown corpus
+    * would silently re-interpret every standing code word. Probe =
+    * [[ivfadcResidualProbeIndex]] over the merged index; append ==
+    * rebuild because each code is a pure per-row function of
+    * (vector, frozen books).
+    */
+  def ivfadcResidualIngestTopK(embeddings: DataFrame, standingPred: Column,
+                               queryPred: Column, k: Int, indexDir: String,
+                               nCoarse: Int = 16, nProbe: Int = 4,
+                               dim: Option[Int] = None): DataFrame = {
+    graft.functions.PqKernels.register(embeddings.sparkSession)
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val standing = embeddings.filter(standingPred)
+    val (coarse, bySubF) = ivfadcResidualQuantizers(standing, nCoarse, d)
+    writeIndex(ivfadcResidualCodesWith(standing, coarse, bySubF, d),
+      indexDir)
+    writeIndex(ivfadcResidualCodesWith(embeddings.filter(!standingPred),
+      coarse, bySubF, d), indexDir, mode = "append")
+    ivfadcResidualProbeIndex(embeddings, queryPred, k, indexDir, coarse,
+      bySubF, nProbe, Some(d))
+  }
+
   /** Apply the [[adcShortlist]] rule to a (q_id, vec_id, adc6) scored
     * relation: top-max(floor, corpus/20) per query by (adc6 DESC,
     * vec_id). The corpus count rides as a broadcast one-row relation —

@@ -1484,6 +1484,20 @@ object PipelineQueries {
         col("vec_id") < 50, 3, graft.Scratch.dir("ivfadc_res_store_"))
         .orderBy("query_id", "rank")),
 
+    // Incremental RESIDUAL ingest (VERDICT r18 #2 — the residual twin
+    // of ann_ivfadc_ingest): standing corpus trains both quantizers,
+    // the delta batch residual-encodes against the FROZEN books and
+    // appends; the probe reads the merged index. Oracle = one-shot
+    // residual encode of the whole corpus under the standing-trained
+    // books — green proves append == rebuild for coarse-relative codes
+    // too (where it matters most: a re-derived coarse book would
+    // silently re-interpret every standing code word).
+    "ann_ivfadc_residual_ingest" -> ((s, dir) =>
+      ProductQuant.ivfadcResidualIngestTopK(emb(s, dir),
+        col("vec_id") < 400, col("vec_id") < 50, 3,
+        graft.Scratch.dir("ivfadc_res_ingest_"))
+        .orderBy("query_id", "rank")),
+
     // Recall gate for residual IVFADC — exact-truth contract, same
     // probing loss as the non-residual face at fixture scale (the
     // shortlist rule keeps every probed candidate, so the residual
@@ -2685,12 +2699,25 @@ object PipelineQueries {
     * + the sum of its residual codes' fine-LUT entries — exact integer
     * reconstruction of dot(q̂, ĉ + f(codes)).
     */
-  private lazy val annIvfadcResOracle: String =
+  private lazy val annIvfadcResOracle: String = annIvfadcResOracleFrom("en")
+
+  /** The residual-IVFADC mirror chain with BOTH quantizers trained
+    * from `trainSrc` (a (vec_id, v)-normalized CTE; "en" = the full
+    * corpus; a standing subset = the residual ingest face's
+    * frozen-book contract). `extraCtes` splices additional CTE
+    * definitions after `en`. The fine books train on `trainSrc`'s
+    * rows residualized against the `trainSrc`-sampled coarse book
+    * (rstn — for trainSrc = "en" that is all residuals, the original
+    * chain verbatim), while the CORPUS encodes in full against those
+    * frozen books.
+    */
+  private def annIvfadcResOracleFrom(trainSrc: String,
+                                     extraCtes: String = ""): String =
     s"""WITH $embCte,
        |en AS (SELECT vec_id, list_transform(v, x ->
        |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-       |  FROM e),
-       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM en
+       |  FROM e),$extraCtes
+       |ccent AS (SELECT vec_id AS ccid, v AS cv FROM $trainSrc
        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
        |csim AS (SELECT e.vec_id, ccent.ccid,
        |  round(list_sum(list_transform(range(1, len(e.v) + 1),
@@ -2705,7 +2732,10 @@ object PipelineQueries {
        |    i -> en.v[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)]) AS v
        |  FROM en JOIN cassign a ON a.vec_id = en.vec_id
        |          JOIN ccent cc ON cc.ccid = a.ccid),
-       |${pqCodesCtes("rall", m = 8, subLen = 8, ks = 16, sampN = 160)},
+       |rstn AS (SELECT r.vec_id, r.v FROM rall r
+       |         WHERE r.vec_id IN (SELECT vec_id FROM $trainSrc)),
+       |${pqCodesCtes("rstn", m = 8, subLen = 8, ks = 16, sampN = 160,
+                      corpusSrc = "rall")},
        |cprobe AS (SELECT q_id, ccid, CAST(round(s * 1000000) AS BIGINT)
        |    AS sd6c FROM (
        |    SELECT vec_id AS q_id, ccid, s, row_number() OVER
@@ -4872,6 +4902,13 @@ object PipelineQueries {
     // inline face by construction (same codes, same loaded books,
     // same reconstruction) — same mirror
     "ann_ivfadc_residual_store" -> annIvfadcResOracle,
+    // residual ingest mirror: the SAME residual chain with both
+    // quantizers trained on the standing subset and the corpus
+    // one-shot-encoded under those frozen books — equality with the
+    // engine's append path is the merge == rebuild proof for
+    // coarse-relative codes
+    "ann_ivfadc_residual_ingest" -> annIvfadcResOracleFrom("ens",
+      "\nens AS (SELECT vec_id, v FROM en WHERE vec_id < 400),"),
 
     // Residual-IVFADC recall gate: brute-force truth vs the residual
     // oracle as a subquery (one source of truth per lane).
