@@ -1440,6 +1440,54 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The residual scheme's composed lifecycle (VERDICT r18 #2):
+    // index_lifecycle is flat-only, and the residual seams that differ
+    // — frozen-RESIDUAL-book ingest, compaction carrying
+    // scheme=residual forward in the sidecar, retrainResidual
+    // RE-ENCODING survivors against the new coarse book instead of
+    // re-listing coarse-relative code words, and the loaded-books
+    // probe through the residual reconstruction — had never run in
+    // ONE face. Same shape as the flat twin: publish v1 (standing,
+    // residual books) → frozen-book ingest (v2 = grown corpus) →
+    // between-epoch deletes → compact (+scheme carry-forward, asserted
+    // loudly here) → prune → retrain-on-survivors → probe through
+    // BOOKS LOADED FROM THE STORE. Oracle = a from-scratch DuckDB lane
+    // over the surviving corpus: fine books trained on the standing
+    // subset's residuals under the standing-sampled coarse book, the
+    // retrained coarse book = the Lloyd-1 chain over survivors,
+    // candidates = survivors RE-ENCODED against it, scoring = coarse
+    // dot + residual LUT sum.
+    "index_lifecycle_residual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val base = graft.Scratch.dir("idx_life_res_")
+      val standing = e.filter(col("vec_id") < 400)
+      val (coarse, bySubF) =
+        ProductQuant.ivfadcResidualQuantizers(standing, 16, d)
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcResidualCodesWith(standing, coarse, bySubF, d),
+        quantizers = Some((coarse, bySubF)), scheme = "residual")
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcResidualCodesWith(e, coarse, bySubF, d),
+        quantizers = Some((coarse, bySubF)), scheme = "residual")
+      ProductQuant.writeTombstones(s, base,
+        e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+      ProductQuant.compactStore(s, base)
+      // the encoding contract must survive the compaction — a dropped
+      // scheme would brick the probe below anyway, but fail HERE,
+      // specifically
+      val postCompact = ProductQuant.loadQuantizersMeta(s,
+        ProductQuant.currentIndexDir(s, base))._2.scheme
+      require(postCompact == "residual",
+        s"compaction dropped the residual scheme: read '$postCompact'")
+      ProductQuant.pruneGenerations(s, base, keep = 1)
+      ProductQuant.retrainStore(s, base,
+        e.filter(col("vec_id") % 9 =!= 3), 16)
+      ProductQuant.ivfadcResidualProbeStore(e, col("vec_id") < 50, 3,
+        base, dim = Some(d))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -2359,6 +2407,111 @@ object PipelineQueries {
        |    AND p.q_id <> a.vec_id
        |  JOIN codes c ON c.vec_id = a.vec_id
        |  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
+       |  FROM adc),
+       |short AS (SELECT query_id, cand_id, adc6 FROM sr
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
+       |  FROM short s JOIN e q ON q.vec_id = s.query_id
+       |               JOIN e c ON c.vec_id = s.cand_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Residual-lifecycle mirror (VERDICT r18 #2): the final probe of
+    * the composed residual publish → frozen-book ingest → delete →
+    * compact → prune → retrainResidual → loaded-books probe, rebuilt
+    * FROM SCRATCH. Fine books train on the STANDING subset's
+    * residuals under the standing-sampled coarse book (ccent0/cas0 —
+    * the [[annIvfadcResOracleFrom]] convention); the retrained coarse
+    * book is the Lloyd-1 chain over the SURVIVORS
+    * (centk→ak→compk→centrn, the [[indexLifecycleOracle]] convention);
+    * candidates are the survivors RE-ENCODED against the retrained
+    * normalized book (casn/rsurv — what retrainResidual publishes,
+    * never a re-list of coarse-relative code words); the probe scores
+    * coarse dot + residual LUT sum over books "loaded from the store";
+    * deleted vectors query but are never candidates.
+    */
+  private lazy val indexLifecycleResidualOracle: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, list_transform(v, x ->
+       |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       |  FROM e),
+       |stn AS (SELECT vec_id, v FROM en WHERE vec_id < 400),
+       |surv AS (SELECT vec_id, v FROM e WHERE vec_id % 9 <> 3),
+       |ccent0 AS (SELECT vec_id AS ccid, v AS cv FROM stn
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |csim0 AS (SELECT e.vec_id, c0.ccid,
+       |  round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[CAST(i AS INTEGER)] * c0.cv[CAST(i AS INTEGER)]))
+       |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, ccent0 c0 WHERE e.vec_id < 400),
+       |cas0 AS (SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csim0) WHERE rn = 1),
+       |rstn0 AS (SELECT en.vec_id, list_transform(range(1, len(en.v) + 1),
+       |    i -> en.v[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)]) AS v
+       |  FROM en JOIN cas0 a ON a.vec_id = en.vec_id
+       |          JOIN ccent0 cc ON cc.ccid = a.ccid),
+       |centk AS (SELECT vec_id AS cid, v AS cv FROM surv
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |simk AS (SELECT s.vec_id, c.cid, ${cosOf("s.v", "c.cv")} AS sc
+       |  FROM surv s, centk c),
+       |ak AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+       |    FROM simk) WHERE rn = 1),
+       |kdims AS (SELECT unnest(range(1, (SELECT len(embedding)
+       |    FROM embeddings LIMIT 1) + 1)) AS pos),
+       |compk AS (SELECT ak.cid, d.pos,
+       |    CAST(SUM(CAST(s.v[CAST(d.pos AS INTEGER)] AS DECIMAL(27,10)))
+       |      AS DOUBLE) / COUNT(*) AS c
+       |  FROM ak JOIN surv s ON s.vec_id = ak.vec_id CROSS JOIN kdims d
+       |  GROUP BY ak.cid, d.pos),
+       |centr AS (SELECT cid, list(c ORDER BY pos) AS cv FROM compk
+       |  GROUP BY cid),
+       |centrn AS (SELECT cid, list_transform(cv, y ->
+       |    y / sqrt(list_sum(list_transform(cv, z -> z * z)))) AS cv
+       |  FROM centr),
+       |csimp AS (SELECT e.vec_id, r.cid AS ccid,
+       |    round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |        i -> e.v[CAST(i AS INTEGER)] * r.cv[CAST(i AS INTEGER)]))
+       |      / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
+       |  FROM e, centrn r),
+       |casn AS (SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csimp) WHERE rn = 1),
+       |rsurv AS (SELECT en.vec_id, list_transform(range(1, len(en.v) + 1),
+       |    i -> en.v[CAST(i AS INTEGER)] - r.cv[CAST(i AS INTEGER)]) AS v
+       |  FROM en JOIN casn a ON a.vec_id = en.vec_id
+       |          JOIN centrn r ON r.cid = a.ccid
+       |  WHERE en.vec_id % 9 <> 3),
+       |${pqCodesCtes("rstn0", m = 8, subLen = 8, ks = 16, sampN = 160,
+                      corpusSrc = "rsurv")},
+       |cprobe AS (SELECT q_id, ccid, CAST(round(s * 1000000) AS BIGINT)
+       |    AS sd6c FROM (
+       |    SELECT vec_id AS q_id, ccid, s, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM csimp WHERE vec_id < 50) WHERE rn <= 4),
+       |lutf AS (SELECT e.vec_id AS q_id, cb.sub, cb.cid AS code,
+       |    CAST(round(round(list_sum(list_transform(range(1, 9),
+       |      i -> e.v[CAST(cb.sub * 8 + i AS INTEGER)]
+       |           * cb.cv[CAST(i AS INTEGER)]))
+       |      / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6)
+       |      * 1000000) AS BIGINT) AS sd6f
+       |  FROM e, cb WHERE e.vec_id < 50),
+       |adc AS (SELECT p.q_id AS query_id, a.vec_id AS cand_id,
+       |    CAST(MIN(p.sd6c) + SUM(l.sd6f) AS BIGINT) AS adc6
+       |  FROM (SELECT vec_id, ccid FROM casn WHERE vec_id % 9 <> 3) a
+       |  JOIN cprobe p ON p.ccid = a.ccid AND p.q_id <> a.vec_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lutf l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
        |  GROUP BY 1, 2),
        |sr AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
@@ -4778,6 +4931,7 @@ object PipelineQueries {
 
     "index_retrain_rebalance" -> indexRetrainOracle,
     "index_lifecycle" -> indexLifecycleOracle,
+    "index_lifecycle_residual" -> indexLifecycleResidualOracle,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the
