@@ -438,15 +438,30 @@ object Cli {
     // (publishStore), so a generation is born salted when its skew
     // warrants it. Exit 0 on success, 2 when the codes dir doesn't
     // read as a code relation or the store write fails.
-    case "publish" :: "--index" :: store :: from :: Nil =>
+    // `--books <dir>` (VERDICT r18 #4) copies an existing quantizer
+    // sidecar (a generation dir or the `_quantizers` dir itself) into
+    // the new generation after validating its meta row against the
+    // books AND the codes being published — so a shell-only operator
+    // can stand up a store that loaded-book probes accept, and a
+    // scheme/geometry mismatch refuses with exit 2 before anything
+    // becomes visible.
+    case "publish" :: "--index" :: store :: from :: rest
+        if rest.isEmpty ||
+          (rest.lengthCompare(2) == 0 && rest.head == "--books") =>
+      val books = rest match {
+        case "--books" :: dir :: Nil => Some(dir)
+        case _ => None
+      }
       scala.util.Try(
-        operators.ProductQuant.publishStore(spark, store, from)) match {
+        operators.ProductQuant.publishStore(spark, store, from, books))
+      match {
         case scala.util.Failure(e) =>
           System.err.println(s"publish failed for '$from' -> '$store': " +
             firstLine(e))
           2
         case scala.util.Success((g, dir)) =>
-          println(s"published generation v$g at $dir")
+          println(s"published generation v$g at $dir" +
+            books.fold("")(b => s" with books from $b"))
           0
       }
 

@@ -489,6 +489,56 @@ class CliSpec extends SparkSpec {
     assert(cdm == 2)
   }
 
+  test("publish --index --books stands up a probe-able store from the shell; mismatches refuse (r19)") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val d = Similarity.dimOf(e)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    // a source generation holding the books — the "copy the sidecar
+    // from last night's publish" shape a shell operator actually has
+    val src = Files.createTempDirectory("graft_books_src").toString
+    ProductQuant.publishIndex(spark, src,
+      ProductQuant.ivfadcCodesWith(e, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)))
+    val srcGen = ProductQuant.currentIndexDir(spark, src)
+    val codesDir = Files.createTempDirectory("graft_codes_b").toString + "/c"
+    ProductQuant.ivfadcCodesWith(e, coarse, bySub, d)
+      .write.parquet(codesDir)
+    // bookless publish still works; the doctor names the gap
+    val bare = Files.createTempDirectory("graft_store_bare").toString
+    val (cb, _) = doctorOut(Array("publish", "--index", bare, codesDir))
+    assert(cb == 0)
+    val (cbd, obd) = doctorOut(Array("doctor", "--index", bare))
+    assert(cbd == 0 && obd.contains("books: ABSENT"), obd)
+    // with-books publish: the loaded-books probe accepts the store and
+    // returns the same rows as probing the source store
+    val store = Files.createTempDirectory("graft_store_books").toString
+    val (c1, o1) = doctorOut(
+      Array("publish", "--index", store, codesDir, "--books", srcGen))
+    assert(c1 == 0 && o1.contains("with books from"), o1)
+    def rows(base: String) = ProductQuant.ivfadcProbeStore(e,
+        col("vec_id") < 30, 3, base, dim = Some(d))
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val got = rows(store)
+    assert(got.nonEmpty && got == rows(src))
+    // the `_quantizers` dir itself is accepted as the books operand
+    val (c2, _) = doctorOut(Array("publish", "--index", store, codesDir,
+      "--books", srcGen + "/_quantizers"))
+    assert(c2 == 0)
+    // geometry-mismatched codes REFUSE with exit 2 and publish nothing
+    // visible (synthetic codes: 4 subspaces, 8-bit code words — both
+    // outside the books' m=8/ks=16 contract)
+    val badDir = Files.createTempDirectory("graft_codes_bad").toString + "/c"
+    ProductQuant.uniformSyntheticCodes(e.select("vec_id"))
+      .write.parquet(badDir)
+    val store2 = Files.createTempDirectory("graft_store_mm").toString
+    val (cm, _) = doctorOut(
+      Array("publish", "--index", store2, badDir, "--books", srcGen))
+    assert(cm == 2)
+    assert(ProductQuant.currentGeneration(spark, store2).isEmpty,
+      "a refused publish must leave no visible generation")
+  }
+
   test("doctor --index surfaces the tombstone sidecar; compact is the named remedy (r16 #2)") {
     val store = Files.createTempDirectory("graft_tomb_cli").toString
     val ids = spark.range(0, 200).select(col("id").as("vec_id"))
