@@ -344,6 +344,24 @@ object Cli {
                 booksUnreadable = true
                 println(s"books: UNREADABLE — ${firstLine(e)}")
             }
+            // writer-lease observability (VERDICT r18 #7): only
+            // mutators could see a standing _lease; the doctor is the
+            // fleet-monitoring view of a stuck writer. Informational —
+            // a lease never blocks readers, and a stale one reclaims
+            // on the next mutation — so the exit code is unchanged.
+            operators.StoreLease.holder(spark, idxDir).foreach {
+              case (id, op, mtime) =>
+                val age = (System.currentTimeMillis() - mtime) / 1000L
+                if (age * 1000L > operators.StoreLease.staleMillis)
+                  println(s"lease: STALE — held by $id ($op, ${age}s " +
+                    "old, past the " +
+                    s"${operators.StoreLease.staleMillis / 60000} min " +
+                    "TTL): the holder crashed or lost its heartbeat; " +
+                    "the next mutation reclaims it")
+                else
+                  println(s"lease: held by $id ($op, ${age}s old) — " +
+                    "a writer is active; concurrent mutations refuse")
+            }
           }
           val bad = rows.map(_.getString(4)).filter(_ != "ok")
           // a hot list past the salt clamp's 128x-mean boundary can
@@ -712,6 +730,17 @@ object Cli {
               booksUnreadable = true
               s"""{"status":"unreadable","error":${js(firstLine(e))}}"""
           }
+        // the text doctor's lease line, machine-readable; null when no
+        // writer holds the store (informational — exit unchanged)
+        val leaseJson =
+          if (store.isEmpty) "null"
+          else operators.StoreLease.holder(spark, idxDir).map {
+            case (id, op, mtime) =>
+              val age = (System.currentTimeMillis() - mtime) / 1000L
+              val stale = age * 1000L > operators.StoreLease.staleMillis
+              s"""{"holder":${js(id)},"op":${js(op)},""" +
+                s""""age_seconds":$age,"stale":$stale}"""
+          }.getOrElse("null")
         // the text doctor's exit rules, verbatim
         val bad = rows.map(_.getString(4)).filter(_ != "ok")
         val mean = rows.map(_.getLong(1)).sum.toDouble /
@@ -725,6 +754,7 @@ object Cli {
         println(s"""{"dir":${js(idxDir)},"store":${store.nonEmpty},""" +
           s""""generation":$gen,"resolved_dir":${js(resolved)},""" +
           s""""lists":$lists,"tombstones":$tombJson,"books":$booksJson,""" +
+          s""""lease":$leaseJson,""" +
           s""""past_clamp":${pastClamp.mkString("[", ",", "]")},""" +
           s""""exit":$exit}""")
         exit

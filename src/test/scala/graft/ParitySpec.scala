@@ -691,6 +691,43 @@ class CliSpec extends SparkSpec {
     assert((j4 \ "error").isInstanceOf[JString])
   }
 
+  test("doctor --index surfaces the writer lease: absent, active, and stale (r19)") {
+    val store = Files.createTempDirectory("graft_lease_doc").toString
+    val codes = ProductQuant.skewedSyntheticCodes(
+      spark.range(0, 200).select(col("id").as("vec_id")))
+    ProductQuant.publishIndex(spark, store, codes, hotLists = Seq(0))
+    // healthy store: no lease line in text, null in JSON
+    val (c0, o0) = doctorOut(Array("doctor", "--index", store))
+    assert(c0 == 0 && !o0.contains("lease:"), o0)
+    val (cj0, oj0) = doctorOut(Array("doctor", "--index", store, "--json"))
+    assert(cj0 == 0 && oj0.contains("\"lease\":null"), oj0)
+    // a planted FRESH foreign lease reports holder + op, exit
+    // unchanged (a lease never blocks readers)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(store,
+      graft.operators.StoreLease.LeaseName)
+    val out = fs.create(lease, true)
+    out.write(s"777@otherhost#3 retrain ${System.currentTimeMillis()}\n"
+      .getBytes("UTF-8"))
+    out.close()
+    val (c1, o1) = doctorOut(Array("doctor", "--index", store))
+    assert(c1 == 0 && o1.contains("777@otherhost#3")
+      && o1.contains("retrain") && o1.contains("writer is active"), o1)
+    val (cj1, oj1) = doctorOut(Array("doctor", "--index", store, "--json"))
+    assert(cj1 == 0 && oj1.contains("\"holder\":\"777@otherhost#3\"")
+      && oj1.contains("\"op\":\"retrain\"")
+      && oj1.contains("\"stale\":false"), oj1)
+    // a STALE lease is flagged with the reclaim rule named
+    fs.setTimes(lease, System.currentTimeMillis() -
+      graft.operators.StoreLease.staleMillis - 60000L, -1)
+    val (c2, o2) = doctorOut(Array("doctor", "--index", store))
+    assert(c2 == 0 && o2.contains("lease: STALE")
+      && o2.contains("the next mutation reclaims it"), o2)
+    val (cj2, oj2) = doctorOut(Array("doctor", "--index", store, "--json"))
+    assert(cj2 == 0 && oj2.contains("\"stale\":true"), oj2)
+  }
+
   test("the store writer lease refuses a live second mutator, reclaims stale/dead ones, and never blocks readers (r18)") {
     val ids = spark.range(0, 200).select(col("id").as("vec_id"))
     val store = Files.createTempDirectory("graft_lease").toString
