@@ -1006,8 +1006,11 @@ object ProductQuant {
       hotWidths = widths, saltTasks = Some(tasks),
       quantizers = books.map(_._1),
       // the encoding CONTRACT carries forward with the books — a
-      // residual generation compacts into a residual generation
-      scheme = books.map(_._2.scheme).getOrElse("flat"))
+      // residual generation compacts into a residual one, an opq
+      // generation keeps the rotation its codes were produced under
+      scheme = books.map(_._2.scheme).getOrElse("flat"),
+      rotation = books.flatMap(_._2.rotation)
+        .map { case (w, ww) => (w.toArray, ww) })
     // tombstone hygiene rides every compaction: fold the sidecar to
     // one file and drop the ids no retained generation contains — the
     // generation just published is clean by construction and skipped
@@ -1069,6 +1072,24 @@ object ProductQuant {
     if (oldBooks.exists(_._2.scheme == "residual"))
       retrainResidual(spark, baseDir, embeddings, nCoarse,
         g, live, oldBooks.get._1._2, oldBooks.get._2)
+    else if (oldBooks.exists(_._2.scheme == "opq")) {
+      // opq codes are flat codes OF ROTATED VECTORS: the re-list
+      // machinery applies verbatim once the corpus enters the stored
+      // rotation's space — the retrained coarse book must live where
+      // the codes do, and the rotation carries forward unchanged
+      val meta = oldBooks.get._2
+      if (Similarity.dimOf(embeddings) != meta.dim)
+        throw new IllegalStateException(
+          s"retrainStore: store at $baseDir was encoded at dim " +
+            s"${meta.dim}; the corpus is dim " +
+            s"${Similarity.dimOf(embeddings)} — refusing a " +
+            "geometry-mismatched retrain")
+      val (w, ww) = meta.rotation
+        .map { case (ws, x) => (ws.toArray, x) }.get
+      retrainFlat(spark, baseDir, opqRotate(embeddings, w, ww, meta.dim),
+        nCoarse, g, live, oldBooks, scheme = "opq",
+        rotation = Some((w, ww)))
+    }
     else retrainFlat(spark, baseDir, embeddings, nCoarse, g, live,
       oldBooks)
   } // withLease
@@ -1080,7 +1101,9 @@ object ProductQuant {
   private def retrainFlat(spark: org.apache.spark.sql.SparkSession,
                           baseDir: String, embeddings: DataFrame,
                           nCoarse: Int, g: Int, live: String,
-                          oldBooks: Option[(Quantizers, IndexMeta)])
+                          oldBooks: Option[(Quantizers, IndexMeta)],
+                          scheme: String = "flat",
+                          rotation: Option[(Array[Long], Long)] = None)
       : (Int, Int) = {
     // a retrain is a store MUTATION: self-recover a legacy interrupted
     // GC first (the writeTombstones/compactStore convention), then
@@ -1135,7 +1158,8 @@ object ProductQuant {
     val (g2, _) = publishIndex(spark, baseDir, relisted,
       hotWidths = widths, saltTasks = Some(tasks),
       quantizers = oldBooks.map { case ((_, bySub), _) =>
-        (coarseBook, bySub) })
+        (coarseBook, bySub) },
+      scheme = scheme, rotation = rotation)
     (g, g2)
   }
 
@@ -1664,7 +1688,9 @@ object ProductQuant {
     // exists to make impossible
     if (meta.scheme != "flat") throw new IllegalStateException(
       s"store at $baseDir holds ${meta.scheme}-encoded codes — probe " +
-        "it with ivfadcResidualProbeStore, not the flat LUT path")
+        "it with " + (if (meta.scheme == "residual")
+          "ivfadcResidualProbeStore" else "ivfadcOpqProbeStore") +
+        ", not the flat LUT path")
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     if (meta.dim != d) throw new IllegalStateException(
       s"store at $baseDir was encoded at dim ${meta.dim}; the probe " +
@@ -1782,9 +1808,15 @@ object ProductQuant {
     * probe is not self-describing.
     */
   case class IndexMeta(scheme: String, nCoarse: Int, m: Int, ks: Int,
-                       dim: Int)
+                       dim: Int,
+                       rotation: Option[(Seq[Long], Long)] = None) {
+    override def toString: String =
+      s"IndexMeta($scheme,$nCoarse,$m,$ks,$dim" +
+        rotation.fold("")(r => s",rot[${r._1.length}]/ww=${r._2}") + ")"
+  }
 
-  private val SchemeCodes = Map("flat" -> 0L, "residual" -> 1L)
+  private val SchemeCodes =
+    Map("flat" -> 0L, "residual" -> 1L, "opq" -> 2L)
 
   /** The geometry [[writeQuantizers]] records and [[loadQuantizersMeta]]
     * cross-checks — derived from the books themselves, so the meta row
@@ -1800,17 +1832,33 @@ object ProductQuant {
                       genDir: String,
                       coarse: Seq[(Long, Array[Double])],
                       bySub: Map[Int, Seq[(Long, Array[Double])]],
-                      scheme: String = "flat"): Unit = {
+                      scheme: String = "flat",
+                      rotation: Option[(Array[Long], Long)] = None)
+      : Unit = {
     import spark.implicits._
     val schemeCode = SchemeCodes.getOrElse(scheme,
       throw new IllegalArgumentException(
         s"writeQuantizers: unknown encoding scheme '$scheme' " +
           s"(known: ${SchemeCodes.keys.toSeq.sorted.mkString(", ")})"))
+    // the rotation is PART of the opq contract, not an accessory: opq
+    // codes are quantizations of rotated vectors, so books + codes
+    // without the rotation are as uninterpretable as residual codes
+    // without their coarse book — refuse the half-publish either way
+    if (rotation.isDefined != (scheme == "opq"))
+      throw new IllegalArgumentException(
+        s"writeQuantizers: scheme '$scheme' " +
+          (if (scheme == "opq") "requires the rotation it encoded under"
+           else s"cannot carry a rotation row"))
     val m = metaOf(scheme, coarse, bySub)
     val rows =
       Seq(("meta", -1, 0, schemeCode,
         Seq(m.nCoarse.toDouble, m.m.toDouble, m.ks.toDouble,
           m.dim.toDouble))) ++
+      // Householder w in exact micro-longs (≤ ~2e6, exact in double)
+      // keyed by its denominator w'w — one row, [[loadQuantizersMeta]]
+      // rebuilds (w, ww) bit-identically
+      rotation.map { case (w, ww) =>
+        ("rot", -1, 0, ww, w.map(_.toDouble).toSeq) }.toSeq ++
       coarse.zipWithIndex.map { case ((cid, v), i) =>
         ("coarse", -1, i, cid, v.toSeq) } ++
         bySub.toSeq.sortBy(_._1).flatMap { case (s, cents) =>
@@ -1864,8 +1912,18 @@ object ProductQuant {
         s -> rs.sortBy(_.getInt(2))
           .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq }
     val derived = metaOf("flat", coarse, bySub)
+    // the opq rotation row, rebuilt (w, ww) bit-identically — micro
+    // longs round-trip exactly through the double cv column
+    val rot = rows.find(_.getString(0) == "rot").map(r =>
+      (r.getSeq[Double](4).map(_.toLong), r.getLong(3)))
     val meta = rows.find(_.getString(0) == "meta") match {
-      case None => derived
+      case None =>
+        // pre-meta sidecars predate rotations too — a rot row beside
+        // no meta row is corruption, not a legacy layout
+        if (rot.nonEmpty) throw new IllegalStateException(
+          s"quantizer sidecar under $genDir carries a rotation row " +
+            "but no meta row — refusing to guess the encoding contract")
+        derived
       case Some(r) =>
         val scheme = SchemeCodes.collectFirst {
           case (name, code) if code == r.getLong(3) => name
@@ -1875,13 +1933,26 @@ object ProductQuant {
             "this binary cannot interpret"))
         val ps = r.getSeq[Double](4)
         val recorded = IndexMeta(scheme, ps(0).toInt, ps(1).toInt,
-          ps(2).toInt, ps(3).toInt)
+          ps(2).toInt, ps(3).toInt, rot)
         if ((recorded.nCoarse, recorded.m, recorded.ks, recorded.dim) !=
             (derived.nCoarse, derived.m, derived.ks, derived.dim))
           throw new IllegalStateException(
             s"quantizer sidecar under $genDir is corrupt: recorded " +
               s"geometry $recorded disagrees with the books beside it " +
               s"(${derived.copy(scheme = recorded.scheme)})")
+        // the rotation is part of the opq contract in BOTH directions:
+        // opq codes without their rotation are uninterpretable, and a
+        // rotation beside flat/residual codes means the sidecar halves
+        // disagree about what the codes are
+        if ((scheme == "opq") != rot.nonEmpty)
+          throw new IllegalStateException(
+            s"quantizer sidecar under $genDir is corrupt: scheme " +
+              s"'$scheme' with rotation ${if (rot.isEmpty) "MISSING"
+                else "PRESENT"} — refusing to mis-score")
+        rot.filter(_._1.length != derived.dim).foreach { w =>
+          throw new IllegalStateException(
+            s"quantizer sidecar under $genDir is corrupt: rotation of " +
+              s"dim ${w._1.length} beside dim-${derived.dim} books") }
         recorded
     }
     ((coarse, bySub), meta)
@@ -1910,7 +1981,9 @@ object ProductQuant {
                    saltTasks: Option[Int] = None,
                    hotWidths: Map[Int, Int] = Map.empty,
                    quantizers: Option[Quantizers] = None,
-                   scheme: String = "flat"): (Int, String) =
+                   scheme: String = "flat",
+                   rotation: Option[(Array[Long], Long)] = None)
+      : (Int, String) =
       // the single-writer contract, ENFORCED (VERDICT r17 #2): the
       // generation numbering below is a read-modify-write, and the
       // pointer flip assumes one publisher — both were prose until the
@@ -1937,7 +2010,7 @@ object ProductQuant {
     // racing an in-flight publish, which the single-writer contract
     // already scopes — and loadQuantizers fails loudly, never wrongly
     quantizers.foreach { case (coarse, bySub) =>
-      writeQuantizers(spark, dir, coarse, bySub, scheme) }
+      writeQuantizers(spark, dir, coarse, bySub, scheme, rotation) }
     // pre-commit fence (VERDICT r18 #1): the pointer flip is the one
     // irreversible step — re-verify this thread's acquisition still
     // owns the standing lease, so a writer hijacked mid-mutation (its
@@ -2588,6 +2661,119 @@ object ProductQuant {
       coarse, bySubF, d), indexDir, mode = "append")
     ivfadcResidualProbeIndex(embeddings, queryPred, k, indexDir, coarse,
       bySubF, nProbe, Some(d))
+  }
+
+  private def rndHalfAway(x: Double): Long =
+    if (x < 0) -Math.round(-x) else Math.round(x)
+
+  /** The OPQ rotation learned from the corpus (Ge et al. 2013 via the
+    * [[Opq]] gauge's machinery, on the RAW corpus instead of the
+    * planted one): v₁ from the proven 30-round quantized power
+    * iteration ([[Pca.topComponent]] — d² census + d longs of driver
+    * state), Householder w = v₁ − N·e₀ with N = rnd(√Σv₁²) — the
+    * reflection that concentrates the corpus's top covariance
+    * direction into subspace 0. Returns (w micro-longs, w'w exact) —
+    * the pair [[writeQuantizers]] persists as the store's rotation row.
+    */
+  def opqRotationOf(embeddings: DataFrame, d: Int): (Array[Long], Long) = {
+    val (v1, _, _) = Pca.topComponent(embeddings, d)
+    var vv = 0L; var i = 0
+    while (i < d) { vv += v1(i) * v1(i); i += 1 }
+    val bigN = rndHalfAway(math.sqrt(vv.toDouble))
+    val w = Array.tabulate(d)(j => if (j == 0) v1(0) - bigN else v1(j))
+    var ww = 0L; i = 0
+    while (i < d) { ww += w(i) * w(i); i += 1 }
+    require(ww > 0L,
+      "opqRotationOf: degenerate Householder (v1 == N·e0) — the corpus" +
+        " top component already lies on e0; publish flat instead")
+    (w, ww)
+  }
+
+  /** Apply the stored Householder to a (vec_id, embedding) relation —
+    * the [[Opq]] integer discipline verbatim: micro-quantize, one
+    * exact-long w·x per row, one double rescale-and-round per cell
+    * (ym = xm − rnd(2·wx/w'w · w)), back to exact doubles ym/1e6. ONE
+    * codegen'd projection, no shuffle — at 100 TB the rotation rides
+    * the encode/probe scan it feeds.
+    */
+  def opqRotate(embeddings: DataFrame, w: Array[Long], ww: Long,
+                d: Int): DataFrame = {
+    val wLit = w.mkString("array(", "L, ", "L)")
+    graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
+      .withColumn("xm", expr(
+        "transform(embedding, v -> " +
+          "cast(round(cast(v as double) * 1000000) as bigint))"))
+      .withColumn("__wx", expr(
+        s"aggregate(sequence(0, ${d - 1}), 0L, (acc, i) -> " +
+          s"acc + element_at($wLit, i + 1) * xm[i])"))
+      .select(col("vec_id"), expr(
+        // cells land as FLOAT — the corpus dtype every kernel
+        // (pq_encode, cosine_score) expects; the float rounding is
+        // IEEE-deterministic, so the oracle mirrors it with one
+        // CAST(. AS REAL) round-trip
+        s"""transform(sequence(0, ${d - 1}), i ->
+           |  cast((xm[i] - cast(round(2.0d * __wx / ${ww}L
+           |     * element_at($wLit, i + 1)) as bigint))
+           |  / cast(1000000 as double) as float))""".stripMargin)
+        .as("embedding"))
+  }
+
+  /** Probe the store's LIVE generation of OPQ-ROTATED codes with books
+    * AND ROTATION loaded from the store — [[ivfadcProbeStore]]'s twin
+    * for the opq scheme, closing the r18 gap where opq codes had no
+    * deployment answer: the caller passes RAW embeddings and the store
+    * supplies the rotation its codes were produced under, so a
+    * probe-only process needs nothing but the store path. The rotated
+    * relation feeds the ordinary flat probe — opq codes ARE flat codes
+    * of rotated vectors, and the rerank cosine is rotation-invariant
+    * up to the stored integer discipline.
+    */
+  def ivfadcOpqProbeStore(embeddings: DataFrame, queryPred: Column,
+                          k: Int, baseDir: String, nProbe: Int = 4,
+                          dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    val ((coarse, bySub), meta) = loadQuantizersMeta(spark, genDir)
+    if (meta.scheme != "opq") throw new IllegalStateException(
+      s"store at $baseDir holds ${meta.scheme}-encoded codes — probe " +
+        "it with the matching probe path, not the opq rotation")
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    if (meta.dim != d) throw new IllegalStateException(
+      s"store at $baseDir was encoded at dim ${meta.dim}; the probe " +
+        s"corpus is dim $d — refusing a geometry-mismatched probe")
+    // loadQuantizersMeta guarantees the rotation is present for opq
+    val (w, ww) = meta.rotation.map { case (ws, x) => (ws.toArray, x) }.get
+    ivfadcProbeIndex(opqRotate(embeddings, w, ww, d), queryPred, k,
+      genDir, coarse, bySub, nProbe, Some(d),
+      excludeIds = hintedTombstones(spark, baseDir))
+  }
+
+  /** The OPQ deployment path in one call (VERDICT r18 #5 —
+    * [[ivfadcStoreProbeTopK]]'s twin for the rotated encoder): learn
+    * the rotation from the corpus ([[opqRotationOf]]), rotate, train
+    * the quantizers IN THE ROTATED SPACE (the books must live where
+    * the codes do — Ge §4's fixed-rotation step), publish codes +
+    * books + rotation as one self-describing generation carrying
+    * `scheme = opq`, and probe through everything LOADED FROM THE
+    * STORE. A flat probe of this store — or an opq probe of a flat
+    * store — refuses loudly on the recorded scheme (spec-pinned).
+    */
+  def opqStoreTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                   baseDir: String, nCoarse: Int = 16, nProbe: Int = 4,
+                   dim: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val (w, ww) = opqRotationOf(embeddings, d)
+    val rot = opqRotate(embeddings, w, ww, d)
+    val (coarse, bySub) = ivfadcQuantizers(rot, nCoarse, d)
+    publishIndex(spark, baseDir, ivfadcCodesWith(rot, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)), scheme = "opq",
+      rotation = Some((w, ww)))
+    ivfadcOpqProbeStore(embeddings, queryPred, k, baseDir, nProbe,
+      Some(d))
   }
 
   /** Apply the [[adcShortlist]] rule to a (q_id, vec_id, adc6) scored

@@ -1587,6 +1587,22 @@ object PipelineQueries {
     // spec-pinned ordered).
     "opq_distortion" -> ((s, dir) => Opq.opqDistortion(emb(s, dir))),
 
+    // The OPQ deployment seam (VERDICT r18 #5): until now the sidecar's
+    // scheme enum couldn't say "these codes quantize ROTATED vectors",
+    // so an opq publish would read as flat and silently mis-score —
+    // the exact failure class r18 closed for residual. opqStoreTopK
+    // learns the rotation from the corpus (the proven power-iteration
+    // integers on the RAW census), trains + encodes in the rotated
+    // space, publishes codes + books + rotation as one generation
+    // carrying scheme=opq, and probes with everything LOADED FROM THE
+    // STORE — the caller hands RAW embeddings and the store supplies
+    // its own rotation. Mismatched probes refuse in both directions
+    // (spec-pinned).
+    "ann_opq_store" -> ((s, dir) =>
+      ProductQuant.opqStoreTopK(emb(s, dir), col("vec_id") < 50, 3,
+        graft.Scratch.dir("opq_store_"))
+        .orderBy("query_id", "rank")),
+
     // Additive ANN-index ingest (ProductQuant.encodeWithBook scaladoc):
     // the codebook trains on the STANDING corpus only (vec_id < 400),
     // then standing and delta batches encode in two INDEPENDENT passes
@@ -2535,20 +2551,22 @@ object PipelineQueries {
     */
   private def annIvfadcOracleFrom(trainSrc: String,
                                   extraCtes: String,
-                                  candFilter: String = ""): String =
-    s"""WITH $embCte,
+                                  candFilter: String = "",
+                                  baseSrc: String = "e",
+                                  preCtes: String = ""): String =
+    s"""WITH $embCte,$preCtes
        |en AS (SELECT vec_id, list_transform(v, x ->
        |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-       |  FROM e),$extraCtes
+       |  FROM $baseSrc),$extraCtes
        |${pqCodesCtes(trainSrc, m = 8, subLen = 8, ks = 16, sampN = 160,
-                      corpusSrc = "e", normDot = true)},
+                      corpusSrc = baseSrc, normDot = true)},
        |ccent AS (SELECT vec_id AS ccid, v AS cv FROM $trainSrc
        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
        |csim AS (SELECT e.vec_id, ccent.ccid,
        |  round(list_sum(list_transform(range(1, len(e.v) + 1),
        |      i -> e.v[CAST(i AS INTEGER)] * ccent.cv[CAST(i AS INTEGER)]))
        |    / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
-       |  FROM e, ccent),
+       |  FROM $baseSrc e, ccent),
        |cassign AS (SELECT vec_id, ccid FROM (
        |    SELECT vec_id, ccid, row_number() OVER
        |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
@@ -2571,15 +2589,57 @@ object PipelineQueries {
        |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
        |  FROM adc),
        |short AS (SELECT query_id, cand_id, adc6 FROM sr
-       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM $baseSrc) // 20)),
        |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
-       |  FROM short s JOIN e q ON q.vec_id = s.query_id
-       |               JOIN e c ON c.vec_id = s.cand_id),
+       |  FROM short s JOIN $baseSrc q ON q.vec_id = s.query_id
+       |               JOIN $baseSrc c ON c.vec_id = s.cand_id),
        |r AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |  FROM sc)
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** The opq store mirror (VERDICT r18 #5): the whole
+    * [[annIvfadcOracleFrom]] chain run IN THE ROTATED SPACE — the
+    * Householder derives from the raw corpus's learned top component
+    * exactly as [[Opq]]'s proven integers do (the pcaCov/pcaPower
+    * chain on the RAW census, w = v₁ − N·e₀, one exact-long w·x per
+    * row, one double rescale-and-round per cell), and the rotated
+    * relation `er` replaces the corpus everywhere: training, coarse
+    * assignment, codes, LUT, shortlist census, and the rerank cosine.
+    * The rotation lives in its own nested WITH so its CTE names can't
+    * collide with the chain's.
+    */
+  private lazy val annOpqStoreOracle: String = {
+    val rotCte =
+      s"""
+         |er AS MATERIALIZED (
+         |  WITH ${pcaCovCtes(64, "embeddings")},
+         |  ${pcaPowerCtes(30)},
+         |  hh AS MATERIALIZED (SELECT list(v ORDER BY i) AS v1 FROM v30),
+         |  wv AS MATERIALIZED (SELECT
+         |      list_transform(range(1, 65), i -> CASE WHEN i = 1
+         |        THEN v1[CAST(i AS INTEGER)]
+         |          - CAST(round(sqrt(CAST(list_sum(list_transform(v1, x -> x * x)) AS DOUBLE))) AS BIGINT)
+         |        ELSE v1[CAST(i AS INTEGER)] END) AS w
+         |    FROM hh),
+         |  wb AS MATERIALIZED (SELECT w,
+         |      CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS ww FROM wv),
+         |  xm AS MATERIALIZED (SELECT vec_id,
+         |      list_transform(embedding, v ->
+         |        CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+         |    FROM embeddings),
+         |  wx AS MATERIALIZED (SELECT x.vec_id,
+         |      CAST(list_sum(list_transform(range(1, 65), i ->
+         |        b.w[CAST(i AS INTEGER)] * x.xm[CAST(i AS INTEGER)])) AS BIGINT) AS wx
+         |    FROM xm x CROSS JOIN wb b)
+         |  SELECT x.vec_id, list_transform(range(1, 65), i ->
+         |      CAST(CAST((x.xm[CAST(i AS INTEGER)]
+         |        - CAST(round(2.0 * q.wx / b.ww * b.w[CAST(i AS INTEGER)]) AS BIGINT))
+         |      / 1000000.0 AS REAL) AS DOUBLE)) AS v
+         |  FROM xm x JOIN wx q USING (vec_id) CROSS JOIN wb b),""".stripMargin
+    annIvfadcOracleFrom("en", "", baseSrc = "er", preCtes = rotCte)
+  }
 
   /** Probe-sweep mirror (ProductQuant.ivfadcProbeSweep): the IVFADC
     * chain with the probe CTE keeping each probed list's RANK, swept
@@ -5049,6 +5109,9 @@ object PipelineQueries {
     "ann_ivfadc_ingest" -> annIvfadcOracleFrom("ens",
       "\nens AS (SELECT vec_id, v FROM en WHERE vec_id < 400),"),
     "ivfadc_probe_sweep" -> annIvfadcSweepOracle,
+    // opq store mirror: the IVFADC chain in the rotated space, rotation
+    // learned from the raw census (annOpqStoreOracle scaladoc)
+    "ann_opq_store" -> annOpqStoreOracle,
 
     // Residual-IVFADC mirror (annIvfadcResOracle scaladoc).
     "ann_ivfadc_residual" -> annIvfadcResOracle,

@@ -821,6 +821,68 @@ class ProductQuantSpec extends SparkSpec {
       codes.filter(col("ccid") === 3).count() * 2)
   }
 
+  test("opq stores are self-describing: mismatched probes refuse, compact+retrain carry rotation+scheme (r19)") {
+    val e = emb
+    val d = Similarity.dimOf(e)
+    val base = Scratch.dir("opq_scheme_")
+    assert(ProductQuant.opqStoreTopK(e, col("vec_id") < 30, 3, base)
+      .count() > 0)
+    // a flat probe of an opq store refuses, naming the right path
+    val e1 = intercept[IllegalStateException] {
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3, base,
+        dim = Some(d))
+    }
+    assert(e1.getMessage.contains("ivfadcOpqProbeStore"), e1.getMessage)
+    // ...so does the residual reconstruction
+    intercept[IllegalStateException] {
+      ProductQuant.ivfadcResidualProbeStore(e, col("vec_id") < 30, 3,
+        base, dim = Some(d))
+    }
+    // ...and an opq probe of a FLAT store refuses the other way
+    val flatBase = Scratch.dir("opq_flat_")
+    ProductQuant.ivfadcStoreProbeTopK(e, col("vec_id") < 30, 3, flatBase)
+      .count()
+    val e2 = intercept[IllegalStateException] {
+      ProductQuant.ivfadcOpqProbeStore(e, col("vec_id") < 30, 3,
+        flatBase, dim = Some(d))
+    }
+    assert(e2.getMessage.contains("flat"), e2.getMessage)
+    // the rotation is part of the contract in both directions at the
+    // WRITER already: flat+rotation and opq-without-rotation refuse
+    val books = (Seq((0L, Array.fill(d)(0.1))),
+      Map(0 -> Seq((0L, Array.fill(8)(0.1)))))
+    intercept[IllegalArgumentException] {
+      ProductQuant.writeQuantizers(spark, Scratch.dir("opq_bad_"),
+        books._1, books._2, scheme = "flat",
+        rotation = Some((Array.fill(d)(1L), d.toLong)))
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuant.writeQuantizers(spark, Scratch.dir("opq_bad2_"),
+        books._1, books._2, scheme = "opq")
+    }
+    // compaction carries scheme AND rotation; deletes apply physically
+    def probe() = ProductQuant.ivfadcOpqProbeStore(e, col("vec_id") < 30,
+        3, base, dim = Some(d))
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(probe().nonEmpty)
+    ProductQuant.writeTombstones(spark, base,
+      e.filter(col("vec_id") % 7 === 2).select("vec_id"))
+    ProductQuant.compactStore(spark, base)
+    val metaC = ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, base))._2
+    assert(metaC.scheme == "opq" && metaC.rotation.nonEmpty)
+    val after = probe()
+    assert(after.nonEmpty && after.forall(_._2 % 7 != 2))
+    // retrain re-lists IN THE ROTATED SPACE and keeps the rotation
+    ProductQuant.retrainStore(spark, base,
+      e.filter(col("vec_id") % 7 =!= 2), 16)
+    val metaR = ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, base))._2
+    assert(metaR.scheme == "opq" && metaR.rotation == metaC.rotation)
+    assert(probe().nonEmpty)
+  }
+
   test("tombstone fold width scales with survivors; a mid-fold sidecar reads as a correct superset (r19)") {
     sys.props("graft.tombfold.rowsPerFile") = "16"
     try {
