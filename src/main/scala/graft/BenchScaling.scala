@@ -158,7 +158,7 @@ object BenchScaling {
     // round's record stays an explicit human move. Set
     // SPARK_GRAFT_SCALING_OUT to write elsewhere deliberately.
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r18.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r19.json")
     val target =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar))) {
         System.err.println(s"scaling: refusing to overwrite existing " +
