@@ -64,7 +64,12 @@ object BenchScaling {
     // publishes + compaction + prune + retrain per run), and the
     // real-codec decode lane (per-row PNG decode — linear in rows is
     // the honest decoder price; superlinear would be a bug).
-    "ann_ivfadc_residual_store", "index_lifecycle", "image_phash_decoded")
+    "ann_ivfadc_residual_store", "index_lifecycle", "image_phash_decoded",
+    // r19 faces: the residual lifecycle (rebuild-class composition),
+    // the opq store (rotation learning + rotated encode + probe), and
+    // the residual ingest (append-class)
+    "index_lifecycle_residual", "ann_opq_store",
+    "ann_ivfadc_residual_ingest")
 
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_SCALING_FAMILIES=a,b,c restricts the run — the
