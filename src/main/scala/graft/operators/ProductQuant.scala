@@ -1292,26 +1292,44 @@ object ProductQuant {
       val coarseIds = coarse0.map(_._1)
       val pairKeys = bySub0.toSeq.flatMap { case (s, cs) =>
         cs.map(c => s"$s:${c._1}") }
-      val geo = codes.agg(
+      // PER-VECTOR completeness rides the same scan (ADVICE r19 #3):
+      // global membership alone accepts a relation where some vec_id
+      // carries fewer than m subspace rows (or duplicates one sub) —
+      // its ADC scores would silently sum fewer than m LUT terms. The
+      // two-level aggregation keeps it one pass: per-vec counts first,
+      // then the global roll-up.
+      val perVec = codes.groupBy("vec_id").agg(
+        count(lit(1)).as("nrows"),
+        count_distinct(col("sub")).as("nsubs"),
         sum(when(col("ccid").cast("long").isin(coarseIds: _*), 0L)
           .otherwise(1L)).as("bad_ccid"),
         sum(when(concat_ws(":", col("sub"), col("code"))
-          .isin(pairKeys: _*), 0L).otherwise(1L)).as("bad_code"),
-        count_distinct(col("sub")).as("nsubs")).head()
-      if (geo.getLong(0) > 0 || geo.getLong(1) > 0 ||
-          geo.getLong(2) != meta.m)
+          .isin(pairKeys: _*), 0L).otherwise(1L)).as("bad_code"))
+      val geo = perVec.agg(
+        sum("bad_ccid").as("bad_ccid"),
+        sum("bad_code").as("bad_code"),
+        sum(when(col("nrows") =!= meta.m.toLong ||
+          col("nsubs") =!= meta.m.toLong, 1L).otherwise(0L))
+          .as("bad_vecs")).head()
+      if (geo.getLong(0) > 0 || geo.getLong(1) > 0 || geo.getLong(2) > 0)
         throw new IllegalStateException(
           s"publishStore: codes at '$codesDir' do not fit the books " +
             s"at '$bd' ($meta): ${geo.getLong(0)} rows with a ccid " +
             s"outside the coarse book, ${geo.getLong(1)} rows with a " +
             s"(sub, code) outside the fine books, ${geo.getLong(2)} " +
-            s"subspaces vs the books' ${meta.m} — refusing a " +
-            "mismatched publish")
+            s"vectors without exactly ${meta.m} distinct subspace " +
+            "rows — refusing a mismatched publish")
       loaded
     }
     publishIndex(spark, baseDir, codes, hotWidths = widths,
       saltTasks = Some(tasks), quantizers = books.map(_._1),
-      scheme = books.map(_._2.scheme).getOrElse("flat"))
+      scheme = books.map(_._2.scheme).getOrElse("flat"),
+      // the rotation is PART of the opq contract (ADVICE r19 #2: a
+      // scheme-only forward always threw writeQuantizers' half-publish
+      // refusal, bricking the shell bootstrap for exactly the scheme
+      // that needs it) — mirror compactStore's carry-forward
+      rotation = books.flatMap(_._2.rotation)
+        .map { case (w, ww) => (w.toArray, ww) })
   }
 
   /** Store-wide audit (VERDICT r15 #8): [[indexLayoutAudit]] of every
@@ -1606,6 +1624,11 @@ object ProductQuant {
         val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
         if (gens.isEmpty) {
           // no retained generation can contain anything: drop the lot
+          // — fenced like every destructive commit point (VERDICT r19
+          // #2: the pointer flip was the only fenced step; a writer
+          // whose lease was reclaimed mid-body must refuse BEFORE the
+          // delete, not interleave with the new holder's fold)
+          StoreLease.verifyHeld(spark, baseDir)
           if (!fs.delete(tombPath, true)) throw new java.io.IOException(
             s"gcTombstones: delete $tombPath failed")
           return 0L
@@ -1638,6 +1661,8 @@ object ProductQuant {
         try {
           val n = surviving.count()
           if (n == 0L) {
+            // fence before the destructive step (VERDICT r19 #2)
+            StoreLease.verifyHeld(spark, baseDir)
             if (!fs.delete(tombPath, true))
               throw new java.io.IOException(
                 s"gcTombstones: could not remove an empty sidecar")
@@ -1651,6 +1676,11 @@ object ProductQuant {
             // the straggler the saltTasks convention exists to avoid.
             surviving.repartition(tombstoneFoldFiles(n))
               .write.mode("append").parquet(tombPath.toString)
+            // fence between the (additive, safe) fold append and the
+            // pre-fold part DELETIONS (VERDICT r19 #2): a hijacked
+            // writer's deletions interleaving with the new holder's
+            // own fold could drop live tombstone ids
+            StoreLease.verifyHeld(spark, baseDir)
             preFold.foreach { part =>
               if (!fs.delete(part, false))
                 throw new java.io.IOException(
@@ -2135,9 +2165,14 @@ object ProductQuant {
     val newestComplete = complete.headOption.getOrElse(Int.MinValue)
     val keepSet = complete.take(keep).toSet ++
       live.orElse(currentGeneration(spark, baseDir).map(_._1))
-    gens.filter { case (g, _) =>
+    val doomed = gens.filter { case (g, _) =>
       !keepSet.contains(g) && (completeBy(g) || g < newestComplete)
-    }.sortBy(_._1).map { case (g, p) =>
+    }.sortBy(_._1)
+    // fence before the first directory delete (VERDICT r19 #2): prune
+    // destroys retained generations, and a writer whose lease was
+    // reclaimed mid-body must refuse here, not race the new holder
+    if (doomed.nonEmpty) StoreLease.verifyHeld(spark, baseDir)
+    doomed.map { case (g, p) =>
       if (!fs.delete(new Path(p), true))
         throw new java.io.IOException(s"pruneGenerations: delete $p failed")
       g

@@ -539,6 +539,59 @@ class CliSpec extends SparkSpec {
       "a refused publish must leave no visible generation")
   }
 
+  test("publish --books of an OPQ generation carries the rotation; per-vector-incomplete codes refuse (ADVICE r19)") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val d = Similarity.dimOf(e)
+    // an opq source store: rotation + rotated-space books + codes
+    val src = Files.createTempDirectory("graft_opq_src").toString
+    val (w, ww) = ProductQuant.opqRotationOf(e, d)
+    val rot = ProductQuant.opqRotate(e, w, ww, d)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(rot, 16, d)
+    ProductQuant.publishIndex(spark, src,
+      ProductQuant.ivfadcCodesWith(rot, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)), scheme = "opq",
+      rotation = Some((w, ww)))
+    val srcGen = ProductQuant.currentIndexDir(spark, src)
+    val codesDir = Files.createTempDirectory("graft_opq_codes").toString + "/c"
+    ProductQuant.ivfadcCodesWith(rot, coarse, bySub, d)
+      .write.parquet(codesDir)
+    // bootstrap from the shell: the rotation must ride the --books
+    // forward (ADVICE r19 #2 — a scheme-only forward threw
+    // writeQuantizers' half-publish refusal)
+    val store = Files.createTempDirectory("graft_opq_boot").toString
+    val (gen, _) = ProductQuant.publishStore(spark, store, codesDir,
+      booksDir = Some(srcGen))
+    assert(gen == 1)
+    val meta = ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, store))._2
+    assert(meta.scheme == "opq" &&
+      meta.rotation.exists { case (ws, x) =>
+        ws == w.toSeq && x == ww },
+      s"bootstrap dropped or mangled the rotation: $meta")
+    // and the opq probe of the bootstrapped store matches the source
+    def rows(base: String) = ProductQuant.ivfadcOpqProbeStore(e,
+        col("vec_id") < 30, 3, base, dim = Some(d))
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows(store).nonEmpty && rows(store) == rows(src))
+    // per-vector completeness (ADVICE r19 #3): drop ONE subspace row of
+    // one vector — globally every (sub, code) is still in-book, but
+    // that vector's ADC would sum m-1 LUT terms; the publish refuses
+    val holed = Files.createTempDirectory("graft_opq_holed").toString + "/c"
+    val someVec = spark.read.parquet(codesDir)
+      .select("vec_id").head().getLong(0)
+    spark.read.parquet(codesDir)
+      .filter(!(col("vec_id") === someVec && col("sub") === 0))
+      .write.parquet(holed)
+    val store2 = Files.createTempDirectory("graft_opq_holed_st").toString
+    val ex = intercept[IllegalStateException] {
+      ProductQuant.publishStore(spark, store2, holed,
+        booksDir = Some(srcGen))
+    }
+    assert(ex.getMessage.contains("distinct subspace"), ex.getMessage)
+    assert(ProductQuant.currentGeneration(spark, store2).isEmpty)
+  }
+
   test("doctor --index surfaces the tombstone sidecar; compact is the named remedy (r16 #2)") {
     val store = Files.createTempDirectory("graft_tomb_cli").toString
     val ids = spark.range(0, 200).select(col("id").as("vec_id"))

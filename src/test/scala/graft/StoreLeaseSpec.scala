@@ -121,6 +121,136 @@ class StoreLeaseSpec extends SparkSpec {
     assert(fs.exists(lease), "release removed the foreign holder's lease")
   }
 
+  test("rewrite fallback (setTimes-less store) renews without stomping; a reclaimer's fresh lease survives and the holder backs off hijacked") {
+    sys.props("graft.lease.disableSetTimes") = "1"
+    try withStale(600L) {
+      val base = Files.createTempDirectory("graft_lease_rw").toString
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+      StoreLease.withLease(spark, base, "rewrite") {
+        val m0 = fs.getFileStatus(lease).getModificationTime
+        Thread.sleep(1200L) // several beat periods, all via the rewrite
+        val st = fs.getFileStatus(lease)
+        assert(st.getModificationTime > m0,
+          "the rename-fenced rewrite never renewed the lease")
+        assert(StoreLease.holder(spark, base).exists(_._2 == "rewrite"),
+          "the rewrite lost the holder's own lease content")
+        assert(StoreLease.beatFailureCount(spark, base) == 0)
+        // now a reclaimer replaces the lease: the NEXT beat must not
+        // overwrite it — the holder backs off hijacked instead
+        val out = fs.create(lease, true)
+        out.write("1@elsewhere#5 publish 1\n".getBytes("UTF-8"))
+        out.close()
+        Thread.sleep(800L)
+        assert(StoreLease.holder(spark, base)
+          .exists(_._1 == "1@elsewhere#5"),
+          "the heartbeat stomped the reclaimer's fresh lease")
+        val e = intercept[IllegalStateException] {
+          StoreLease.verifyHeld(spark, base)
+        }
+        assert(e.getMessage.contains("refusing to commit"), e.getMessage)
+      }
+      // release must NOT delete the foreign holder's lease
+      assert(fs.exists(lease), "release removed the new holder's lease")
+    } finally sys.props.remove("graft.lease.disableSetTimes")
+  }
+
+  test("verifyHeld refuses past the beat-failure threshold even while the nonce is still ours") {
+    val base = Files.createTempDirectory("graft_lease_bf").toString
+    StoreLease.withLease(spark, base, "stuck") {
+      StoreLease.verifyHeld(spark, base) // healthy: passes
+      StoreLease.injectBeatFailures(spark, base,
+        StoreLease.BeatFailureLimit)
+      val e = intercept[IllegalStateException] {
+        StoreLease.verifyHeld(spark, base)
+      }
+      assert(e.getMessage.contains("heartbeat"), e.getMessage)
+      assert(StoreLease.beatFailureCount(spark, base) >=
+        StoreLease.BeatFailureLimit)
+    }
+  }
+
+  test("release leaves no phantom lease behind a racing heartbeat: the beater is joined before the delete") {
+    sys.props("graft.lease.disableSetTimes") = "1"
+    try withStale(90L) { // ~30ms beat period: maximal beat/release overlap
+      val base = Files.createTempDirectory("graft_lease_ph").toString
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+      (1 to 20).foreach { i =>
+        StoreLease.withLease(spark, base, s"cycle-$i") {
+          Thread.sleep(25L)
+        }
+        assert(!fs.exists(lease),
+          s"cycle $i left a phantom lease (the r19 beat/release race)")
+      }
+    } finally sys.props.remove("graft.lease.disableSetTimes")
+  }
+
+  test("a forcibly-replaced lease makes tombstone GC refuse BEFORE any delete (zero-survivor and fold paths)") {
+    import graft.operators.ProductQuant
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codes = ProductQuant.uniformSyntheticCodes(emb)
+    def stompedGc(tombIds: org.apache.spark.sql.DataFrame): Unit = {
+      val base = Files.createTempDirectory("graft_lease_gc").toString
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+      val tomb = new org.apache.hadoop.fs.Path(base,
+        ProductQuant.TombstoneDir)
+      ProductQuant.publishIndex(spark, base, codes)
+      ProductQuant.writeTombstones(spark, base, tombIds)
+      val preFiles = fs.listStatus(tomb).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val e = intercept[IllegalStateException] {
+        StoreLease.withLease(spark, base, "outer") {
+          val out = fs.create(lease, true)
+          out.write("1@elsewhere#3 gc 1\n".getBytes("UTF-8"))
+          out.close()
+          ProductQuant.gcTombstones(spark, base)
+        }
+      }
+      assert(e.getMessage.contains("refusing to commit"), e.getMessage)
+      // nothing the pre-fold reader listed was deleted: the original
+      // sidecar part files all survive (the fold may have appended —
+      // additive, correct by the superset property)
+      val postFiles = fs.listStatus(tomb).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      assert(postFiles >= preFiles,
+        s"GC deleted sidecar files past a hijacked lease ($preFiles -> $postFiles)")
+    }
+    import org.apache.spark.sql.functions.col
+    // zero-survivor path: ids no generation contains -> sidecar delete
+    stompedGc(emb.select((col("vec_id") + 1000000L).as("vec_id")).limit(5))
+    // fold path: ids the live generation contains -> fold + deletions
+    stompedGc(emb.select("vec_id").limit(5))
+  }
+
+  test("a forcibly-replaced lease makes pruneGenerations refuse before any directory delete") {
+    import graft.operators.ProductQuant
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codes = ProductQuant.uniformSyntheticCodes(emb)
+    val base = Files.createTempDirectory("graft_lease_pr").toString
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(base, StoreLease.LeaseName)
+    (1 to 3).foreach(_ => ProductQuant.publishIndex(spark, base, codes))
+    val e = intercept[IllegalStateException] {
+      StoreLease.withLease(spark, base, "outer") {
+        val out = fs.create(lease, true)
+        out.write("1@elsewhere#4 prune 1\n".getBytes("UTF-8"))
+        out.close()
+        ProductQuant.pruneGenerations(spark, base, keep = 1)
+      }
+    }
+    assert(e.getMessage.contains("refusing to commit"), e.getMessage)
+    (1 to 3).foreach { g =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(base, s"v$g")),
+        s"prune deleted v$g past a hijacked lease")
+    }
+  }
+
   test("two simultaneous reclaimers of one stale lease: single winner, bodies never overlap") {
     withStale(400L) {
       val base = Files.createTempDirectory("graft_lease_race").toString
