@@ -2698,6 +2698,41 @@ object ProductQuant {
       bySubF, nProbe, Some(d))
   }
 
+  /** [[ivfadcIngestTopK]]'s OPQ twin (VERDICT r19 #1 — flat and
+    * residual both have frozen-book ingest twins; opq had neither):
+    * the ROTATION learns from the STANDING corpus only and freezes
+    * with the books — doubly load-bearing here, because the rotation
+    * is corpus-derived: re-learning it on the grown corpus would
+    * silently re-rotate the space every standing code word quantizes
+    * in (the exact frozen-book failure class the residual twin pins
+    * for coarse-relative codes, one level up). The standing corpus
+    * rotates, trains both quantizers in the rotated space (Ge CVPR
+    * 2013 §4's fixed-rotation step), and writes the partitioned
+    * index; the delta batch rotates under the FROZEN w, encodes
+    * against the frozen books in an independent pass, and APPENDS.
+    * Probe = the ordinary flat probe over the merged index with the
+    * rotated corpus (opq codes ARE flat codes of rotated vectors).
+    * Append == rebuild because rotation and encode are pure per-row
+    * functions of (vector, frozen w, frozen books).
+    */
+  def opqIngestTopK(embeddings: DataFrame, standingPred: Column,
+                    queryPred: Column, k: Int, indexDir: String,
+                    nCoarse: Int = 16, nProbe: Int = 4,
+                    dim: Option[Int] = None): DataFrame = {
+    graft.functions.PqKernels.register(embeddings.sparkSession)
+    val d = dim.getOrElse(Similarity.dimOf(embeddings))
+    val standing = embeddings.filter(standingPred)
+    val (w, ww) = opqRotationOf(standing, d)
+    val rotStanding = opqRotate(standing, w, ww, d)
+    val (coarse, bySub) = ivfadcQuantizers(rotStanding, nCoarse, d)
+    writeIndex(ivfadcCodesWith(rotStanding, coarse, bySub, d), indexDir)
+    writeIndex(ivfadcCodesWith(
+      opqRotate(embeddings.filter(!standingPred), w, ww, d),
+      coarse, bySub, d), indexDir, mode = "append")
+    ivfadcProbeIndex(opqRotate(embeddings, w, ww, d), queryPred, k,
+      indexDir, coarse, bySub, nProbe, Some(d))
+  }
+
   private def rndHalfAway(x: Double): Long =
     if (x < 0) -Math.round(-x) else Math.round(x)
 
@@ -2742,7 +2777,16 @@ object ProductQuant {
       .withColumn("__wx", expr(
         s"aggregate(sequence(0, ${d - 1}), 0L, (acc, i) -> " +
           s"acc + element_at($wLit, i + 1) * xm[i])"))
-      .select(col("vec_id"), expr(
+      // the rotated cells ride as a GENERATOR child (explode of a
+      // 1-element array) — the r11 ccid discipline: downstream
+      // consumers (encode kernels, normN, 16-centroid probe structs)
+      // reference `embedding` many times, and CollapseProject would
+      // otherwise INLINE this whole transform into every reference —
+      // at r19 the opq lifecycle face planned+evaluated the rotation
+      // dozens of times per row and measured 180 s on 500 vectors.
+      // Behind the Generate barrier it is one attribute, evaluated
+      // once per row, still inside the same single scan.
+      .select(col("vec_id"), explode(array(expr(
         // cells land as FLOAT — the corpus dtype every kernel
         // (pq_encode, cosine_score) expects; the float rounding is
         // IEEE-deterministic, so the oracle mirrors it with one
@@ -2750,7 +2794,7 @@ object ProductQuant {
         s"""transform(sequence(0, ${d - 1}), i ->
            |  cast((xm[i] - cast(round(2.0d * __wx / ${ww}L
            |     * element_at($wLit, i + 1)) as bigint))
-           |  / cast(1000000 as double) as float))""".stripMargin)
+           |  / cast(1000000 as double) as float))""".stripMargin)))
         .as("embedding"))
   }
 

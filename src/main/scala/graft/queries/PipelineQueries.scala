@@ -1488,6 +1488,70 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The OPQ scheme's composed lifecycle (VERDICT r19 #1): the opq
+    // seams — compact carrying scheme+rotation, retrain re-listing in
+    // the STORED rotation's space, frozen-rotation ingest, and the
+    // loaded-rotation probe — had each run alone but never in ONE
+    // face. Same shape as the flat/residual twins: publish v1
+    // (standing corpus; rotation learned from it, books trained in the
+    // rotated space) → frozen-rotation ingest (v2 = grown corpus,
+    // SAME w and books) → between-epoch deletes → compact (scheme AND
+    // rotation carry-forward asserted loudly here) → prune → retrain
+    // on survivors (re-list under a coarse book retrained in the
+    // stored rotation's space — opq codes are flat codes of rotated
+    // vectors) → probe with everything LOADED FROM THE STORE. Oracle =
+    // a from-scratch DuckDB lane run entirely in the standing-learned
+    // rotation: fine books from the rotated standing subset, retrained
+    // coarse book = the Lloyd-1 chain over rotated survivors,
+    // candidates = rotated survivors, rerank cosine over rotated
+    // vectors; deleted vectors query but are never candidates.
+    "index_lifecycle_opq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val base = graft.Scratch.dir("idx_life_opq_")
+      val standing = e.filter(col("vec_id") < 400)
+      val (w, ww) = ProductQuant.opqRotationOf(standing, d)
+      val rotStanding = ProductQuant.opqRotate(standing, w, ww, d)
+      val (coarse, bySub) = ProductQuant.ivfadcQuantizers(rotStanding, 16, d)
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(rotStanding, coarse, bySub, d),
+        quantizers = Some((coarse, bySub)), scheme = "opq",
+        rotation = Some((w, ww)))
+      // frozen-rotation ingest: the grown corpus rotates under the
+      // SAME w — a re-learned rotation would re-rotate the space the
+      // standing code words quantize in
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(
+          ProductQuant.opqRotate(e, w, ww, d), coarse, bySub, d),
+        quantizers = Some((coarse, bySub)), scheme = "opq",
+        rotation = Some((w, ww)))
+      ProductQuant.writeTombstones(s, base,
+        e.filter(col("vec_id") % 9 === 3).select("vec_id"))
+      ProductQuant.compactStore(s, base)
+      // the encoding contract must survive the compaction — scheme AND
+      // rotation; a dropped/mangled rotation would brick (or worse,
+      // silently mis-rotate) the probe below — fail HERE, specifically
+      val postCompact = ProductQuant.loadQuantizersMeta(s,
+        ProductQuant.currentIndexDir(s, base))._2
+      require(postCompact.scheme == "opq",
+        s"compaction dropped the opq scheme: read '${postCompact.scheme}'")
+      require(postCompact.rotation.exists { case (ws, x) =>
+          ws == w.toSeq && x == ww },
+        "compaction dropped or mangled the stored rotation")
+      ProductQuant.pruneGenerations(s, base, keep = 1)
+      ProductQuant.retrainStore(s, base,
+        e.filter(col("vec_id") % 9 =!= 3), 16)
+      val postRetrain = ProductQuant.loadQuantizersMeta(s,
+        ProductQuant.currentIndexDir(s, base))._2
+      require(postRetrain.scheme == "opq" &&
+          postRetrain.rotation.exists { case (ws, x) =>
+            ws == w.toSeq && x == ww },
+        "retrain dropped or mangled the stored rotation")
+      ProductQuant.ivfadcOpqProbeStore(e, col("vec_id") < 50, 3, base,
+        dim = Some(d))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -1601,6 +1665,20 @@ object PipelineQueries {
     "ann_opq_store" -> ((s, dir) =>
       ProductQuant.opqStoreTopK(emb(s, dir), col("vec_id") < 50, 3,
         graft.Scratch.dir("opq_store_"))
+        .orderBy("query_id", "rank")),
+
+    // Incremental OPQ ingest (VERDICT r19 #1 — the opq twin of
+    // ann_ivfadc_ingest): the ROTATION learns from the standing corpus
+    // and freezes with the books; the delta batch rotates under the
+    // frozen w and encodes against the frozen books in an independent
+    // pass, then appends. The oracle is the one-shot encode of the
+    // whole corpus in the standing-learned rotation under the
+    // standing-trained books — green proves the ingest never re-learns
+    // the rotation (which would silently re-rotate the space every
+    // standing code word quantizes in) nor the books.
+    "ann_opq_ingest" -> ((s, dir) =>
+      ProductQuant.opqIngestTopK(emb(s, dir), col("vec_id") < 400,
+        col("vec_id") < 50, 3, graft.Scratch.dir("opq_ingest_"))
         .orderBy("query_id", "rank")),
 
     // Additive ANN-index ingest (ProductQuant.encodeWithBook scaladoc):
@@ -2371,14 +2449,25 @@ object PipelineQueries {
     * order), and deleted vectors query but are never candidates.
     */
   private lazy val indexLifecycleOracle: String =
-    s"""WITH $embCte,
+    indexLifecycleOracleOver("", "e")
+
+  /** The flat lifecycle chain over an arbitrary base relation `b`
+    * (aliased `e` internally) with optional preceding CTEs — "e" for
+    * the flat face; the rotated corpus `er` (with [[opqRotatedCte]]
+    * prepended) for the opq lifecycle, whose every stage — training,
+    * retrain chain, candidates, probe, rerank — runs in the
+    * standing-learned rotation's space.
+    */
+  private def indexLifecycleOracleOver(preCtes: String,
+                                       b: String): String =
+    s"""WITH $embCte,$preCtes
        |en AS (SELECT vec_id, list_transform(v, x ->
        |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-       |  FROM e),
+       |  FROM $b),
        |stn AS (SELECT vec_id, v FROM en WHERE vec_id < 400),
-       |surv AS (SELECT vec_id, v FROM e WHERE vec_id % 9 <> 3),
+       |surv AS (SELECT vec_id, v FROM $b WHERE vec_id % 9 <> 3),
        |${pqCodesCtes("stn", m = 8, subLen = 8, ks = 16, sampN = 160,
-                      corpusSrc = "e", normDot = true)},
+                      corpusSrc = b, normDot = true)},
        |centk AS (SELECT vec_id AS cid, v AS cv FROM surv
        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
        |simk AS (SELECT s.vec_id, c.cid, ${cosOf("s.v", "c.cv")} AS sc
@@ -2409,7 +2498,7 @@ object PipelineQueries {
        |    round(list_sum(list_transform(range(1, len(e.v) + 1),
        |        i -> e.v[CAST(i AS INTEGER)] * r.cv[CAST(i AS INTEGER)]))
        |      / sqrt(list_sum(list_transform(e.v, y -> y * y))), 6) AS s
-       |  FROM e, centrn r),
+       |  FROM $b e, centrn r),
        |cprobe AS (SELECT vec_id AS q_id, ccid FROM (
        |    SELECT vec_id, ccid, row_number() OVER
        |      (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
@@ -2428,15 +2517,25 @@ object PipelineQueries {
        |    (PARTITION BY query_id ORDER BY adc6 DESC, cand_id) AS srank
        |  FROM adc),
        |short AS (SELECT query_id, cand_id, adc6 FROM sr
-       |  WHERE srank <= greatest(150, (SELECT count(*) FROM e) // 20)),
+       |  WHERE srank <= greatest(150, (SELECT count(*) FROM $b) // 20)),
        |sc AS (SELECT s.query_id, s.cand_id, s.adc6, round($cosSql, 6) AS score
-       |  FROM short s JOIN e q ON q.vec_id = s.query_id
-       |               JOIN e c ON c.vec_id = s.cand_id),
+       |  FROM short s JOIN $b q ON q.vec_id = s.query_id
+       |               JOIN $b c ON c.vec_id = s.cand_id),
        |r AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |  FROM sc)
        |SELECT query_id, cand_id, adc6, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** OPQ-lifecycle mirror (VERDICT r19 #1): the whole flat lifecycle
+    * chain run IN THE ROTATED SPACE, rotation learned from the RAW
+    * STANDING subset (the engine face freezes it at the first publish
+    * and every later verb carries it).
+    */
+  private lazy val indexLifecycleOpqOracle: String =
+    indexLifecycleOracleOver(
+      opqRotatedCte("(SELECT * FROM embeddings WHERE vec_id < 400)"),
+      "er")
 
   /** Residual-lifecycle mirror (VERDICT r18 #2): the final probe of
     * the composed residual publish → frozen-book ingest → delete →
@@ -2610,36 +2709,58 @@ object PipelineQueries {
     * The rotation lives in its own nested WITH so its CTE names can't
     * collide with the chain's.
     */
-  private lazy val annOpqStoreOracle: String = {
-    val rotCte =
-      s"""
-         |er AS MATERIALIZED (
-         |  WITH ${pcaCovCtes(64, "embeddings")},
-         |  ${pcaPowerCtes(30)},
-         |  hh AS MATERIALIZED (SELECT list(v ORDER BY i) AS v1 FROM v30),
-         |  wv AS MATERIALIZED (SELECT
-         |      list_transform(range(1, 65), i -> CASE WHEN i = 1
-         |        THEN v1[CAST(i AS INTEGER)]
-         |          - CAST(round(sqrt(CAST(list_sum(list_transform(v1, x -> x * x)) AS DOUBLE))) AS BIGINT)
-         |        ELSE v1[CAST(i AS INTEGER)] END) AS w
-         |    FROM hh),
-         |  wb AS MATERIALIZED (SELECT w,
-         |      CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS ww FROM wv),
-         |  xm AS MATERIALIZED (SELECT vec_id,
-         |      list_transform(embedding, v ->
-         |        CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
-         |    FROM embeddings),
-         |  wx AS MATERIALIZED (SELECT x.vec_id,
-         |      CAST(list_sum(list_transform(range(1, 65), i ->
-         |        b.w[CAST(i AS INTEGER)] * x.xm[CAST(i AS INTEGER)])) AS BIGINT) AS wx
-         |    FROM xm x CROSS JOIN wb b)
-         |  SELECT x.vec_id, list_transform(range(1, 65), i ->
-         |      CAST(CAST((x.xm[CAST(i AS INTEGER)]
-         |        - CAST(round(2.0 * q.wx / b.ww * b.w[CAST(i AS INTEGER)]) AS BIGINT))
-         |      / 1000000.0 AS REAL) AS DOUBLE)) AS v
-         |  FROM xm x JOIN wx q USING (vec_id) CROSS JOIN wb b),""".stripMargin
-    annIvfadcOracleFrom("en", "", baseSrc = "er", preCtes = rotCte)
-  }
+  /** The rotated-corpus CTE `er` shared by every opq oracle: the
+    * Householder learns from `censusSrc` (the full raw corpus for the
+    * store face; the STANDING subset for the ingest/lifecycle faces —
+    * the frozen-rotation contract) and the FULL corpus rotates under
+    * it. Nested WITH so the pca chain's CTE names can't collide with
+    * the outer chain's.
+    */
+  private def opqRotatedCte(censusSrc: String): String =
+    s"""
+       |er AS MATERIALIZED (
+       |  WITH cen AS MATERIALIZED (SELECT * FROM $censusSrc),
+       |  ${pcaCovCtes(64, "cen")},
+       |  ${pcaPowerCtes(30)},
+       |  hh AS MATERIALIZED (SELECT list(v ORDER BY i) AS v1 FROM v30),
+       |  wv AS MATERIALIZED (SELECT
+       |      list_transform(range(1, 65), i -> CASE WHEN i = 1
+       |        THEN v1[CAST(i AS INTEGER)]
+       |          - CAST(round(sqrt(CAST(list_sum(list_transform(v1, x -> x * x)) AS DOUBLE))) AS BIGINT)
+       |        ELSE v1[CAST(i AS INTEGER)] END) AS w
+       |    FROM hh),
+       |  wb AS MATERIALIZED (SELECT w,
+       |      CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS ww FROM wv),
+       |  xm AS MATERIALIZED (SELECT vec_id,
+       |      list_transform(embedding, v ->
+       |        CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+       |    FROM embeddings),
+       |  wx AS MATERIALIZED (SELECT x.vec_id,
+       |      CAST(list_sum(list_transform(range(1, 65), i ->
+       |        b.w[CAST(i AS INTEGER)] * x.xm[CAST(i AS INTEGER)])) AS BIGINT) AS wx
+       |    FROM xm x CROSS JOIN wb b)
+       |  SELECT x.vec_id, list_transform(range(1, 65), i ->
+       |      CAST(CAST((x.xm[CAST(i AS INTEGER)]
+       |        - CAST(round(2.0 * q.wx / b.ww * b.w[CAST(i AS INTEGER)]) AS BIGINT))
+       |      / 1000000.0 AS REAL) AS DOUBLE)) AS v
+       |  FROM xm x JOIN wx q USING (vec_id) CROSS JOIN wb b),""".stripMargin
+
+  private lazy val annOpqStoreOracle: String =
+    annIvfadcOracleFrom("en", "", baseSrc = "er",
+      preCtes = opqRotatedCte("embeddings"))
+
+  /** OPQ ingest mirror (VERDICT r19 #1): the rotated-space IVFADC
+    * chain with the rotation learned from the STANDING raw subset and
+    * both quantizers trained on the rotated standing subset — the
+    * one-shot encode of the whole rotated corpus under those frozen
+    * (w, books) equals the engine's append path.
+    */
+  private lazy val annOpqIngestOracle: String =
+    annIvfadcOracleFrom("ens",
+      "\nens AS (SELECT vec_id, v FROM en WHERE vec_id < 400),",
+      baseSrc = "er",
+      preCtes = opqRotatedCte(
+        "(SELECT * FROM embeddings WHERE vec_id < 400)"))
 
   /** Probe-sweep mirror (ProductQuant.ivfadcProbeSweep): the IVFADC
     * chain with the probe CTE keeping each probed list's RANK, swept
@@ -4992,6 +5113,10 @@ object PipelineQueries {
     "index_retrain_rebalance" -> indexRetrainOracle,
     "index_lifecycle" -> indexLifecycleOracle,
     "index_lifecycle_residual" -> indexLifecycleResidualOracle,
+    // opq lifecycle mirror: the flat lifecycle chain in the rotated
+    // space, rotation learned from the raw standing subset and frozen
+    // (indexLifecycleOpqOracle scaladoc)
+    "index_lifecycle_opq" -> indexLifecycleOpqOracle,
 
     // radius operating curve: brute-force pairs at radius <= 8, tagged
     // planted by the variant id arithmetic, left-joined onto the
@@ -5112,6 +5237,10 @@ object PipelineQueries {
     // opq store mirror: the IVFADC chain in the rotated space, rotation
     // learned from the raw census (annOpqStoreOracle scaladoc)
     "ann_opq_store" -> annOpqStoreOracle,
+    // opq ingest mirror: the rotated chain with rotation AND books
+    // frozen from the standing subset — the one-shot encode equals the
+    // engine's append path (annOpqIngestOracle scaladoc)
+    "ann_opq_ingest" -> annOpqIngestOracle,
 
     // Residual-IVFADC mirror (annIvfadcResOracle scaladoc).
     "ann_ivfadc_residual" -> annIvfadcResOracle,
