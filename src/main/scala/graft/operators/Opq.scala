@@ -100,6 +100,153 @@ object Opq {
            |  / cast(1000000 as double))""".stripMargin).as("embedding"))
   }
 
+  /** Sign of the SECOND planted direction u₂ (±1 in blocks of two:
+    * +,+,−,−,… — orthogonal to [[e]]'s alternating u₁ over any
+    * 4-aligned span, d=64 included).
+    */
+  private def e2(i: Int): Int = if ((i / 2) % 2 == 0) 1 else -1
+
+  /** RANK-2 spike plant (VERDICT r19 #4's honest-measurement corpus):
+    * two orthogonal non-axis directions at distinct strengths —
+    * u₁ (alternating ±1/8) and u₂ (paired ±1/8), both at a=2
+    * (divisor 32) — so the planted covariance carries a full 2-D
+    * correlated PLANE, of which a single Householder can repair only
+    * one direction (whichever mix the power iterate lands on inside
+    * the near-degenerate eigenspace — the composed pair repairs the
+    * whole plane either way, which is exactly the claim the gauge
+    * measures). Same exact-integer discipline as [[plantedSpike]]:
+    * both spike terms derive from the RAW micro cells, so
+    * x'mᵢ = xmᵢ + e₁ᵢ·sgnDiv(S₁, 32) + e₂ᵢ·sgnDiv(S₂, 32).
+    */
+  def plantedSpike2(embeddings: DataFrame, d: Int = Pca.Dim): DataFrame = {
+    val s1 = (0 until d).map(j =>
+      s"(${e(j)}L * cast(round(cast(embedding[$j] as double) * 1000000) as bigint))")
+      .mkString(" + ")
+    val s2 = (0 until d).map(j =>
+      s"(${e2(j)}L * cast(round(cast(embedding[$j] as double) * 1000000) as bigint))")
+      .mkString(" + ")
+    graft.Tables.spread(embeddings)
+      .withColumn("__s1", expr(s"($s1)"))
+      .withColumn("__s2", expr(s"($s2)"))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${d - 1}), i ->
+           |  (cast(round(cast(embedding[i] as double) * 1000000) as bigint)
+           |    + (case when i % 2 = 0 then 1L else -1L end)
+           |    * (case when __s1 < 0 then -(abs(__s1) div $SpikeDiv)
+           |       else abs(__s1) div $SpikeDiv end)
+           |    + (case when (i div 2) % 2 = 0 then 1L else -1L end)
+           |    * (case when __s2 < 0 then -(abs(__s2) div $SpikeDiv)
+           |       else abs(__s2) div $SpikeDiv end))
+           |  / cast(1000000 as double))""".stripMargin).as("embedding"))
+  }
+
+  /** The two-reflection gauge (VERDICT r19 #4): PQ reconstruction MSE
+    * on the RANK-2 plant under three rotations — identity, the single
+    * Householder from v₁ (what [[opqDistortion]] measures on its
+    * rank-1 plant), and the COMPOSED two-reflection rotation from the
+    * deflated (v₁, v₂) pair ([[graft.operators.ProductQuant
+    * .composeHouseholders]] — the same integers the store's k-row
+    * rotation sidecar persists). On a corpus with multi-directional
+    * correlation the single reflection leaves subspaces 2..M
+    * correlated; the second reflection repairs direction 2, so
+    * rotated2 < rotated1 < identity (spec-pinned ordered; every
+    * integer oracle-replayed).
+    */
+  def opqDistortion2(embeddings: DataFrame, d: Int = Pca.Dim): DataFrame = {
+    require(d == 64, s"opqDistortion2: the planted-spike geometry is d=64, got $d")
+    val planted = plantedSpike2(embeddings, d)
+    val (v1, v2) = Pca.topTwoComponents(planted, d)
+    val rots = ProductQuant.composeHouseholders(Seq(v1, v2), d)
+    val Seq((w1, ww1), (w2, ww2)) = rots
+
+    val sampIds = planted
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(OpqKs)
+      .select("vec_id").collect().map(_.getLong(0))
+    val sampRaw = embeddings
+      .filter(col("vec_id").isin(sampIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue).toArray).toMap
+    def plantMicro(x: Array[Double]): Array[Long] = {
+      val xm = x.map(v => rnd(v * 1000000))
+      var t1 = 0L; var t2 = 0L; var j = 0
+      while (j < d) { t1 += e(j) * xm(j); t2 += e2(j) * xm(j); j += 1 }
+      val a1 = if (t1 < 0) -(math.abs(t1) / SpikeDiv)
+               else math.abs(t1) / SpikeDiv
+      val a2 = if (t2 < 0) -(math.abs(t2) / SpikeDiv)
+               else math.abs(t2) / SpikeDiv
+      Array.tabulate(d)(j => xm(j) + e(j) * a1 + e2(j) * a2)
+    }
+    def reflect(xm: Array[Long], w: Array[Long], ww: Long): Array[Long] = {
+      var wx = 0L; var j = 0
+      while (j < d) { wx += w(j) * xm(j); j += 1 }
+      val c2 = 2.0 * wx / ww
+      Array.tabulate(d)(j => xm(j) - rnd(c2 * w(j)))
+    }
+    val identCents = sampIds.map(id => plantMicro(sampRaw(id))).toSeq
+    val r1Cents = identCents.map(reflect(_, w1, ww1))
+    val r2Cents = r1Cents.map(reflect(_, w2, ww2))
+
+    val subLen = d / OpqM
+    def minDistExpr(vec: String, cents: String): String = {
+      val perSub = s"""aggregate(sequence(0, ${subLen - 1}), 0L,
+                      |  (a2, i) -> a2 + ($vec[s * $subLen + i] - c[s * $subLen + i])
+                      |                 * ($vec[s * $subLen + i] - c[s * $subLen + i]))""".stripMargin
+      s"""aggregate(sequence(0, ${OpqM - 1}), 0L, (acc, s) ->
+         |  acc + array_min(transform($cents, c -> $perSub)))""".stripMargin
+    }
+    def wxExpr(src: String, w: Array[Long]): String = {
+      val wLit = w.mkString("array(", "L, ", "L)")
+      s"aggregate(sequence(0, ${d - 1}), 0L, (acc, j) -> " +
+        s"acc + element_at($wLit, j + 1) * $src[j])"
+    }
+    def reflectExpr(src: String, wx: String, w: Array[Long],
+                    ww: Long): String = {
+      val wLit = w.mkString("array(", "L, ", "L)")
+      s"""transform(sequence(0, ${d - 1}), i ->
+         |  $src[i] - cast(round(2.0d * $wx / ${ww}L
+         |    * element_at($wLit, i + 1)) as bigint))""".stripMargin
+    }
+    val rows = planted
+      .withColumn("xm", expr(
+        s"transform(embedding, v -> cast(round(v * 1000000) as bigint))"))
+      // each reflected stage rides as a GENERATOR child — the r11
+      // discipline (the min-dist expression references it 8·16 times);
+      // the w·x fold hoists into its own column so it runs once per
+      // row, not once per cell
+      .withColumn("__wx1", expr(wxExpr("xm", w1)))
+      .select(col("vec_id"), col("xm"),
+        explode(array(expr(reflectExpr("xm", "__wx1", w1, ww1)))).as("ym"))
+      .withColumn("__wx2", expr(wxExpr("ym", w2)))
+      .select(col("vec_id"), col("xm"), col("ym"),
+        explode(array(expr(reflectExpr("ym", "__wx2", w2, ww2)))).as("zm"))
+      .withColumn("ic", typedLit(identCents.map(_.toSeq)))
+      .withColumn("r1c", typedLit(r1Cents.map(_.toSeq)))
+      .withColumn("r2c", typedLit(r2Cents.map(_.toSeq)))
+      .select(
+        expr(minDistExpr("xm", "ic")).as("tot_i"),
+        expr(minDistExpr("ym", "r1c")).as("tot_1"),
+        expr(minDistExpr("zm", "r2c")).as("tot_2"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(expr("tot_i div 1000000")).as("s_i"),
+        sum(expr("tot_1 div 1000000")).as("s_1"),
+        sum(expr("tot_2 div 1000000")).as("s_2"))
+    rows.select(expr(
+      """explode(array(
+        |  named_struct('lane', 'identity', 'n_vectors', n_vectors,
+        |               'mse_milli2', s_i div n_vectors),
+        |  named_struct('lane', 'rotated1', 'n_vectors', n_vectors,
+        |               'mse_milli2', s_1 div n_vectors),
+        |  named_struct('lane', 'rotated2', 'n_vectors', n_vectors,
+        |               'mse_milli2', s_2 div n_vectors)))""".stripMargin).as("r"))
+      .select(col("r.lane").as("lane"), col("r.n_vectors").as("n_vectors"),
+        col("r.mse_milli2").as("mse_milli2"))
+      .orderBy("lane")
+  }
+
   /** The gauge: (lane ∈ {identity, rotated}, n_vectors, mse_milli2) —
     * mean PQ reconstruction error per vector in milli² units
     * (Σ per-vector min-distance totals div 1e6, then div n), unrotated

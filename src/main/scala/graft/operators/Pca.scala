@@ -177,6 +177,20 @@ object Pca {
     (v2, rayleigh(c, d, v2), crossq)
   }
 
+  /** BOTH leading components from ONE census: v1 = the standard
+    * 30-round iterate, v2 = the deflated iterate ([[secondComponent]]'s
+    * machinery without re-collecting the census) — what a
+    * multi-component OPQ rotation composes its reflections from
+    * (VERDICT r19 #4).
+    */
+  def topTwoComponents(embeddings: DataFrame, d: Int = Dim,
+                       rounds: Int = Rounds): (Array[Long], Array[Long]) = {
+    val c = censusMatrix(embeddings, d)
+    val v1 = powerLoop(c, d, rounds, Array.fill(d)(1000000L), None)
+    val w0 = Array.tabulate(d)(i => if (i % 2 == 0) 1000000L else -1000000L)
+    (v1, powerLoop(c, d, rounds, w0, Some(v1)))
+  }
+
   /** Collected symmetric census matrix — d(d+1)/2 longs of driver
     * state, the bounded codebook contract.
     */

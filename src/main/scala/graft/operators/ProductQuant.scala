@@ -1010,7 +1010,7 @@ object ProductQuant {
       // generation keeps the rotation its codes were produced under
       scheme = books.map(_._2.scheme).getOrElse("flat"),
       rotation = books.flatMap(_._2.rotation)
-        .map { case (w, ww) => (w.toArray, ww) })
+        .map(_.map { case (w, ww) => (w.toArray, ww) }))
     // tombstone hygiene rides every compaction: fold the sidecar to
     // one file and drop the ids no retained generation contains — the
     // generation just published is clean by construction and skipped
@@ -1084,11 +1084,12 @@ object ProductQuant {
             s"${meta.dim}; the corpus is dim " +
             s"${Similarity.dimOf(embeddings)} — refusing a " +
             "geometry-mismatched retrain")
-      val (w, ww) = meta.rotation
-        .map { case (ws, x) => (ws.toArray, x) }.get
-      retrainFlat(spark, baseDir, opqRotate(embeddings, w, ww, meta.dim),
+      val rots = meta.rotation.get
+        .map { case (ws, x) => (ws.toArray, x) }
+      retrainFlat(spark, baseDir,
+        opqRotateK(embeddings, rots, meta.dim),
         nCoarse, g, live, oldBooks, scheme = "opq",
-        rotation = Some((w, ww)))
+        rotation = Some(rots))
     }
     else retrainFlat(spark, baseDir, embeddings, nCoarse, g, live,
       oldBooks)
@@ -1103,7 +1104,7 @@ object ProductQuant {
                           nCoarse: Int, g: Int, live: String,
                           oldBooks: Option[(Quantizers, IndexMeta)],
                           scheme: String = "flat",
-                          rotation: Option[(Array[Long], Long)] = None)
+                          rotation: Option[Seq[(Array[Long], Long)]] = None)
       : (Int, Int) = {
     // a retrain is a store MUTATION: self-recover a legacy interrupted
     // GC first (the writeTombstones/compactStore convention), then
@@ -1329,7 +1330,7 @@ object ProductQuant {
       // refusal, bricking the shell bootstrap for exactly the scheme
       // that needs it) — mirror compactStore's carry-forward
       rotation = books.flatMap(_._2.rotation)
-        .map { case (w, ww) => (w.toArray, ww) })
+        .map(_.map { case (w, ww) => (w.toArray, ww) }))
   }
 
   /** Store-wide audit (VERDICT r15 #8): [[indexLayoutAudit]] of every
@@ -1839,10 +1840,11 @@ object ProductQuant {
     */
   case class IndexMeta(scheme: String, nCoarse: Int, m: Int, ks: Int,
                        dim: Int,
-                       rotation: Option[(Seq[Long], Long)] = None) {
+                       rotation: Option[Seq[(Seq[Long], Long)]] = None) {
     override def toString: String =
       s"IndexMeta($scheme,$nCoarse,$m,$ks,$dim" +
-        rotation.fold("")(r => s",rot[${r._1.length}]/ww=${r._2}") + ")"
+        rotation.fold("")(r =>
+          s",rot[${r.length}x${r.headOption.fold(0)(_._1.length)}]") + ")"
   }
 
   private val SchemeCodes =
@@ -1863,7 +1865,7 @@ object ProductQuant {
                       coarse: Seq[(Long, Array[Double])],
                       bySub: Map[Int, Seq[(Long, Array[Double])]],
                       scheme: String = "flat",
-                      rotation: Option[(Array[Long], Long)] = None)
+                      rotation: Option[Seq[(Array[Long], Long)]] = None)
       : Unit = {
     import spark.implicits._
     val schemeCode = SchemeCodes.getOrElse(scheme,
@@ -1874,7 +1876,8 @@ object ProductQuant {
     // codes are quantizations of rotated vectors, so books + codes
     // without the rotation are as uninterpretable as residual codes
     // without their coarse book — refuse the half-publish either way
-    if (rotation.isDefined != (scheme == "opq"))
+    if (rotation.exists(_.isEmpty) ||
+        rotation.isDefined != (scheme == "opq"))
       throw new IllegalArgumentException(
         s"writeQuantizers: scheme '$scheme' " +
           (if (scheme == "opq") "requires the rotation it encoded under"
@@ -1884,11 +1887,14 @@ object ProductQuant {
       Seq(("meta", -1, 0, schemeCode,
         Seq(m.nCoarse.toDouble, m.m.toDouble, m.ks.toDouble,
           m.dim.toDouble))) ++
-      // Householder w in exact micro-longs (≤ ~2e6, exact in double)
-      // keyed by its denominator w'w — one row, [[loadQuantizersMeta]]
-      // rebuilds (w, ww) bit-identically
-      rotation.map { case (w, ww) =>
-        ("rot", -1, 0, ww, w.map(_.toDouble).toSeq) }.toSeq ++
+      // k Householder reflections (VERDICT r19 #4), each w in exact
+      // micro-longs (≤ ~2e6, exact in double) keyed by its denominator
+      // w'w — ONE row per reflection, `ord` recording the APPLICATION
+      // ORDER; [[loadQuantizersMeta]] rebuilds the sequence
+      // bit-identically (a single-reflection store keeps its one row —
+      // the k=1 layout is unchanged)
+      rotation.toSeq.flatten.zipWithIndex.map { case ((w, ww), i) =>
+        ("rot", -1, i, ww, w.map(_.toDouble).toSeq) } ++
       coarse.zipWithIndex.map { case ((cid, v), i) =>
         ("coarse", -1, i, cid, v.toSeq) } ++
         bySub.toSeq.sortBy(_._1).flatMap { case (s, cents) =>
@@ -1942,10 +1948,15 @@ object ProductQuant {
         s -> rs.sortBy(_.getInt(2))
           .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq }
     val derived = metaOf("flat", coarse, bySub)
-    // the opq rotation row, rebuilt (w, ww) bit-identically — micro
-    // longs round-trip exactly through the double cv column
-    val rot = rows.find(_.getString(0) == "rot").map(r =>
-      (r.getSeq[Double](4).map(_.toLong), r.getLong(3)))
+    // the opq rotation rows, rebuilt (w, ww) bit-identically in their
+    // recorded APPLICATION ORDER — micro longs round-trip exactly
+    // through the double cv column; a pre-r20 single-row sidecar reads
+    // as the 1-reflection sequence it always meant
+    val rotRows = rows.filter(_.getString(0) == "rot").sortBy(_.getInt(2))
+    val rot =
+      if (rotRows.isEmpty) None
+      else Some(rotRows.map(r =>
+        (r.getSeq[Double](4).map(_.toLong), r.getLong(3))).toSeq)
     val meta = rows.find(_.getString(0) == "meta") match {
       case None =>
         // pre-meta sidecars predate rotations too — a rot row beside
@@ -1979,7 +1990,7 @@ object ProductQuant {
             s"quantizer sidecar under $genDir is corrupt: scheme " +
               s"'$scheme' with rotation ${if (rot.isEmpty) "MISSING"
                 else "PRESENT"} — refusing to mis-score")
-        rot.filter(_._1.length != derived.dim).foreach { w =>
+        rot.toSeq.flatten.filter(_._1.length != derived.dim).foreach { w =>
           throw new IllegalStateException(
             s"quantizer sidecar under $genDir is corrupt: rotation of " +
               s"dim ${w._1.length} beside dim-${derived.dim} books") }
@@ -2012,7 +2023,7 @@ object ProductQuant {
                    hotWidths: Map[Int, Int] = Map.empty,
                    quantizers: Option[Quantizers] = None,
                    scheme: String = "flat",
-                   rotation: Option[(Array[Long], Long)] = None)
+                   rotation: Option[Seq[(Array[Long], Long)]] = None)
       : (Int, String) =
       // the single-writer contract, ENFORCED (VERDICT r17 #2): the
       // generation numbering below is a read-modify-write, and the
@@ -2747,16 +2758,57 @@ object ProductQuant {
     */
   def opqRotationOf(embeddings: DataFrame, d: Int): (Array[Long], Long) = {
     val (v1, _, _) = Pca.topComponent(embeddings, d)
-    var vv = 0L; var i = 0
-    while (i < d) { vv += v1(i) * v1(i); i += 1 }
-    val bigN = rndHalfAway(math.sqrt(vv.toDouble))
-    val w = Array.tabulate(d)(j => if (j == 0) v1(0) - bigN else v1(j))
-    var ww = 0L; i = 0
-    while (i < d) { ww += w(i) * w(i); i += 1 }
-    require(ww > 0L,
-      "opqRotationOf: degenerate Householder (v1 == N·e0) — the corpus" +
-        " top component already lies on e0; publish flat instead")
-    (w, ww)
+    composeHouseholders(Seq(v1), d).head
+  }
+
+  /** The TWO-component OPQ rotation (VERDICT r19 #4 — the honest
+    * upgrade from "decorrelates the top component" toward Ge et al.'s
+    * full orthogonal matrix): v1 and the DEFLATED v2 from one census
+    * ([[Pca.topTwoComponents]]), composed into two Householders
+    * applied in order — H1 concentrates v1 into subspace dimension 0;
+    * H2 concentrates H1·v2 (orthogonal to e0 up to integer rounding,
+    * because v2 ⊥ v1 and H1·v1 = N·e0) into dimension 1, leaving
+    * dimension 0 essentially fixed. Returns the ordered reflection
+    * list [[writeQuantizers]] persists as k `rot` rows.
+    */
+  def opqRotationsOf2(embeddings: DataFrame, d: Int)
+      : Seq[(Array[Long], Long)] = {
+    val (v1, v2) = Pca.topTwoComponents(embeddings, d)
+    composeHouseholders(Seq(v1, v2), d)
+  }
+
+  /** Compose k Householder reflections from k (ordered, deflated)
+    * component iterates: component j first passes through the
+    * already-built reflections H1..H(j-1) — the SAME exact-integer
+    * per-cell step [[opqRotateK]] applies to corpus rows — then
+    * reflects onto e_j via w = v' − rnd(‖v'‖)·e_j. Every step is
+    * exact-long or one double rescale-and-round, so the DuckDB oracle
+    * replays the whole composition bit for bit.
+    */
+  def composeHouseholders(comps: Seq[Array[Long]], d: Int)
+      : Seq[(Array[Long], Long)] = {
+    val rots = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Long)]
+    comps.zipWithIndex.foreach { case (v0, j) =>
+      var v = v0
+      rots.foreach { case (w, ww) =>
+        var wx = 0L; var i = 0
+        while (i < d) { wx += w(i) * v(i); i += 1 }
+        val c2 = 2.0 * wx / ww
+        v = Array.tabulate(d)(i => v(i) - rndHalfAway(c2 * w(i)))
+      }
+      var vv = 0L; var i = 0
+      while (i < d) { vv += v(i) * v(i); i += 1 }
+      val bigN = rndHalfAway(math.sqrt(vv.toDouble))
+      val base = v
+      val w = Array.tabulate(d)(i => if (i == j) base(i) - bigN else base(i))
+      var ww = 0L; i = 0
+      while (i < d) { ww += w(i) * w(i); i += 1 }
+      require(ww > 0L,
+        s"composeHouseholders: degenerate reflection for component $j " +
+          s"(already on e$j) — compose fewer reflections instead")
+      rots += ((w, ww))
+    }
+    rots.toSeq
   }
 
   /** Apply the stored Householder to a (vec_id, embedding) relation —
@@ -2767,35 +2819,51 @@ object ProductQuant {
     * the encode/probe scan it feeds.
     */
   def opqRotate(embeddings: DataFrame, w: Array[Long], ww: Long,
-                d: Int): DataFrame = {
-    val wLit = w.mkString("array(", "L, ", "L)")
-    graft.Tables.spread(embeddings)
+                d: Int): DataFrame =
+    opqRotateK(embeddings, Seq((w, ww)), d)
+
+  /** Apply an ORDERED list of stored Householders to a
+    * (vec_id, embedding) relation — [[opqRotate]]'s k-reflection
+    * general form (VERDICT r19 #4): micro-quantize once, then per
+    * reflection one exact-long w·x fold and one double
+    * rescale-and-round per cell, all within ONE scan (k map steps, no
+    * shuffle — at 100 TB the whole composition rides the encode/probe
+    * scan it feeds). Every intermediate rides as a GENERATOR child
+    * (explode of a 1-element array) — the r11 ccid discipline:
+    * downstream consumers (encode kernels, normN, 16-centroid probe
+    * structs) reference `embedding` many times, and CollapseProject
+    * would otherwise INLINE each step's transform into every
+    * reference — at r19 the opq lifecycle face planned+evaluated the
+    * rotation dozens of times per row and measured 180 s on 500
+    * vectors; behind the barriers each step is one attribute,
+    * evaluated once per row.
+    */
+  def opqRotateK(embeddings: DataFrame,
+                 rots: Seq[(Array[Long], Long)], d: Int): DataFrame = {
+    require(rots.nonEmpty, "opqRotateK: empty rotation list")
+    val quant = graft.Tables.spread(embeddings)
       .filter(col("embedding").isNotNull)
-      .withColumn("xm", expr(
-        "transform(embedding, v -> " +
-          "cast(round(cast(v as double) * 1000000) as bigint))"))
-      .withColumn("__wx", expr(
-        s"aggregate(sequence(0, ${d - 1}), 0L, (acc, i) -> " +
-          s"acc + element_at($wLit, i + 1) * xm[i])"))
-      // the rotated cells ride as a GENERATOR child (explode of a
-      // 1-element array) — the r11 ccid discipline: downstream
-      // consumers (encode kernels, normN, 16-centroid probe structs)
-      // reference `embedding` many times, and CollapseProject would
-      // otherwise INLINE this whole transform into every reference —
-      // at r19 the opq lifecycle face planned+evaluated the rotation
-      // dozens of times per row and measured 180 s on 500 vectors.
-      // Behind the Generate barrier it is one attribute, evaluated
-      // once per row, still inside the same single scan.
       .select(col("vec_id"), explode(array(expr(
-        // cells land as FLOAT — the corpus dtype every kernel
-        // (pq_encode, cosine_score) expects; the float rounding is
-        // IEEE-deterministic, so the oracle mirrors it with one
-        // CAST(. AS REAL) round-trip
-        s"""transform(sequence(0, ${d - 1}), i ->
-           |  cast((xm[i] - cast(round(2.0d * __wx / ${ww}L
-           |     * element_at($wLit, i + 1)) as bigint))
-           |  / cast(1000000 as double) as float))""".stripMargin)))
-        .as("embedding"))
+        "transform(embedding, v -> " +
+          "cast(round(cast(v as double) * 1000000) as bigint))")))
+        .as("xm"))
+    val rotated = rots.foldLeft(quant) { case (df, (w, ww)) =>
+      val wLit = w.mkString("array(", "L, ", "L)")
+      df.withColumn("__wx", expr(
+          s"aggregate(sequence(0, ${d - 1}), 0L, (acc, i) -> " +
+            s"acc + element_at($wLit, i + 1) * xm[i])"))
+        .select(col("vec_id"), explode(array(expr(
+          s"""transform(sequence(0, ${d - 1}), i ->
+             |  xm[i] - cast(round(2.0d * __wx / ${ww}L
+             |     * element_at($wLit, i + 1)) as bigint))""".stripMargin)))
+          .as("xm"))
+    }
+    // cells land as FLOAT — the corpus dtype every kernel (pq_encode,
+    // cosine_score) expects; the float rounding is IEEE-deterministic,
+    // so the oracle mirrors it with one CAST(. AS REAL) round-trip
+    rotated.select(col("vec_id"), explode(array(expr(
+      "transform(xm, c -> cast(c / cast(1000000 as double) as float))")))
+      .as("embedding"))
   }
 
   /** Probe the store's LIVE generation of OPQ-ROTATED codes with books
@@ -2824,8 +2892,8 @@ object ProductQuant {
       s"store at $baseDir was encoded at dim ${meta.dim}; the probe " +
         s"corpus is dim $d — refusing a geometry-mismatched probe")
     // loadQuantizersMeta guarantees the rotation is present for opq
-    val (w, ww) = meta.rotation.map { case (ws, x) => (ws.toArray, x) }.get
-    ivfadcProbeIndex(opqRotate(embeddings, w, ww, d), queryPred, k,
+    val rots = meta.rotation.get.map { case (ws, x) => (ws.toArray, x) }
+    ivfadcProbeIndex(opqRotateK(embeddings, rots, d), queryPred, k,
       genDir, coarse, bySub, nProbe, Some(d),
       excludeIds = hintedTombstones(spark, baseDir))
   }
@@ -2850,7 +2918,7 @@ object ProductQuant {
     val (coarse, bySub) = ivfadcQuantizers(rot, nCoarse, d)
     publishIndex(spark, baseDir, ivfadcCodesWith(rot, coarse, bySub, d),
       quantizers = Some((coarse, bySub)), scheme = "opq",
-      rotation = Some((w, ww)))
+      rotation = Some(Seq((w, ww))))
     ivfadcOpqProbeStore(embeddings, queryPred, k, baseDir, nProbe,
       Some(d))
   }

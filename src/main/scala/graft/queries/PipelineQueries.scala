@@ -1516,7 +1516,7 @@ object PipelineQueries {
       ProductQuant.publishIndex(s, base,
         ProductQuant.ivfadcCodesWith(rotStanding, coarse, bySub, d),
         quantizers = Some((coarse, bySub)), scheme = "opq",
-        rotation = Some((w, ww)))
+        rotation = Some(Seq((w, ww))))
       // frozen-rotation ingest: the grown corpus rotates under the
       // SAME w — a re-learned rotation would re-rotate the space the
       // standing code words quantize in
@@ -1524,7 +1524,7 @@ object PipelineQueries {
         ProductQuant.ivfadcCodesWith(
           ProductQuant.opqRotate(e, w, ww, d), coarse, bySub, d),
         quantizers = Some((coarse, bySub)), scheme = "opq",
-        rotation = Some((w, ww)))
+        rotation = Some(Seq((w, ww))))
       ProductQuant.writeTombstones(s, base,
         e.filter(col("vec_id") % 9 === 3).select("vec_id"))
       ProductQuant.compactStore(s, base)
@@ -1535,8 +1535,7 @@ object PipelineQueries {
         ProductQuant.currentIndexDir(s, base))._2
       require(postCompact.scheme == "opq",
         s"compaction dropped the opq scheme: read '${postCompact.scheme}'")
-      require(postCompact.rotation.exists { case (ws, x) =>
-          ws == w.toSeq && x == ww },
+      require(postCompact.rotation.contains(Seq((w.toSeq, ww))),
         "compaction dropped or mangled the stored rotation")
       ProductQuant.pruneGenerations(s, base, keep = 1)
       ProductQuant.retrainStore(s, base,
@@ -1544,8 +1543,7 @@ object PipelineQueries {
       val postRetrain = ProductQuant.loadQuantizersMeta(s,
         ProductQuant.currentIndexDir(s, base))._2
       require(postRetrain.scheme == "opq" &&
-          postRetrain.rotation.exists { case (ws, x) =>
-            ws == w.toSeq && x == ww },
+          postRetrain.rotation.contains(Seq((w.toSeq, ww))),
         "retrain dropped or mangled the stored rotation")
       ProductQuant.ivfadcOpqProbeStore(e, col("vec_id") < 50, 3, base,
         dim = Some(d))
@@ -1650,6 +1648,16 @@ object PipelineQueries {
     // the recovery: rotated ~3.3% below identity at sf0.01/sf0.1,
     // spec-pinned ordered).
     "opq_distortion" -> ((s, dir) => Opq.opqDistortion(emb(s, dir))),
+
+    // Two-reflection OPQ gauge (Opq.opqDistortion2 scaladoc; VERDICT
+    // r19 #4): on a RANK-2 plant the single Householder repairs only
+    // the top direction — the composed (v1, deflated-v2) rotation
+    // repairs both, and the MSE ordering rotated2 < rotated1 <
+    // identity is the measured form of "k reflections approach Ge's
+    // full orthogonal matrix" (spec-pinned ordered; every integer —
+    // plant, two power chains, composition, both reflections —
+    // oracle-replayed).
+    "opq_distortion2" -> ((s, dir) => Opq.opqDistortion2(emb(s, dir))),
 
     // The OPQ deployment seam (VERDICT r18 #5): until now the sidecar's
     // scheme enum couldn't say "these codes quantize ROTATED vectors",
@@ -5355,6 +5363,123 @@ object PipelineQueries {
          |UNION ALL
          |SELECT 'rotated', nn.n,
          |    CAST((SELECT CAST(sum(tot) AS BIGINT) FROM dr) // nn.n AS BIGINT)
+         |  FROM nn
+         |ORDER BY lane""".stripMargin
+    },
+
+    // Two-reflection gauge mirror (VERDICT r19 #4): rank-2 plant, the
+    // unrolled first power chain (v30), the DEFLATED second chain
+    // (w30), the composition — H1 from v1, H1·v2 via one exact-long
+    // dot + per-cell round, H2 from the reflected v2 onto e1 — and the
+    // three lanes' min-distance totals, every integer replayed.
+    "opq_distortion2" -> {
+      def sSum(sign: Int => Int) = (0 until 64).map(j =>
+        s"(${sign(j)} * CAST(round(CAST(embedding[${j + 1}] AS DOUBLE) * 1000000) AS BIGINT))")
+        .mkString(" + ")
+      val s1 = sSum(j => if (j % 2 == 0) 1 else -1)
+      val s2 = sSum(j => if ((j / 2) % 2 == 0) 1 else -1)
+      s"""WITH spx AS MATERIALIZED (SELECT vec_id, embedding,
+         |    CAST($s1 AS BIGINT) AS s1s, CAST($s2 AS BIGINT) AS s2s
+         |  FROM embeddings),
+         |planted AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(0, 64), i ->
+         |      (CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT)
+         |        + (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+         |        * (CASE WHEN s1s < 0 THEN -(abs(s1s) // 32) ELSE abs(s1s) // 32 END)
+         |        + (CASE WHEN (i // 2) % 2 = 0 THEN 1 ELSE -1 END)
+         |        * (CASE WHEN s2s < 0 THEN -(abs(s2s) // 32) ELSE abs(s2s) // 32 END))
+         |      / 1000000.0) AS embedding
+         |  FROM spx),
+         |${pcaCovCtes(64, "planted")},
+         |${pcaPowerCtes(30)},
+         |${pcaPower2Ctes(30, 30)},
+         |hh AS MATERIALIZED (SELECT list(v ORDER BY i) AS v1 FROM v30),
+         |hh2 AS MATERIALIZED (SELECT list(v ORDER BY i) AS v2 FROM w30),
+         |wv AS MATERIALIZED (SELECT
+         |    list_transform(range(1, 65), i -> CASE WHEN i = 1
+         |      THEN v1[CAST(i AS INTEGER)]
+         |        - CAST(round(sqrt(CAST(list_sum(list_transform(v1, x -> x * x)) AS DOUBLE))) AS BIGINT)
+         |      ELSE v1[CAST(i AS INTEGER)] END) AS w
+         |  FROM hh),
+         |wb AS MATERIALIZED (SELECT w,
+         |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS ww FROM wv),
+         |v2r AS MATERIALIZED (SELECT
+         |    list_transform(range(1, 65), i -> h.v2[CAST(i AS INTEGER)]
+         |      - CAST(round(2.0 * CAST(list_sum(list_transform(range(1, 65), j ->
+         |          b.w[CAST(j AS INTEGER)] * h.v2[CAST(j AS INTEGER)])) AS BIGINT)
+         |        / b.ww * b.w[CAST(i AS INTEGER)]) AS BIGINT)) AS t2
+         |  FROM hh2 h CROSS JOIN wb b),
+         |wv2 AS MATERIALIZED (SELECT
+         |    list_transform(range(1, 65), i -> CASE WHEN i = 2
+         |      THEN t2[CAST(i AS INTEGER)]
+         |        - CAST(round(sqrt(CAST(list_sum(list_transform(t2, x -> x * x)) AS DOUBLE))) AS BIGINT)
+         |      ELSE t2[CAST(i AS INTEGER)] END) AS w
+         |  FROM v2r),
+         |wb2 AS MATERIALIZED (SELECT w AS w2,
+         |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS ww2 FROM wv2),
+         |xm AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(round(v * 1000000) AS BIGINT)) AS xm
+         |  FROM planted),
+         |wx AS MATERIALIZED (SELECT x.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      b.w[CAST(i AS INTEGER)] * x.xm[CAST(i AS INTEGER)])) AS BIGINT) AS wx
+         |  FROM xm x CROSS JOIN wb b),
+         |ym AS MATERIALIZED (SELECT x.vec_id,
+         |    list_transform(range(1, 65), i -> x.xm[CAST(i AS INTEGER)]
+         |      - CAST(round(2.0 * q.wx / b.ww * b.w[CAST(i AS INTEGER)]) AS BIGINT)) AS ym
+         |  FROM xm x JOIN wx q USING (vec_id) CROSS JOIN wb b),
+         |wx2 AS MATERIALIZED (SELECT y.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      b.w2[CAST(i AS INTEGER)] * y.ym[CAST(i AS INTEGER)])) AS BIGINT) AS wx
+         |  FROM ym y CROSS JOIN wb2 b),
+         |zm AS MATERIALIZED (SELECT y.vec_id,
+         |    list_transform(range(1, 65), i -> y.ym[CAST(i AS INTEGER)]
+         |      - CAST(round(2.0 * q.wx / b.ww2 * b.w2[CAST(i AS INTEGER)]) AS BIGINT)) AS zm
+         |  FROM ym y JOIN wx2 q USING (vec_id) CROSS JOIN wb2 b),
+         |samp AS MATERIALIZED (SELECT vec_id FROM planted
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |ci AS MATERIALIZED (SELECT x.xm AS cm FROM samp s JOIN xm x USING (vec_id)),
+         |cr1 AS MATERIALIZED (SELECT y.ym AS cm FROM samp s JOIN ym y USING (vec_id)),
+         |cr2 AS MATERIALIZED (SELECT z.zm AS cm FROM samp s JOIN zm z USING (vec_id)),
+         |subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sub),
+         |di AS (SELECT x.vec_id,
+         |    CAST(sum(best) AS BIGINT) // 1000000 AS tot
+         |  FROM (SELECT x2.vec_id, sb.sub,
+         |      min(CAST(list_sum(list_transform(range(1, 9), i ->
+         |        (x2.xm[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])
+         |        * (x2.xm[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])))
+         |        AS BIGINT)) AS best
+         |    FROM xm x2 CROSS JOIN subs sb CROSS JOIN ci c GROUP BY 1, 2) x
+         |  GROUP BY 1),
+         |dr1 AS (SELECT y.vec_id,
+         |    CAST(sum(best) AS BIGINT) // 1000000 AS tot
+         |  FROM (SELECT y2.vec_id, sb.sub,
+         |      min(CAST(list_sum(list_transform(range(1, 9), i ->
+         |        (y2.ym[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])
+         |        * (y2.ym[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])))
+         |        AS BIGINT)) AS best
+         |    FROM ym y2 CROSS JOIN subs sb CROSS JOIN cr1 c GROUP BY 1, 2) y
+         |  GROUP BY 1),
+         |dr2 AS (SELECT z.vec_id,
+         |    CAST(sum(best) AS BIGINT) // 1000000 AS tot
+         |  FROM (SELECT z2.vec_id, sb.sub,
+         |      min(CAST(list_sum(list_transform(range(1, 9), i ->
+         |        (z2.zm[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])
+         |        * (z2.zm[CAST(sb.sub * 8 + i AS INTEGER)] - c.cm[CAST(sb.sub * 8 + i AS INTEGER)])))
+         |        AS BIGINT)) AS best
+         |    FROM zm z2 CROSS JOIN subs sb CROSS JOIN cr2 c GROUP BY 1, 2) z
+         |  GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM planted)
+         |SELECT 'identity' AS lane, nn.n AS n_vectors,
+         |    CAST((SELECT CAST(sum(tot) AS BIGINT) FROM di) // nn.n AS BIGINT) AS mse_milli2
+         |  FROM nn
+         |UNION ALL
+         |SELECT 'rotated1', nn.n,
+         |    CAST((SELECT CAST(sum(tot) AS BIGINT) FROM dr1) // nn.n AS BIGINT)
+         |  FROM nn
+         |UNION ALL
+         |SELECT 'rotated2', nn.n,
+         |    CAST((SELECT CAST(sum(tot) AS BIGINT) FROM dr2) // nn.n AS BIGINT)
          |  FROM nn
          |ORDER BY lane""".stripMargin
     },

@@ -279,6 +279,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(l1 > 3L * tr / 64, s"lambda1=$l1 trace=$tr — spike not planted?")
   }
 
+  test("opq_distortion2: on a rank-2 plant the composed two-reflection rotation strictly beats the single reflection (VERDICT r19 #4)") {
+    val rows = SparkEntry.queries("opq_distortion2")(spark, sfDir)
+      .select("lane", "n_vectors", "mse_milli2")
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("identity", "rotated1", "rotated2"))
+    val Array(ident, r1, r2) = rows
+    assert(ident._2 == r1._2 && r1._2 == r2._2 && ident._2 > 0)
+    assert(ident._3 > 0 && r1._3 > 0 && r2._3 > 0)
+    // the honest-measurement claim: with TWO correlated directions
+    // planted, one Householder repairs only the first — the composed
+    // rotation repairs both, strictly
+    assert(r1._3 < ident._3,
+      s"rotated1 ${r1._3} must beat identity ${ident._3}")
+    assert(r2._3 < r1._3,
+      s"rotated2 ${r2._3} must beat the single reflection ${r1._3}")
+    // both planted directions are load-bearing: the two leading
+    // eigenvalues of the planted census must both carry spike signal
+    val planted = operators.Opq.plantedSpike2(
+      Tables.load(spark, sfDir, "embeddings"))
+    val (_, l1, tr) = operators.Pca.topComponent(planted)
+    val (_, l2, _) = operators.Pca.secondComponent(planted)
+    assert(l1 > 3L * tr / 64, s"lambda1=$l1 trace=$tr — spike 1 not planted?")
+    assert(l2 > 3L * tr / 64, s"lambda2=$l2 trace=$tr — spike 2 not planted?")
+  }
+
   test("profile covers every column in one pass with exact null/distinct counts") {
     val orders = Tables.load(spark, sfDir, "orders")
     val p = operators.Profile.profile(orders)

@@ -550,7 +550,7 @@ class CliSpec extends SparkSpec {
     ProductQuant.publishIndex(spark, src,
       ProductQuant.ivfadcCodesWith(rot, coarse, bySub, d),
       quantizers = Some((coarse, bySub)), scheme = "opq",
-      rotation = Some((w, ww)))
+      rotation = Some(Seq((w, ww))))
     val srcGen = ProductQuant.currentIndexDir(spark, src)
     val codesDir = Files.createTempDirectory("graft_opq_codes").toString + "/c"
     ProductQuant.ivfadcCodesWith(rot, coarse, bySub, d)
@@ -565,8 +565,7 @@ class CliSpec extends SparkSpec {
     val meta = ProductQuant.loadQuantizersMeta(spark,
       ProductQuant.currentIndexDir(spark, store))._2
     assert(meta.scheme == "opq" &&
-      meta.rotation.exists { case (ws, x) =>
-        ws == w.toSeq && x == ww },
+      meta.rotation.contains(Seq((w.toSeq, ww))),
       s"bootstrap dropped or mangled the rotation: $meta")
     // and the opq probe of the bootstrapped store matches the source
     def rows(base: String) = ProductQuant.ivfadcOpqProbeStore(e,

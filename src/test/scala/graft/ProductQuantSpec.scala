@@ -854,7 +854,7 @@ class ProductQuantSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ProductQuant.writeQuantizers(spark, Scratch.dir("opq_bad_"),
         books._1, books._2, scheme = "flat",
-        rotation = Some((Array.fill(d)(1L), d.toLong)))
+        rotation = Some(Seq((Array.fill(d)(1L), d.toLong))))
     }
     intercept[IllegalArgumentException] {
       ProductQuant.writeQuantizers(spark, Scratch.dir("opq_bad2_"),
@@ -881,6 +881,51 @@ class ProductQuantSpec extends SparkSpec {
       ProductQuant.currentIndexDir(spark, base))._2
     assert(metaR.scheme == "opq" && metaR.rotation == metaC.rotation)
     assert(probe().nonEmpty)
+  }
+
+  test("a k=2 rotation store round-trips: ordered rot rows, loaded-rotation probe matches in-hand, compact+retrain carry both (r20)") {
+    val e = emb
+    val d = Similarity.dimOf(e)
+    val rots = ProductQuant.opqRotationsOf2(e, d)
+    assert(rots.length == 2)
+    val rot = ProductQuant.opqRotateK(e, rots, d)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(rot, 16, d)
+    val base = Scratch.dir("opq_k2_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.ivfadcCodesWith(rot, coarse, bySub, d),
+      quantizers = Some((coarse, bySub)), scheme = "opq",
+      rotation = Some(rots))
+    val stored = rots.map { case (w, ww) => (w.toSeq, ww) }
+    val meta = ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, base))._2
+    assert(meta.rotation.contains(stored),
+      s"k=2 rotation did not round-trip in order: $meta")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // the probe-only process (RAW corpus in, rotations loaded from the
+    // store, applied in order) equals the build session's in-hand probe
+    val got = rows(ProductQuant.ivfadcOpqProbeStore(e,
+      col("vec_id") < 30, 3, base, dim = Some(d)))
+    val want = rows(ProductQuant.ivfadcProbeIndex(rot,
+      col("vec_id") < 30, 3, ProductQuant.currentIndexDir(spark, base),
+      coarse, bySub, dim = Some(d)))
+    assert(got.nonEmpty && got == want)
+    // compact and retrain both carry the 2-row rotation verbatim
+    ProductQuant.writeTombstones(spark, base,
+      e.filter(col("vec_id") % 11 === 5).select("vec_id"))
+    ProductQuant.compactStore(spark, base)
+    assert(ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, base))._2.rotation
+      .contains(stored))
+    ProductQuant.retrainStore(spark, base,
+      e.filter(col("vec_id") % 11 =!= 5), 16)
+    assert(ProductQuant.loadQuantizersMeta(spark,
+      ProductQuant.currentIndexDir(spark, base))._2.rotation
+      .contains(stored))
+    val after = rows(ProductQuant.ivfadcOpqProbeStore(e,
+      col("vec_id") < 30, 3, base, dim = Some(d)))
+    assert(after.nonEmpty && after.forall(_._2 % 11 != 5))
   }
 
   test("tombstone fold width scales with survivors; a mid-fold sidecar reads as a correct superset (r19)") {
