@@ -1707,11 +1707,13 @@ object ProductQuant {
     */
   def ivfadcProbeStore(embeddings: DataFrame, queryPred: Column, k: Int,
                        baseDir: String, nProbe: Int = 4,
-                       dim: Option[Int] = None): DataFrame = {
+                       dim: Option[Int] = None,
+                       gen: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
-      throw new java.util.NoSuchElementException(
-        s"no complete index generation under $baseDir"))
+    // `gen` pins a RETAINED generation — the time-travel probe
+    // (VERDICT r19 #6): its own books resolve with it, so a v1 probe
+    // after v2 publishes is row-identical to the pre-v2 probe
+    val (_, genDir) = resolveGeneration(spark, baseDir, gen)
     val ((coarse, bySub), meta) = loadQuantizersMeta(spark, genDir)
     // scheme gate (VERDICT r17 #1): a flat LUT over residual codes
     // silently mis-scores every candidate — wrong answers with a
@@ -2134,6 +2136,33 @@ object ProductQuant {
     currentGeneration(spark, baseDir).map(_._2).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no complete index generation under $baseDir"))
+
+  /** Generation resolution for a probe: the LIVE generation by
+    * default, or — the snapshot discipline the reference pins per
+    * source (S6, `my_database_users.toml:20,29`) applied to the index
+    * store (VERDICT r19 #6) — a PINNED retained generation, resolved
+    * with ITS OWN books/scheme/rotation by the caller. A pinned
+    * generation that was pruned (or never completed) REFUSES loudly:
+    * a silent fallback to the live one would answer a time-travel
+    * query from the wrong snapshot.
+    */
+  def resolveGeneration(spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String,
+                        gen: Option[Int]): (Int, String) = gen match {
+    case None => currentGeneration(spark, baseDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no complete index generation under $baseDir"))
+    case Some(n) =>
+      val dir = s"${baseDir.stripSuffix("/")}/v$n"
+      if (!listGenerations(spark, baseDir).exists(_._1 == n) ||
+          !isComplete(spark, dir))
+        throw new java.util.NoSuchElementException(
+          s"generation v$n under $baseDir is not a retained complete " +
+            "generation (pruned, in-flight, or never published) — a " +
+            "pinned probe refuses rather than silently answering from " +
+            "another snapshot")
+      (n, dir)
+  }
 
   /** Delete all but the newest `keep` complete generations; returns
     * the pruned generation numbers. Never touches the live one
@@ -2636,11 +2665,10 @@ object ProductQuant {
     */
   def ivfadcResidualProbeStore(embeddings: DataFrame, queryPred: Column,
                                k: Int, baseDir: String, nProbe: Int = 4,
-                               dim: Option[Int] = None): DataFrame = {
+                               dim: Option[Int] = None,
+                               gen: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
-      throw new java.util.NoSuchElementException(
-        s"no complete index generation under $baseDir"))
+    val (_, genDir) = resolveGeneration(spark, baseDir, gen)
     val ((coarse, bySubF), meta) = loadQuantizersMeta(spark, genDir)
     if (meta.scheme != "residual") throw new IllegalStateException(
       s"store at $baseDir holds ${meta.scheme}-encoded codes — probe " +
@@ -2878,11 +2906,10 @@ object ProductQuant {
     */
   def ivfadcOpqProbeStore(embeddings: DataFrame, queryPred: Column,
                           k: Int, baseDir: String, nProbe: Int = 4,
-                          dim: Option[Int] = None): DataFrame = {
+                          dim: Option[Int] = None,
+                          gen: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val (_, genDir) = currentGeneration(spark, baseDir).getOrElse(
-      throw new java.util.NoSuchElementException(
-        s"no complete index generation under $baseDir"))
+    val (_, genDir) = resolveGeneration(spark, baseDir, gen)
     val ((coarse, bySub), meta) = loadQuantizersMeta(spark, genDir)
     if (meta.scheme != "opq") throw new IllegalStateException(
       s"store at $baseDir holds ${meta.scheme}-encoded codes — probe " +

@@ -1550,6 +1550,34 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Time-travel probe (VERDICT r19 #6 — the reference's per-source
+    // snapshot pin, S6, applied to the index store): v1 publishes from
+    // the STANDING corpus with its books, v2 publishes from the grown
+    // corpus with retrained books and goes live — and the pinned probe
+    // of v1 resolves the RETAINED generation with ITS OWN books, so
+    // the answer is row-identical to the pre-v2 probe (the
+    // index_publish held-relation invariant, promoted to oracle tier
+    // through the loaded-books path). Oracle = the standing-trained
+    // chain with candidates restricted to the standing corpus — what
+    // v1 contains. A pruned generation refuses (spec-pinned).
+    "index_probe_pinned" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Similarity.dimOf(e)
+      val base = graft.Scratch.dir("idx_pin_")
+      val standing = e.filter(col("vec_id") < 400)
+      val (c1, b1) = ProductQuant.ivfadcQuantizers(standing, 16, d)
+      val (g1, _) = ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(standing, c1, b1, d),
+        quantizers = Some((c1, b1)))
+      val (c2, b2) = ProductQuant.ivfadcQuantizers(e, 16, d)
+      ProductQuant.publishIndex(s, base,
+        ProductQuant.ivfadcCodesWith(e, c2, b2, d),
+        quantizers = Some((c2, b2)))
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 50, 3, base,
+        dim = Some(d), gen = Some(g1))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental index ingest (ProductQuant.ivfadcIngestTopK
     // scaladoc): standing corpus (vec_id < 400) trains BOTH quantizers
     // and writes the partitioned index; the delta batch encodes
@@ -5241,6 +5269,12 @@ object PipelineQueries {
     // merge == rebuild proof
     "ann_ivfadc_ingest" -> annIvfadcOracleFrom("ens",
       "\nens AS (SELECT vec_id, v FROM en WHERE vec_id < 400),"),
+    // pinned-probe mirror: v1's books ARE the standing-trained books
+    // and v1's contents ARE the standing codes — the ingest chain with
+    // candidates restricted to the standing corpus
+    "index_probe_pinned" -> annIvfadcOracleFrom("ens",
+      "\nens AS (SELECT vec_id, v FROM en WHERE vec_id < 400),",
+      candFilter = " AND a.vec_id < 400"),
     "ivfadc_probe_sweep" -> annIvfadcSweepOracle,
     // opq store mirror: the IVFADC chain in the rotated space, rotation
     // learned from the raw census (annOpqStoreOracle scaladoc)

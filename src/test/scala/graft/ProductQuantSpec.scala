@@ -928,6 +928,31 @@ class ProductQuantSpec extends SparkSpec {
     assert(after.nonEmpty && after.forall(_._2 % 11 != 5))
   }
 
+  test("a pinned probe refuses a pruned generation instead of answering from another snapshot (r20)") {
+    val e = emb
+    val d = Similarity.dimOf(e)
+    val base = Scratch.dir("idx_pin_refuse_")
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    val codes = ProductQuant.ivfadcCodesWith(e, coarse, bySub, d)
+    (1 to 3).foreach(_ => ProductQuant.publishIndex(spark, base, codes,
+      quantizers = Some((coarse, bySub))))
+    // retained pin works and equals the live probe (same codes/books)
+    val pinned = ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3,
+      base, dim = Some(d), gen = Some(2)).count()
+    assert(pinned > 0)
+    ProductQuant.pruneGenerations(spark, base, keep = 1)
+    val ex = intercept[java.util.NoSuchElementException] {
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3, base,
+        dim = Some(d), gen = Some(1))
+    }
+    assert(ex.getMessage.contains("pruned"), ex.getMessage)
+    // a never-published generation refuses identically
+    intercept[java.util.NoSuchElementException] {
+      ProductQuant.ivfadcProbeStore(e, col("vec_id") < 30, 3, base,
+        dim = Some(d), gen = Some(9))
+    }
+  }
+
   test("tombstone fold width scales with survivors; a mid-fold sidecar reads as a correct superset (r19)") {
     sys.props("graft.tombfold.rowsPerFile") = "16"
     try {
