@@ -404,16 +404,20 @@ object Cli {
     // dirs; the in-place swap is for bare indexes only) — without this
     // the doctor would steer store operators into a command that can't
     // read their layout (r15 review-2 #2).
-    case "compact" :: "--index" :: idxDir :: Nil =>
+    case "compact" :: "--index" :: idxDir :: rest
+        if mutOpts(rest, Set("--wait")).isDefined =>
       scala.util.Try {
-        scala.util.Try(
-          operators.ProductQuant.currentGeneration(spark, idxDir))
-          .toOption.flatten match {
-          case Some(_) =>
-            val (g, g2) = operators.ProductQuant.compactStore(spark, idxDir)
-            println(s"compacted live generation v$g into new generation v$g2")
-          case None =>
-            operators.ProductQuant.compactIndex(spark, idxDir)
+        withWait(spark, idxDir, "compact",
+          mutOpts(rest, Set("--wait")).get.get("--wait")) {
+          scala.util.Try(
+            operators.ProductQuant.currentGeneration(spark, idxDir))
+            .toOption.flatten match {
+            case Some(_) =>
+              val (g, g2) = operators.ProductQuant.compactStore(spark, idxDir)
+              println(s"compacted live generation v$g into new generation v$g2")
+            case None =>
+              operators.ProductQuant.compactIndex(spark, idxDir)
+          }
         }
       } match {
         case scala.util.Failure(e) =>
@@ -433,10 +437,14 @@ object Cli {
     // same audit -> action -> re-audit shape as compact. Exit 2 when
     // the store or corpus can't be read, else the post-retrain
     // doctor's exit.
-    case "retrain" :: "--index" :: store :: corpus :: Nil =>
+    case "retrain" :: "--index" :: store :: corpus :: rest
+        if mutOpts(rest, Set("--wait")).isDefined =>
       scala.util.Try {
-        operators.ProductQuant.retrainStore(spark, store,
-          spark.read.parquet(corpus))
+        withWait(spark, store, "retrain",
+          mutOpts(rest, Set("--wait")).get.get("--wait")) {
+          operators.ProductQuant.retrainStore(spark, store,
+            spark.read.parquet(corpus))
+        }
       } match {
         case scala.util.Failure(e) =>
           System.err.println(
@@ -464,14 +472,13 @@ object Cli {
     // scheme/geometry mismatch refuses with exit 2 before anything
     // becomes visible.
     case "publish" :: "--index" :: store :: from :: rest
-        if rest.isEmpty ||
-          (rest.lengthCompare(2) == 0 && rest.head == "--books") =>
-      val books = rest match {
-        case "--books" :: dir :: Nil => Some(dir)
-        case _ => None
-      }
+        if mutOpts(rest, Set("--books", "--wait")).isDefined =>
+      val opts = mutOpts(rest, Set("--books", "--wait")).get
+      val books = opts.get("--books")
       scala.util.Try(
-        operators.ProductQuant.publishStore(spark, store, from, books))
+        withWait(spark, store, "publish", opts.get("--wait")) {
+          operators.ProductQuant.publishStore(spark, store, from, books)
+        })
       match {
         case scala.util.Failure(e) =>
           System.err.println(s"publish failed for '$from' -> '$store': " +
@@ -650,6 +657,33 @@ object Cli {
       lockChannel.close()
     }
   }
+
+  /** Trailing `--key value` option pairs for the store-mutation
+    * subcommands — None when the tail doesn't parse as pairs from
+    * `allowed` (the case guard then falls through to usage).
+    */
+  private def mutOpts(rest: List[String],
+                      allowed: Set[String]): Option[Map[String, String]] =
+    rest match {
+      case Nil => Some(Map.empty)
+      case key :: value :: tail if allowed(key) =>
+        mutOpts(tail, allowed).map(_ + (key -> value))
+      case _ => None
+    }
+
+  /** `--wait <secs>` (VERDICT r19 #7): wrap a store mutation in an
+    * OUTER lease acquisition that retries with backoff until the live
+    * holder releases or the deadline passes — the mutation's own
+    * nested acquisitions ride it (the per-thread reentrancy contract),
+    * so no operator signature changes. Deadline expiry surfaces the
+    * standard holder-naming refusal through the caller's exit-2 path.
+    * A malformed seconds value throws inside the caller's Try → exit 2.
+    */
+  private def withWait[T](spark: SparkSession, store: String, op: String,
+                          waitSecs: Option[String])(body: => T): T =
+    waitSecs.fold(body)(s =>
+      operators.StoreLease.withLease(spark, store, op,
+        waitMillis = s.toLong * 1000L)(body))
 
   /** First line of a throwable's message for one-line CLI errors —
     * total on null/empty messages (a bare NPE from Spark/Hadoop

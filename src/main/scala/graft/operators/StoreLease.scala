@@ -331,8 +331,17 @@ object StoreLease {
     * thread of this process); reclaims a stale or dead-pid lease
     * single-winner; nests freely within one thread; renews itself
     * every [[staleMillis]]/3 while the body runs.
+    *
+    * `waitMillis` (VERDICT r19 #7 — fleet cadence): 0 keeps the
+    * historical instant refusal; positive, the acquisition RETRIES
+    * with exponential backoff until the live holder releases or the
+    * deadline passes, then refuses with the same holder-naming error.
+    * Waiting never weakens the lock — every retry goes through the
+    * same atomic create, and a stale/dead holder still reclaims
+    * immediately rather than waiting out its TTL twice.
     */
-  def withLease[T](spark: SparkSession, baseDir: String, op: String)
+  def withLease[T](spark: SparkSession, baseDir: String, op: String,
+                   waitMillis: Long = 0L)
                   (body: => T): T = {
     val fs = new Path(baseDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -350,28 +359,58 @@ object StoreLease {
         finally held.synchronized { held(key).depth -= 1 }
       case Some(e) =>
         var acquired = false
-        var attempts = 0
-        while (!acquired && attempts < 3) {
-          attempts += 1
+        // `fruitless` counts consecutive rounds that neither acquired
+        // nor reclaimed (a vanishing-and-reappearing or rename-refusing
+        // holder) — bounded at 3 once the wait deadline passes, the
+        // historical churn guard
+        var fruitless = 0
+        val deadline = System.currentTimeMillis() + math.max(0L, waitMillis)
+        var backoff = 100L
+        while (!acquired) {
           if (tryCreate(fs, p, e.token, op)) acquired = true
           else readLease(fs, p) match {
             case None => // holder vanished between create and read: retry
+              fruitless += 1
+              if (fruitless >= 3 && System.currentTimeMillis() >= deadline)
+                throw new IllegalStateException(
+                  s"store at $baseDir: could not acquire the writer " +
+                    s"lease at $p for $op after $fruitless attempts " +
+                    "against a churning holder")
             case Some((id, theirOp, mtime)) =>
               val age = System.currentTimeMillis() - mtime
               val reclaimable =
                 age > staleMillis || pidAliveHere(id).contains(false)
-              if (reclaimable) reclaim(fs, p, mtime) // then retry create
+              if (reclaimable) {
+                if (reclaim(fs, p, mtime)) fruitless = 0 // then retry create
+                else {
+                  fruitless += 1
+                  if (fruitless >= 3 &&
+                      System.currentTimeMillis() >= deadline)
+                    throw new IllegalStateException(
+                      s"store at $baseDir: could not acquire the " +
+                        s"writer lease at $p for $op after $fruitless " +
+                        "attempts against a churning holder")
+                }
+              }
+              else if (System.currentTimeMillis() < deadline) {
+                // wait mode: a LIVE holder is working — back off and
+                // retry until it releases or the deadline passes
+                Thread.sleep(math.min(backoff,
+                  math.max(1L, deadline - System.currentTimeMillis())))
+                backoff = math.min(backoff * 2, 5000L)
+              }
               else throw new IllegalStateException(
                 s"store at $baseDir is being mutated by $id " +
                   s"($theirOp, lease ${age / 1000}s old at $p) — " +
+                  (if (waitMillis > 0)
+                     s"waited ${waitMillis / 1000}s without the " +
+                       "holder releasing; "
+                   else "") +
                   "refusing a concurrent write; if that writer is " +
                   "dead, the lease reclaims after " +
                   s"${staleMillis / 60000} min (or remove $p)")
           }
         }
-        if (!acquired) throw new IllegalStateException(
-          s"store at $baseDir: could not acquire the writer lease at " +
-            s"$p for $op after 3 attempts against a churning holder")
         held.synchronized { held(key) = e }
         val period = math.max(50L, staleMillis / 3)
         e.beater = new Thread(() => {

@@ -342,6 +342,58 @@ class CliSpec extends SparkSpec {
     (code, buf.toString("UTF-8"))
   }
 
+  private def cliOutErr(args: Array[String]): (Int, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(buf)
+    val oldErr = System.err
+    System.setErr(ps)
+    val code =
+      try Console.withOut(ps) { Cli.run(args, spark) }
+      finally { ps.flush(); System.setErr(oldErr) }
+    (code, buf.toString("UTF-8"))
+  }
+
+  test("--wait: a waiter acquires once the holder releases; deadline expiry exits 2 naming the holder (r19 #7)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val store = Files.createTempDirectory("graft_wait_cli").toString
+    val ids = spark.range(0, 200).select(col("id").as("vec_id"))
+    ProductQuant.publishIndex(spark, store,
+      ProductQuant.uniformSyntheticCodes(ids))
+    // a holder occupies the lease ~4 s on another thread; the waiter's
+    // 30 s budget outlasts it and the compaction then proceeds
+    val entered = new CountDownLatch(1)
+    val t = new Thread(() => {
+      StoreLease.withLease(spark, store, "slow-holder") {
+        entered.countDown(); Thread.sleep(4000L)
+      }
+    })
+    t.start(); assert(entered.await(10, TimeUnit.SECONDS))
+    val (c1, o1) = cliOutErr(
+      Array("compact", "--index", store, "--wait", "30"))
+    assert(c1 == 0, o1)
+    assert(o1.contains("compacted live generation"), o1)
+    t.join(10000L)
+    // a deadline shorter than the holder's body expires: exit 2 with
+    // the holder NAMED and the wait acknowledged
+    val entered2 = new CountDownLatch(1)
+    val release2 = new CountDownLatch(1)
+    val t2 = new Thread(() => {
+      StoreLease.withLease(spark, store, "standing-holder") {
+        entered2.countDown()
+        release2.await(30, TimeUnit.SECONDS)
+      }
+    })
+    t2.start(); assert(entered2.await(10, TimeUnit.SECONDS))
+    try {
+      val (c2, o2) = cliOutErr(
+        Array("compact", "--index", store, "--wait", "1"))
+      assert(c2 == 2, o2)
+      assert(o2.contains("is being mutated"), o2)
+      assert(o2.contains("waited 1s"), o2)
+      assert(o2.contains("standing-holder"), o2)
+    } finally { release2.countDown(); t2.join(15000L) }
+  }
+
   test("run-all --yes --detach persists report, pid and status artifacts") {
     val out = Files.createTempDirectory("graft_det").toString
     val conf = confWith(out)
