@@ -1464,18 +1464,107 @@ object ProductQuant {
                                  p: org.apache.hadoop.fs.Path,
                                  old: org.apache.hadoop.fs.Path,
                                  baseDir: String): Unit =
-    if (!committedParquetDir(fs, p) && committedParquetDir(fs, old))
+    if (!committedParquetDir(fs, p) && versionDirs(fs, p).isEmpty &&
+        committedParquetDir(fs, old))
       throw new IllegalStateException(
         s"interrupted tombstone GC under $baseDir: the sidecar is at " +
           s"$TombstoneDir.gc_old — run compact --index (recovers it) " +
           "before reading or probing the store")
 
+  /** The tombstone pointer and per-fold manifest names (VERDICT r19
+    * #5 — the store's own generation discipline applied to the
+    * sidecar). Underscore-prefixed so neither can ever be mistaken
+    * for data by a directory-level input listing.
+    */
+  val TombPointer = "_CURRENT"
+  val TombManifest = "_consumed"
+
+  /** Resolved physical state of the (possibly versioned) tombstone
+    * sidecar: the pointed fold version (number + dir), the loose-file
+    * names that version's manifest records as folded in (still on
+    * disk for one fold cycle of GRACE — a reader holding a pre-fold
+    * listing reads them as a harmless superset), and the UNCONSUMED
+    * loose append files. A legacy (pre-r20) sidecar resolves with no
+    * version and every top-level part file loose — read-compatible
+    * unchanged.
+    */
+  private case class TombState(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      ver: Option[(Int, org.apache.hadoop.fs.Path)],
+      consumed: Set[String],
+      loose: Seq[org.apache.hadoop.fs.Path]) {
+    /** Data-carrying read paths: the fold version (when it holds
+      * rows) plus unconsumed loose appends. */
+    def readPaths: Seq[org.apache.hadoop.fs.Path] =
+      ver.map(_._2).filter(d => fs.listStatus(d).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))).toSeq ++ loose
+  }
+
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.stripPrefix("v").toInt, s.getPath))
+
+  private def tombState(spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String): TombState = {
+    import org.apache.hadoop.fs.Path
+    val (fs, p, _) = tombstonePaths(spark, baseDir)
+    def complete(d: Path) = fs.exists(new Path(d, "_SUCCESS"))
+    // the pointer if readable and complete; else the newest complete
+    // fold version — the same crash-window fallback as the store's
+    // CURRENT (a malformed pointer must degrade, never crash a probe)
+    val pointed: Option[(Int, Path)] = scala.util.Try {
+      val cur = new Path(p, TombPointer)
+      if (!fs.exists(cur)) None
+      else {
+        val in = fs.open(cur)
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close()
+        val g = s.stripPrefix("v").toInt
+        val dir = new Path(p, s"v$g")
+        if (complete(dir)) Some((g, dir)) else None
+      }
+    }.toOption.flatten
+    val ver = pointed.orElse(
+      versionDirs(fs, p).filter(v => complete(v._2)).sortBy(-_._1)
+        .headOption)
+    val consumed: Set[String] = ver.flatMap { case (_, d) =>
+      scala.util.Try {
+        val mf = new Path(d, TombManifest)
+        if (!fs.exists(mf)) Set.empty[String]
+        else {
+          val in = fs.open(mf)
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          in.close()
+          s.linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+        }
+      }.toOption
+    }.getOrElse(Set.empty)
+    val loose =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !consumed(s.getPath.getName))
+        .map(_.getPath)
+    TombState(fs, p, ver, consumed, loose)
+  }
+
+  private def tombstonesFrom(spark: org.apache.spark.sql.SparkSession,
+                             st: TombState): Option[DataFrame] = {
+    val paths = st.readPaths
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths.map(_.toString): _*))
+  }
+
   def tombstones(spark: org.apache.spark.sql.SparkSession,
                  baseDir: String): Option[DataFrame] = {
     val (fs, p, old) = tombstonePaths(spark, baseDir)
     interruptedGcGuard(fs, p, old, baseDir)
-    if (committedParquetDir(fs, p)) Some(spark.read.parquet(p.toString))
-    else None
+    tombstonesFrom(spark, tombState(spark, baseDir))
   }
 
   /** Recover an interrupted GC swap: the canonical sidecar is absent
@@ -1562,12 +1651,14 @@ object ProductQuant {
                        baseDir: String): Option[(Long, Long)] = {
     val (fs, p, old) = tombstonePaths(spark, baseDir)
     interruptedGcGuard(fs, p, old, baseDir)
-    if (!committedParquetDir(fs, p)) None
-    else {
-      val files = fs.listStatus(p).filter(s =>
+    val st = tombState(spark, baseDir)
+    val files = st.readPaths.flatMap { rp =>
+      if (fs.getFileStatus(rp).isFile) Seq(fs.getFileStatus(rp))
+      else fs.listStatus(rp).toSeq.filter(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
-      Some((files.length.toLong, files.map(_.getLen).sum))
     }
+    if (files.isEmpty) None
+    else Some((files.length.toLong, files.map(_.getLen).sum))
   }
 
   /** The standing tombstones with the size-guarded broadcast hint
@@ -1581,22 +1672,35 @@ object ProductQuant {
       if (bytes <= TombstoneBroadcastBytes) broadcast(t) else t
     }
 
-  /** Tombstone garbage collection (VERDICT r16 #2) — run by every
-    * [[compactStore]] after it publishes the cleaned generation:
-    * rewrite the sidecar to ONE file holding only the ids some
-    * retained COMPLETE generation still contains (each
-    * `writeTombstones` call stacked one more file; the probe
-    * broadcasts the whole sidecar, so the file count and the
-    * dead-id payload both matter). Once every retained generation
-    * post-dates the deletes — a data-derived fact: the semi-join
-    * against each retained generation's code relation comes back
-    * empty — the sidecar is REMOVED entirely. Survival is probed
+  /** Tombstone garbage collection (VERDICT r16 #2; VERSIONED per
+    * VERDICT r19 #5) — run by every [[compactStore]] after it
+    * publishes the cleaned generation. Each `writeTombstones` call
+    * stacked one more loose file and the probe broadcasts the whole
+    * sidecar, so both the file count and the dead-id payload matter;
+    * the fold rewrites the standing ids down to the ones some
+    * retained COMPLETE generation still contains. Survival is probed
     * per generation with the tombstones on the build side (the
     * generations are the big side and only their matching ids
     * shuffle), distinct-unioned, so the result is ⊆ the standing ids
     * and duplicates from out-of-contract concurrent deletes collapse.
-    * Cost: one code-relation scan per retained generation, paid on
-    * the compaction path, never on a probe. Single-writer, like every
+    *
+    * THE FOLD IS A GENERATION PUBLISH, not a rewrite (VERDICT r19 #5
+    * — the r18 append-then-delete fold still raced a reader whose
+    * FILE LISTING preceded the fold, because the pre-fold parts were
+    * deleted under `ignoreMissingFiles=false`): survivors write to a
+    * fresh immutable `v{N+1}` subdirectory, a `_consumed` manifest
+    * records which loose append files folded in, and the `_CURRENT`
+    * pointer flips — NO file any standing listing could reference is
+    * touched at fold time. Cleanup is GRACE-DEFERRED one full fold
+    * cycle: fold N+1 deletes only what fold N already superseded
+    * (version dirs < N and the loose files N's manifest consumed), so
+    * a reader's relation stays evaluable across any single concurrent
+    * fold — the retention contract mirrors [[pruneGenerations]]'
+    * (readers complete within one maintenance cycle). A fully-settled
+    * sidecar (no survivors, no new deletes) drops its remaining husks
+    * — and then the whole directory — on the following GCs. Cost: one
+    * code-relation scan per retained generation, paid on the
+    * compaction path, never on a probe. Single-writer, like every
     * store mutation. Returns the surviving id count.
     */
   def gcTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -1605,8 +1709,20 @@ object ProductQuant {
       StoreLease.withLease(spark, baseDir, "gc") {
     import org.apache.hadoop.fs.Path
     recoverTombstoneGc(spark, baseDir)
-    tombstones(spark, baseDir) match {
-      case None => 0L
+    val st = tombState(spark, baseDir)
+    val fs = st.fs
+    tombstonesFrom(spark, st) match {
+      case None =>
+        // nothing standing: any remaining husks (empty fold versions,
+        // grace-retained consumed files, the pointer) were superseded
+        // at least one full fold cycle ago — drop the directory
+        if (fs.exists(st.dir)) {
+          StoreLease.verifyHeld(spark, baseDir)
+          if (!fs.delete(st.dir, true)) throw new java.io.IOException(
+            s"gcTombstones: could not remove the settled sidecar at " +
+              s"${st.dir}")
+        }
+        0L
       case Some(t) =>
         val ids = t.select("vec_id").distinct()
         val probe =
@@ -1621,54 +1737,29 @@ object ProductQuant {
         val gens = listGenerations(spark, baseDir)
           .filter(g => !excludeGens.contains(g._1))
           .filter(g => isComplete(spark, g._2))
-        val tombPath = new Path(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
-        val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
         if (gens.isEmpty) {
-          // no retained generation can contain anything: drop the lot
-          // — fenced like every destructive commit point (VERDICT r19
-          // #2: the pointer flip was the only fenced step; a writer
-          // whose lease was reclaimed mid-body must refuse BEFORE the
-          // delete, not interleave with the new holder's fold)
+          // no retained generation can contain anything — and no
+          // reader can hold a probe relation over a store with no
+          // generations: drop the lot, fenced like every destructive
+          // commit point (VERDICT r19 #2)
           StoreLease.verifyHeld(spark, baseDir)
-          if (!fs.delete(tombPath, true)) throw new java.io.IOException(
-            s"gcTombstones: delete $tombPath failed")
+          if (!fs.delete(st.dir, true)) throw new java.io.IOException(
+            s"gcTombstones: delete ${st.dir} failed")
           return 0L
         }
-        // READER-ATOMIC fold (ADVICE r17): the folded files are
-        // APPENDED into the canonical dir, then the pre-fold part
-        // files are deleted one by one — no rename-aside swap, so a
-        // read whose FILE LISTING happens after any intermediate
-        // state sees a SUPERSET of the surviving ids plus some dead
-        // ids, and a dead id (one no retained generation contains) is
-        // a no-op in the anti-join — such reads stay correct through
-        // the whole fold, and a crash at any point leaves a correct
-        // (merely unfolded) sidecar that the next GC folds again. The
-        // zero-survivor removal has the same property: a
-        // partially-deleted sidecar only ever filters dead ids.
-        // Honest boundary (ADVICE r18): a scan whose listing happened
-        // BEFORE the fold and whose execution lands after the
-        // deletions still fails on the missing file
-        // (spark.sql.files.ignoreMissingFiles is false) — in-flight
-        // listings race here exactly as under any rewrite; what the
-        // append-then-delete fold removes is the REFUSAL WINDOW for
-        // every read that lists afterwards.
-        val preFold = fs.listStatus(tombPath).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
         val surviving = gens.map { case (_, dir) =>
             spark.read.parquet(dir).select(col("vec_id"))
               .join(probe, Seq("vec_id"), "left_semi")
           }.reduce(_ unionByName _).distinct().persist()
         try {
           val n = surviving.count()
-          if (n == 0L) {
-            // fence before the destructive step (VERDICT r19 #2)
-            StoreLease.verifyHeld(spark, baseDir)
-            if (!fs.delete(tombPath, true))
-              throw new java.io.IOException(
-                s"gcTombstones: could not remove an empty sidecar")
-            0L
-          } else {
+          val newVer = st.ver.map(_._1).getOrElse(0) + 1
+          val newDir = new Path(st.dir, s"v$newVer")
+          // an unflipped crash husk at this number was never visible
+          if (fs.exists(newDir) && !fs.delete(newDir, true))
+            throw new java.io.IOException(
+              s"gcTombstones: could not clear crash husk $newDir")
+          if (n > 0L)
             // fold WIDTH scales with the surviving rows (VERDICT r18
             // #3): coalesce(1) serialized every surviving id through
             // one task — bounded at fixture scale, but a 100 TB store
@@ -1676,20 +1767,51 @@ object ProductQuant {
             // deletes, and a single-task multi-GB write is exactly
             // the straggler the saltTasks convention exists to avoid.
             surviving.repartition(tombstoneFoldFiles(n))
-              .write.mode("append").parquet(tombPath.toString)
-            // fence between the (additive, safe) fold append and the
-            // pre-fold part DELETIONS (VERDICT r19 #2): a hijacked
-            // writer's deletions interleaving with the new holder's
-            // own fold could drop live tombstone ids
-            StoreLease.verifyHeld(spark, baseDir)
-            preFold.foreach { part =>
-              if (!fs.delete(part, false))
-                throw new java.io.IOException(
-                  s"gcTombstones: folded sidecar live, but pre-fold " +
-                    s"part $part was not removed")
-            }
-            n
+              .write.parquet(newDir.toString)
+          else {
+            // zero survivors but loose appends existed: publish an
+            // EMPTY fold version whose manifest consumes them, so the
+            // next cycle can drop them under the same grace rule
+            fs.mkdirs(newDir)
+            fs.create(new Path(newDir, "_SUCCESS"), true).close()
           }
+          val mf = fs.create(new Path(newDir, TombManifest), true)
+          mf.write(st.loose.map(_.getName).sorted
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          mf.close()
+          // fence before the one irreversible step (VERDICT r19 #2):
+          // a hijacked writer must refuse BEFORE its pointer flip can
+          // race the new holder's own fold
+          StoreLease.verifyHeld(spark, baseDir)
+          val cur = new Path(st.dir, TombPointer)
+          val tmp = new Path(st.dir, TombPointer + ".tmp")
+          val out = fs.create(tmp, true)
+          out.write(s"v$newVer".getBytes("UTF-8")); out.close()
+          if (fs.exists(cur) && !fs.delete(cur, false))
+            throw new java.io.IOException(
+              s"gcTombstones: cannot replace $cur")
+          if (!fs.rename(tmp, cur)) throw new java.io.IOException(
+            s"gcTombstones: tombstone pointer flip failed (readers " +
+              s"still resolve v$newVer via the newest-complete fallback)")
+          // GRACE cleanup: only what the PREVIOUS fold superseded —
+          // version dirs below it and the loose files its manifest
+          // consumed; everything a pre-fold listing could reference
+          // from THIS cycle survives untouched
+          st.ver.foreach { case (pv, _) =>
+            versionDirs(fs, st.dir).filter(_._1 < pv).foreach {
+              case (_, d) =>
+                if (!fs.delete(d, true)) throw new java.io.IOException(
+                  s"gcTombstones: could not prune superseded fold $d")
+            }
+            st.consumed.foreach { name =>
+              val f = new Path(st.dir, name)
+              if (fs.exists(f) && !fs.delete(f, false))
+                throw new java.io.IOException(
+                  s"gcTombstones: could not drop grace-expired " +
+                    s"consumed append $f")
+            }
+          }
+          n
         } finally surviving.unpersist()
     }
   }

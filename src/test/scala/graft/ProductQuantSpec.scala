@@ -953,6 +953,56 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("versioned tombstone fold: a reader holding a pre-fold relation stays evaluable across concurrent folds (r20)") {
+    val e = emb
+    val d = Similarity.dimOf(e)
+    val (coarse, bySub) = ProductQuant.ivfadcQuantizers(e, 16, d)
+    val base = Scratch.dir("tomb_ver_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.ivfadcCodesWith(e, coarse, bySub, d))
+    ProductQuant.writeTombstones(spark, base,
+      e.filter(col("vec_id") % 5 === 0).select("vec_id"))
+    // reader A lists BEFORE the first fold (loose appends only)
+    val relA = ProductQuant.tombstones(spark, base).get
+    val nA = relA.select("vec_id").distinct().count()
+    val n1 = ProductQuant.gcTombstones(spark, base)
+    assert(n1 == nA && n1 > 0)
+    // fold 1 deleted NOTHING a pre-fold listing references
+    assert(relA.select("vec_id").distinct().count() == nA,
+      "fold 1 broke a pre-fold reader relation")
+    // reader B lists between folds (fold version + new appends)
+    ProductQuant.writeTombstones(spark, base,
+      e.filter(col("vec_id") % 5 === 1).select("vec_id"))
+    val relB = ProductQuant.tombstones(spark, base).get
+    val nB = relB.select("vec_id").distinct().count()
+    assert(nB > nA)
+    val n2 = ProductQuant.gcTombstones(spark, base)
+    assert(n2 == nB)
+    // fold 2 pruned only what fold 1 superseded — reader B's relation
+    // (v1 + the second append batch) still evaluates
+    assert(relB.select("vec_id").distinct().count() == nB,
+      "fold 2 broke a reader relation listed before it")
+    // the probe consumes the folded sidecar with no double-counting
+    val got = ProductQuant.ivfadcProbeStoreWith(e, col("vec_id") < 30,
+      3, base, coarse, bySub, dim = Some(d)).collect()
+    assert(got.nonEmpty &&
+      got.forall(r => r.getAs[Long]("cand_id") % 5 > 1))
+    // settle: a compaction publishes a clean generation; after
+    // retention drops the dirty one, successive GCs empty the sidecar
+    // and then remove the directory entirely (grace-deferred)
+    ProductQuant.compactStore(spark, base)
+    ProductQuant.pruneGenerations(spark, base, keep = 1)
+    ProductQuant.gcTombstones(spark, base) // zero survivors: empty fold
+    assert(ProductQuant.tombstones(spark, base).isEmpty,
+      "a zero-survivor fold must read as no tombstones")
+    ProductQuant.gcTombstones(spark, base) // settled: directory drops
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base,
+      ProductQuant.TombstoneDir)),
+      "a settled sidecar must eventually disappear")
+  }
+
   test("tombstone fold width scales with survivors; a mid-fold sidecar reads as a correct superset (r19)") {
     sys.props("graft.tombfold.rowsPerFile") = "16"
     try {
