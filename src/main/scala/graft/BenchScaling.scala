@@ -69,7 +69,13 @@ object BenchScaling {
     // the opq store (rotation learning + rotated encode + probe), and
     // the residual ingest (append-class)
     "index_lifecycle_residual", "ann_opq_store",
-    "ann_ivfadc_residual_ingest")
+    "ann_ivfadc_residual_ingest",
+    // r20 faces: the opq lifecycle (rebuild-class, rotation carried
+    // through compact/retrain), the frozen-rotation ingest
+    // (append-class), and the pinned-generation probe (probe-class:
+    // should track ann_ivfadc_store_probe — resolving a retained
+    // generation instead of CURRENT must add no scale term)
+    "index_lifecycle_opq", "ann_opq_ingest", "index_probe_pinned")
 
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_SCALING_FAMILIES=a,b,c restricts the run — the
@@ -163,7 +169,7 @@ object BenchScaling {
     // round's record stays an explicit human move. Set
     // SPARK_GRAFT_SCALING_OUT to write elsewhere deliberately.
     val sidecar =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r19.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING_r20.json")
     val target =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar))) {
         System.err.println(s"scaling: refusing to overwrite existing " +

@@ -314,7 +314,16 @@ object Cli {
                       " [past the broadcast budget: probes anti-join " +
                         "un-broadcast]"
                     else ""
-                  println(s"tombstones: $n ids in $files file(s), " +
+                  // versioned-sidecar layout (round 20): which fold
+                  // generation is live and how many loose appends
+                  // stack on it — the growth compact's GC will fold
+                  val layout = operators.ProductQuant
+                    .tombstoneLayout(spark, idxDir)
+                    .flatMap(_._1 match {
+                      case Some(v) => Some(s", fold v$v")
+                      case None    => None
+                    }).getOrElse("")
+                  println(s"tombstones: $n ids in $files file(s)$layout, " +
                     s"$bytes B, ~$pm permille of live vectors$over" +
                     " — remedy: compact --index")
                 }
@@ -741,7 +750,15 @@ object Cli {
                 val pm = if (liveVecs == 0) 0L else 1000L * n / liveVecs
                 val over = bytes >
                   operators.ProductQuant.TombstoneBroadcastBytes
+                // versioned-sidecar layout (round 20): live fold
+                // version (null pre-fold / legacy flat) + unconsumed
+                // loose append count
+                val (foldV, loose) = operators.ProductQuant
+                  .tombstoneLayout(spark, idxDir)
+                  .getOrElse((None, 0))
                 s"""{"ids":$n,"files":$files,"bytes":$bytes,""" +
+                  s""""fold_version":${foldV.map(_.toString)
+                    .getOrElse("null")},"loose_files":$loose,""" +
                   s""""permille":$pm,"over_broadcast_budget":$over}"""
               }.getOrElse("null")
           }.recover { case e =>

@@ -1661,6 +1661,20 @@ object ProductQuant {
     else Some((files.length.toLong, files.map(_.getLen).sum))
   }
 
+  /** Observability face of the VERSIONED sidecar (the doctor's view):
+    * the live fold version (None before any fold, or on a legacy flat
+    * layout) and the count of unconsumed loose append files. None when
+    * no data-carrying sidecar stands — matches [[tombstones]] exactly.
+    */
+  def tombstoneLayout(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String): Option[(Option[Int], Int)] = {
+    val (fs, p, old) = tombstonePaths(spark, baseDir)
+    interruptedGcGuard(fs, p, old, baseDir)
+    val st = tombState(spark, baseDir)
+    if (st.readPaths.isEmpty) None
+    else Some((st.ver.map(_._1), st.loose.size))
+  }
+
   /** The standing tombstones with the size-guarded broadcast hint
     * applied — the form every store probe and compaction anti-join
     * consumes ([[TombstoneBroadcastBytes]]).

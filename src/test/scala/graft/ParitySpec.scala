@@ -672,6 +672,9 @@ class CliSpec extends SparkSpec {
     val (c3, o3) = doctorOut(Array("compact", "--index", store))
     assert(c3 == 0, o3)
     assert(o3.contains("tombstones: 40 ids in 1 file(s)"), o3)
+    // the fold published a versioned sidecar generation (r20) and the
+    // doctor names it
+    assert(o3.contains("fold v1"), o3)
     assert(o3.contains("~250 permille of live vectors"), o3)
     // once retention drops the dirty generation, the next compaction's
     // GC removes the sidecar outright — the doctor goes silent again
@@ -765,6 +768,10 @@ class CliSpec extends SparkSpec {
     assert((j1 \ "books" \ "status") == JString("present"))
     assert((j1 \ "books" \ "scheme") == JString("flat"))
     assert((j1 \ "tombstones" \ "files") == JInt(1))
+    // versioned-sidecar layout (r20): pre-fold = one loose append,
+    // no fold version yet
+    assert((j1 \ "tombstones" \ "fold_version") == JNull)
+    assert((j1 \ "tombstones" \ "loose_files") == JInt(1))
     assert((j1 \ "lists").children.nonEmpty)
     assert((j1 \ "exit") == JInt(0))
     // 2) a hot-list layout exits 1 in both arms; past_clamp names the
