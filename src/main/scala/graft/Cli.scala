@@ -415,18 +415,28 @@ object Cli {
     // read their layout (r15 review-2 #2).
     case "compact" :: "--index" :: idxDir :: rest
         if mutOpts(rest, Set("--wait")).isDefined =>
+      val waitOpt = mutOpts(rest, Set("--wait")).get.get("--wait")
       scala.util.Try {
-        withWait(spark, idxDir, "compact",
-          mutOpts(rest, Set("--wait")).get.get("--wait")) {
-          scala.util.Try(
-            operators.ProductQuant.currentGeneration(spark, idxDir))
-            .toOption.flatten match {
-            case Some(_) =>
+        scala.util.Try(
+          operators.ProductQuant.currentGeneration(spark, idxDir))
+          .toOption.flatten match {
+          case Some(_) =>
+            withWait(spark, idxDir, "compact", waitOpt) {
               val (g, g2) = operators.ProductQuant.compactStore(spark, idxDir)
               println(s"compacted live generation v$g into new generation v$g2")
-            case None =>
-              operators.ProductQuant.compactIndex(spark, idxDir)
-          }
+            }
+          case None =>
+            // a BARE index has no lease discipline — compactIndex
+            // renames the index directory itself aside during its
+            // swap, so a lease file inside it would travel with the
+            // rename and a concurrent --wait poller's create would
+            // recreate the directory MID-SWAP, stranding or nesting
+            // the compacted data (round-20 review #1). Refuse the
+            // flag instead of silently weakening it.
+            if (waitOpt.isDefined) throw new IllegalArgumentException(
+              s"--wait needs a versioned store: '$idxDir' is a bare " +
+                "index (its in-place swap has no lease discipline)")
+            operators.ProductQuant.compactIndex(spark, idxDir)
         }
       } match {
         case scala.util.Failure(e) =>
@@ -669,14 +679,17 @@ object Cli {
 
   /** Trailing `--key value` option pairs for the store-mutation
     * subcommands — None when the tail doesn't parse as pairs from
-    * `allowed` (the case guard then falls through to usage).
+    * `allowed`, INCLUDING a repeated key (`--wait 5 --wait 300` must
+    * fall through to usage, not silently pick one — round-20 review
+    * #7); the case guard then falls through to usage.
     */
   private def mutOpts(rest: List[String],
                       allowed: Set[String]): Option[Map[String, String]] =
     rest match {
       case Nil => Some(Map.empty)
       case key :: value :: tail if allowed(key) =>
-        mutOpts(tail, allowed).map(_ + (key -> value))
+        mutOpts(tail, allowed).flatMap(m =>
+          if (m.contains(key)) None else Some(m + (key -> value)))
       case _ => None
     }
 

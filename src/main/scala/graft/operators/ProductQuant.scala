@@ -1493,12 +1493,19 @@ object ProductQuant {
       dir: org.apache.hadoop.fs.Path,
       ver: Option[(Int, org.apache.hadoop.fs.Path)],
       consumed: Set[String],
-      loose: Seq[org.apache.hadoop.fs.Path]) {
+      foldFiles: Seq[org.apache.hadoop.fs.FileStatus],
+      looseSt: Seq[org.apache.hadoop.fs.FileStatus]) {
+    def loose: Seq[org.apache.hadoop.fs.Path] = looseSt.map(_.getPath)
+    /** Every data-carrying parquet file, with the sizes the resolving
+      * listings already fetched — [[tombstoneFsStats]] consumes these
+      * so the per-probe broadcast sizing costs ZERO extra metadata
+      * RPCs beyond the resolve itself (round-20 review #6). */
+    def dataFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+      foldFiles ++ looseSt
     /** Data-carrying read paths: the fold version (when it holds
       * rows) plus unconsumed loose appends. */
     def readPaths: Seq[org.apache.hadoop.fs.Path] =
-      ver.map(_._2).filter(d => fs.listStatus(d).exists(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))).toSeq ++ loose
+      ver.map(_._2).filter(_ => foldFiles.nonEmpty).toSeq ++ loose
   }
 
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
@@ -1544,13 +1551,16 @@ object ProductQuant {
         }
       }.toOption
     }.getOrElse(Set.empty)
-    val loose =
+    val foldFiles = ver.map { case (_, d) =>
+      fs.listStatus(d).toSeq.filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }.getOrElse(Nil)
+    val looseSt =
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet") &&
-            !consumed(s.getPath.getName))
-        .map(_.getPath)
-    TombState(fs, p, ver, consumed, loose)
+        s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !consumed(s.getPath.getName))
+    TombState(fs, p, ver, consumed, foldFiles, looseSt)
   }
 
   private def tombstonesFrom(spark: org.apache.spark.sql.SparkSession,
@@ -1588,7 +1598,18 @@ object ProductQuant {
                                  baseDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p, old) = tombstonePaths(spark, baseDir)
-    if (!committedParquetDir(fs, p) && committedParquetDir(fs, old)) {
+    // a VERSIONED sidecar (r20) holds its ids in v{N} subdirectories
+    // with no top-level parquet at all — that is a healthy state, not
+    // an interrupted pre-r18 swap. Without this carve-out (mirroring
+    // [[interruptedGcGuard]]'s), a stale committed `.gc_old` beside a
+    // folded sidecar would make this recovery DELETE every fold
+    // version and install the ancient copy — losing the folded ids
+    // and resurrecting their deleted vectors (round-20 review #4).
+    // With fold versions present, a `.gc_old` is out-of-contract
+    // pre-r18-writer residue, strictly superseded: the else-branch
+    // removes it as redundant.
+    if (!committedParquetDir(fs, p) && versionDirs(fs, p).isEmpty &&
+        committedParquetDir(fs, old)) {
       // an existing-but-UNCOMMITTED canonical dir (a crashed append's
       // `_temporary` husk) would make the rename land .gc_old INSIDE
       // it — committedParquetDir only inspects direct children, so the
@@ -1651,12 +1672,7 @@ object ProductQuant {
                        baseDir: String): Option[(Long, Long)] = {
     val (fs, p, old) = tombstonePaths(spark, baseDir)
     interruptedGcGuard(fs, p, old, baseDir)
-    val st = tombState(spark, baseDir)
-    val files = st.readPaths.flatMap { rp =>
-      if (fs.getFileStatus(rp).isFile) Seq(fs.getFileStatus(rp))
-      else fs.listStatus(rp).toSeq.filter(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }
+    val files = tombState(spark, baseDir).dataFiles
     if (files.isEmpty) None
     else Some((files.length.toLong, files.map(_.getLen).sum))
   }

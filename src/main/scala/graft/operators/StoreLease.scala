@@ -234,35 +234,64 @@ object StoreLease {
         // is atomic — a reclaimer that already replaced the file makes
         // it move THEIR lease (caught by the ownership re-check below)
         // or fail outright; either way nothing fresh gets stomped.
+        // The whole rewrite runs under the per-path monitor so a
+        // SAME-JVM verifyHeld or waiter tryCreate can never observe
+        // the mid-rewrite vacancy (round-20 review: a healthy holder's
+        // own commit fence landing in the rename window read the lease
+        // as "removed" and aborted spuriously; a same-process waiter
+        // could create at the vacant path and steal a live lease). A
+        // FOREIGN process landing in the window remains the documented
+        // residual: its create wins and this holder backs off
+        // hijacked — the lock stays safe, merely not wait-fair.
         if (e.done) return // re-check: release may have landed mid-beat
-        val tmp = new Path(p.getParent,
-          s"${LeaseName}.beat.${e.token.replace('@', '_')}")
-        if (!scala.util.Try(fs.rename(p, tmp)).getOrElse(false)) {
-          // vanished (a release/reclaim landed) or the FS refused:
-          // classify by a re-read — a standing foreign lease is a
-          // hijack, anything else a transient failure to retry
-          readLease(fs, p) match {
-            case Some((id2, _, _)) if id2 != e.token => e.hijacked = true
-            case _ => e.beatFailures += 1
+        pathLock(p).synchronized {
+          if (e.done) return
+          val tmp = new Path(p.getParent,
+            s"${LeaseName}.beat.${e.token.replace('@', '_')}")
+          if (!scala.util.Try(fs.rename(p, tmp)).getOrElse(false)) {
+            // vanished (a release/reclaim landed) or the FS refused:
+            // classify by a re-read — a standing foreign lease is a
+            // hijack, anything else a transient failure to retry
+            readLease(fs, p) match {
+              case Some((id2, _, _)) if id2 != e.token => e.hijacked = true
+              case _ => e.beatFailures += 1
+            }
+            return
           }
-          return
-        }
-        if (!readLease(fs, tmp).map(_._1).contains(e.token)) {
-          // the rename moved a RECLAIMER's fresh lease (it replaced
-          // ours between the read and the rename): put it back and
-          // stop — the store has a new writer
-          scala.util.Try(fs.rename(tmp, p))
-          e.hijacked = true
-          return
-        }
-        if (tryCreate(fs, p, e.token, e.op)) {
-          scala.util.Try(fs.delete(tmp, false))
-          e.beatFailures = 0
-        } else {
-          // a waiter created at p in the rename window — it holds the
-          // lease now; our acquisition is over
-          scala.util.Try(fs.delete(tmp, false))
-          e.hijacked = true
+          if (!readLease(fs, tmp).map(_._1).contains(e.token)) {
+            // the rename moved a RECLAIMER's fresh lease (it replaced
+            // ours between the read and the rename): put it back and
+            // stop — the store has a new writer
+            scala.util.Try(fs.rename(tmp, p))
+            e.hijacked = true
+            return
+          }
+          if (e.done) {
+            // release completed while this beat was wedged in the
+            // rename/read RPCs (its bounded join expired): recreating
+            // the lease now would leave a PHANTOM holder — the lease
+            // was ours, release wanted it gone, so just drop the husk
+            scala.util.Try(fs.delete(tmp, false))
+            return
+          }
+          if (tryCreate(fs, p, e.token, e.op)) {
+            scala.util.Try(fs.delete(tmp, false))
+            if (e.done)
+              // same wedge, one RPC later: release read the path as
+              // vacant and returned — the lease we just recreated is
+              // the phantom; remove it (still ours by token: we hold
+              // the path monitor)
+              scala.util.Try {
+                if (readLease(fs, p).map(_._1).contains(e.token))
+                  fs.delete(p, false)
+              }
+            else e.beatFailures = 0
+          } else {
+            // a waiter created at p in the rename window — it holds the
+            // lease now; our acquisition is over
+            scala.util.Try(fs.delete(tmp, false))
+            e.hijacked = true
+          }
         }
       case Some(_) => e.hijacked = true // replaced: stop beating
       case None => if (!e.done) e.hijacked = true // vanished mid-body
@@ -307,7 +336,10 @@ object StoreLease {
       throw new IllegalStateException(
         s"store at $baseDir: commit attempted without a standing " +
           "writer lease on this thread"))
-    val standing = readLease(fs, p).map(_._1)
+    // under the per-path monitor: this JVM's own heartbeat rewrite
+    // (setTimes-less stores) makes the path briefly vacant mid-rename;
+    // reading it unsynchronized could abort a healthy commit
+    val standing = pathLock(p).synchronized { readLease(fs, p).map(_._1) }
     if (e.hijacked || !standing.contains(e.token))
       throw new IllegalStateException(
         s"store at $baseDir: writer lease ${e.token} was " +
@@ -366,16 +398,39 @@ object StoreLease {
         var fruitless = 0
         val deadline = System.currentTimeMillis() + math.max(0L, waitMillis)
         var backoff = 100L
+        // a fruitless round neither acquired nor reclaimed (a
+        // vanishing-and-reappearing holder, a rename-refusing FS, or a
+        // create that throws something other than file-exists). Bounded
+        // ABSOLUTELY at churnLimit — with the backoff sleep below, that
+        // is seconds of retrying, never an unthrottled RPC loop spun
+        // until a long --wait deadline (round-20 review: the old bound
+        // was gated on the deadline having passed, so a misconfigured
+        // endpoint was hammered back-to-back for the full wait)
+        val churnLimit = 10
+        def churned(): Nothing = throw new IllegalStateException(
+          s"store at $baseDir: could not acquire the writer lease at " +
+            s"$p for $op after $fruitless attempts against a churning " +
+            "holder (or a store refusing lease creates)")
+        // pause before retrying a fruitless round, same schedule as the
+        // live-holder wait, never sleeping past the deadline by more
+        // than one step
+        def pause(): Unit = {
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 5000L)
+        }
         while (!acquired) {
-          if (tryCreate(fs, p, e.token, op)) acquired = true
+          // under the per-path monitor: this JVM's own heartbeat
+          // rewrite makes the path briefly vacant — a same-process
+          // waiter must not take the lease mid-rename
+          if (pathLock(p).synchronized { tryCreate(fs, p, e.token, op) })
+            acquired = true
           else readLease(fs, p) match {
             case None => // holder vanished between create and read: retry
               fruitless += 1
-              if (fruitless >= 3 && System.currentTimeMillis() >= deadline)
-                throw new IllegalStateException(
-                  s"store at $baseDir: could not acquire the writer " +
-                    s"lease at $p for $op after $fruitless attempts " +
-                    "against a churning holder")
+              if (fruitless >= churnLimit ||
+                  (fruitless >= 3 && System.currentTimeMillis() >= deadline))
+                churned()
+              pause()
             case Some((id, theirOp, mtime)) =>
               val age = System.currentTimeMillis() - mtime
               val reclaimable =
@@ -384,12 +439,11 @@ object StoreLease {
                 if (reclaim(fs, p, mtime)) fruitless = 0 // then retry create
                 else {
                   fruitless += 1
-                  if (fruitless >= 3 &&
-                      System.currentTimeMillis() >= deadline)
-                    throw new IllegalStateException(
-                      s"store at $baseDir: could not acquire the " +
-                        s"writer lease at $p for $op after $fruitless " +
-                        "attempts against a churning holder")
+                  if (fruitless >= churnLimit ||
+                      (fruitless >= 3 &&
+                        System.currentTimeMillis() >= deadline))
+                    churned()
+                  pause()
                 }
               }
               else if (System.currentTimeMillis() < deadline) {

@@ -394,6 +394,28 @@ class CliSpec extends SparkSpec {
     } finally { release2.countDown(); t2.join(15000L) }
   }
 
+  test("--wait refuses a bare index; a repeated option falls through to usage (r20)") {
+    // a BARE index (no versioned store): compactIndex renames the
+    // index dir itself aside mid-swap, so a lease inside it cannot
+    // serialize waiters — the flag refuses instead of silently
+    // weakening (round-20 review #1)
+    val bare = Files.createTempDirectory("graft_wait_bare").toString
+    val ids = spark.range(0, 100).select(col("id").as("vec_id"))
+    ProductQuant.writeIndex(ProductQuant.uniformSyntheticCodes(ids), bare)
+    val (cb, ob) = cliOutErr(
+      Array("compact", "--index", bare, "--wait", "30"))
+    assert(cb == 2, ob)
+    assert(ob.contains("needs a versioned store"), ob)
+    // plain compaction of the same bare index still works
+    assert(Cli.run(Array("compact", "--index", bare), spark) == 0)
+    // a repeated option is malformed, not first-wins (round-20 review
+    // #7): falls through to usage, exit 2
+    val (cd, od) = cliOutErr(Array("compact", "--index", bare,
+      "--wait", "5", "--wait", "300"))
+    assert(cd == 2, od)
+    assert(od.contains("usage:"), od)
+  }
+
   test("run-all --yes --detach persists report, pid and status artifacts") {
     val out = Files.createTempDirectory("graft_det").toString
     val conf = confWith(out)

@@ -604,6 +604,45 @@ class ProductQuantSpec extends SparkSpec {
     assert(ProductQuant.tombstones(spark, base).get.count() == 21)
   }
 
+  test("a stale .gc_old beside a FOLDED sidecar is removed as redundant, never installed over the fold versions (r20)") {
+    val ids = spark.range(0, 200).select(col("id").as("vec_id"))
+    val base = Scratch.dir("gc_old_folded_")
+    ProductQuant.publishIndex(spark, base,
+      ProductQuant.uniformSyntheticCodes(ids))
+    ProductQuant.writeTombstones(spark, base,
+      ids.filter(col("vec_id") % 10 === 0))
+    assert(ProductQuant.gcTombstones(spark, base) == 20)
+    // a SECOND fold grace-expires the consumed loose append, so the
+    // sidecar's top level now holds NO parquet at all — the ids live
+    // only in fold versions. That is the state the old recovery
+    // condition misread as "interrupted pre-r18 swap". Plant a
+    // COMMITTED pre-r18-style .gc_old holding a DIFFERENT (ancient)
+    // id set — out-of-contract mixed-fleet residue. Recovery must not
+    // "recover" it over the fold (that would lose the folded ids and
+    // resurrect their deleted vectors); it is strictly superseded
+    // residue to drop.
+    assert(ProductQuant.gcTombstones(spark, base) == 20)
+    val p = new org.apache.hadoop.fs.Path(
+      base + "/" + ProductQuant.TombstoneDir)
+    val fsChk = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fsChk.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")),
+      "precondition: the folded sidecar's top level must be parquet-free")
+    val old = new org.apache.hadoop.fs.Path(p.toString + ".gc_old")
+    ids.filter(col("vec_id") === 7).write.parquet(old.toString)
+    // readers are unbothered (the guard's versioned carve-out)
+    assert(ProductQuant.tombstones(spark, base).get.count() == 20)
+    // the next mutation removes the residue and keeps the fold intact
+    ProductQuant.writeTombstones(spark, base,
+      ids.filter(col("vec_id") === 3))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(old), "stale .gc_old must be dropped, not kept")
+    val after = ProductQuant.tombstones(spark, base).get
+    assert(after.count() == 21)
+    assert(after.filter(col("vec_id") === 7).isEmpty,
+      "the ancient .gc_old ids must NOT resurface")
+  }
+
   test("past the salt clamp a hot list cannot clear; retrainStore removes it (r16 #3)") {
     // fabricated 2000-vector corpus: the collapsed plant puts list 0
     // at ~150x the nonempty-list mean — past the 128x boundary (the
