@@ -265,16 +265,32 @@ object ProductQuant {
     */
   def codebook(embeddings: DataFrame, dim: Int, m: Int = M, ks: Int = Ks,
                sampleN: Int = SampleN,
-               l2Normalize: Boolean = false): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val subLen = dim / m
+               l2Normalize: Boolean = false): DataFrame =
     // One bounded collect (≤ sampleN rows by construction): seeds are the
     // sample's md5-order prefix, and the training relation is rebuilt as
     // a local DataFrame so the m per-subspace branches don't re-run the
     // corpus TakeOrdered m times.
-    val sampRows = collectSample(embeddings, sampleN, l2Normalize)
+    codebookOfSample(embeddings.sparkSession,
+      collectSample(embeddings, sampleN, l2Normalize), dim, m, ks)
+
+  /** [[codebook]] on an ALREADY-COLLECTED training sample — the shared
+    * entry for callers that hold the md5-prefix rows in hand (the
+    * IVFADC trainers collect ONE prefix and slice it for both the
+    * coarse sample and this training sample, so the corpus pays one
+    * TakeOrdered pass, not two; the residual trainer's 160-row local
+    * residual relation enters here directly instead of round-tripping
+    * through a DataFrame and a second TakeOrdered). Bit-identical to
+    * [[codebook]]: seeds are the first ks rows of the given sample and
+    * the training relation is the sample itself, exactly what
+    * collectSample-then-train produced.
+    */
+  private[graft] def codebookOfSample(
+      spark: org.apache.spark.sql.SparkSession,
+      sampRows: Seq[(Long, Array[Double])],
+      dim: Int, m: Int, ks: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subLen = dim / m
     val seedRows = sampRows.take(ks)
-    val spark = embeddings.sparkSession
     import spark.implicits._
     val samp = sampRows.map { case (id, v) => (id, v.toSeq) }
       .toDF("vec_id", "embedding")
@@ -499,12 +515,19 @@ object ProductQuant {
                                       dim: Option[Int] = None): DataFrame = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val subLen = d / AdcM
-    val (embN, bySub) = adcParts(embeddings, d)
-    // Coarse quantizer: the same md5-prefix seed rule as the fine
-    // codebook's training sample, L2-normalized driver-side so the
-    // norm-divided dot ranks candidates by round6 COSINE (the corpus
-    // metric) — mirror of the oracle's ccent/csim CTEs.
-    val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
+    // Corpus-with-norm relation ([[adcParts]]'s shape, null embeddings
+    // excluded — see its scaladoc) + BOTH frozen quantizers off ONE
+    // md5-prefix collect: the coarse quantizer uses the same seed rule
+    // as the fine codebook's training sample (L2-normalized driver-side
+    // so the norm-divided dot ranks by round6 COSINE — mirror of the
+    // oracle's ccent/csim CTEs), so [[ivfadcQuantizers]] slices both
+    // from one corpus TakeOrdered instead of paying it twice.
+    graft.functions.PqKernels.register(embeddings.sparkSession)
+    val embN = graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
+    val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
     // ONE corpus scan emits the whole composed index row: (vec_id, ccid,
     // sub, code) — the inverted-list tag and all AdcM fine codes
     // together. At rest this relation is what you'd write PARTITIONED BY
@@ -660,9 +683,18 @@ object ProductQuant {
     */
   def ivfadcQuantizers(embeddings: DataFrame, nCoarse: Int, d: Int)
       : (Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) = {
-    val bySub = collectCodebook(
-      codebook(embeddings, d, AdcM, AdcKs, AdcSampleN, l2Normalize = true))
-    (collectSample(embeddings, nCoarse, l2Normalize = true), bySub)
+    // ONE md5-prefix TakeOrdered serves both quantizers (guide §1.2 —
+    // remove redundant passes): the coarse sample is the first nCoarse
+    // rows of the SAME (h, vec_id) total order whose first AdcSampleN
+    // rows train the fine books, so collecting max(...) rows once and
+    // slicing is bit-identical to the two separate corpus collects it
+    // replaces — and at 100 TB it is one full-corpus TakeOrdered pass
+    // instead of two.
+    val samp = collectSample(embeddings, math.max(AdcSampleN, nCoarse),
+      l2Normalize = true)
+    val bySub = collectCodebook(codebookOfSample(embeddings.sparkSession,
+      samp.take(AdcSampleN), d, AdcM, AdcKs))
+    (samp.take(nCoarse), bySub)
   }
 
   /** The (vec_id, ccid, sub, code) code relation for `df` under FROZEN
@@ -1567,7 +1599,11 @@ object ProductQuant {
                              st: TombState): Option[DataFrame] = {
     val paths = st.readPaths
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths.map(_.toString): _*))
+    // vec_id BIGINT is the sidecar's whole write contract
+    // ([[writeTombstones]]); pinning it skips the per-read
+    // footer/schema-inference pass — this read rides EVERY probe
+    else Some(spark.read.schema("vec_id BIGINT")
+      .parquet(paths.map(_.toString): _*))
   }
 
   def tombstones(spark: org.apache.spark.sql.SparkSession,
@@ -2092,7 +2128,14 @@ object ProductQuant {
       s"no quantizer sidecar under $genDir — the generation was " +
         "published without books; probe it with explicitly-held " +
         "quantizers (ivfadcProbeStoreWith) or republish with them")
-    val rows = spark.read.parquet(p.toString).collect()
+    // the sidecar schema is this module's own write contract
+    // ([[writeQuantizers]]) — pin it so the read skips the
+    // footer/schema-inference pass (a per-read metadata RPC on an
+    // object store, a whole Spark job here); columns resolve BY NAME,
+    // so the pin is layout-order-proof
+    val rows = spark.read
+      .schema("kind STRING, sub INT, ord INT, cid BIGINT, cv ARRAY<DOUBLE>")
+      .parquet(p.toString).collect()
     val coarse = rows.filter(_.getString(0) == "coarse")
       .sortBy(_.getInt(2))
       .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq
@@ -2685,9 +2728,20 @@ object ProductQuant {
     */
   def ivfadcResidualQuantizers(embeddings: DataFrame, nCoarse: Int, d: Int)
       : Quantizers = {
-    val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
+    // ONE md5-prefix TakeOrdered serves both quantizers (the
+    // ivfadcQuantizers rationale, residual twin): coarse = the first
+    // nCoarse rows, the residual training sample = the first AdcSampleN
+    // rows of the SAME (h, vec_id) order — bit-identical slices of what
+    // two separate corpus collects returned. The 160-row residual
+    // relation then trains through [[codebookOfSample]] DIRECTLY: the
+    // old round-trip rebuilt it as a DataFrame only for codebook() to
+    // re-sort it by the same md5 order and re-collect it — a Spark job
+    // that returned its own input.
+    val samp = collectSample(embeddings, math.max(AdcSampleN, nCoarse),
+      l2Normalize = true)
+    val coarse = samp.take(nCoarse)
     val cmap: Map[Long, Array[Double]] = coarse.toMap
-    val resRows = collectSample(embeddings, AdcSampleN, l2Normalize = true)
+    val resRows = samp.take(AdcSampleN)
       .map { case (id, v) =>
         val cid = coarse.map { case (ccid, cv) =>
           var s = 0.0
@@ -2696,13 +2750,10 @@ object ProductQuant {
           (Similarity.round6(s), ccid)
         }.maxBy { case (sd, ccid) => (sd, -ccid) }._2
         val cv = cmap(cid)
-        (id, v.indices.map(i => v(i) - cv(i)).toSeq)
+        (id, v.indices.map(i => v(i) - cv(i)).toArray)
       }
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val resDf = resRows.toDF("vec_id", "embedding")
-    val bySubF = collectCodebook(
-      codebook(resDf, d, AdcM, AdcKs, AdcSampleN, l2Normalize = false))
+    val bySubF = collectCodebook(codebookOfSample(
+      embeddings.sparkSession, resRows, d, AdcM, AdcKs))
     (coarse, bySubF)
   }
 
@@ -3152,8 +3203,15 @@ object ProductQuant {
                        dim: Option[Int] = None): DataFrame = {
     val d = dim.getOrElse(Similarity.dimOf(embeddings))
     val subLen = d / AdcM
-    val (embN, bySub) = adcParts(embeddings, d)
-    val coarse = collectSample(embeddings, nCoarse, l2Normalize = true)
+    // both quantizers off ONE md5-prefix corpus collect (the
+    // ivfadcQuantizers rationale); embN is adcParts' corpus-with-norm
+    // shape with the same null exclusion
+    graft.functions.PqKernels.register(embeddings.sparkSession)
+    val embN = graft.Tables.spread(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normN(col("embedding"), d).as("nrm"))
+    val (coarse, bySub) = ivfadcQuantizers(embeddings, nCoarse, d)
     val sweepL = sweep.map(_.toLong).sorted
     // single-scan composed index row, exactly ivfadcStage1's shape
     val enc = explodeVia(embN,
