@@ -52,6 +52,12 @@ object Graph {
       .groupBy(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .agg(count(lit(1)).as("w"))
+      // materialized ONCE (the bfs/kcore localCheckpoint rationale
+      // applied to the round loop): e feeds the strength guard (both
+      // sides), the seed distinct, and two joins per round — measured
+      // 4% off this face at sf0.1, and at scale it pins the weighted
+      // edge aggregation to one pass
+      .localCheckpoint()
     // max node strength on either side — the guard's input
     val smax = e.groupBy("src").agg(sum("w").as("s")).select(col("s"))
       .unionByName(e.groupBy("dst").agg(sum("w").as("s")).select(col("s")))
@@ -178,6 +184,15 @@ object Graph {
         least(col(srcCol).cast(LongType), col(dstCol).cast(LongType)).as("u"),
         greatest(col(srcCol).cast(LongType), col(dstCol).cast(LongType)).as("v"))
       .distinct()
+      // materialized ONCE (the bfs/kcore localCheckpoint rationale,
+      // applied to the census): und feeds five consumers — the degree
+      // aggregation, both oriented join inputs, the closing semi-join's
+      // right side, and the edge count — and `edges` is typically
+      // itself a derivation (the co-order faces build it from a
+      // distinct + self-join + threshold over the fact table), so
+      // without the barrier each consumer re-derives that whole prefix
+      // (measured: 34%/22% off the exact/sampled census at sf0.1)
+      .localCheckpoint()
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -308,6 +323,10 @@ object Graph {
       .groupBy(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .agg(count(lit(1)).as("w"))
+      // materialized ONCE (the triangleStats rationale): e feeds the
+      // degree aggregation, the node spine, the overflow guard, and
+      // one join per round (measured 3% at sf0.1; one pass at scale)
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(sum("w").as("deg"))
     val nodes = e.select(col("src").as("node")).distinct()
     val nGuard = nodes.agg(count(lit(1)).as("n_nodes"))
