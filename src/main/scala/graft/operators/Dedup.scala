@@ -612,7 +612,9 @@ object Dedup {
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double,
                       maxBucket: Option[Int]): DataFrame =
-    jaccardNearDupsFrom(shingleKernel(docs), threshold, maxBucket)
+    jaccardNearDupsFrom(
+    // kernel materialized ONCE — see the threshold-only overload
+    shingleKernel(docs).localCheckpoint(), threshold, maxBucket)
 
   /** [[jaccardNearDups]] over an existing [[shingleKernel]] relation —
     * see [[minhashNearDupsFrom]] for the signature-reuse contract.
@@ -662,7 +664,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        maxBucket: Option[Int] = None): DataFrame =
-    containmentPairsFrom(shingleKernel(docs), threshold, maxBucket)
+    containmentPairsFrom(
+    // kernel materialized ONCE — the jaccardNearDups rationale
+    shingleKernel(docs).localCheckpoint(), threshold, maxBucket)
 
   /** [[containmentPairs]] over an existing [[shingleKernel]] relation. */
   def containmentPairsFrom(sk: DataFrame, threshold: Double,
@@ -715,8 +719,14 @@ object Dedup {
                          maxBucket: Option[Int] = None,
                          minPermille: Long = 0L): DataFrame = {
     graft.functions.TextKernels.register(docs.sparkSession)
+    // winnow_set computed ONCE (r20): the posting relation feeds the
+    // hot-fingerprint census AND the capped semi-join, and the kernel
+    // is the dominant per-row cost — materializing the per-doc
+    // fingerprint sets halved this face at sf0.1 (one text pass, not
+    // two, at any scale)
     val fps = graft.Tables.spread(docs)
-      .select(col("doc_id"), expr(s"winnow_set(text, $window)").as("fps"))
+        .select(col("doc_id"), expr(s"winnow_set(text, $window)").as("fps"))
+        .localCheckpoint()
       .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
         explode(col("fps")).as("fp"))
     val pruned = maxBucket.fold(fps) { cap =>
