@@ -318,6 +318,10 @@ object Dedup {
         col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
+      // materialized ONCE (r20): cand feeds the truth verification,
+      // the per-config hit semi-join, and the candidate census — three
+      // consumers that would each re-run the banded self-join
+      .localCheckpoint()
     val sh = sk.select(col("doc_id"), col("sh"))
     val truth = cand.filter(col("cfg") === loosest)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
@@ -327,6 +331,8 @@ object Dedup {
       .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
       .select(col("doc_a"), col("doc_b"))
+      // truth feeds the static-spine explode AND the truth census
+      .localCheckpoint()
     val truthS = truth.select(col("doc_a"), col("doc_b"),
       explode(typedLit(configs.indices.toList)).as("cfg"))
     val hits = truthS.join(cand, Seq("cfg", "doc_a", "doc_b"), "left_semi")
