@@ -1426,20 +1426,13 @@ object ProductQuant {
     // refusal when the recovery is mechanical and single-writer)
     recoverTombstoneGc(spark, baseDir)
     val t = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-    // a delete that doesn't parse must FAIL, not silently no-op: a
-    // null key never matches the anti-join, so a malformed id would
-    // otherwise be "deleted" into nothing (round-16 review-4 #4). The
-    // count is one action on a bounded relation — deletes ≪ corpus.
-    val bad = t.filter(col("vec_id").isNull).count()
-    require(bad == 0,
-      s"writeTombstones: $bad ids did not parse as long vec_ids")
     // append only NOVEL ids: delete APIs get retried, and an
     // append-per-call sidecar would grow with calls, not with
     // distinct deletes — it is broadcast on every probe (review-4 #5)
     // an all-duplicate retry writes NOTHING: appending a zero-row part
     // file per retried call would still grow the sidecar's file count,
     // which the doctor reports and every probe's read lists. The
-    // anti-join is persisted across the count + write pair — without
+    // anti-join is persisted across the guard + write pair — without
     // it both actions re-read the standing sidecar AND re-evaluate the
     // caller's ids relation, which may itself be an expensive corpus
     // filter (round-17 review #6); the cached relation is bounded by
@@ -1448,7 +1441,21 @@ object ProductQuant {
       .fold(t)(ex => t.join(ex, Seq("vec_id"), "left_anti"))
       .persist()
     try {
-      if (novel.count() > 0L)
+      // a delete that doesn't parse must FAIL, not silently no-op: a
+      // null key never matches the anti-join, so a malformed id would
+      // otherwise be "deleted" into nothing (round-16 review-4 #4).
+      // A null also never matches the STANDING sidecar (which the
+      // parse guard keeps null-free), so it survives the anti-join —
+      // both the parse guard and the novelty count therefore read off
+      // ONE aggregation of the persisted relation (two actions, not
+      // three; r20). t is distinct(), so the null count was 0/1 both
+      // before and after this fold.
+      val g = novel.agg(
+        count(when(col("vec_id").isNull, 1)).as("bad"),
+        count(col("vec_id")).as("n")).collect()(0)
+      require(g.getLong(0) == 0,
+        s"writeTombstones: ${g.getLong(0)} ids did not parse as long vec_ids")
+      if (g.getLong(1) > 0L)
         novel.coalesce(1)
           .write.mode("append")
           .parquet(s"${baseDir.stripSuffix("/")}/$TombstoneDir")
