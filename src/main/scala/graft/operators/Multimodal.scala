@@ -327,6 +327,12 @@ object Multimodal {
                                           maxPosting: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fh = rel.select(col("doc_id"), col(keyCol).as("k")).distinct()
+      // materialized ONCE (the r20 SSJoin-kernel discipline, see
+      // Dedup.jaccardNearDups): fh feeds the per-doc key census and the
+      // hot-key-capped pairing — without a barrier each consumer
+      // re-runs the fingerprint kernel (dhash63 frames / CDC chunking)
+      // over every payload
+      .localCheckpoint()
     val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val capped = fh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("k")))
