@@ -2143,6 +2143,16 @@ object ProductQuant {
     val rows = spark.read
       .schema("kind STRING, sub INT, ord INT, cid BIGINT, cv ARRAY<DOUBLE>")
       .parquet(p.toString).collect()
+    // the pinned schema resolves BY NAME, so a sidecar written with the
+    // wrong columns reads as null cells instead of a schema error —
+    // but the write contract never produces a null cell, so any null
+    // (or a committed-but-empty relation) IS the unreadable-sidecar
+    // state and must fail as loudly as the schema inference it
+    // replaced (the doctor maps this to books: UNREADABLE)
+    if (rows.isEmpty || rows.exists(r => (0 to 4).exists(r.isNullAt)))
+      throw new IllegalStateException(
+        s"quantizer sidecar under $genDir is corrupt: rows do not carry " +
+          "the (kind, sub, ord, cid, cv) contract — refusing to probe")
     val coarse = rows.filter(_.getString(0) == "coarse")
       .sortBy(_.getInt(2))
       .map(r => (r.getLong(3), r.getSeq[Double](4).toArray)).toSeq
