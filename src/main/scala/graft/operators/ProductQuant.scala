@@ -969,14 +969,30 @@ object ProductQuant {
     * rewrite path preserves (or establishes) the same split.
     */
   private def deriveHotListsWithTotal(
-      codes: DataFrame): (Map[Int, Int], Int, Long) = {
-    val counts = codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
-    val total = counts.map(_.getLong(1)).sum
+      codes: DataFrame): (Map[Int, Int], Int, Long) =
+    hotListsFromCounts(
+      codes.groupBy("ccid").agg(count(lit(1)).as("n")).collect()
+        // some callers carry ccid as LONG (residual/opq encode output);
+        // list ids fit an int by the nCoarse contract either way
+        .map(r => (r.get(0) match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.toInt
+        }, r.getLong(1))).toSeq)
+
+  /** The width/task arithmetic over ALREADY-COLLECTED per-list counts —
+    * shared by [[deriveHotListsWithTotal]] and the callers that obtain
+    * the counts from an aggregation they pay anyway (retrainFlat's
+    * coverage-guard fold), so the salt derivation can never diverge
+    * between the one-relation and folded paths.
+    */
+  private def hotListsFromCounts(
+      counts: Seq[(Int, Long)]): (Map[Int, Int], Int, Long) = {
+    val total = counts.map(_._2).sum
     val mean = total.toDouble / counts.length
-    val widths = counts.filter(_.getLong(1) > 2.0 * mean)
-      .map(r => r.getInt(0) ->
+    val widths = counts.filter(_._2 > 2.0 * mean)
+      .map { case (cc, n) => cc ->
         math.min(64, math.max(SaltBuckets,
-          math.ceil(r.getLong(1) / (2.0 * mean)).toInt * 2)))
+          math.ceil(n / (2.0 * mean)).toInt * 2)) }
       .toMap
     (widths,
       saltTasksFor(total, widths.values.maxOption.getOrElse(SaltBuckets)),
@@ -1180,13 +1196,23 @@ object ProductQuant {
         "distinct ids) — refusing to publish an inflated generation")
     // the coverage guard's denominator: LIVE rows (deletes excluded).
     // With duplicates excluded above, the join can only DROP rows, so
-    // equality == exact coverage.
-    val srcRows = codes.count()
-    val (widths, tasks, total) = deriveHotListsWithTotal(relisted)
-    if (total != srcRows) throw new IllegalStateException(
-      s"retrainStore: only $total of $srcRows code rows of v$g " +
-        "re-listed — the corpus does not cover the index (missing or " +
-        "null-embedding vec_ids); refusing to publish a shrunken " +
+    // zero unmatched rows == exact coverage. The unmatched count rides
+    // the SAME per-list aggregation the salt widths need — a LEFT join
+    // parks uncovered code rows in the null-ccid group — replacing the
+    // separate codes.count() denominator pass (one full live-generation
+    // scan per retrain removed; guide §1.2). Matched groups reproduce
+    // the inner join's per-list counts exactly (the publish below still
+    // writes the inner join), so widths/tasks/total are unchanged.
+    val perList = codes.join(assign, Seq("vec_id"), "left")
+      .groupBy("ccid").agg(count(lit(1)).as("n")).collect()
+    val missing = perList.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val (widths, tasks, total) = hotListsFromCounts(
+      perList.filter(!_.isNullAt(0))
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    if (missing > 0L) throw new IllegalStateException(
+      s"retrainStore: only $total of ${total + missing} code rows of " +
+        s"v$g re-listed — the corpus does not cover the index (missing " +
+        "or null-embedding vec_ids); refusing to publish a shrunken " +
         "generation")
     val (g2, _) = publishIndex(spark, baseDir, relisted,
       hotWidths = widths, saltTasks = Some(tasks),
@@ -1772,9 +1798,10 @@ object ProductQuant {
     * (readers complete within one maintenance cycle). A fully-settled
     * sidecar (no survivors, no new deletes) drops its remaining husks
     * — and then the whole directory — on the following GCs. Cost: one
-    * code-relation scan per retained generation, paid on the
-    * compaction path, never on a probe. Single-writer, like every
-    * store mutation. Returns the surviving id count.
+    * scan of each retained generation's code relation feeding ONE
+    * semi-join, paid on the compaction path, never on a probe.
+    * Single-writer, like every store mutation. Returns the surviving
+    * id count.
     */
   def gcTombstones(spark: org.apache.spark.sql.SparkSession,
                    baseDir: String,
@@ -1820,10 +1847,20 @@ object ProductQuant {
             s"gcTombstones: delete ${st.dir} failed")
           return 0L
         }
+        // ONE semi-join over the union of generation scans instead of
+        // a semi-join per generation (guide §1.2): the semi-join
+        // distributes over the union, so the relation is identical,
+        // but the join (hash-relation build + probe operator) is
+        // planned and executed once for a store that retains many
+        // generations. The scans stay per-directory — Spark refuses a
+        // multi-root read of ccid-partitioned sibling dirs
+        // (CONFLICTING_DIRECTORY_STRUCTURES) — and their bytes are
+        // identical either way.
         val surviving = gens.map { case (_, dir) =>
             spark.read.parquet(dir).select(col("vec_id"))
-              .join(probe, Seq("vec_id"), "left_semi")
-          }.reduce(_ unionByName _).distinct().persist()
+          }.reduce(_ unionByName _)
+          .join(probe, Seq("vec_id"), "left_semi")
+          .distinct().persist()
         try {
           val n = surviving.count()
           val newVer = st.ver.map(_._1).getOrElse(0) + 1
