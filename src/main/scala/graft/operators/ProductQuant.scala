@@ -3285,12 +3285,22 @@ object ProductQuant {
     val qrel = qprobe.join(lut, "q_id")
     val pre = enc.join(broadcast(qrel), Seq("ccid", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
-    // each probed (q, candidate) pair carries exactly AdcM LUT-matched
-    // rows, so the stage-1 pair count is a div away — no second scan
-    val s1 = pre.groupBy("nprobe")
-      .agg(expr(s"count(1) div $AdcM").as("pairs"))
+    // the ADC sums materialize ONCE (r20): scored feeds BOTH the
+    // shortlist window chain and the stage-1 pair census below, and
+    // its prefix is the face's dominant cost — the full single-scan
+    // encode + broadcast probe join. Without the barrier the two
+    // consumers' differing exchanges re-run that encode scan twice
+    // per face (no ReusedExchange across a broadcast join). Bounded:
+    // one row per (nprobe, q, candidate) pair, never corpus-sized.
     val scored = pre.groupBy(col("nprobe"), col("q_id"), col("vec_id"))
       .agg(sum("sd6").as("adc6"))
+      .localCheckpoint()
+    // each probed (q, candidate) pair carries exactly AdcM LUT-matched
+    // rows, so scored holds ONE row per pair and the stage-1 pair
+    // count is its per-nprobe row count — same relation as the former
+    // `count(1) div AdcM` over pre, without the second encode scan
+    val s1 = scored.groupBy("nprobe")
+      .agg(count(lit(1)).as("pairs"))
     // shortlistOf with nprobe extending the window partition
     val n = embeddings.agg(count(lit(1)).as("__n"))
       .withColumn("__one", pmod(col("__n"), lit(1L)))

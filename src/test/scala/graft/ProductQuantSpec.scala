@@ -187,6 +187,29 @@ class ProductQuantSpec extends SparkSpec {
     assert(row.length == 1)
   }
 
+  test("probe sweep's pair census equals the stage-1 relation's AdcM fold") {
+    // r20: the sweep derives its stage-1 pair count from the
+    // materialized per-pair ADC relation (one row per pair) instead of
+    // a second `count div AdcM` pass over the pre-aggregation — this
+    // pins the equivalence: the published scan_permille must equal the
+    // one the ORIGINAL formula produces from the stage-1 relation the
+    // sweep's pre mirrors at the same nprobe, and the widest sweep
+    // point (every list probed) must land exactly at 1000‰.
+    val q = col("vec_id") < 3
+    val out = ProductQuant.ivfadcProbeSweep(emb, q, 3, sweep = Seq(2, 16))
+      .select("nprobe", "scan_permille")
+      .as[(Long, Long)].collect().toMap
+    assert(out(16L) == 1000L,
+      s"nprobe=16 probes every list, got ${out(16L)}‰")
+    val nQ = emb.filter(q).count()
+    val n = emb.count()
+    val pairs2 = ProductQuant.ivfadcStage1(emb, q, 16, 2).count() /
+      ProductQuant.AdcM
+    assert(out(2L) == 1000L * pairs2 / (nQ * (n - 1)),
+      s"sweep census diverged from the stage-1 fold at nprobe=2: " +
+        s"${out(2L)}‰ vs ${1000L * pairs2 / (nQ * (n - 1))}‰")
+  }
+
   test("ivf list balance partitions the corpus exactly, integer arithmetic") {
     val corpus = emb.count()
     val out = ProductQuant.ivfListBalance(emb).collect()
